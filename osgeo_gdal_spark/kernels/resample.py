@@ -1,0 +1,134 @@
+"""Resampling kernels — numpy ports of the GDAL warp/overview resamplers.
+
+Weight functions ported from ``/root/reference/alg/gdalresamplingkernels.h``
+(CubicKernel = Catmull-Rom a=-0.5; CubicSplineKernel = cubic B-spline) and
+``/root/reference/alg/gdalwarpkernel.cpp:102-136`` (bilinear triangle,
+Lanczos windowed sinc, radius 3). Aggregating AVERAGE reduction follows
+``/root/reference/gcore/overview.cpp`` semantics: arithmetic mean of valid
+(non-nodata) contributing pixels; integer outputs round half away from
+zero via the GDALCopyWords rule (+0.5 floor for non-negative data).
+
+Coordinate mapping: dst pixel center -> src coords
+``sx = (dx + 0.5) * scale - 0.5`` (the standard GDAL warp inverse mapping
+for pure rescales). Kernel taps clamp at the image edge and weights are
+renormalized by their sum — matching GWK edge behavior.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+KERNEL_RADIUS = {"near": 0, "bilinear": 1, "cubic": 2, "cubicspline": 2, "lanczos": 3}
+
+
+def cubic_kernel(x):
+    """Catmull-Rom (a=-0.5) — gdalresamplingkernels.h CubicKernel."""
+    ax = np.abs(x)
+    x2 = x * x
+    r = np.where(
+        ax <= 1.0,
+        x2 * (1.5 * ax - 2.5) + 1.0,
+        np.where(ax <= 2.0, x2 * (-0.5 * ax + 2.5) - 4.0 * ax + 2.0, 0.0),
+    )
+    return r
+
+
+def cubic_spline_kernel(x):
+    """Cubic B-spline — gdalresamplingkernels.h CubicSplineKernel."""
+    v = np.abs(x)
+    xm1 = v - 1.0
+    xp1 = v + 1.0
+    xp2 = v + 2.0
+    a = np.where(xp2 <= 0.0, 0.0, xp2**3)
+    b = np.where(xp1 <= 0.0, 0.0, xp1**3)
+    c = np.where(v <= 0.0, 0.0, v**3)
+    d = np.where(xm1 <= 0.0, 0.0, xm1**3)
+    return np.where(v > 2.0, 0.0, (a - 4.0 * b + 6.0 * c - 4.0 * d) / 6.0)
+
+
+def bilinear_kernel(x):
+    """Triangle — GWKBilinear."""
+    ax = np.abs(x)
+    return np.where(ax <= 1.0, 1.0 - ax, 0.0)
+
+
+def lanczos_kernel(x, radius=3.0):
+    """Lanczos windowed sinc — GWKLanczosSinc (radius 3)."""
+    ax = np.abs(np.asarray(x, dtype=np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.sinc(ax) * np.sinc(ax / radius)
+    return np.where(ax >= radius, 0.0, s)
+
+
+_KERNELS = {
+    "bilinear": (bilinear_kernel, 1),
+    "cubic": (cubic_kernel, 2),
+    "cubicspline": (cubic_spline_kernel, 2),
+    "lanczos": (lanczos_kernel, 3),
+}
+
+
+def _axis_weights(out_size: int, src_size: int, method: str):
+    """Per-dst-pixel (tap_indices, tap_weights) along one axis."""
+    scale = src_size / float(out_size)
+    centers = (np.arange(out_size) + 0.5) * scale - 0.5
+    if method == "near":
+        # GDAL nearest: floor(center + 0.5) clamped
+        idx = np.clip(np.floor(centers + 0.5).astype(np.int64), 0, src_size - 1)
+        return idx[:, None], np.ones((out_size, 1))
+    fn, radius = _KERNELS[method]
+    base = np.floor(centers).astype(np.int64)
+    offsets = np.arange(-radius + 1, radius + 1)  # 2*radius taps
+    taps = base[:, None] + offsets[None, :]
+    w = fn(taps - centers[:, None])
+    taps = np.clip(taps, 0, src_size - 1)
+    wsum = w.sum(axis=1, keepdims=True)
+    wsum[wsum == 0] = 1.0
+    return taps, w / wsum
+
+
+def resample_grid(src: np.ndarray, out_h: int, out_w: int, method: str) -> np.ndarray:
+    """Separable resample of a 2-D array to (out_h, out_w). Returns float64;
+    callers cast/round per output dtype (GDALCopyWords +0.5 floor rule)."""
+    src = np.asarray(src, dtype=np.float64)
+    ty, wy = _axis_weights(out_h, src.shape[0], method)
+    tx, wx = _axis_weights(out_w, src.shape[1], method)
+    # rows: (out_h, taps_y, src_w) -> weighted sum over taps
+    tmp = np.einsum("ots,ot->os", src[ty, :], wy)
+    # cols: (out_h, out_w, taps_x) -> weighted sum over taps
+    out = np.einsum("rot,ot->ro", tmp[:, tx], wx)
+    return out
+
+
+def round_to_dtype(arr: np.ndarray, dtype) -> np.ndarray:
+    """GDALCopyWords float->int conversion: add 0.5, floor, clamp."""
+    if np.issubdtype(np.dtype(dtype), np.floating):
+        return arr.astype(dtype)
+    info = np.iinfo(dtype)
+    return np.clip(np.floor(arr + 0.5), info.min, info.max).astype(dtype)
+
+
+def average_2x2(src: np.ndarray) -> np.ndarray:
+    """One overview AVERAGE pyramid step: mean of each 2x2 block
+    (overview.cpp AVERAGE semantics, no-nodata case). Even dims required.
+    Returns float64 — exact for integer inputs (sum of 4 ints / 4).
+    """
+    src = np.asarray(src, dtype=np.float64)
+    h, w = src.shape
+    if h % 2 or w % 2:
+        raise ValueError("average_2x2 requires even dimensions")
+    return src.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+
+def average_2x2_nodata(src: np.ndarray, nodata: float) -> np.ndarray:
+    """AVERAGE pyramid step with nodata: mean over valid pixels of each 2x2
+    block; block entirely nodata -> nodata (overview.cpp masked AVERAGE)."""
+    src = np.asarray(src, dtype=np.float64)
+    h, w = src.shape
+    blocks = src.reshape(h // 2, 2, w // 2, 2)
+    valid = blocks != nodata
+    cnt = valid.sum(axis=(1, 3))
+    s = np.where(valid, blocks, 0.0).sum(axis=(1, 3))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(cnt > 0, s / np.maximum(cnt, 1), nodata)
+    return out

@@ -1,0 +1,178 @@
+"""Golden tests for WKB codec, ray-cast PIP, checksum, resampling kernels."""
+
+import numpy as np
+import pytest
+
+from osgeo_gdal_spark.kernels import checksum, pip, resample, wkb
+
+
+SQUARE = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+HOLE = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)]
+
+
+def test_wkb_polygon_roundtrip():
+    buf = wkb.polygon_wkb([SQUARE, HOLE])
+    g = wkb.parse_wkb(buf)
+    assert g.geom_type == "Polygon"
+    assert list(g.part_rings) == [2]
+    assert g.envelope() == (0.0, 0.0, 10.0, 10.0)
+    assert len(g.xs) == 10  # 5 + 5 closed
+
+
+def test_wkb_point_and_multipolygon():
+    p = wkb.parse_wkb(wkb.point_wkb(3.5, -7.25))
+    assert p.geom_type == "Point" and p.xs[0] == 3.5 and p.ys[0] == -7.25
+    mp = wkb.parse_wkb(wkb.multipolygon_wkb([[SQUARE], [HOLE]]))
+    assert mp.geom_type == "MultiPolygon"
+    assert list(mp.part_rings) == [1, 1]
+
+
+def test_wkb_big_endian():
+    import struct
+    # hand-build big-endian point
+    buf = struct.pack(">BIdd", 0, 1, 1.5, 2.5)
+    g = wkb.parse_wkb(buf)
+    assert (g.xs[0], g.ys[0]) == (1.5, 2.5)
+
+
+def test_shoelace_area_and_centroid():
+    g = wkb.parse_wkb(wkb.polygon_wkb([SQUARE, HOLE]))
+    assert wkb.polygon_area(g) == pytest.approx(100.0 - 4.0)
+    cx, cy = wkb.centroid(g)
+    assert (cx, cy) == (pytest.approx(5.0), pytest.approx(5.0))
+
+
+def test_pip_square_with_hole():
+    g = wkb.parse_wkb(wkb.polygon_wkb([SQUARE, HOLE]))
+    px = np.array([5.0, 1.0, 5.0, 11.0, -1.0, 4.5])
+    py = np.array([1.0, 5.0, 5.0, 5.0, 5.0, 4.5])
+    #              in    in   hole  out   out  hole
+    mask = pip.points_in_polygon(px, py, g)
+    assert mask.tolist() == [True, True, False, False, False, False]
+
+
+def test_pip_strict_interior_vertex_and_edge():
+    # ray-cast semantics from ogrlinearring.cpp:452-521: generic interior
+    # points in, clearly-outside points out; a point just inside an edge in.
+    g = wkb.parse_wkb(wkb.polygon_wkb([SQUARE]))
+    px = np.array([1e-9, 10.0 - 1e-9, 5.0])
+    py = np.array([1e-9, 5.0, 10.0 - 1e-9])
+    assert pip.points_in_polygon(px, py, g).tolist() == [True, True, True]
+
+
+def test_pip_concave_triangle():
+    tri = [(0.0, 0.0), (10.0, 0.0), (5.0, 8.0)]
+    g = wkb.parse_wkb(wkb.polygon_wkb([tri]))
+    px = np.array([5.0, 0.5, 9.5, 5.0])
+    py = np.array([2.0, 7.0, 7.0, 7.9])
+    assert pip.points_in_polygon(px, py, g).tolist() == [True, False, False, True]
+
+
+def test_pip_matches_matplotlib_free_reference():
+    """Property check: ray-cast agrees with an independent winding
+    implementation on random points vs a random simple polygon."""
+    rng = np.random.default_rng(7)
+    # star-shaped polygon around origin => simple
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 12))
+    radii = rng.uniform(2.0, 5.0, 12)
+    ring = [(float(r * np.cos(a)), float(r * np.sin(a))) for r, a in zip(radii, angles)]
+    g = wkb.parse_wkb(wkb.polygon_wkb([ring]))
+    px = rng.uniform(-6, 6, 500)
+    py = rng.uniform(-6, 6, 500)
+    got = pip.points_in_polygon(px, py, g)
+
+    def winding_inside(x, y):
+        xs = np.array([p[0] for p in ring] + [ring[0][0]])
+        ys = np.array([p[1] for p in ring] + [ring[0][1]])
+        inside = False
+        for i in range(len(xs) - 1):
+            x1, y1, x2, y2 = xs[i], ys[i], xs[i + 1], ys[i + 1]
+            if (y1 > y) != (y2 > y):
+                xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if xint > x:
+                    inside = not inside
+        return inside
+
+    want = np.array([winding_inside(x, y) for x, y in zip(px, py)])
+    assert (got == want).all()
+
+
+def test_prepared_polygon_set():
+    g1 = wkb.parse_wkb(wkb.polygon_wkb([SQUARE]))
+    g2 = wkb.parse_wkb(wkb.polygon_wkb([[(20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0)]]))
+    ps = pip.PreparedPolygonSet([(101, g1), (102, g2)])
+    px = np.array([5.0, 25.0, 50.0])
+    py = np.array([5.0, 25.0, 50.0])
+    hits = {pid: m.tolist() for pid, m in ps.contains_masks(px, py)}
+    assert hits == {101: [True, False, False], 102: [False, True, False]}
+
+
+def test_checksum_byte_tif_golden():
+    """The canonical byte.tif (20x20 uint8) checksums to 4672
+    (autotest/utilities/test_gdal_translate.py:52). We reproduce the exact
+    pixel array from the reference fixture file and assert the port."""
+    import pathlib
+    tif = pathlib.Path("/root/reference/autotest/gcore/data/byte.tif")
+    if not tif.exists():
+        pytest.skip("reference fixture missing")
+    data = tif.read_bytes()
+    # byte.tif is a 20x20 uncompressed striped GTiff; extract the single
+    # strip. Parse minimal TIFF: locate StripOffsets (tag 273).
+    import struct
+    endian = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    (n_tags,) = struct.unpack_from(endian + "H", data, ifd_off)
+    strip_off = strip_cnt = None
+    for i in range(n_tags):
+        tag, typ, cnt, val = struct.unpack_from(endian + "HHII", data, ifd_off + 2 + i * 12)
+        if tag == 273:
+            strip_off = val
+        if tag == 279:
+            strip_cnt = val
+    assert strip_off is not None and strip_cnt == 400
+    pixels = np.frombuffer(data, dtype=np.uint8, count=400, offset=strip_off).reshape(20, 20)
+    assert checksum.checksum_image(pixels) == 4672
+
+
+def test_checksum_float_conversion():
+    arr = np.array([[0.4, 0.6], [-0.6, 2.5]])
+    # IntFromDouble: +0.5 then floor -> 0, 1, 0 (floor(-0.1) = -1!), 3
+    # -0.6+0.5 = -0.1 -> floor = -1; C % with negative dividend truncates.
+    got = checksum.checksum_image(arr)
+    # C-truncation remainders: 0%7=0, 1%11=1, -1%13=-1, 3%17=3 -> sum 3
+    assert got == 3
+
+
+def test_resample_identity_and_near():
+    src = np.arange(16, dtype=np.float64).reshape(4, 4)
+    for m in ["near", "bilinear", "cubic", "lanczos", "cubicspline"]:
+        out = resample.resample_grid(src, 4, 4, m)
+        if m in ("near", "bilinear", "cubic", "lanczos"):
+            # interpolating kernels reproduce the grid exactly at nodes
+            np.testing.assert_allclose(out, src, atol=1e-9)
+
+
+def test_resample_2x_upsample_bilinear_golden():
+    src = np.array([[0.0, 10.0], [20.0, 30.0]])
+    out = resample.resample_grid(src, 4, 4, "bilinear")
+    # dst row 1 center at src y=0.25 -> 0.75*row0 + 0.25*row1 = [5, 15];
+    # col centers -0.25 (edge-clamped), 0.25, 0.75, 1.25 (edge-clamped)
+    np.testing.assert_allclose(out[1], [5.0, 7.5, 12.5, 15.0], atol=1e-12)
+
+
+def test_average_2x2_golden_and_nodata():
+    src = np.array([[1, 2, 3, 4], [5, 6, 7, 8], [9, 10, 11, 12], [13, 14, 15, 16]], dtype=np.uint8)
+    out = resample.average_2x2(src)
+    np.testing.assert_allclose(out, [[3.5, 5.5], [11.5, 13.5]])
+    src2 = src.astype(np.float64)
+    src2[0, 0] = -9999.0
+    out2 = resample.average_2x2_nodata(src2, -9999.0)
+    assert out2[0, 0] == pytest.approx((2 + 5 + 6) / 3.0)
+    src3 = np.full((2, 2), -9999.0)
+    assert resample.average_2x2_nodata(src3, -9999.0)[0, 0] == -9999.0
+
+
+def test_round_to_dtype():
+    arr = np.array([1.4, 1.5, 255.6, -0.4])
+    out = resample.round_to_dtype(arr, np.uint8)
+    assert out.tolist() == [1, 2, 255, 0]

@@ -1,0 +1,141 @@
+"""Golden tests for the GlobalMercator port.
+
+Expected values computed with the exact reference formulas
+(gdal2tiles.py GlobalMercator, /root/reference/swig/python/gdal-utils/
+osgeo_utils/gdal2tiles.py:415-533) — re-derived here with math.* so a
+regression in the numpy port is caught against an independent evaluation.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from osgeo_gdal_spark.kernels import cells, mercator as M
+
+
+def ref_latlon_to_meters(lat, lon):
+    origin_shift = 2 * math.pi * 6378137 / 2.0
+    mx = lon * origin_shift / 180.0
+    my = math.log(math.tan((90 + lat) * math.pi / 360.0)) / (math.pi / 180.0)
+    return mx, my * origin_shift / 180.0
+
+
+def ref_tile(lat, lon, zoom, tile_size=256):
+    origin_shift = 2 * math.pi * 6378137 / 2.0
+    initial_res = 2 * math.pi * 6378137 / tile_size
+    res = initial_res / (2**zoom)
+    mx, my = ref_latlon_to_meters(lat, lon)
+    px = (mx + origin_shift) / res
+    py = (my + origin_shift) / res
+    tx = int(math.ceil(px / float(tile_size)) - 1)
+    ty = int(math.ceil(py / float(tile_size)) - 1)
+    return tx, ty
+
+
+def ref_quadkey(tx, ty, zoom):
+    quad_key = ""
+    ty = (2**zoom - 1) - ty
+    for i in range(zoom, 0, -1):
+        digit = 0
+        mask = 1 << (i - 1)
+        if (tx & mask) != 0:
+            digit += 1
+        if (ty & mask) != 0:
+            digit += 2
+        quad_key += str(digit)
+    return quad_key
+
+
+PROBES = [
+    (0.0, 0.0),
+    (48.8584, 2.2945),       # Paris
+    (-33.8688, 151.2093),    # Sydney
+    (85.05112877, -179.999),
+    (-85.05112877, 179.999),
+    (37.7749, -122.4194),
+    (0.001, -0.001),
+    (66.51326044311186, 0.0),  # exact z1 tile-boundary latitude
+]
+
+
+def test_constants():
+    assert M.ORIGIN_SHIFT == pytest.approx(20037508.342789244, abs=1e-6)
+    assert float(M.resolution(0)) == pytest.approx(156543.03392804097, abs=1e-8)
+
+
+@pytest.mark.parametrize("lat,lon", PROBES)
+@pytest.mark.parametrize("zoom", [1, 5, 12])
+def test_tile_matches_reference(lat, lon, zoom):
+    tx_ref, ty_ref = ref_tile(lat, lon, zoom)
+    tx, ty = M.latlon_to_tile_tms(np.array([lat]), np.array([lon]), zoom)
+    assert (int(tx[0]), int(ty[0])) == (tx_ref, ty_ref)
+    # quadkey pinned to QuadTree digits
+    assert M.quadkey(int(tx[0]), int(ty[0]), zoom) == ref_quadkey(tx_ref, ty_ref, zoom)
+
+
+def test_meters_roundtrip():
+    lat = np.linspace(-85, 85, 201)
+    lon = np.linspace(-179.9, 179.9, 201)
+    mx, my = M.latlon_to_meters(lat, lon)
+    lat2, lon2 = M.meters_to_latlon(mx, my)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+
+
+def test_pixels_to_tile_boundary_convention():
+    # exactly on a 256-px line -> ceil(p/256)-1 keeps the lower tile
+    tx, ty = M.pixels_to_tile(np.array([256.0]), np.array([512.0]))
+    assert (tx[0], ty[0]) == (0, 1)
+    tx, ty = M.pixels_to_tile(np.array([256.0001]), np.array([0.0]))
+    assert (tx[0], ty[0]) == (1, -1)
+
+
+def test_google_flip_involution():
+    gx, gy = M.tms_to_google(3, 5, 4)
+    assert (int(gx), int(gy)) == (3, 10)
+    tx, ty = M.google_to_tms(gx, gy, 4)
+    assert (int(tx), int(ty)) == (3, 5)
+
+
+def test_cell_encode_decode_roundtrip():
+    rng = np.random.default_rng(42)
+    for z in [0, 1, 7, 15, 30]:
+        n = 1 << z
+        gx = rng.integers(0, n, size=50)
+        gy = rng.integers(0, n, size=50)
+        c = cells.encode(gx, gy, z)
+        dx, dy, dz = cells.decode(c)
+        np.testing.assert_array_equal(dx, gx)
+        np.testing.assert_array_equal(dy, gy)
+        np.testing.assert_array_equal(dz, z)
+        assert (np.asarray(c) > 0).all()  # fits LongType
+
+
+def test_cell_prefix_is_parent():
+    c = cells.encode(np.array([11]), np.array([26]), 5)[()]
+    p = cells.parent(c)
+    dx, dy, dz = cells.decode(np.asarray([p]))
+    assert (int(dx[0]), int(dy[0]), int(dz[0])) == (5, 13, 4)
+    kids = cells.children(p)
+    assert int(np.asarray(c)) in set(np.asarray(kids).ravel().tolist())
+
+
+def test_cell_quadkey_matches_gdal2tiles():
+    z = 9
+    gx, gy = 137, 301
+    tms_ty = (2**z - 1) - gy
+    assert cells.to_quadkey(int(cells.encode(gx, gy, z))) == ref_quadkey(gx, tms_ty, z)
+    qk = ref_quadkey(gx, tms_ty, z)
+    back = cells.from_quadkey(qk)
+    assert back == int(cells.encode(gx, gy, z))
+
+
+def test_k_ring_wrap_and_clamp():
+    z = 3  # 8x8 grid
+    c = int(cells.encode(0, 0, z))
+    ring = cells.k_ring(c, 1)
+    xs, ys, zs = cells.decode(ring)
+    assert set(zip(xs.tolist(), ys.tolist())) == {
+        (7, 0), (0, 0), (1, 0), (7, 1), (0, 1), (1, 1)
+    }  # x wraps to 7, y clamps at 0

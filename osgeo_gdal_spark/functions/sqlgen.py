@@ -1,0 +1,178 @@
+"""Portable SQL fragment generators — the oracle-parity backbone.
+
+Every deterministic derivation the engine does natively (geocode, tile
+assignment, quadkey, token counts, ...) is defined ONCE here as a SQL
+fragment that parses and evaluates identically in Spark SQL and DuckDB.
+The Spark queries evaluate these via ``F.expr(fragment)`` (JVM-side,
+whole-stage codegen — no Python in the hot path) and the DuckDB oracles
+embed the same text, so Spark-vs-oracle parity holds by construction.
+
+Portability rules baked in (differences between the two dialects):
+- never CAST float->int directly (DuckDB rounds, Spark truncates):
+  always ``CAST(FLOOR(x) AS BIGINT)`` / ``CAST(CEILING(x) AS BIGINT)``;
+- integer division via FLOOR(a / b) on exact doubles, not ``//``/``div``;
+- string casts via ``concat`` implicit casting is NOT portable — use
+  explicit CAST(... AS STRING/VARCHAR) through :func:`cast_str`;
+- all hash-like derivations are pure int64 multiply/mod arithmetic
+  (DuckDB 1.0 has no xxhash64), positive operands only so ``%`` agrees.
+
+The tile math mirrors the kernel ports in ``kernels/mercator.py`` —
+including the gdal2tiles ``ceil(q)-1`` boundary convention
+(``/root/reference/swig/python/gdal-utils/osgeo_utils/gdal2tiles.py:461``)
+so SQL, numpy, and the reference agree even for points exactly on tile
+boundaries (which our half-millidegree fixture grid can hit on the x axis).
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+
+def cast_str(expr: str, dialect: str) -> str:
+    t = "STRING" if dialect == SPARK else "VARCHAR"
+    return f"CAST({expr} AS {t})"
+
+
+
+def D(x) -> str:
+    """Float literal forced to DOUBLE — Spark parses bare float literals as
+    DECIMAL while DuckDB uses DOUBLE; CAST pins both (constant-folded)."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+# --- deterministic geocode (pages are geocoded from doc_id) ---------------
+# Pure int64 arithmetic; 5% of docs (doc_id % 20 = 0) land in a hot cell
+# around Paris to exercise skew handling (FIXTURES.md §1).
+
+HOT_MOD = 20
+_M1 = 2654435761  # Knuth multiplicative hash constants
+_M2 = 2246822519
+_A2 = 3266489917
+_P32 = 4294967296
+
+
+def h1_sql(doc_id: str) -> str:
+    return f"(({doc_id} * {_M1}) % {_P32})"
+
+
+def h2_sql(doc_id: str) -> str:
+    return f"((({doc_id} * {_M2}) + {_A2}) % {_P32})"
+
+
+def lon_sql(doc_id: str) -> str:
+    h1 = h1_sql(doc_id)
+    return (
+        f"(CASE WHEN {doc_id} % {HOT_MOD} = 0 "
+        f"THEN {D(2.0)} + ({h1} % 500) / {D(1000.0)} "
+        f"ELSE {D(-180.0)} + ({h1} % 360000) / {D(1000.0)} END)"
+    )
+
+
+def lat_sql(doc_id: str) -> str:
+    h2 = h2_sql(doc_id)
+    return (
+        f"(CASE WHEN {doc_id} % {HOT_MOD} = 0 "
+        f"THEN {D(48.5)} + ({h2} % 500) / {D(1000.0)} "
+        f"ELSE {D(-85.0)} + ({h2} % 170000) / {D(1000.0)} END)"
+    )
+
+
+# --- tile assignment (XYZ/Google convention, gdal2tiles math) -------------
+
+
+def tile_x_sql(lon: str, zoom: int) -> str:
+    """Global tile x: ceil((lon+180)/360 * 2^z) - 1, clamped to [0, n-1].
+
+    (lon+180)/360*n is exactly gdal2tiles' px/tile_size; ceil-1 pins the
+    boundary convention (PixelsToTile, gdal2tiles.py:461).
+    """
+    n = 2**zoom
+    q = f"(({lon} + {D(180.0)}) / {D(360.0)} * {n})"
+    return f"LEAST({n - 1}, GREATEST(0, CAST(CEILING({q}) AS BIGINT) - 1))"
+
+
+def merc_y_sql(lat: str) -> str:
+    """ln(tan(radians(lat)) + 1/cos(radians(lat))) — mercator y in [-pi,pi]."""
+    return f"LN(TAN(RADIANS({lat})) + {D(1.0)} / COS(RADIANS({lat})))"
+
+
+def tile_y_sql(lat: str, zoom: int) -> str:
+    """Global tile y (XYZ, origin top-left): n - ceil(yq), clamped.
+
+    yq = (1 + merc/pi)/2 * n counts pixels from the bottom (TMS);
+    ty_tms = ceil(yq)-1 per gdal2tiles, and gy = n-1-ty_tms = n-ceil(yq).
+    """
+    n = 2**zoom
+    yq = f"(({D(1.0)} + {merc_y_sql(lat)} / PI()) / {D(2.0)} * {n})"
+    return f"LEAST({n - 1}, GREATEST(0, {n} - CAST(CEILING({yq}) AS BIGINT)))"
+
+
+def cell_key_sql(lon: str, lat: str, zoom: int) -> str:
+    """Flat join key at a fixed zoom: gx * n + gy (no hierarchy needed for
+    an equi-join at one level; Morton ids are used where hierarchy matters).
+    """
+    n = 2**zoom
+    return f"({tile_x_sql(lon, zoom)} * {n} + {tile_y_sql(lat, zoom)})"
+
+
+def quadkey_sql(gx: str, gy: str, zoom: int, dialect: str) -> str:
+    """Quadkey string of an XYZ tile: digit_i = x_bit + 2*y_bit per level
+    (gdal2tiles QuadTree:518). Bits extracted with exact-double FLOOR
+    arithmetic for portability.
+    """
+    parts = []
+    for i in range(zoom, 0, -1):
+        p = 2 ** (i - 1)
+        xb = f"(CAST(FLOOR({gx} / {D(float(p))}) AS BIGINT) % 2)"
+        yb = f"(CAST(FLOOR({gy} / {D(float(p))}) AS BIGINT) % 2)"
+        parts.append(cast_str(f"({xb} + 2 * {yb})", dialect))
+    return f"CONCAT({', '.join(parts)})"
+
+
+# --- pixel-level raster generators (synthetic fixture, FIXTURES.md §3) ----
+
+
+def synth_pixel_sql(px: str, py: str, zoom: int) -> str:
+    """Deterministic fixture pixel value: (px*7 + py*11 + zoom) % 255."""
+    return f"(({px} * 7 + {py} * 11 + {zoom}) % 255)"
+
+
+def checksum_term_sql(val: str, flat_idx: str) -> str:
+    """One pixel's contribution to the GDALChecksumImage sum:
+    val % primes[flat_idx % 11] (gdalchecksum.cpp:54). SUM(...) % 65536 of
+    these terms over a window equals the ported checksum for non-negative
+    integer pixels."""
+    primes = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+    whens = " ".join(
+        f"WHEN {i} THEN {val} % {p}" for i, p in enumerate(primes)
+    )
+    return f"(CASE ({flat_idx} % 11) {whens} END)"
+
+
+# --- pages-table derivation from the documents table ----------------------
+
+
+def url_sql(doc_id: str, dialect: str) -> str:
+    site = cast_str(f"({doc_id} % 1000)", dialect)
+    did = cast_str(doc_id, dialect)
+    return f"CONCAT('https://site', {site}, '.example/p/', {did})"
+
+
+# --- text-analysis fragments (documents table) -----------------------------
+
+
+def token_count_sql(text: str) -> str:
+    """Whitespace token count by length arithmetic — exact in both engines:
+    tokens = len - len(remove ' ') + 1 for non-empty trimmed text."""
+    t = f"TRIM({text})"
+    return (
+        f"(CASE WHEN LENGTH({t}) = 0 THEN 0 "
+        f"ELSE LENGTH({t}) - LENGTH(REPLACE({t}, ' ', '')) + 1 END)"
+    )
+
+
+def substring_count_sql(text: str, needle: str) -> str:
+    """Occurrences of a literal substring via length arithmetic."""
+    esc = needle.replace("'", "''")
+    diff = f"(LENGTH({text}) - LENGTH(REPLACE({text}, '{esc}', '')))"
+    return f"CAST(FLOOR({diff} / {D(float(len(needle)))}) AS BIGINT)"

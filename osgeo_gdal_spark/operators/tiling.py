@@ -1,0 +1,234 @@
+"""Tiling engine: point-density rasterization onto the XYZ pyramid.
+
+The Spark-native re-expression of ``gdal raster tile`` + rasterize
+(``/root/reference/apps/gdalalg_raster_tile.cpp``,
+``/root/reference/alg/gdalrasterize.cpp`` MERGE_ALG=ADD point burning,
+``alg/llrasterize.cpp:407`` point path) and the overview pyramid loop
+(``/root/reference/gcore/overview.cpp`` AVERAGE dispatch):
+
+- **tile counts**: one native groupBy per zoom — partial (map-side)
+  aggregation makes the shuffle carry at most one row per non-empty tile,
+  regardless of input size;
+- **pyramid**: per-level parent aggregation: parent gx = floor(gx/2) — a
+  chain of tiny shuffles over tile rows, never over pages;
+- **pixel burn**: ``groupBy(tile).applyInPandas`` assembling the 256x256
+  uint32/float64 count grid per tile with ``np.add.at`` (additive burn =
+  MERGE_ALG=ADD), emitting packed-binary pixels + the ported
+  GDALChecksumImage value per tile.
+
+Pixel coordinates reuse the exact gdal2tiles global-pixel math: the pixel
+row/col inside a tile is the global pixel index minus the tile origin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions import sqlgen as G
+from ..kernels import checksum as CK
+
+TILE = 256
+
+
+def tile_counts(pages: DataFrame, zoom: int) -> DataFrame:
+    """Pages per XYZ tile at a zoom: (gx, gy, cnt). Map-side combine."""
+    return (
+        pages.select(
+            F.expr(G.tile_x_sql("lon", zoom)).alias("gx"),
+            F.expr(G.tile_y_sql("lat", zoom)).alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def pyramid_counts(base: DataFrame, levels: int) -> DataFrame:
+    """Overview chain: counts at zoom-1..zoom-levels from the base tile
+    counts (SUM reduction — counts aggregate additively; AVERAGE applies
+    to pixel payloads, see reduce_tiles_average). Returns a union with a
+    ``dz`` column = levels above base (0 = base)."""
+    out = base.withColumn("dz", F.lit(0))
+    cur = base
+    for i in range(1, levels + 1):
+        cur = (
+            cur.select(
+                F.expr("CAST(FLOOR(gx / CAST(2.0 AS DOUBLE)) AS BIGINT)").alias("gx"),
+                F.expr("CAST(FLOOR(gy / CAST(2.0 AS DOUBLE)) AS BIGINT)").alias("gy"),
+                "cnt",
+            )
+            .groupBy("gx", "gy")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        out = out.unionByName(cur.withColumn("dz", F.lit(i)))
+    return out
+
+
+_BURN_SCHEMA = T.StructType(
+    [
+        T.StructField("zoom", T.IntegerType()),
+        T.StructField("gx", T.LongType()),
+        T.StructField("gy", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dtype", T.StringType()),
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("checksum", T.IntegerType()),
+        T.StructField("n_points", T.LongType()),
+    ]
+)
+
+
+def with_global_pixels(pages: DataFrame, zoom: int) -> DataFrame:
+    """Attach global pixel indices at a zoom (native SQL; the SQL twin of
+    mercator.meters_to_pixels floored to ints).
+
+    gpx = floor((lon+180)/360 * n * 256); gpy (top-left origin) =
+    floor((1 - merc/pi)/2 * n * 256), both clamped to the global raster.
+    """
+    n = 1 << zoom
+    world = n * TILE
+    qx = f"((lon + 180.0) / 360.0 * {world})"
+    qy = f"((1.0 - {G.merc_y_sql('lat')} / PI()) / 2.0 * {world})"
+    return pages.withColumn(
+        "gpx",
+        F.expr(f"LEAST({world - 1}, GREATEST(0, CAST(FLOOR({qx}) AS BIGINT)))"),
+    ).withColumn(
+        "gpy",
+        F.expr(f"LEAST({world - 1}, GREATEST(0, CAST(FLOOR({qy}) AS BIGINT)))"),
+    )
+
+
+def burn_point_tiles(pages: DataFrame, zoom: int) -> DataFrame:
+    """Rasterize point counts into 256x256 tiles (additive burn).
+
+    Returns one row per non-empty tile with packed float64 pixels and the
+    GDAL checksum of the count grid. Group key = (tile) so each task builds
+    exactly one tile — chunking ≙ partitioning (gdalwarpoperation.cpp
+    design note, :126-146)."""
+    px = with_global_pixels(pages, zoom)
+    cells = (
+        px.select(
+            F.expr(f"CAST(FLOOR(gpx / CAST({TILE} AS DOUBLE)) AS BIGINT)").alias("gx"),
+            F.expr(f"CAST(FLOOR(gpy / CAST({TILE} AS DOUBLE)) AS BIGINT)").alias("gy"),
+            (F.col("gpx") % TILE).alias("ppx"),
+            (F.col("gpy") % TILE).alias("ppy"),
+        )
+        # pre-aggregate per pixel natively: the shuffle carries at most
+        # 65536 rows per tile, not one row per page
+        .groupBy("gx", "gy", "ppx", "ppy")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def burn(pdf):
+        import pandas as pd
+
+        gx = int(pdf["gx"].iloc[0])
+        gy = int(pdf["gy"].iloc[0])
+        grid = np.zeros((TILE, TILE), dtype=np.float64)
+        np.add.at(
+            grid,
+            (pdf["ppy"].to_numpy(np.int64), pdf["ppx"].to_numpy(np.int64)),
+            pdf["cnt"].to_numpy(np.float64),
+        )
+        return pd.DataFrame(
+            {
+                "zoom": [zoom],
+                "gx": [gx],
+                "gy": [gy],
+                "width": [TILE],
+                "height": [TILE],
+                "dtype": ["float64"],
+                "pixels": [grid.tobytes()],
+                "checksum": [CK.checksum_image(grid)],
+                "n_points": [int(pdf["cnt"].sum())],
+            }
+        )
+
+    return cells.groupBy("gx", "gy").applyInPandas(burn, _BURN_SCHEMA)
+
+
+def reduce_tiles_average(tiles: DataFrame) -> DataFrame:
+    """One pyramid step on pixel tiles: each parent tile = 2x2 children,
+    each child average_2x2-reduced into its 128x128 quadrant
+    (overview.cpp AVERAGE semantics). Missing children = zero fill."""
+    from ..kernels import resample as R
+
+    def reduce(pdf):
+        import pandas as pd
+
+        pgx = int(pdf["pgx"].iloc[0])
+        pgy = int(pdf["pgy"].iloc[0])
+        zoom = int(pdf["zoom"].iloc[0]) - 1
+        grid = np.zeros((TILE, TILE), dtype=np.float64)
+        total = 0
+        for _, row in pdf.iterrows():
+            child = np.frombuffer(row["pixels"], dtype=np.float64).reshape(TILE, TILE)
+            qx = (int(row["gx"]) % 2) * (TILE // 2)
+            qy = (int(row["gy"]) % 2) * (TILE // 2)
+            grid[qy : qy + TILE // 2, qx : qx + TILE // 2] = R.average_2x2(child)
+            total += int(row["n_points"])
+        return pd.DataFrame(
+            {
+                "zoom": [zoom],
+                "gx": [pgx],
+                "gy": [pgy],
+                "width": [TILE],
+                "height": [TILE],
+                "dtype": ["float64"],
+                "pixels": [grid.tobytes()],
+                "checksum": [CK.checksum_image(grid)],
+                "n_points": [total],
+            }
+        )
+
+    parents = tiles.withColumn(
+        "pgx", F.expr("CAST(FLOOR(gx / CAST(2.0 AS DOUBLE)) AS BIGINT)")
+    ).withColumn("pgy", F.expr("CAST(FLOOR(gy / CAST(2.0 AS DOUBLE)) AS BIGINT)"))
+    return parents.groupBy("pgx", "pgy").applyInPandas(reduce, _BURN_SCHEMA)
+
+
+def explode_tile_pixels(tiles: DataFrame, nonzero_only=True) -> DataFrame:
+    """Tiles -> (zoom, gx, gy, ppx, ppy, value) pixel rows — the bridge to
+    SQL-oracle comparison and to vector-side ops. mapInPandas keeps it
+    Arrow-batched."""
+    out_schema = T.StructType(
+        [
+            T.StructField("zoom", T.IntegerType()),
+            T.StructField("gx", T.LongType()),
+            T.StructField("gy", T.LongType()),
+            T.StructField("ppx", T.IntegerType()),
+            T.StructField("ppy", T.IntegerType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                grid = np.frombuffer(row["pixels"], dtype=np.float64).reshape(
+                    row["height"], row["width"]
+                )
+                if nonzero_only:
+                    ys, xs = np.nonzero(grid)
+                else:
+                    ys, xs = np.indices(grid.shape).reshape(2, -1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "zoom": row["zoom"],
+                            "gx": row["gx"],
+                            "gy": row["gy"],
+                            "ppx": xs.astype(np.int32),
+                            "ppy": ys.astype(np.int32),
+                            "value": grid[ys, xs],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return tiles.mapInPandas(gen, out_schema)

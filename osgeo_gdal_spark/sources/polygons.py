@@ -1,0 +1,191 @@
+"""The golden polygon layer — shaped like the reference's poly.shp fixture.
+
+Mirrors ``/root/reference/autotest/ogr/data/poly.shp`` (fields
+``AREA N(12,3), EAS_ID N(11), PRFEDEA C(16)``, 10 features, used throughout
+``autotest/ogr/ogr_sql_test.py``) but with geometries chosen so the exact
+strict-interior point-in-polygon predicate is *independently expressible in
+ANSI SQL* — that's what lets the DuckDB oracle verify the engine's ray-cast
+kernel end-to-end:
+
+- rectangles        -> strict bbox comparisons,
+- rect with hole    -> outer AND NOT inner,
+- triangle          -> three strict half-plane (cross-product sign) tests,
+- antimeridian rect -> split disjunction (the engine stores the split
+  MultiPolygon, mirroring OGR's WRAPDATELINE splitting,
+  ``/root/reference/ogr/ogrgeometryfactory.cpp:4550``).
+
+All bounds sit on half-millidegree offsets (x.xxx5) so no geocoded point
+(which lives on the exact millidegree grid) can ever fall exactly on a
+polygon boundary — strict-vs-boundary PIP semantics (SURVEY §7 hard part
+(f)) therefore never bites on fixture data.
+
+Each polygon carries both a WKB geometry (engine side) and a SQL predicate
+factory (oracle side).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..kernels import wkb as W
+
+
+@dataclass
+class PolyFeature:
+    fid: int
+    eas_id: int
+    prfedea: str
+    kind: str               # rect | rect_hole | tri | dateline
+    params: dict = field(default_factory=dict)
+
+    def wkb(self) -> bytes:
+        p = self.params
+        if self.kind == "rect":
+            x0, y0, x1, y1 = p["bounds"]
+            return W.polygon_wkb([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+        if self.kind == "rect_hole":
+            x0, y0, x1, y1 = p["bounds"]
+            hx0, hy0, hx1, hy1 = p["hole"]
+            return W.polygon_wkb(
+                [
+                    [(x0, y0), (x1, y0), (x1, y1), (x0, y1)],
+                    [(hx0, hy0), (hx1, hy0), (hx1, hy1), (hx0, hy1)],
+                ]
+            )
+        if self.kind == "tri":
+            return W.polygon_wkb([list(p["vertices"])])
+        if self.kind == "dateline":
+            # stored pre-split at +-180 (WRAPDATELINE semantics)
+            y0, y1 = p["lat"]
+            xw = p["west_lon"]   # e.g. 175.0005 -> [xw, 180]
+            xe = p["east_lon"]   # e.g. -175.0005 -> [-180, xe]
+            return W.multipolygon_wkb(
+                [
+                    [[(xw, y0), (180.0, y0), (180.0, y1), (xw, y1)]],
+                    [[(-180.0, y0), (xe, y0), (xe, y1), (-180.0, y1)]],
+                ]
+            )
+        raise ValueError(self.kind)
+
+    def sql_predicate(self, lon: str, lat: str) -> str:
+        """Strict-interior containment as portable SQL."""
+        p = self.params
+        if self.kind == "rect":
+            x0, y0, x1, y1 = p["bounds"]
+            return f"({lon} > {x0} AND {lon} < {x1} AND {lat} > {y0} AND {lat} < {y1})"
+        if self.kind == "rect_hole":
+            x0, y0, x1, y1 = p["bounds"]
+            hx0, hy0, hx1, hy1 = p["hole"]
+            outer = f"({lon} > {x0} AND {lon} < {x1} AND {lat} > {y0} AND {lat} < {y1})"
+            inner = (
+                f"({lon} > {hx0} AND {lon} < {hx1} AND {lat} > {hy0} AND {lat} < {hy1})"
+            )
+            return f"({outer} AND NOT {inner})"
+        if self.kind == "tri":
+            (ax, ay), (bx, by), (cx, cy) = p["vertices"]
+            # CCW ordering assumed; strict interior = left of all 3 edges
+            e1 = f"(({bx} - {ax}) * ({lat} - {ay}) - ({by} - {ay}) * ({lon} - {ax}) > 0)"
+            e2 = f"(({cx} - {bx}) * ({lat} - {by}) - ({cy} - {by}) * ({lon} - {bx}) > 0)"
+            e3 = f"(({ax} - {cx}) * ({lat} - {cy}) - ({ay} - {cy}) * ({lon} - {cx}) > 0)"
+            return f"({e1} AND {e2} AND {e3})"
+        if self.kind == "dateline":
+            y0, y1 = p["lat"]
+            xw, xe = p["west_lon"], p["east_lon"]
+            return (
+                f"(({lon} > {xw} OR {lon} < {xe}) "
+                f"AND {lat} > {y0} AND {lat} < {y1})"
+            )
+        raise ValueError(self.kind)
+
+    def envelope(self):
+        g = W.parse_wkb(self.wkb())
+        return g.envelope()
+
+    def area(self) -> float:
+        return W.polygon_area(W.parse_wkb(self.wkb()))
+
+
+# eas_id values follow the reference fixture's set
+# (autotest/ogr/ogr_sql_test.py: 168,179,171,173,172,169,166,158,165,170)
+POLYGONS = [
+    PolyFeature(0, 168, "35043411", "rect",
+                {"bounds": (-10.0005, 20.0005, 10.0005, 40.0005)}),
+    PolyFeature(1, 179, "35043412", "rect",
+                {"bounds": (100.0005, -30.0005, 130.0005, -5.0005)}),
+    PolyFeature(2, 171, "35043413", "rect",
+                {"bounds": (-120.0005, 30.0005, -80.0005, 50.0005)}),
+    PolyFeature(3, 173, "35043414", "rect",
+                {"bounds": (20.0005, -60.0005, 60.0005, -20.0005)}),
+    PolyFeature(4, 172, "35043415", "rect",
+                {"bounds": (-60.0005, -40.0005, -20.0005, 0.0005)}),
+    PolyFeature(5, 169, "35043416", "rect",
+                {"bounds": (60.0005, 40.0005, 100.0005, 70.0005)}),
+    PolyFeature(6, 166, "35043417", "rect_hole",
+                {"bounds": (-170.0005, -80.0005, -130.0005, -50.0005),
+                 "hole": (-160.0005, -70.0005, -140.0005, -60.0005)}),
+    PolyFeature(7, 158, "35043418", "tri",
+                {"vertices": ((130.0005, 10.0005), (160.0005, 15.0005),
+                              (142.3455, 44.8885))}),
+    PolyFeature(8, 165, "35043419", "dateline",
+                {"lat": (50.0005, 70.0005),
+                 "west_lon": 170.0005, "east_lon": -170.0005}),
+    # covers the Paris hot cluster (doc_id % 20 == 0 -> 5% of all pages)
+    PolyFeature(9, 170, "35043420", "rect",
+                {"bounds": (1.9995, 48.4005, 2.5005, 49.0005)}),
+]
+
+
+def polygons_df(spark):
+    """The layer as a DataFrame: poly.shp schema + WKB geometry + flat bbox
+    struct (the GeoParquet-covering-column pattern for pruning,
+    ogrparquetlayer.cpp:1000-1094)."""
+    from pyspark.sql import functions as F, types as T
+
+    rows = []
+    for pf in POLYGONS:
+        xmin, ymin, xmax, ymax = pf.envelope()
+        rows.append(
+            (pf.fid, pf.area(), pf.eas_id, pf.prfedea, bytearray(pf.wkb()),
+             {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax})
+        )
+    schema = T.StructType(
+        [
+            T.StructField("fid", T.LongType()),
+            T.StructField("area", T.DoubleType()),
+            T.StructField("eas_id", T.LongType()),
+            T.StructField("prfedea", T.StringType()),
+            T.StructField("geometry", T.BinaryType()),
+            T.StructField(
+                "bbox",
+                T.StructType(
+                    [
+                        T.StructField("xmin", T.DoubleType()),
+                        T.StructField("ymin", T.DoubleType()),
+                        T.StructField("xmax", T.DoubleType()),
+                        T.StructField("ymax", T.DoubleType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def polygons_values_sql() -> str:
+    """The layer's attributes as an inline VALUES relation (no geometry)
+    for oracle SQL: (fid, area, eas_id, prfedea)."""
+    rows = ", ".join(
+        f"({p.fid}, {p.area()!r}, {p.eas_id}, '{p.prfedea}')" for p in POLYGONS
+    )
+    return f"(VALUES {rows}) AS poly(fid, area, eas_id, prfedea)"
+
+
+def pip_pairs_sql(lon: str, lat: str) -> str:
+    """CASE-free oracle for the spatial join: a UNION ALL of per-polygon
+    strict predicates producing (point, eas_id) pairs. Caller wraps:
+    ``SELECT url, {eas_id} FROM pages WHERE {pred}`` per polygon."""
+    return " UNION ALL ".join(
+        f"SELECT url, doc_id, {p.eas_id} AS eas_id FROM pages "
+        f"WHERE {p.sql_predicate(lon, lat)}"
+        for p in POLYGONS
+    )

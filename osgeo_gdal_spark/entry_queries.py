@@ -1,0 +1,574 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry re-expresses one operator family from SURVEY.md §2 (reference
+file:line cited per entry). The Spark side and the DuckDB oracle share
+their deterministic fragments via ``functions/sqlgen.py`` so value-hash
+parity holds by construction; float outputs are either raw results of the
+*identical* arithmetic expression (bit-equal) or rounded where the true
+value has a known decimal grid (money = 2dp, etc.).
+
+Column names are aliased identically on both sides (driver hashes sort
+columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions import sqlgen as G
+from .operators import knn as KNN, spatial_join as SJ, tiling as TL
+from .sources import pages as PG, polygons as PL
+from .session import read_table
+
+SPATIAL_ZOOM = 6
+PIXEL_ZOOM = 2
+
+KNN_QUERIES = [
+    (0, 2.25, 48.7),
+    (1, -100.0, 40.0),
+    (2, 139.7, 35.6),
+    (3, 0.0, 0.0),
+    (4, 18.4, -33.9),
+    (5, -43.2, -22.9),
+    (6, 151.2, -33.8),
+    (7, 77.2, 28.6),
+]
+
+PAGES_CTE = PG.pages_cte_sql()
+
+
+# --------------------------------------------------------------------------
+# relational operators (SURVEY §2.B/C/F/G/H/I — OGR SQL / SWQ semantics)
+# --------------------------------------------------------------------------
+
+
+def q_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """WHERE pushdown + projection + computed column (swq evaluator,
+    ogrlayer.cpp:752; ogr_gensql.cpp TranslateFeature)."""
+    li = read_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 24)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_quantity < 24
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q_agg_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-table summary aggregates — OGR SQL summary mode
+    (swq_select_summarize, ogr/swq.cpp:327; accumulators ogr_swq.h:357-398).
+    """
+    li = read_table(spark, sf, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+    )
+
+
+SQL_AGG_SUMMARY = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_returnflag) AS n_flags,
+       SUM(l_quantity) AS sum_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty
+FROM lineitem
+"""
+
+
+def q_groupby_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY aggregation (Spark superset of OGR's whole-table mode;
+    TPC-H Q1 shape)."""
+    li = read_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+        )
+    )
+
+
+SQL_GROUPBY_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       SUM(l_quantity) / COUNT(*) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """SELECT DISTINCT (SWQM_DISTINCT_LIST, ogr_gensql.cpp:656)."""
+    return read_table(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_orderby_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER BY + LIMIT -> TakeOrderedAndProject (the generalization of
+    ogr_gensql.cpp:2236's ORDER-BY-LIMIT-1 special case)."""
+    return (
+        read_table(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(10)
+    )
+
+
+SQL_ORDERBY_LIMIT = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_join_first_match(spark: SparkSession, sf: str) -> DataFrame:
+    """OGR SQL LEFT JOIN one-to-one 'first match wins' semantics
+    (ogr_gensql.cpp:1334-1530) — deterministic variant: first = lowest key
+    (right side reduced to one row per join key before the join)."""
+    cust = read_table(spark, sf, "customer")
+    supp = read_table(spark, sf, "supplier")
+    first = supp.groupBy("s_nationkey").agg(F.min("s_suppkey").alias("first_suppkey"))
+    named = first.join(
+        supp.select(F.col("s_suppkey").alias("first_suppkey"), "s_name"),
+        "first_suppkey",
+    ).select("s_nationkey", "first_suppkey", F.col("s_name").alias("first_supp_name"))
+    return cust.join(named, cust.c_nationkey == named.s_nationkey, "left").select(
+        "c_custkey", "c_nationkey", "first_suppkey", "first_supp_name"
+    )
+
+
+SQL_JOIN_FIRST_MATCH = """
+WITH firsts AS (
+  SELECT s_nationkey, MIN(s_suppkey) AS first_suppkey
+  FROM supplier GROUP BY s_nationkey
+), named AS (
+  SELECT f.s_nationkey, f.first_suppkey, s.s_name AS first_supp_name
+  FROM firsts f JOIN supplier s ON s.s_suppkey = f.first_suppkey
+)
+SELECT c_custkey, c_nationkey, first_suppkey, first_supp_name
+FROM customer c LEFT JOIN named n ON c.c_nationkey = n.s_nationkey
+"""
+
+
+def q_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL / OGRUnionLayer (gdaldataset.cpp:7560-7601)."""
+    cust = read_table(spark, sf, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    supp = read_table(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return cust.unionByName(supp)
+
+
+SQL_UNION_ALL = """
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier
+"""
+
+
+def q_ilike(spark: SparkSession, sf: str) -> DataFrame:
+    """OGR SQL LIKE is case-insensitive by default (swq evaluator passes
+    insensitive, swq_op_general.cpp:41-110) -> Spark/DuckDB ILIKE."""
+    return (
+        read_table(spark, sf, "part")
+        .filter(F.col("p_type").ilike("%econ%"))
+        .select("p_partkey", "p_type", "p_brand")
+    )
+
+
+SQL_ILIKE = "SELECT p_partkey, p_type, p_brand FROM part WHERE p_type ILIKE '%econ%'"
+
+
+def q_scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """CONCAT/SUBSTR/CAST/IN/BETWEEN/CASE (swq_op_registrar.cpp:29-61)."""
+    c = read_table(spark, sf, "customer")
+    return c.filter(F.col("c_acctbal").between(100, 5000)).select(
+        "c_custkey",
+        F.expr(
+            "CONCAT(SUBSTR(c_name, 1, 8), '-', "
+            + G.cast_str("c_nationkey", G.SPARK)
+            + ")"
+        ).alias("name_code"),
+        F.expr(
+            "CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY') THEN 1 ELSE 0 END"
+        ).alias("seg_flag"),
+        F.expr("CAST(FLOOR(c_acctbal) AS BIGINT)").alias("acct_int"),
+    )
+
+
+SQL_SCALAR_FUNCS = f"""
+SELECT c_custkey,
+       CONCAT(SUBSTR(c_name, 1, 8), '-', {G.cast_str('c_nationkey', G.DUCKDB)}) AS name_code,
+       CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY') THEN 1 ELSE 0 END AS seg_flag,
+       CAST(FLOOR(c_acctbal) AS BIGINT) AS acct_int
+FROM customer WHERE c_acctbal BETWEEN 100 AND 5000
+"""
+
+
+def q_json_get(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-lookup in a stringified map — the HSTORE_GET_VALUE analog
+    (swq_op_general.cpp; §2.C) over events.props ('{"k": N}')."""
+    ev = read_table(spark, sf, "events")
+    k = "CAST(SUBSTR(props, 7, LENGTH(props) - 7) AS BIGINT)"
+    return ev.select(
+        "event_id",
+        F.expr(k).alias("k"),
+        "event_type",
+        F.expr("CAST(FLOOR(unix_timestamp(ts) / CAST(3600.0 AS DOUBLE)) AS BIGINT)").alias("ts_hour"),
+    )
+
+
+SQL_JSON_GET = """
+SELECT event_id,
+       CAST(SUBSTR(props, 7, LENGTH(props) - 7) AS BIGINT) AS k,
+       event_type,
+       CAST(FLOOR(epoch(ts) / CAST(3600.0 AS DOUBLE)) AS BIGINT) AS ts_hour
+FROM events
+"""
+
+
+def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-frame window functions (absent in OGR SQL — SURVEY §2.G; the
+    machinery our kNN top-k uses)."""
+    c = read_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# spatial operators (SURVEY §2.D/E/K — the engine's core)
+# --------------------------------------------------------------------------
+
+
+def q_geocode_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Geocode + XYZ tile assignment + quadkey (gdal2tiles GlobalMercator
+    math, gdal2tiles.py:415-533) — all native Spark SQL, zero Python."""
+    pages = PG.pages_df(spark, sf)
+    z = SPATIAL_ZOOM
+    return pages.select(
+        "url",
+        "doc_id",
+        "lon",
+        "lat",
+        F.expr(G.tile_x_sql("lon", z)).alias("gx"),
+        F.expr(G.tile_y_sql("lat", z)).alias("gy"),
+    ).withColumn("quadkey", F.expr(G.quadkey_sql("gx", "gy", z, G.SPARK)))
+
+
+def sql_geocode_tiles() -> str:
+    z = SPATIAL_ZOOM
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+tiled AS (
+  SELECT url, doc_id, lon, lat,
+         {G.tile_x_sql('lon', z)} AS gx,
+         {G.tile_y_sql('lat', z)} AS gy
+  FROM pages
+)
+SELECT url, doc_id, lon, lat, gx, gy,
+       {G.quadkey_sql('gx', 'gy', z, G.DUCKDB)} AS quadkey
+FROM tiled
+"""
+
+
+def q_spatial_join_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """THE core operator: cell-cover broadcast join + exact ray-cast PIP
+    refine (ogrlayer.cpp:4004-4076 filter-and-refine; ogrpolygon.cpp:780)."""
+    pages = PG.pages_df(spark, sf)
+    return SJ.spatial_join(spark, pages, PL.POLYGONS).select("url", "doc_id", "eas_id")
+
+
+def sql_spatial_join_pairs() -> str:
+    return f"""
+WITH pages AS ({PAGES_CTE})
+SELECT url, doc_id, eas_id FROM ({PL.pip_pairs_sql('lon', 'lat')})
+"""
+
+
+def q_spatial_join_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Join + per-polygon aggregation with layer attributes (the flagship:
+    'pages per polygon')."""
+    pages = PG.pages_df(spark, sf)
+    j = SJ.spatial_join(spark, pages, PL.POLYGONS)
+    attrs = PL.polygons_df(spark).select("eas_id", "prfedea")
+    return (
+        j.groupBy("eas_id")
+        .agg(F.count("*").alias("n_pages"))
+        .join(F.broadcast(attrs), "eas_id")
+        .select("eas_id", "prfedea", "n_pages")
+    )
+
+
+def sql_spatial_join_counts() -> str:
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+pairs AS ({PL.pip_pairs_sql('lon', 'lat')})
+SELECT p.eas_id, poly.prfedea, COUNT(*) AS n_pages
+FROM pairs p JOIN {PL.polygons_values_sql()} ON poly.eas_id = p.eas_id
+GROUP BY p.eas_id, poly.prfedea
+"""
+
+
+def q_spatial_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Clip/Erase counts (spatial semi/anti join, ogrlayer.cpp:7537/:7846)."""
+    pages = PG.pages_df(spark, sf)
+    n_in = SJ.spatial_join(spark, pages, PL.POLYGONS, how="semi").count()
+    n_out = SJ.spatial_join(spark, pages, PL.POLYGONS, how="anti").count()
+    n_tot = pages.count()
+    return spark.createDataFrame(
+        [(n_in, n_out, n_tot)], "n_inside BIGINT, n_outside BIGINT, n_total BIGINT"
+    )
+
+
+def sql_spatial_semi_anti() -> str:
+    preds = " OR ".join(p.sql_predicate("lon", "lat") for p in PL.POLYGONS)
+    return f"""
+WITH pages AS ({PAGES_CTE})
+SELECT SUM(CASE WHEN {preds} THEN 1 ELSE 0 END) AS n_inside,
+       SUM(CASE WHEN {preds} THEN 0 ELSE 1 END) AS n_outside,
+       COUNT(*) AS n_total
+FROM pages
+"""
+
+
+def q_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Ring-expansion kNN (gdalgrid.cpp:242-277 candidate search analog),
+    exact vs the global brute force the oracle runs."""
+    pages = SJ.with_cell_key(PG.pages_df(spark, sf), KNN.KNN_ZOOM)
+    return KNN.knn_join(spark, pages, KNN_QUERIES, k=5).select(
+        "qid", "rank", "url", "dist2"
+    )
+
+
+def sql_knn() -> str:
+    vals = ", ".join(f"({q}, {G.D(lon)}, {G.D(lat)})" for q, lon, lat in KNN_QUERIES)
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+queries(qid, qlon, qlat) AS (VALUES {vals}),
+scored AS (
+  SELECT q.qid, p.url,
+         (p.lon - q.qlon) * (p.lon - q.qlon)
+         + (p.lat - q.qlat) * (p.lat - q.qlat) AS dist2
+  FROM queries q CROSS JOIN pages p
+)
+SELECT qid, rank, url, dist2 FROM (
+  SELECT qid, url, dist2,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2 ASC, url ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_tile_density(spark: SparkSession, sf: str) -> DataFrame:
+    """Point->tile density raster at tile granularity (rasterize
+    MERGE_ALG=ADD of points ≙ count, gdalrasterize.cpp:905-940)."""
+    return TL.tile_counts(PG.pages_df(spark, sf), SPATIAL_ZOOM)
+
+
+def sql_tile_density() -> str:
+    z = SPATIAL_ZOOM
+    return f"""
+WITH pages AS ({PAGES_CTE})
+SELECT {G.tile_x_sql('lon', z)} AS gx,
+       {G.tile_y_sql('lat', z)} AS gy,
+       COUNT(*) AS cnt
+FROM pages GROUP BY 1, 2
+"""
+
+
+def q_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """Overview pyramid chain (overview.cpp per-level reduction): counts at
+    z6..z3; the oracle computes each level directly from the points —
+    agreement proves parent-floor reduction == direct assignment."""
+    base = TL.tile_counts(PG.pages_df(spark, sf), SPATIAL_ZOOM)
+    return TL.pyramid_counts(base, levels=3)
+
+
+def sql_tile_pyramid() -> str:
+    parts = []
+    for dz in range(0, 4):
+        z = SPATIAL_ZOOM - dz
+        parts.append(
+            f"SELECT {G.tile_x_sql('lon', z)} AS gx, {G.tile_y_sql('lat', z)} AS gy, "
+            f"COUNT(*) AS cnt, {dz} AS dz FROM pages GROUP BY 1, 2"
+        )
+    u = " UNION ALL ".join(parts)
+    return f"WITH pages AS ({PAGES_CTE}) {u}"
+
+
+def q_pixel_density(spark: SparkSession, sf: str) -> DataFrame:
+    """256x256 per-tile pixel burn -> exploded pixel rows (llrasterize.cpp
+    point burn; the packed-binary tile is the engine-internal format, the
+    explode is the oracle bridge)."""
+    tiles = TL.burn_point_tiles(PG.pages_df(spark, sf), PIXEL_ZOOM)
+    return TL.explode_tile_pixels(tiles).select("gx", "gy", "ppx", "ppy", "value")
+
+
+def _pixel_cte() -> str:
+    z = PIXEL_ZOOM
+    world = (1 << z) * 256
+    qx = f"((lon + {G.D(180.0)}) / {G.D(360.0)} * {world})"
+    qy = f"(({G.D(1.0)} - {G.merc_y_sql('lat')} / PI()) / {G.D(2.0)} * {world})"
+    return f"""
+pix AS (
+  SELECT LEAST({world - 1}, GREATEST(0, CAST(FLOOR({qx}) AS BIGINT))) AS gpx,
+         LEAST({world - 1}, GREATEST(0, CAST(FLOOR({qy}) AS BIGINT))) AS gpy
+  FROM pages
+),
+cells AS (
+  SELECT CAST(FLOOR(gpx / CAST(256 AS DOUBLE)) AS BIGINT) AS gx,
+         CAST(FLOOR(gpy / CAST(256 AS DOUBLE)) AS BIGINT) AS gy,
+         CAST(gpx % 256 AS INT) AS ppx,
+         CAST(gpy % 256 AS INT) AS ppy,
+         COUNT(*) AS cnt
+  FROM pix GROUP BY 1, 2, 3, 4
+)"""
+
+
+def sql_pixel_density() -> str:
+    return f"""
+WITH pages AS ({PAGES_CTE}), {_pixel_cte()}
+SELECT gx, gy, ppx, ppy, CAST(cnt AS DOUBLE) AS value FROM cells
+"""
+
+
+def q_tile_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-tile GDALChecksumImage of the burned count grid
+    (gdalchecksum.cpp:48-56) — the golden raster comparator, verified by an
+    independent SQL reconstruction of the prime-modulo sum."""
+    tiles = TL.burn_point_tiles(PG.pages_df(spark, sf), PIXEL_ZOOM)
+    return tiles.select("gx", "gy", "checksum", "n_points")
+
+
+def sql_tile_checksum() -> str:
+    term = G.checksum_term_sql("cnt", "(ppy * 256 + ppx)")
+    return f"""
+WITH pages AS ({PAGES_CTE}), {_pixel_cte()}
+SELECT gx, gy,
+       CAST(SUM({term}) % 65536 AS INT) AS checksum,
+       SUM(cnt) AS n_points
+FROM cells GROUP BY gx, gy
+"""
+
+
+def q_zonal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Zonal statistics (alg/zonal.cpp stat set) of n_chars per polygon."""
+    pages = PG.pages_df(spark, sf).join(
+        read_table(spark, sf, "documents").select("doc_id", "n_chars"), "doc_id"
+    )
+    return SJ.zonal_stats(spark, pages, PL.POLYGONS, "n_chars")
+
+
+def sql_zonal_stats() -> str:
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+pg AS (SELECT p.*, d.n_chars FROM pages p JOIN documents d USING (doc_id)),
+pairs AS ({PL.pip_pairs_sql('lon', 'lat').replace('FROM pages', 'FROM pg').replace('SELECT url, doc_id,', 'SELECT url, doc_id, n_chars,')})
+SELECT eas_id, COUNT(*) AS zn_count, MIN(n_chars) AS zn_min,
+       MAX(n_chars) AS zn_max, SUM(n_chars) AS zn_sum,
+       SUM(n_chars) / COUNT(*) AS zn_mean
+FROM pairs GROUP BY eas_id
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "agg_summary": q_agg_summary,
+    "groupby_pricing": q_groupby_pricing,
+    "distinct_vals": q_distinct,
+    "orderby_limit": q_orderby_limit,
+    "join_first_match": q_join_first_match,
+    "union_all": q_union_all,
+    "ilike_filter": q_ilike,
+    "scalar_funcs": q_scalar_funcs,
+    "json_get": q_json_get,
+    "window_rank": q_window_rank,
+    "geocode_tiles": q_geocode_tiles,
+    "spatial_join_pairs": q_spatial_join_pairs,
+    "spatial_join_counts": q_spatial_join_counts,
+    "spatial_semi_anti": q_spatial_semi_anti,
+    "knn_topk": q_knn,
+    "tile_density": q_tile_density,
+    "tile_pyramid": q_tile_pyramid,
+    "pixel_density": q_pixel_density,
+    "tile_checksum": q_tile_checksum,
+    "zonal_stats": q_zonal_stats,
+}
+
+ORACLES = {
+    "filter_project": SQL_FILTER_PROJECT,
+    "agg_summary": SQL_AGG_SUMMARY,
+    "groupby_pricing": SQL_GROUPBY_PRICING,
+    "distinct_vals": SQL_DISTINCT,
+    "orderby_limit": SQL_ORDERBY_LIMIT,
+    "join_first_match": SQL_JOIN_FIRST_MATCH,
+    "union_all": SQL_UNION_ALL,
+    "ilike_filter": SQL_ILIKE,
+    "scalar_funcs": SQL_SCALAR_FUNCS,
+    "json_get": SQL_JSON_GET,
+    "window_rank": SQL_WINDOW_RANK,
+    "geocode_tiles": sql_geocode_tiles(),
+    "spatial_join_pairs": sql_spatial_join_pairs(),
+    "spatial_join_counts": sql_spatial_join_counts(),
+    "spatial_semi_anti": sql_spatial_semi_anti(),
+    "knn_topk": sql_knn(),
+    "tile_density": sql_tile_density(),
+    "tile_pyramid": sql_tile_pyramid(),
+    "pixel_density": sql_pixel_density(),
+    "tile_checksum": sql_tile_checksum(),
+    "zonal_stats": sql_zonal_stats(),
+}

@@ -46,9 +46,25 @@ def _prepared(payload):
     return got
 
 
+def is_axis_rect(g: W.PackedGeometry) -> bool:
+    """True when the polygon IS its envelope (single 5-point axis-aligned
+    ring) — then the native strict-envelope filter is the exact predicate
+    and no Python refine is needed. The distributed analog of OGR's
+    rectangle-filter fast path (InstallFilter detects the rectangle case,
+    ogrlayer.cpp:3887-3925; FilterGeometry's envelope-accept,
+    ogrlayer.cpp:4004-4076)."""
+    if len(g.part_rings) != 1 or int(g.part_rings[0]) != 1:
+        return False
+    if len(g.xs) != 5:
+        return False
+    xs, ys = set(g.xs.tolist()), set(g.ys.tolist())
+    return len(xs) == 2 and len(ys) == 2
+
+
 def polygon_cover_df(spark, polys, zoom=DEFAULT_JOIN_ZOOM):
     """Small driver-side table: one row per (cell_key, polygon) with the
-    polygon attributes + envelope for the native prefilter.
+    polygon attributes + envelope for the native prefilter + a
+    ``refine_needed`` flag (False for axis-rect polygons -> fully native).
 
     polys: list of PolyFeature (sources/polygons.py) or any object with
     .fid/.eas_id/.wkb()/.envelope().
@@ -57,6 +73,7 @@ def polygon_cover_df(spark, polys, zoom=DEFAULT_JOIN_ZOOM):
     rows = []
     for pf in polys:
         g = W.parse_wkb(pf.wkb())
+        refine = not is_axis_rect(g)
         ring_i = 0
         part_cells = []
         for nrings in g.part_rings:
@@ -74,7 +91,7 @@ def polygon_cover_df(spark, polys, zoom=DEFAULT_JOIN_ZOOM):
         keys = (gx * n + gy).tolist()
         xmin, ymin, xmax, ymax = g.envelope()
         for k in keys:
-            rows.append((int(k), pf.fid, pf.eas_id, xmin, ymin, xmax, ymax))
+            rows.append((int(k), pf.fid, pf.eas_id, xmin, ymin, xmax, ymax, refine))
     schema = T.StructType(
         [
             T.StructField("cell_key", T.LongType()),
@@ -84,6 +101,7 @@ def polygon_cover_df(spark, polys, zoom=DEFAULT_JOIN_ZOOM):
             T.StructField("p_ymin", T.DoubleType()),
             T.StructField("p_xmax", T.DoubleType()),
             T.StructField("p_ymax", T.DoubleType()),
+            T.StructField("refine_needed", T.BooleanType()),
         ]
     )
     return spark.createDataFrame(rows, schema)
@@ -136,10 +154,15 @@ def spatial_join(spark, pages: DataFrame, polys, zoom=DEFAULT_JOIN_ZOOM,
         (F.col("lon") > F.col("p_xmin")) & (F.col("lon") < F.col("p_xmax"))
         & (F.col("lat") > F.col("p_ymin")) & (F.col("lat") < F.col("p_ymax"))
     )
-    contains = _contains_udf(spark, polys)
-    matched = cand.filter(contains("poly_fid", "lon", "lat")).drop(
-        "p_xmin", "p_ymin", "p_xmax", "p_ymax", "cell_key"
-    )
+    # rectangle fast path: envelope IS the polygon -> accept natively;
+    # only the non-rect remainder pays the Python refine
+    aux = ["p_xmin", "p_ymin", "p_xmax", "p_ymax", "cell_key", "refine_needed"]
+    native_ok = cand.filter(~F.col("refine_needed")).drop(*aux)
+    need = cand.filter(F.col("refine_needed"))
+    contains = _contains_udf(spark, [pf for pf in polys
+                                     if not is_axis_rect(W.parse_wkb(pf.wkb()))])
+    refined = need.filter(contains("poly_fid", "lon", "lat")).drop(*aux)
+    matched = native_ok.unionByName(refined)
     if how == "inner":
         return matched
     pairs = matched.select("url").distinct()

@@ -7,7 +7,8 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app="osgeo-gdal-spark", cores=None, shuffle_partitions=None) -> SparkSession:
+def get_spark(app="osgeo-gdal-spark", cores=None, shuffle_partitions=None,
+              pin_cpus=False) -> SparkSession:
     """Local session tuned like the cluster profile.
 
     - AQE on (runtime coalesce + skew-join splitting — the cluster-side
@@ -29,6 +30,13 @@ def get_spark(app="osgeo-gdal-spark", cores=None, shuffle_partitions=None) -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if pin_cpus:
+        # honest N-core simulation for scaling-efficiency runs: without
+        # this, a local[8] JVM still runs GC/JIT/IO threads on all machine
+        # cores and the 8-core timing looks better than 8 cores deliver
+        b = b.config(
+            "spark.driver.extraJavaOptions", f"-XX:ActiveProcessorCount={cores}"
+        )
     return b.getOrCreate()
 
 

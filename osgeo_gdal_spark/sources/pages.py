@@ -26,6 +26,11 @@ WARC_EPOCH0 = 1767225600
 def pages_df(spark: SparkSession, sf_dir: str, with_geo: bool = True) -> DataFrame:
     """documents.parquet -> pages DataFrame (+ lon/lat when with_geo)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pages_df_from_documents(docs, with_geo)
+
+
+def pages_df_from_documents(docs: DataFrame, with_geo: bool = True) -> DataFrame:
+    """Any documents-shaped DataFrame -> pages (shared by tests + bench)."""
     df = docs.select(
         F.expr(G.url_sql("doc_id", G.SPARK)).alias("url"),
         F.timestamp_seconds(F.lit(WARC_EPOCH0) + F.col("doc_id")).alias("warc_ts"),

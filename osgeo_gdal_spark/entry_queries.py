@@ -522,6 +522,241 @@ FROM pairs GROUP BY eas_id
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: md5(text) hash groups with >1 member (empty on this
+    corpus — the oracle verifies the emptiness too)."""
+    from .operators import dedup as DD
+
+    return DD.exact_dup_groups(read_table(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT MD5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup groups by 40-char normalized prefix shingle."""
+    from .operators import dedup as DD
+
+    return DD.prefix_dup_groups(read_table(spark, sf, "documents"), nchars=40)
+
+
+SQL_DEDUP_PREFIX = """
+SELECT MD5(LOWER(SUBSTR(text, 1, 40))) AS shingle, COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + per-language aggregates (exact length arithmetic)."""
+    from .functions import text as TX
+
+    docs = read_table(spark, sf, "documents")
+    return (
+        docs.select("lang", TX.token_count("text").alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+        )
+    )
+
+
+def sql_token_stats() -> str:
+    from .functions import sqlgen as SG
+
+    return f"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM({SG.token_count_sql('text')}) AS sum_tokens,
+       SUM(n_chars) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc quality score + heuristic language-ID (marker-word argmax)
+    + fingerprint — the text-analysis trio, all native expressions."""
+    from .functions import text as TX
+
+    docs = read_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.expr(TX.stopword_count_sql("text")).alias("n_stop"),
+        F.expr(TX.quality_score_sql("text")).alias("quality"),
+        F.expr(TX.lang_pred_sql("text")).alias("pred_lang"),
+        F.expr(TX.fingerprint_sql("text")).alias("fingerprint"),
+    )
+
+
+def sql_quality_lang() -> str:
+    from .functions import text as TX
+
+    return f"""
+SELECT doc_id,
+       {TX.G.token_count_sql('text')} AS n_tokens,
+       {TX.stopword_count_sql('text')} AS n_stop,
+       {TX.quality_score_sql('text')} AS quality,
+       {TX.lang_pred_sql('text')} AS pred_lang,
+       {TX.fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
+def q_jaccard_consecutive(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-set Jaccard between consecutive doc ids — the LSH verify
+    stage exercised on a deterministic pair set."""
+    from .operators import dedup as DD
+
+    docs = read_table(spark, sf, "documents")
+    ids = docs.select("doc_id")
+    pairs = ids.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    ).join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    return DD.jaccard_pairs(docs, pairs)
+
+
+SQL_JACCARD_CONSECUTIVE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nw FROM words GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+  FROM pairs p
+  JOIN words wa ON wa.doc_id = p.doc_a
+  JOIN words wb ON wb.doc_id = p.doc_b AND wb.w = wa.w
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       sa.nw + sb.nw - i.inter AS union_n,
+       i.inter / (sa.nw + sb.nw - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle -> 16 minhashes ->
+    4 bands x 4 rows -> bucket join). No SQL oracle: xxhash64 is
+    Spark-specific — the driver records a rows-only check; the Jaccard
+    query above is the exact verifier for pair quality."""
+    from .operators import dedup as DD
+
+    docs = read_table(spark, sf, "documents")
+    sig = DD.minhash_signatures(DD.shingles(docs, n=3), num_hashes=16)
+    return DD.lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash fingerprints (no oracle: xxhash64-based)."""
+    from .operators import dedup as DD
+
+    return DD.simhash64(read_table(spark, sf, "documents"))
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors vec_id < 5 (exact ANN
+    baseline; native zip_with/aggregate fold)."""
+    from .operators import similarity as SIM
+
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = SIM.cosine_topk(emb, queries, k=3)
+    return out.select("qid", "vec_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+elems AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS e,
+         UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+  FROM embeddings
+),
+qelems AS (
+  SELECT qid, CAST(UNNEST(qvec) AS DOUBLE) AS e,
+         UNNEST(RANGE(1, LEN(qvec) + 1)) AS i
+  FROM q
+),
+norms AS (SELECT vec_id, SQRT(SUM(e * e)) AS nrm FROM elems GROUP BY vec_id),
+dots AS (
+  SELECT qe.qid, el.vec_id, SUM(el.e * qe.e) AS dot
+  FROM elems el JOIN qelems qe ON qe.i = el.i
+  GROUP BY qe.qid, el.vec_id
+),
+scored AS (
+  SELECT d.qid, d.vec_id, d.dot / (na.nrm * nb.nrm) AS cos_sim_raw
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nb ON nb.vec_id = d.qid
+  WHERE d.qid <> d.vec_id
+)
+SELECT qid, vec_id, rank, ROUND(cos_sim_raw, 6) AS cos_sim FROM (
+  SELECT qid, vec_id, cos_sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim_raw DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-table LSH-bucketed approximate NN (4 tables x 8 bits; rows-only check —
+    recall < 1 by design, exactness is the brute-force query's job)."""
+    from .operators import similarity as SIM
+
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    tables = [SIM.hyperplanes(64, 8, seed=s) for s in (1, 2, 3, 4)]
+    out = SIM.ann_topk_lsh(emb, queries, tables, k=3)
+    return out.select("qid", "vec_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_event_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1h window aggregation over the events stream table (the
+    batch twin of the Structured Streaming wrapper, SURVEY §2.N)."""
+    ev = read_table(spark, sf, "events")
+    return (
+        ev.withColumn(
+            "ts_hour",
+            # parquet reads as TIMESTAMP_NTZ; cast pins UTC (session TZ)
+            F.expr(
+                "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) "
+                "/ CAST(3600000000.0 AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+        .groupBy("ts_hour", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+SQL_EVENT_WINDOWS = """
+SELECT CAST(FLOOR(EPOCH_US(ts) / CAST(3600000000.0 AS DOUBLE)) AS BIGINT) AS ts_hour,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -547,6 +782,16 @@ QUERIES = {
     "pixel_density": q_pixel_density,
     "tile_checksum": q_tile_checksum,
     "zonal_stats": q_zonal_stats,
+    "dedup_exact": q_dedup_exact,
+    "dedup_prefix": q_dedup_prefix,
+    "token_stats": q_token_stats,
+    "quality_lang": q_quality_lang,
+    "jaccard_consecutive": q_jaccard_consecutive,
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "event_windows": q_event_windows,
 }
 
 ORACLES = {
@@ -571,4 +816,14 @@ ORACLES = {
     "pixel_density": sql_pixel_density(),
     "tile_checksum": sql_tile_checksum(),
     "zonal_stats": sql_zonal_stats(),
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_prefix": SQL_DEDUP_PREFIX,
+    "token_stats": sql_token_stats(),
+    "quality_lang": sql_quality_lang(),
+    "jaccard_consecutive": SQL_JACCARD_CONSECUTIVE,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "event_windows": SQL_EVENT_WINDOWS,
+    # no oracle (Spark-specific hashing / approximate by design) -> the
+    # driver records rows-only checks: minhash_lsh_pairs, simhash,
+    # embedding_ann_lsh
 }

@@ -1,0 +1,170 @@
+"""Deduplication operators for web-scale text corpora.
+
+Four tiers, each a distinct shuffle/scale profile:
+
+- **exact**: groupBy(md5(text)) — one hash shuffle carrying (hash, id)
+  only (map-side partial keeps it tiny at 10^12 rows).
+- **prefix-shingle exact**: same, on a normalized prefix shingle.
+- **MinHash + LSH**: word shingles -> k permuted min-hashes (xxhash64 with
+  k seeds, all JVM-side) -> band buckets -> candidate pairs from bucket
+  groups. The classic near-dup pipeline (Broder; used by every web-corpus
+  dedup). Only (band_hash -> doc ids) shuffles; the quadratic step is
+  confined to same-bucket groups.
+- **SimHash**: 64-bit sign-aggregated token-hash fingerprint (Charikar),
+  computed with native bit arithmetic + groupBy — Hamming-near candidates
+  join on rotated prefix bands.
+- **word-Jaccard**: exact Jaccard between specific pairs via explode +
+  distinct-word joins (the verification step after LSH).
+
+All hot paths are native Spark SQL — no Python in any per-row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dup_groups(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """(text_hash, n_docs, keep_id) for duplicate groups; keep = min id."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def prefix_dup_groups(docs: DataFrame, nchars=40, text_col="text",
+                      id_col="doc_id") -> DataFrame:
+    """Duplicate groups by normalized prefix shingle (cheap near-dup)."""
+    return (
+        docs.select(
+            F.md5(F.lower(F.substring(F.col(text_col), 1, nchars))).alias("shingle"),
+            F.col(id_col),
+        )
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _words(docs: DataFrame, text_col, id_col) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+
+
+def shingles(docs: DataFrame, n=3, text_col="text", id_col="doc_id") -> DataFrame:
+    """Word n-gram shingles per doc (distinct)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ts")
+    )
+    # n-gram via transform over token indices (native, no UDF)
+    ng = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(ts) - {n}), "
+                f"i -> concat_ws(' ', slice(ts, i + 1, {n})))"
+            )
+        ).alias("shingle"),
+    )
+    return ng.filter(F.length("shingle") > 0).distinct()
+
+
+def minhash_signatures(sh: DataFrame, num_hashes=16) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(shingle, seed)
+    for each of `num_hashes` seeds. One groupBy; all JVM-side."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands=4, rows_per_band=4) -> DataFrame:
+    """Band the signature and emit candidate pairs sharing any band bucket.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b. At 10^12 scale the
+    bucket join is the only shuffle and hot buckets (boilerplate pages) are
+    the skew risk — AQE skew-join plus an optional bucket-size cap handle
+    that.
+    """
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.xxhash64(*[F.col(c) for c in cols], F.lit(b)).alias(f"band{b}")
+        )
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash64(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote of word hashes,
+    assembled natively with shiftright/sum/case — zero Python."""
+    w = _words(docs, text_col, id_col).withColumn("h", F.xxhash64("w"))
+    votes = w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+        for b in range(63)  # bit 63 excluded: keep the value positive int64
+    )
+    return votes.select("doc_id", F.expr(f"({expr})").alias("simhash"))
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col="text",
+                  id_col="doc_id") -> DataFrame:
+    """Exact word-set Jaccard for given (doc_a, doc_b) pairs — the verify
+    stage after LSH candidate generation."""
+    words = _words(docs, text_col, id_col).distinct()
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("nw"))
+    wa = words.withColumnRenamed("doc_id", "doc_a")
+    wb = words.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("nw", "nw_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("nw", "nw_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter",
+            (F.col("nw_a") + F.col("nw_b") - F.col("inter")).alias("union_n"),
+            (F.col("inter") / (F.col("nw_a") + F.col("nw_b") - F.col("inter"))
+             ).alias("jaccard"),
+        )
+    )

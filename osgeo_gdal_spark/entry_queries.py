@@ -757,6 +757,111 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# raster operators (SURVEY §2.K — translate / overview / warp kernels)
+# --------------------------------------------------------------------------
+
+RASTER_ZOOM = 1
+SRCWIN = (100, 120, 150, 130)  # gpx0, gpy0, w, h
+_GEN = "((gpx * 7 + gpy * 11 + 1) % 255)"  # synth generator at zoom 1
+
+
+def q_raster_translate(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal_translate equivalent: -srcwin + -scale + uint8 cast with the
+    GDALCopyWords rounding rule (gdal_translate_lib.cpp:676,772-862),
+    verified pixel-by-pixel against the SQL generator."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = RO.translate_tiles(tiles, scale=0.5, offset=10.0, out_dtype="uint8",
+                             srcwin=SRCWIN)
+    return RO.explode_pixels(out).select("gpx", "gpy", "value")
+
+
+def sql_raster_translate() -> str:
+    x0, y0, w, h = SRCWIN
+    return f"""
+WITH px AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+)
+SELECT gpx, gpy,
+       CAST(CAST(FLOOR({_GEN} * CAST(0.5 AS DOUBLE) + CAST(10.0 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE) AS value
+FROM px
+"""
+
+
+def q_raster_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """Overview AVERAGE reduction z1 -> z0 (overview.cpp 2x2 mean),
+    verified pixel-by-pixel: parent pixel = mean of its 4 children."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    z0 = RO.pyramid_average(tiles)
+    return RO.explode_pixels(z0).select("gpx", "gpy", "value")
+
+
+def sql_raster_pyramid() -> str:
+    f = _GEN
+    def g(dx, dy):
+        return f.replace("gpx", f"(2 * gpx + {dx})").replace("gpy", f"(2 * gpy + {dy})")
+    return f"""
+WITH px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, 256)) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 256)) AS i) ys
+)
+SELECT gpx, gpy,
+       ({g(0, 0)} + {g(1, 0)} + {g(0, 1)} + {g(1, 1)}) / CAST(4.0 AS DOUBLE) AS value
+FROM px
+"""
+
+
+def q_raster_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-tile GDALChecksumImage of the synthetic raster — the ported
+    comparator vs an independent SQL prime-modulo reconstruction."""
+    from .sources import raster as RS
+
+    return RS.synth_tiles(spark, RASTER_ZOOM).select("gx", "gy", "checksum")
+
+
+def sql_raster_checksum() -> str:
+    term = G.checksum_term_sql("v", "(py * 256 + px)")
+    return f"""
+WITH px AS (
+  SELECT xs.i AS px, ys.i AS py, tx.i AS gx, ty.i AS gy
+  FROM (SELECT UNNEST(RANGE(0, 256)) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 256)) AS i) ys
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 2)) AS i) tx
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 2)) AS i) ty
+),
+vals AS (
+  SELECT gx, gy, px, py,
+         (((gx * 256 + px) * 7 + (gy * 256 + py) * 11 + 1) % 255) AS v
+  FROM px
+)
+SELECT gx, gy, CAST(SUM({term}) % 65536 AS INT) AS checksum
+FROM vals GROUP BY gx, gy
+"""
+
+
+def q_raster_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Warp-kernel rescale of every tile to 128x128 with the Catmull-Rom
+    cubic (gdalwarpkernel weights; rows-only check — pixel goldens are
+    pinned by pytest against hand-computed kernel values)."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    return RO.resample_tiles(tiles, 128, "cubic").select(
+        "gx", "gy", "width", "height", "checksum"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -792,6 +897,10 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "event_windows": q_event_windows,
+    "raster_translate": q_raster_translate,
+    "raster_pyramid": q_raster_pyramid,
+    "raster_checksum": q_raster_checksum,
+    "raster_resample": q_raster_resample,
 }
 
 ORACLES = {
@@ -823,7 +932,10 @@ ORACLES = {
     "jaccard_consecutive": SQL_JACCARD_CONSECUTIVE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "event_windows": SQL_EVENT_WINDOWS,
+    "raster_translate": sql_raster_translate(),
+    "raster_pyramid": sql_raster_pyramid(),
+    "raster_checksum": sql_raster_checksum(),
     # no oracle (Spark-specific hashing / approximate by design) -> the
     # driver records rows-only checks: minhash_lsh_pairs, simhash,
-    # embedding_ann_lsh
+    # embedding_ann_lsh, raster_resample
 }

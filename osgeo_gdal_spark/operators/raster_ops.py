@@ -1,0 +1,221 @@
+"""Raster tile operators — gdal_translate / overview / gdalwarp equivalents.
+
+Distributed shape (SURVEY §3.2 mapping): the chunk list of GDAL's warp
+operation ≙ the partitioning of destination-tile rows; each task runs a
+vectorized numpy kernel over one tile (or one parent group). References:
+``/root/reference/apps/gdal_translate_lib.cpp:676`` (GDALTranslate:
+band/window/scale/type), ``/root/reference/gcore/overview.cpp`` (pyramid
+AVERAGE), ``/root/reference/alg/gdalwarpkernel.cpp:1058`` (PerformWarp —
+per-dst-pixel inverse mapping + kernel sampling),
+``/root/reference/alg/gdalwarpoperation.cpp:100-146`` (chunking design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..kernels import checksum as CK, resample as R
+from ..sources.raster import TILE, TILE_SCHEMA, parse_tile
+
+_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("zoom", T.IntegerType()),
+        T.StructField("gpx", T.LongType()),
+        T.StructField("gpy", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def translate_tiles(tiles: DataFrame, scale=1.0, offset=0.0,
+                    out_dtype="uint8", srcwin=None) -> DataFrame:
+    """gdal_translate equivalent: optional pixel window + linear scale +
+    type cast with the GDALCopyWords rounding rule. srcwin = (gpx0, gpy0,
+    w, h) in global pixels; tiles fully outside are pruned NATIVELY before
+    any kernel runs (the -srcwin pushdown)."""
+    if srcwin is not None:
+        x0, y0, w, h = srcwin
+        tiles = tiles.filter(
+            (F.col("gx") * TILE < x0 + w) & ((F.col("gx") + 1) * TILE > x0)
+            & (F.col("gy") * TILE < y0 + h) & ((F.col("gy") + 1) * TILE > y0)
+        )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                grid = parse_tile(row).astype(np.float64)
+                ox0, oy0 = int(row["gx"]) * TILE, int(row["gy"]) * TILE
+                if srcwin is not None:
+                    x0, y0, w, h = srcwin
+                    sx0 = max(0, x0 - ox0)
+                    sy0 = max(0, y0 - oy0)
+                    sx1 = min(TILE, x0 + w - ox0)
+                    sy1 = min(TILE, y0 + h - oy0)
+                    grid = grid[sy0:sy1, sx0:sx1]
+                    ox0, oy0 = ox0 + sx0, oy0 + sy0
+                    if grid.size == 0:
+                        continue
+                out = R.round_to_dtype(grid * scale + offset, np.dtype(out_dtype))
+                rows.append(
+                    {
+                        "dataset_id": row["dataset_id"],
+                        "zoom": int(row["zoom"]),
+                        "gx": int(ox0 // TILE) if srcwin is None else int(row["gx"]),
+                        "gy": int(row["gy"]),
+                        "band": int(row["band"]),
+                        "width": out.shape[1],
+                        "height": out.shape[0],
+                        "dtype": out_dtype,
+                        "nodata": row["nodata"],
+                        "crs": row["crs"],
+                        "pixels": out.tobytes(),
+                        "checksum": CK.checksum_image(out),
+                        "_ox0": ox0,
+                        "_oy0": oy0,
+                    }
+                )
+            if rows:
+                pdf_out = pd.DataFrame(rows)
+                yield pdf_out
+
+    schema = T.StructType(
+        TILE_SCHEMA.fields
+        + [T.StructField("_ox0", T.LongType()), T.StructField("_oy0", T.LongType())]
+    )
+    return tiles.mapInPandas(kernel, schema)
+
+
+def explode_pixels(tiles: DataFrame) -> DataFrame:
+    """Tile rows -> (zoom, gpx, gpy, value) global-pixel rows (the oracle
+    bridge; origin taken from _ox0/_oy0 when present for windowed tiles)."""
+    has_origin = "_ox0" in tiles.columns
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                grid = parse_tile(row)
+                oy0 = int(row["_oy0"]) if has_origin else int(row["gy"]) * TILE
+                ox0 = int(row["_ox0"]) if has_origin else int(row["gx"]) * TILE
+                ys, xs = np.indices(grid.shape)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "zoom": int(row["zoom"]),
+                            "gpx": (ox0 + xs.ravel()).astype(np.int64),
+                            "gpy": (oy0 + ys.ravel()).astype(np.int64),
+                            "value": grid.ravel().astype(np.float64),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return tiles.mapInPandas(gen, _PIXEL_SCHEMA)
+
+
+def pyramid_average(tiles: DataFrame) -> DataFrame:
+    """One overview level: parent tile at zoom-1 assembled from up to 4
+    children, each average_2x2-reduced into its quadrant (AVERAGE
+    semantics of overview.cpp; missing children = implicit zero, matching
+    a sparse tile table). Output values are float64 means (exact for
+    integer inputs)."""
+
+    def reduce(pdf):
+        import pandas as pd
+
+        pgx, pgy = int(pdf["pgx"].iloc[0]), int(pdf["pgy"].iloc[0])
+        zoom = int(pdf["zoom"].iloc[0]) - 1
+        grid = np.zeros((TILE, TILE), dtype=np.float64)
+        for _, row in pdf.iterrows():
+            child = parse_tile(row).astype(np.float64)
+            qx = (int(row["gx"]) % 2) * (TILE // 2)
+            qy = (int(row["gy"]) % 2) * (TILE // 2)
+            if row["nodata"] is not None and not np.isnan(row["nodata"]):
+                red = R.average_2x2_nodata(child, float(row["nodata"]))
+            else:
+                red = R.average_2x2(child)
+            grid[qy : qy + TILE // 2, qx : qx + TILE // 2] = red
+        out = grid
+        return pd.DataFrame(
+            [
+                {
+                    "dataset_id": pdf["dataset_id"].iloc[0],
+                    "zoom": zoom,
+                    "gx": pgx,
+                    "gy": pgy,
+                    "band": int(pdf["band"].iloc[0]),
+                    "width": TILE,
+                    "height": TILE,
+                    "dtype": "float64",
+                    "nodata": pdf["nodata"].iloc[0],
+                    "crs": pdf["crs"].iloc[0],
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                }
+            ]
+        )
+
+    parents = tiles.withColumn(
+        "pgx", F.expr("CAST(FLOOR(gx / CAST(2.0 AS DOUBLE)) AS BIGINT)")
+    ).withColumn("pgy", F.expr("CAST(FLOOR(gy / CAST(2.0 AS DOUBLE)) AS BIGINT)"))
+    return parents.groupBy("pgx", "pgy").applyInPandas(reduce, TILE_SCHEMA)
+
+
+def resample_tiles(tiles: DataFrame, out_size: int, method: str) -> DataFrame:
+    """Per-tile rescale to out_size x out_size with a GDAL warp kernel
+    (near/bilinear/cubic/cubicspline/lanczos — exact numpy ports of
+    gdalresamplingkernels.h / gdalwarpkernel.cpp weights). Tile-local
+    (no halo): the v1 warp step for integer zoom rescales."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                grid = parse_tile(row).astype(np.float64)
+                out = R.resample_grid(grid, out_size, out_size, method)
+                rows.append(
+                    {
+                        "dataset_id": row["dataset_id"],
+                        "zoom": int(row["zoom"]),
+                        "gx": int(row["gx"]),
+                        "gy": int(row["gy"]),
+                        "band": int(row["band"]),
+                        "width": out_size,
+                        "height": out_size,
+                        "dtype": "float64",
+                        "nodata": row["nodata"],
+                        "crs": row["crs"],
+                        "pixels": out.tobytes(),
+                        "checksum": CK.checksum_image(out),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(kernel, TILE_SCHEMA)
+
+
+def mosaic_first(tiles_a: DataFrame, tiles_b: DataFrame) -> DataFrame:
+    """Mosaic two tile tables: first non-null wins per tile key (buildvrt
+    overlay-order semantics, apps/gdalbuildvrt_lib.cpp) — a unionByName +
+    window-rank, no pixel kernel needed when tiles align."""
+    from pyspark.sql import Window
+
+    u = tiles_a.withColumn("_src", F.lit(0)).unionByName(
+        tiles_b.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy("zoom", "gx", "gy", "band").orderBy("_src")
+    return (
+        u.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_src")
+    )

@@ -1,0 +1,142 @@
+"""The `gdal pipeline` analog: named steps chained into a lazy DataFrame.
+
+GDAL's unified CLI composes explicit operator DAGs —
+``gdal pipeline read ... ! filter ... ! reproject ... ! write ...``
+(vector step registry ``/root/reference/apps/gdalalg_vector_pipeline.cpp:
+144-224``, raster registry ``apps/gdalalg_raster_pipeline.cpp:174-232``).
+Steps exchange lazily-evaluated layers — exactly DataFrame chaining, so
+each step here is a thin named wrapper over the engine's operators; the
+pipeline object is just a logical plan builder (`tee` ≙ cached reuse,
+`materialize` ≙ StageWriter checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class Pipeline:
+    """Fluent step chain. Every step returns self; .df() yields the plan."""
+
+    def __init__(self, spark: SparkSession, df: DataFrame | None = None):
+        self.spark = spark
+        self._df = df
+
+    # --- sources ---------------------------------------------------------
+    def read_pages(self, sf_dir: str):
+        from ..sources import pages as PG
+
+        self._df = PG.pages_df(self.spark, sf_dir)
+        return self
+
+    def read_table(self, sf_dir: str, name: str):
+        from ..session import read_table
+
+        self._df = read_table(self.spark, sf_dir, name)
+        return self
+
+    # --- vector steps (gdalalg_vector_pipeline.cpp registry analogs) ------
+    def filter(self, expr: str):                      # `filter`
+        self._df = self._df.filter(F.expr(expr))
+        return self
+
+    def select(self, *cols):                          # `select`
+        self._df = self._df.select(*cols)
+        return self
+
+    def sql(self, stmt: str, view="pipe"):            # `sql`
+        self._df.createOrReplaceTempView(view)
+        self._df = self.spark.sql(stmt)
+        return self
+
+    def limit(self, n: int):                          # `limit`
+        self._df = self._df.limit(n)
+        return self
+
+    def sort(self, *cols):                            # `sort`
+        self._df = self._df.orderBy(*cols)
+        return self
+
+    def explode(self, col: str, out: str):            # `explode`
+        self._df = self._df.withColumn(out, F.explode(F.col(col)))
+        return self
+
+    def swap_xy(self, x="lon", y="lat"):              # `swap-xy`
+        self._df = self._df.withColumn("__t", F.col(x)).withColumn(
+            x, F.col(y)
+        ).withColumn(y, F.col("__t")).drop("__t")
+        return self
+
+    def cells(self, zoom: int):                       # reproject+cell encode
+        from ..operators import spatial_join as SJ
+
+        self._df = SJ.with_cell_key(self._df, zoom)
+        return self
+
+    def join_polygons(self, polys, zoom=None, how="inner"):  # layer algebra
+        from ..operators import spatial_join as SJ
+
+        kw = {} if zoom is None else {"zoom": zoom}
+        self._df = SJ.spatial_join(self.spark, self._df, polys, how=how, **kw)
+        return self
+
+    def clip(self, polys):                            # `clip` (semi)
+        return self.join_polygons(polys, how="semi")
+
+    def erase(self, polys):                           # layer-algebra Erase
+        return self.join_polygons(polys, how="anti")
+
+    # --- raster steps ------------------------------------------------------
+    def tile(self, zoom: int):                        # `tile` (burn density)
+        from ..operators import tiling as TL
+
+        self._df = TL.burn_point_tiles(self._df, zoom)
+        return self
+
+    def overview(self):                               # `overview` (1 level)
+        # density tiles (burn output, has n_points) and raster tiles
+        # (dataset tiles, has dataset_id/band) are distinct row types —
+        # dispatch to the matching AVERAGE reducer
+        if "n_points" in self._df.columns:
+            from ..operators import tiling as TL
+
+            self._df = TL.reduce_tiles_average(self._df)
+        else:
+            from ..operators import raster_ops as RO
+
+            self._df = RO.pyramid_average(self._df)
+        return self
+
+    def reclassify(self, mapping: dict, col="value"):  # `reclassify`
+        expr = "CASE " + " ".join(
+            f"WHEN {col} = {k} THEN {v}" for k, v in mapping.items()
+        ) + f" ELSE {col} END"
+        self._df = self._df.withColumn(col, F.expr(expr))
+        return self
+
+    def scale(self, scale=1.0, offset=0.0, out_dtype="float64"):  # `scale`
+        from ..operators import raster_ops as RO
+
+        self._df = RO.translate_tiles(self._df, scale, offset, out_dtype)
+        return self
+
+    # --- plumbing ----------------------------------------------------------
+    def tee(self):                                    # `tee` ≙ cache + fork
+        self._df = self._df.cache()
+        return Pipeline(self.spark, self._df)
+
+    def materialize(self, writer, stage: str):        # `materialize`
+        df = self._df
+        writer.run_stage(stage, ["all"], lambda _u: df)
+        self._df = writer.read_stage(stage)
+        return self
+
+    def write(self, path: str, partition_by=None, fmt="parquet"):  # `write`
+        w = self._df.write.mode("overwrite").format(fmt)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+        return self
+
+    def df(self) -> DataFrame:
+        return self._df

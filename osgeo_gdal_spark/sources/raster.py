@@ -1,0 +1,90 @@
+"""Synthetic raster tile table — the byte.tif-shaped fixture at tile scale.
+
+FIXTURES.md §3: one row per (dataset_id, zoom, gx, gy, band) with packed
+C-order pixels in a BinaryType column. The deterministic pixel generator is
+``value(gpx, gpy) = (gpx*7 + gpy*11 + zoom) % 255`` over *global* pixel
+coordinates — exactly reproducible by a SQL ``range()`` cross product, which
+is what lets DuckDB oracles verify pixel-level raster operators without any
+binary exchange.
+
+Tiles are built in an Arrow-batched ``mapInPandas`` over a tiny tile-key
+DataFrame — the per-tile numpy generation is the same shape as every other
+raster kernel stage (the GDAL block ≙ packed-binary row mapping, SURVEY
+§1.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..kernels import checksum as CK
+
+TILE = 256
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("dataset_id", T.StringType()),
+        T.StructField("zoom", T.IntegerType()),
+        T.StructField("gx", T.LongType()),
+        T.StructField("gy", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dtype", T.StringType()),
+        T.StructField("nodata", T.DoubleType()),
+        T.StructField("crs", T.StringType()),
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("checksum", T.IntegerType()),
+    ]
+)
+
+
+def synth_pixel_grid(gx: int, gy: int, zoom: int, tile=TILE) -> np.ndarray:
+    """The deterministic uint8 tile: (gpx*7 + gpy*11 + zoom) % 255."""
+    gpx = gx * tile + np.arange(tile)[None, :]
+    gpy = gy * tile + np.arange(tile)[:, None]
+    return ((gpx * 7 + gpy * 11 + zoom) % 255).astype(np.uint8)
+
+
+def synth_tiles(spark: SparkSession, zoom: int, dataset_id="synth") -> DataFrame:
+    """All 4^zoom tiles of the synthetic dataset at a zoom level."""
+    n = 1 << zoom
+    keys = spark.range(n * n).select(
+        (F.col("id") % n).alias("gx"), (F.col("id") / n).cast("long").alias("gy")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for gx, gy in zip(pdf["gx"], pdf["gy"]):
+                grid = synth_pixel_grid(int(gx), int(gy), zoom)
+                rows.append(
+                    {
+                        "dataset_id": dataset_id,
+                        "zoom": zoom,
+                        "gx": int(gx),
+                        "gy": int(gy),
+                        "band": 1,
+                        "width": TILE,
+                        "height": TILE,
+                        "dtype": "uint8",
+                        "nodata": None,
+                        "crs": "EPSG:3857",
+                        "pixels": grid.tobytes(),
+                        "checksum": CK.checksum_image(grid),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return keys.mapInPandas(gen, TILE_SCHEMA)
+
+
+def parse_tile(row) -> np.ndarray:
+    """Unpack a tile row's pixels into a 2-D numpy array."""
+    dt = np.dtype(row["dtype"])
+    return np.frombuffer(bytes(row["pixels"]), dtype=dt).reshape(
+        row["height"], row["width"]
+    )

@@ -1,0 +1,93 @@
+"""Streaming ingest: the engine's stateless kernels wrapped in readStream.
+
+GDAL has no streaming operators (SURVEY §2.N: pull-iterator batch model;
+nearest artifacts are the async reader stub ``gcore/gdal_asyncreader.h``
+and the streamed-recipe driver ``frmts/gdalg/``). Because every page-side
+stage (geocode, cell encode, tile assignment) is a stateless projection,
+the same native expressions run unchanged under Structured Streaming:
+
+    readStream(parquet dir) -> geocode/cell encode -> withWatermark ->
+    windowed tile aggregation -> writeStream (checkpointed)
+
+Late data is handled by the watermark; the tumbling-window tile counts on
+a bounded input equal the batch result on the same data (asserted in
+tests with the availableNow trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import sqlgen as G
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over one driver-testdata table (the table is a
+    single parquet file, so stream the directory with a glob filter — the
+    file source requires a directory basePath)."""
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(sf_dir)
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table_stream(spark, sf_dir, "events")
+
+
+def windowed_event_counts(events: DataFrame, window="1 hour",
+                          watermark="2 hours") -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark."""
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_tile_counts(pages_stream: DataFrame, zoom: int,
+                          window="1 hour", watermark="2 hours") -> DataFrame:
+    """The tiling engine under streaming: per-window per-tile page counts.
+    pages_stream needs (warc_ts, lon, lat) — the geocode expressions are
+    the same native columns as batch."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("win"),
+            F.expr(G.tile_x_sql("lon", zoom)).alias("gx"),
+            F.expr(G.tile_y_sql("lat", zoom)).alias("gy"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("win.start").alias("win_start"), "gx", "gy", "cnt")
+    )
+
+
+def run_available_now(sdf: DataFrame, checkpoint: str, out_path: str) -> None:
+    """Drain all available input through the streaming graph once
+    (availableNow trigger) into a parquet sink — the test/backfill mode;
+    production uses the same graph with a continuous trigger.
+
+    Append-mode semantics caveat: windows newer than (max event time -
+    watermark) are NOT emitted when the drain ends — they are still "open".
+    On a bounded backfill that withholds the trailing window(s); for exact
+    bounded-input parity use a complete-mode memory sink (as the tests do)
+    or run the batch twin (entry_queries.q_event_windows) over the tail."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,66 @@
+"""Raster operator semantics not covered by the SQL-oracle gate."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osgeo_gdal_spark.kernels import resample as R
+from osgeo_gdal_spark.operators import raster_ops as RO
+from osgeo_gdal_spark.sources import raster as RS
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    return RS.synth_tiles(spark, 1).cache()
+
+
+def test_synth_tiles_shape_and_checksum(spark, tiles):
+    rows = tiles.collect()
+    assert len(rows) == 4
+    for row in rows:
+        grid = RS.parse_tile(row)
+        assert grid.shape == (256, 256) and grid.dtype == np.uint8
+        # checksum column matches a recompute (kernel-side vs driver-side)
+        from osgeo_gdal_spark.kernels import checksum as CK
+        assert CK.checksum_image(grid) == row["checksum"]
+        # generator golden: a hand-computed pixel
+        gpx, gpy = row["gx"] * 256 + 3, row["gy"] * 256 + 5
+        assert grid[5, 3] == (gpx * 7 + gpy * 11 + 1) % 255
+
+
+def test_resample_tiles_identity_near(spark, tiles):
+    out = RO.resample_tiles(tiles, 256, "near").collect()
+    src = {(r["gx"], r["gy"]): RS.parse_tile(r) for r in tiles.collect()}
+    for row in out:
+        np.testing.assert_array_equal(
+            RS.parse_tile(row), src[(row["gx"], row["gy"])].astype(np.float64)
+        )
+
+
+def test_resample_tiles_cubic_matches_kernel(spark, tiles):
+    out = {(r["gx"], r["gy"]): RS.parse_tile(r)
+           for r in RO.resample_tiles(tiles, 128, "cubic").collect()}
+    for row in tiles.collect():
+        want = R.resample_grid(RS.parse_tile(row).astype(np.float64), 128, 128, "cubic")
+        np.testing.assert_allclose(out[(row["gx"], row["gy"])], want, atol=1e-12)
+
+
+def test_mosaic_first_wins(spark, tiles):
+    zeros = RO.translate_tiles(tiles, scale=0.0, offset=0.0)  # all-zero copy
+    zeros = zeros.drop("_ox0", "_oy0")
+    m = RO.mosaic_first(tiles, zeros)  # original first -> original wins
+    assert m.count() == 4
+    vals = {(r["gx"], r["gy"]): RS.parse_tile(r).sum() for r in m.collect()}
+    assert all(v > 0 for v in vals.values())
+    m2 = RO.mosaic_first(zeros, tiles)  # zeros first -> zeros win
+    vals2 = {(r["gx"], r["gy"]): RS.parse_tile(r).sum() for r in m2.collect()}
+    assert all(v == 0 for v in vals2.values())
+
+
+def test_translate_window_bounds(spark, tiles):
+    out = RO.translate_tiles(tiles, srcwin=(100, 120, 150, 130))
+    px = RO.explode_pixels(out)
+    stats = px.agg(
+        F.min("gpx"), F.max("gpx"), F.min("gpy"), F.max("gpy"), F.count("*")
+    ).first()
+    assert tuple(stats) == (100, 249, 120, 249, 150 * 130)

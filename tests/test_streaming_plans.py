@@ -1,0 +1,130 @@
+"""Streaming wrapper, lineage/checkpoint resume, and pipeline API tests."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from osgeo_gdal_spark.plans.lineage import StageWriter
+from osgeo_gdal_spark.plans.pipeline import Pipeline
+from osgeo_gdal_spark.sources import pages as PG, polygons as PL
+from osgeo_gdal_spark.streaming import stream as ST
+from tests.conftest import SF_DIR
+
+
+def test_streaming_event_windows_equal_batch(spark):
+    """Bounded stream drained with availableNow == batch aggregation
+    (FIXTURES.md §6)."""
+    sdf = ST.windowed_event_counts(ST.read_events_stream(spark, SF_DIR))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_timestamp("win.start").alias("win_start"),
+                "event_type", "n_events")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_tile_counts_equal_batch(spark):
+    """The tiling engine under streaming matches batch tile counts."""
+    docs_stream = ST.read_table_stream(spark, SF_DIR, "documents")
+    pages_stream = PG.pages_df_from_documents(docs_stream)
+    sdf = ST.streaming_tile_counts(pages_stream, zoom=4, window="365 days")
+    q = (
+        sdf.writeStream.format("memory").queryName("tile_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["gx"], r["gy"]): r["cnt"]
+        for r in spark.sql(
+            "SELECT gx, gy, SUM(cnt) AS cnt FROM tile_counts GROUP BY gx, gy"
+        ).collect()
+    }
+    from osgeo_gdal_spark.operators import tiling as TL
+
+    want = {
+        (r["gx"], r["gy"]): r["cnt"]
+        for r in TL.tile_counts(PG.pages_df(spark, SF_DIR), 4).collect()
+    }
+    assert got == want
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="lineage_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lineage_checkpoint_and_resume(spark, tmpdir):
+    w = StageWriter(spark, tmpdir, run_id="r1")
+    calls = []
+
+    def build(unit):
+        calls.append(unit)
+        n = int(unit)
+        return spark.range(n * 10).withColumn("v", F.col("id") * 2)
+
+    out = w.run_stage("tens", ["1", "2", "3"], build)
+    assert sorted(calls) == ["1", "2", "3"]
+    assert out.count() == 60
+    m = w.metrics("tens")
+    assert m.count() == 3
+    assert set(m.columns) >= {"stage", "unit_id", "run_id", "rows", "secs",
+                              "rows_per_sec", "ts"}
+    # resume: nothing recomputed
+    calls.clear()
+    out2 = w.run_stage("tens", ["1", "2", "3"], build)
+    assert calls == [] and out2.count() == 60
+    # crash-resume: add a unit -> only it runs
+    w.run_stage("tens", ["1", "2", "3", "4"], build)
+    assert calls == ["4"]
+
+
+def test_pipeline_chain_matches_direct(spark):
+    p = (
+        Pipeline(spark)
+        .read_pages(SF_DIR)
+        .filter("lang = 'en'")
+        .join_polygons(PL.POLYGONS)
+        .select("url", "eas_id")
+    )
+    got = {(r["url"], r["eas_id"]) for r in p.df().collect()}
+    from osgeo_gdal_spark.operators import spatial_join as SJ
+
+    direct = SJ.spatial_join(
+        spark, PG.pages_df(spark, SF_DIR).filter("lang = 'en'"), PL.POLYGONS
+    )
+    want = {(r["url"], r["eas_id"]) for r in direct.select("url", "eas_id").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_pipeline_raster_steps(spark):
+    tiles = (
+        Pipeline(spark)
+        .read_pages(SF_DIR)
+        .tile(3)
+        .overview()
+        .df()
+    )
+    rows = tiles.collect()
+    assert all(r["zoom"] == 2 for r in rows)
+    assert sum(r["n_points"] for r in rows) == 500

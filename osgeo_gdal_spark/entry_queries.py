@@ -861,6 +861,82 @@ def q_raster_resample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_st_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """The ST_* library over WKB (SQLite-dialect registry parity,
+    ogrsqlitesqlfunctions.cpp): area / centroid / geometry-type via the
+    packed-array kernels, verified against kind-specific closed-form SQL.
+    Floats rounded to 9dp: the shoelace and the closed forms are distinct
+    fp paths agreeing to ~1e-12 of these O(100) magnitudes."""
+    from .functions import st as ST
+
+    polys = PL.polygons_df(spark)
+    return polys.select(
+        "fid",
+        F.round(ST.st_area("geometry"), 9).alias("area"),
+        F.round(ST.st_centroid_x("geometry"), 9).alias("cx"),
+        F.round(ST.st_centroid_y("geometry"), 9).alias("cy"),
+        ST.st_geometry_type("geometry").alias("gtype"),
+    )
+
+
+def sql_st_functions() -> str:
+    return (
+        f"SELECT fid, ROUND(area, 9) AS area, ROUND(cx, 9) AS cx, "
+        f"ROUND(cy, 9) AS cy, gtype FROM ({PL.st_oracle_select_sql()})"
+    )
+
+
+INTERP_POINTS = [(i, lon, lat) for i, lon, lat in KNN_QUERIES]
+
+
+def q_interpolate_at_point(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster->vector point sampling with bilinear interpolation
+    (GDALInterpolateAtPoint, alg/gdal_interpolateatpoint.cpp:415) — taps
+    join to owning tiles, partial weighted sums reassemble exactly across
+    tile borders; oracle reconstructs the same sample from the pixel
+    generator in closed form."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    pts = spark.createDataFrame(
+        [(int(p), float(lon), float(lat)) for p, lon, lat in INTERP_POINTS],
+        "pid BIGINT, lon DOUBLE, lat DOUBLE",
+    )
+    out = RO.interpolate_at_points(tiles, pts, RASTER_ZOOM, "bilinear")
+    return out.select("pid", F.round("value", 9).alias("value"))
+
+
+def sql_interpolate_at_point() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    vals = ", ".join(f"({p}, {G.D(lon)}, {G.D(lat)})" for p, lon, lat in INTERP_POINTS)
+    qx = f"((lon + {G.D(180.0)}) / {G.D(360.0)} * {world})"
+    qy = f"(({G.D(1.0)} - {G.merc_y_sql('lat')} / PI()) / {G.D(2.0)} * {world})"
+    gen = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    clamp = f"LEAST({world - 1}, GREATEST(0, %s))"
+    x0 = clamp % "x0"
+    x1 = clamp % "(x0 + 1)"
+    y0c = clamp % "y0"
+    y1c = clamp % "(y0 + 1)"
+    return f"""
+WITH pts(pid, lon, lat) AS (VALUES {vals}),
+fr AS (
+  SELECT pid, {qx} - 0.5 AS fx, {qy} - 0.5 AS fy FROM pts
+),
+base AS (
+  SELECT pid, CAST(FLOOR(fx) AS BIGINT) AS x0, CAST(FLOOR(fy) AS BIGINT) AS y0,
+         fx - FLOOR(fx) AS ax, fy - FLOOR(fy) AS ay
+  FROM fr
+)
+SELECT pid, ROUND(
+    (1 - ax) * (1 - ay) * {gen % (x0, y0c)}
+  + ax * (1 - ay) * {gen % (x1, y0c)}
+  + (1 - ax) * ay * {gen % (x0, y1c)}
+  + ax * ay * {gen % (x1, y1c)}, 9) AS value
+FROM base
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -901,6 +977,8 @@ QUERIES = {
     "raster_pyramid": q_raster_pyramid,
     "raster_checksum": q_raster_checksum,
     "raster_resample": q_raster_resample,
+    "st_functions": q_st_functions,
+    "interpolate_at_point": q_interpolate_at_point,
 }
 
 ORACLES = {
@@ -935,6 +1013,8 @@ ORACLES = {
     "raster_translate": sql_raster_translate(),
     "raster_pyramid": sql_raster_pyramid(),
     "raster_checksum": sql_raster_checksum(),
+    "st_functions": sql_st_functions(),
+    "interpolate_at_point": sql_interpolate_at_point(),
     # no oracle (Spark-specific hashing / approximate by design) -> the
     # driver records rows-only checks: minhash_lsh_pairs, simhash,
     # embedding_ann_lsh, raster_resample

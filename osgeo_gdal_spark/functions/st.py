@@ -1,0 +1,154 @@
+"""The ST_* geometry function library over WKB BinaryType columns.
+
+Mirrors the function set GDAL registers into its SQLite dialect
+(``/root/reference/ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp``:
+ST_Area, ST_Buffer, ST_Length, ST_MakePoint, ST_AsText/AsBinary/
+GeomFromText/GeomFromWKB, ST_Union + unary/binary predicates; SURVEY
+§2.C/§2.D). Implementation: Arrow-batched pandas UDFs over the packed-
+array kernels in ``kernels/wkb.py`` / ``kernels/pip.py`` — the slow path
+by design; anything expressible natively (bbox predicates, makepoint)
+stays a plain column expression. GEOS-delegating ops the kernels don't
+cover (Buffer, Union, MakeValid — SURVEY §2.D marked ○) raise
+NotImplementedError with the shapely-backed extension point named.
+
+``register_all(spark)`` exposes them to SQL: ``SELECT ST_Area(geometry)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, SparkSession, functions as F, types as T
+
+from ..kernels import pip as P, wkb as W
+
+
+def _series_udf(fn, rettype):
+    @F.pandas_udf(rettype)
+    def udf(*cols):
+        import pandas as pd
+
+        return pd.Series(fn(*cols))
+
+    return udf
+
+
+def _areas(geoms):
+    return [
+        float("nan") if g is None else W.polygon_area(W.parse_wkb(bytes(g)))
+        for g in geoms
+    ]
+
+
+def _centroid_x(geoms):
+    return [float("nan") if g is None else W.centroid(W.parse_wkb(bytes(g)))[0]
+            for g in geoms]
+
+
+def _centroid_y(geoms):
+    return [float("nan") if g is None else W.centroid(W.parse_wkb(bytes(g)))[1]
+            for g in geoms]
+
+
+def _envelope(geoms):
+    import pandas as pd
+
+    rows = []
+    for g in geoms:
+        if g is None:
+            rows.append((None, None, None, None))
+        else:
+            rows.append(W.parse_wkb(bytes(g)).envelope())
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+def _geom_type(geoms):
+    return [None if g is None else W.parse_wkb(bytes(g)).geom_type for g in geoms]
+
+
+def _contains_point(geoms, xs, ys):
+    out = np.zeros(len(geoms), dtype=bool)
+    for i, g in enumerate(geoms):
+        if g is None:
+            continue
+        pg = W.parse_wkb(bytes(g))
+        out[i] = bool(
+            P.points_in_polygon(np.asarray([xs.iloc[i]]), np.asarray([ys.iloc[i]]), pg)[0]
+        )
+    return out
+
+
+def _as_text(geoms):
+    def wkt(g):
+        if g is None:
+            return None
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type == "Point":
+            return f"POINT ({pg.xs[0]:.6f} {pg.ys[0]:.6f})"
+        rings = []
+        for xs, ys in pg.rings():
+            pts = ", ".join(f"{x:.6f} {y:.6f}" for x, y in zip(xs, ys))
+            rings.append(f"({pts})")
+        name = "POLYGON" if pg.geom_type == "Polygon" else "MULTIPOLYGON"
+        return f"{name} ({', '.join(rings)})"
+
+    return [wkt(g) for g in geoms]
+
+
+st_area = _series_udf(_areas, T.DoubleType())
+st_centroid_x = _series_udf(_centroid_x, T.DoubleType())
+st_centroid_y = _series_udf(_centroid_y, T.DoubleType())
+st_geometry_type = _series_udf(_geom_type, T.StringType())
+st_astext = _series_udf(_as_text, T.StringType())
+st_contains_point = _series_udf(_contains_point, T.BooleanType())
+
+_ENV_TYPE = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_ENV_TYPE)
+def st_envelope(geoms):
+    return _envelope(geoms)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_makepoint(x, y):
+    import pandas as pd
+
+    return pd.Series(
+        [W.point_wkb(float(a), float(b)) for a, b in zip(x, y)]
+    )
+
+
+def _not_implemented(name, hint):
+    @F.pandas_udf(T.BinaryType())
+    def udf(g):
+        raise NotImplementedError(
+            f"{name} needs a full GEOS-class engine (reference delegates to "
+            f"GEOS, SURVEY §2.D ○-tier). Extension point: {hint}"
+        )
+
+    return udf
+
+
+# GEOS-delegating set ops: explicit stubs (shapely not in this container)
+st_buffer = _not_implemented("ST_Buffer", "shapely.buffer in a pandas UDF")
+st_union = _not_implemented("ST_Union", "shapely.union_all via applyInPandas dissolve")
+st_makevalid = _not_implemented("ST_MakeValid", "shapely.make_valid")
+
+
+def register_all(spark: SparkSession) -> None:
+    """Expose the library to Spark SQL (the analog of GDAL registering
+    OGR2SQLITE functions into the SQLite VM)."""
+    spark.udf.register("ST_Area", st_area)
+    spark.udf.register("ST_CentroidX", st_centroid_x)
+    spark.udf.register("ST_CentroidY", st_centroid_y)
+    spark.udf.register("ST_GeometryType", st_geometry_type)
+    spark.udf.register("ST_AsText", st_astext)
+    spark.udf.register("ST_ContainsPoint", st_contains_point)
+    spark.udf.register("ST_MakePoint", st_makepoint)

@@ -204,6 +204,107 @@ def resample_tiles(tiles: DataFrame, out_size: int, method: str) -> DataFrame:
     return tiles.mapInPandas(kernel, TILE_SCHEMA)
 
 
+def interpolate_at_points(tiles: DataFrame, points: DataFrame, zoom: int,
+                          method="bilinear") -> DataFrame:
+    """Raster->vector point join: sample the tiled raster at lon/lat points
+    (``GDALInterpolateAtPoint``, /root/reference/alg/
+    gdal_interpolateatpoint.cpp:415; §2.E raster->vector row).
+
+    Exact across tile borders without halos: each point's 4 bilinear taps
+    (or 1 nearest tap) become (tap pixel, weight) rows; each tap joins to
+    the ONE tile that owns its pixel; per-tile kernels emit value*weight
+    partials; a groupBy(point) SUM reassembles the sample. Weights are
+    computed natively; only the pixel lookup is a (vectorized) kernel.
+
+    points needs (pid, lon, lat). Returns (pid, value).
+    """
+    n = 1 << zoom
+    world = n * TILE
+    # continuous pixel coords with center-of-pixel convention: the value
+    # at pixel (i, j) sits at continuous coord (i + 0.5, j + 0.5)
+    qx = f"((lon + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * {world})"
+    from ..functions.sqlgen import merc_y_sql
+
+    qy = (f"((CAST(1.0 AS DOUBLE) - {merc_y_sql('lat')} / PI()) "
+          f"/ CAST(2.0 AS DOUBLE) * {world})")
+    pts = points.withColumn("fx", F.expr(qx) - 0.5).withColumn(
+        "fy", F.expr(qy) - 0.5
+    )
+    if method == "near":
+        taps = pts.select(
+            "pid",
+            F.expr(f"LEAST({world - 1}, GREATEST(0, CAST(FLOOR(fx + CAST(0.5 AS DOUBLE)) AS BIGINT)))").alias("gpx"),
+            F.expr(f"LEAST({world - 1}, GREATEST(0, CAST(FLOOR(fy + CAST(0.5 AS DOUBLE)) AS BIGINT)))").alias("gpy"),
+            F.lit(1.0).alias("w"),
+        )
+    elif method == "bilinear":
+        base = pts.select(
+            "pid",
+            F.expr("CAST(FLOOR(fx) AS BIGINT)").alias("x0"),
+            F.expr("CAST(FLOOR(fy) AS BIGINT)").alias("y0"),
+            (F.col("fx") - F.expr("FLOOR(fx)")).alias("ax"),
+            (F.col("fy") - F.expr("FLOOR(fy)")).alias("ay"),
+        )
+        corners = base.select(
+            "pid",
+            F.explode(
+                F.array(
+                    F.struct(F.col("x0").alias("gpx"), F.col("y0").alias("gpy"),
+                             ((1 - F.col("ax")) * (1 - F.col("ay"))).alias("w")),
+                    F.struct((F.col("x0") + 1).alias("gpx"), F.col("y0").alias("gpy"),
+                             (F.col("ax") * (1 - F.col("ay"))).alias("w")),
+                    F.struct(F.col("x0").alias("gpx"), (F.col("y0") + 1).alias("gpy"),
+                             ((1 - F.col("ax")) * F.col("ay")).alias("w")),
+                    F.struct((F.col("x0") + 1).alias("gpx"), (F.col("y0") + 1).alias("gpy"),
+                             (F.col("ax") * F.col("ay")).alias("w")),
+                )
+            ).alias("t"),
+        ).select("pid", "t.gpx", "t.gpy", "t.w")
+        # clamp taps to the raster (edge replication, GWK edge behavior)
+        taps = corners.select(
+            "pid",
+            F.expr(f"LEAST({world - 1}, GREATEST(0, gpx))").alias("gpx"),
+            F.expr(f"LEAST({world - 1}, GREATEST(0, gpy))").alias("gpy"),
+            "w",
+        )
+    else:
+        raise ValueError(method)
+
+    taps = taps.withColumn(
+        "gx", F.expr(f"CAST(FLOOR(gpx / CAST({TILE} AS DOUBLE)) AS BIGINT)")
+    ).withColumn(
+        "gy", F.expr(f"CAST(FLOOR(gpy / CAST({TILE} AS DOUBLE)) AS BIGINT)")
+    )
+
+    joined = taps.join(tiles.select("gx", "gy", "width", "height", "dtype", "pixels"),
+                       ["gx", "gy"])
+
+    out_schema = T.StructType(
+        [T.StructField("pid", T.LongType()), T.StructField("part", T.DoubleType())]
+    )
+
+    def sample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = np.empty(len(pdf), dtype=np.float64)
+            # group taps by tile within the batch; decode each tile once
+            for (gx, gy), idx in pdf.groupby(["gx", "gy"]).groups.items():
+                row = pdf.loc[idx[0]]
+                grid = np.frombuffer(
+                    bytes(row["pixels"]), dtype=np.dtype(row["dtype"])
+                ).reshape(row["height"], row["width"])
+                lx = (pdf.loc[idx, "gpx"] - gx * TILE).to_numpy(np.int64)
+                ly = (pdf.loc[idx, "gpy"] - gy * TILE).to_numpy(np.int64)
+                vals[pdf.index.get_indexer(idx)] = grid[ly, lx]
+            yield pd.DataFrame(
+                {"pid": pdf["pid"].to_numpy(), "part": vals * pdf["w"].to_numpy()}
+            )
+
+    parts = joined.mapInPandas(sample, out_schema)
+    return parts.groupBy("pid").agg(F.sum("part").alias("value"))
+
+
 def mosaic_first(tiles_a: DataFrame, tiles_b: DataFrame) -> DataFrame:
     """Mosaic two tile tables: first non-null wins per tile key (buildvrt
     overlay-order semantics, apps/gdalbuildvrt_lib.cpp) — a unionByName +

@@ -180,6 +180,58 @@ def polygons_values_sql() -> str:
     return f"(VALUES {rows}) AS poly(fid, area, eas_id, prfedea)"
 
 
+def st_oracle_select_sql() -> str:
+    """Per-polygon ST-function expectations as SQL arithmetic over the raw
+    coordinate literals (kind-specific area/centroid formulas — a code
+    path independent of the engine's WKB/shoelace kernels)."""
+    rows = []
+    for p in POLYGONS:
+        pr = p.params
+        if p.kind == "rect":
+            x0, y0, x1, y1 = pr["bounds"]
+            area = f"(({x1}) - ({x0})) * (({y1}) - ({y0}))"
+            cx = f"((({x0}) + ({x1})) / CAST(2.0 AS DOUBLE))"
+            cy = f"((({y0}) + ({y1})) / CAST(2.0 AS DOUBLE))"
+            gtype = "Polygon"
+        elif p.kind == "rect_hole":
+            x0, y0, x1, y1 = pr["bounds"]
+            hx0, hy0, hx1, hy1 = pr["hole"]
+            outer = f"(({x1}) - ({x0})) * (({y1}) - ({y0}))"
+            inner = f"(({hx1}) - ({hx0})) * (({hy1}) - ({hy0}))"
+            area = f"({outer} - {inner})"
+            ocx = f"((({x0}) + ({x1})) / CAST(2.0 AS DOUBLE))"
+            ocy = f"((({y0}) + ({y1})) / CAST(2.0 AS DOUBLE))"
+            icx = f"((({hx0}) + ({hx1})) / CAST(2.0 AS DOUBLE))"
+            icy = f"((({hy0}) + ({hy1})) / CAST(2.0 AS DOUBLE))"
+            cx = f"(({outer} * {ocx} - {inner} * {icx}) / {area})"
+            cy = f"(({outer} * {ocy} - {inner} * {icy}) / {area})"
+            gtype = "Polygon"
+        elif p.kind == "tri":
+            (ax, ay), (bx, by), (cx_, cy_) = pr["vertices"]
+            area = (f"ABS((({bx}) - ({ax})) * (({cy_}) - ({ay})) - "
+                    f"(({cx_}) - ({ax})) * (({by}) - ({ay}))) / CAST(2.0 AS DOUBLE)")
+            cx = f"((({ax}) + ({bx}) + ({cx_})) / CAST(3.0 AS DOUBLE))"
+            cy = f"((({ay}) + ({by}) + ({cy_})) / CAST(3.0 AS DOUBLE))"
+            gtype = "Polygon"
+        else:  # dateline: two equal-height rects split at +-180
+            y0, y1 = pr["lat"]
+            xw, xe = pr["west_lon"], pr["east_lon"]
+            aw = f"((180.0 - ({xw})) * (({y1}) - ({y0})))"
+            ae = f"(((({xe})) - (-180.0)) * (({y1}) - ({y0})))"
+            area = f"({aw} + {ae})"
+            wcx = f"((({xw}) + 180.0) / CAST(2.0 AS DOUBLE))"
+            ecx = f"(((({xe})) + (-180.0)) / CAST(2.0 AS DOUBLE))"
+            cx = f"(({aw} * {wcx} + {ae} * {ecx}) / {area})"
+            cy = f"((({y0}) + ({y1})) / CAST(2.0 AS DOUBLE))"
+            gtype = "MultiPolygon"
+        rows.append(
+            f"SELECT {p.fid} AS fid, CAST({area} AS DOUBLE) AS area, "
+            f"CAST({cx} AS DOUBLE) AS cx, CAST({cy} AS DOUBLE) AS cy, "
+            f"'{gtype}' AS gtype"
+        )
+    return " UNION ALL ".join(rows)
+
+
 def pip_pairs_sql(lon: str, lat: str) -> str:
     """CASE-free oracle for the spatial join: a UNION ALL of per-polygon
     strict predicates producing (point, eas_id) pairs. Caller wraps:

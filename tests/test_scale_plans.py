@@ -1,0 +1,125 @@
+"""Scale-shape guards: the physical plans the engine MUST produce.
+
+These tests read .explain output — they pin the properties that make the
+100 TB case work (pushdown to the scan, column pruning, broadcast joins,
+map-side partial aggregation) so a regression shows up as a test failure,
+not as a 10x cluster bill. (SURVEY §4 maps each to the GDAL-side
+technique it replaces.)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osgeo_gdal_spark.operators import skew as SK, spatial_join as SJ, tiling as TL
+from osgeo_gdal_spark.sources import pages as PG, polygons as PL
+from tests.conftest import SF_DIR_ORACLE as SF
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") < 5).select("l_orderkey")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_geocode_pipeline_prunes_text_columns(spark):
+    """The spatial join on counts must NOT scan text/html — Catalyst
+    prunes payload columns the query doesn't touch."""
+    # other modules cache the documents table with all columns; pruning is
+    # a property of the cold scan, so drop caches first
+    spark.catalog.clearCache()
+    pages = PG.pages_df(spark, SF)
+    j = SJ.spatial_join(spark, pages, PL.POLYGONS).groupBy("eas_id").count()
+    plan = plan_of(j)
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines and all("text" not in ln and "html" not in ln
+                              for ln in scan_lines)
+
+
+def test_spatial_join_is_broadcast_not_smj(spark):
+    pages = PG.pages_df(spark, SF)
+    j = SJ.spatial_join(spark, pages, PL.POLYGONS)
+    plan = plan_of(j)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_tile_counts_has_partial_aggregation(spark):
+    """The groupBy must partial-aggregate map-side (HashAggregate appears
+    twice: partial + final) so the shuffle carries tiles, not pages."""
+    pages = PG.pages_df(spark, SF)
+    plan = plan_of(TL.tile_counts(pages, 6))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_geocode(spark):
+    """Geocode + tile math must stay inside WholeStageCodegen (JVM,
+    vectorizable) — no Python eval nodes in the native pipeline."""
+    pages = PG.pages_df(spark, SF)
+    df = TL.tile_counts(pages, 6)
+    df.collect()  # AQE only materializes codegen spans in the final plan
+    plan = plan_of(df)
+    # codegen stages print as "*(n)" markers in executedPlan.toString
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_refine_udf_only_in_refine_branch(spark):
+    """The PIP pandas UDF must appear exactly once (the non-rect refine
+    branch); the rect fast path is UDF-free."""
+    pages = PG.pages_df(spark, SF)
+    j = SJ.spatial_join(spark, pages, PL.POLYGONS)
+    plan = plan_of(j)
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").limit(20000)
+    dim = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(dim, "l_orderkey").groupBy("o_orderpriority").count()
+    salted = SK.salted_join(li, dim, "l_orderkey").groupBy("o_orderpriority").count()
+    a = {(r[0], r[1]) for r in plain.collect()}
+    b = {(r[0], r[1]) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_count_matches_plain(spark):
+    pages = PG.pages_df(spark, SF)
+    keyed = SJ.with_cell_key(pages, 6)
+    plain = {r["cell_key"]: r["cnt"] for r in
+             keyed.groupBy("cell_key").agg(F.count("*").alias("cnt")).collect()}
+    salted = {r["cell_key"]: r["cnt"] for r in
+              SK.salted_count(keyed, ["cell_key"]).collect()}
+    assert plain == salted
+
+
+def test_key_histogram_surfaces_hot_cell(spark):
+    pages = PG.pages_df(spark, SF)
+    keyed = SJ.with_cell_key(pages, 6)
+    hist = SK.key_histogram(keyed, ["cell_key"], top=3).collect()
+    # fixture plants 5% of pages in one Paris cell -> clear #1 hot key
+    assert hist[0]["cnt"] >= 0.04 * pages.count()
+
+
+def test_adaptive_repartition_preserves_rows(spark):
+    pages = PG.pages_df(spark, SF)
+    keyed = SJ.with_cell_key(pages, 6)
+    out = SK.adaptive_repartition(keyed, "cell_key", target_rows_per_task=10)
+    assert out.count() == keyed.count()
+    assert set(out.columns) == set(keyed.columns)

@@ -50,6 +50,9 @@ def run_suite(sf_dir: str, cores: str):
     spark = get_spark(app="osgeo-gdal-spark-bench", cores=cores)
     try:
         n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        # spin up the Python/Arrow worker pool once so the first timed
+        # query isn't charged for ~30 cold numpy/pandas imports
+        _force(EQ.QUERIES["spatial_join_counts"](spark, sf_dir))
         timings = {}
         for name in HEADLINE:
             t0 = time.perf_counter()

@@ -937,6 +937,45 @@ FROM base
 """
 
 
+def q_polygonize(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed polygonize (alg/polygonize.cpp semantics): per-tile CC
+    labeling + cross-tile union-find merge over a block-categorical raster
+    whose true regions are 96px blocks straddling tile borders. The oracle
+    reconstructs every region analytically (region_id = min global flat
+    pixel index = corner pixel)."""
+    from .operators import polygonize as PZ
+    from .sources import raster as RS
+
+    tiles = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
+    out = PZ.polygonize(tiles, RASTER_ZOOM)
+    return out.select("region_id", "value", "n_pixels", "xmin", "ymin",
+                      "xmax", "ymax")
+
+
+def sql_polygonize() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    block = 96
+    return f"""
+WITH px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+blocks AS (
+  SELECT CAST(FLOOR(gpx / CAST({block} AS DOUBLE)) AS BIGINT) AS bx,
+         CAST(FLOOR(gpy / CAST({block} AS DOUBLE)) AS BIGINT) AS by,
+         gpx, gpy
+  FROM px
+)
+SELECT MIN(gpy) * {world} + MIN(gpx) AS region_id,
+       CAST((bx + by) % 3 AS DOUBLE) AS value,
+       COUNT(*) AS n_pixels,
+       MIN(gpx) AS xmin, MIN(gpy) AS ymin,
+       MAX(gpx) AS xmax, MAX(gpy) AS ymax
+FROM blocks GROUP BY bx, by
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -979,6 +1018,7 @@ QUERIES = {
     "raster_resample": q_raster_resample,
     "st_functions": q_st_functions,
     "interpolate_at_point": q_interpolate_at_point,
+    "polygonize_regions": q_polygonize,
 }
 
 ORACLES = {
@@ -1015,6 +1055,7 @@ ORACLES = {
     "raster_checksum": sql_raster_checksum(),
     "st_functions": sql_st_functions(),
     "interpolate_at_point": sql_interpolate_at_point(),
+    "polygonize_regions": sql_polygonize(),
     # no oracle (Spark-specific hashing / approximate by design) -> the
     # driver records rows-only checks: minhash_lsh_pairs, simhash,
     # embedding_ann_lsh, raster_resample

@@ -1,0 +1,151 @@
+"""Focal (neighborhood) raster operators with cross-tile halos.
+
+The §2.G pattern (``/root/reference/apps/gdaldem_lib.cpp`` 3x3 stencils —
+hillshade/slope/aspect/TPI/TRI/roughness; generic neighbors
+``apps/gdalalg_raster_neighbors.cpp``): a per-tile numpy stencil whose
+tile-edge pixels need a 1-px **halo** from the 8 neighbor tiles — the
+distributed equivalent of GDAL reading neighbor blocks through its block
+cache.
+
+Halo exchange as a DataFrame op: every tile contributes its edge strips to
+each neighbor (an explode to <= 9 (target, strip) rows carrying only the
+needed 256x1 / 1x1 slices, NOT whole tiles), then ``groupBy(target)``
+assembles the padded (TILE+2)^2 array and one numpy stencil pass runs.
+Shuffle volume is 8 strips/tile ~ 3% of the raster, vs 9x for naive
+whole-tile replication.
+
+Slope uses Horn's formula exactly as gdaldem:
+  dzdx = ((c + 2f + i) - (a + 2d + g)) / (8 * xres)
+  dzdy = ((g + 2h + i) - (a + 2b + c)) / (8 * yres)
+  slope_deg = degrees(atan(sqrt(dzdx^2 + dzdy^2)))
+Pixels on the global raster border get ``nodata`` (gdaldem's default
+skip-edges behavior).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..sources.raster import TILE, TILE_SCHEMA, parse_tile
+from ..kernels import checksum as CK
+
+_STRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("tgx", T.LongType()),
+        T.StructField("tgy", T.LongType()),
+        T.StructField("dx", T.IntegerType()),
+        T.StructField("dy", T.IntegerType()),
+        T.StructField("zoom", T.IntegerType()),
+        T.StructField("strip", T.BinaryType()),
+        T.StructField("sh", T.IntegerType()),
+        T.StructField("sw", T.IntegerType()),
+    ]
+)
+
+
+def _strips(tiles: DataFrame, zoom: int) -> DataFrame:
+    """Each tile -> its own body (dx=dy=0) + the 8 edge strips addressed
+    to neighbors. Strip payloads are float64."""
+    n = 1 << zoom
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                g = parse_tile(row).astype(np.float64)
+                gx, gy = int(row["gx"]), int(row["gy"])
+                pieces = {
+                    (0, 0): g,
+                    (1, 0): g[:, -1:],     # our east col -> east neighbor's west halo
+                    (-1, 0): g[:, :1],     # our west col -> west neighbor's east halo
+                    (0, 1): g[-1:, :],     # our south row -> south neighbor's north halo
+                    (0, -1): g[:1, :],     # our north row -> north neighbor's south halo
+                    (1, 1): g[-1:, -1:],   # SE corner -> SE neighbor's NW halo
+                    (1, -1): g[:1, -1:],   # NE corner -> NE neighbor's SW halo
+                    (-1, 1): g[-1:, :1],   # SW corner -> SW neighbor's NE halo
+                    (-1, -1): g[:1, :1],   # NW corner -> NW neighbor's SE halo
+                }
+                for (dx, dy), arr in pieces.items():
+                    tgx, tgy = gx + dx, gy + dy
+                    if not (0 <= tgx < n and 0 <= tgy < n):
+                        continue
+                    rows.append(
+                        {
+                            "tgx": tgx, "tgy": tgy, "dx": dx, "dy": dy,
+                            "zoom": int(row["zoom"]),
+                            "strip": arr.tobytes(),
+                            "sh": arr.shape[0], "sw": arr.shape[1],
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(gen, _STRIP_SCHEMA)
+
+
+def focal_slope(tiles: DataFrame, zoom: int, xres=1.0, yres=1.0,
+                nodata=-9999.0) -> DataFrame:
+    """Horn slope (degrees) per tile with exact cross-tile halos."""
+    n = 1 << zoom
+    world = n * TILE
+
+    def stencil(pdf):
+        import pandas as pd
+
+        tgx, tgy = int(pdf["tgx"].iloc[0]), int(pdf["tgy"].iloc[0])
+        zoom_v = int(pdf["zoom"].iloc[0])
+        pad = np.full((TILE + 2, TILE + 2), np.nan)
+        for _, row in pdf.iterrows():
+            arr = np.frombuffer(bytes(row["strip"]), dtype=np.float64).reshape(
+                row["sh"], row["sw"]
+            )
+            dx, dy = int(row["dx"]), int(row["dy"])
+            if (dx, dy) == (0, 0):
+                pad[1:-1, 1:-1] = arr
+            elif (dx, dy) == (1, 0):      # strip from west neighbor
+                pad[1:-1, :1] = arr
+            elif (dx, dy) == (-1, 0):
+                pad[1:-1, -1:] = arr
+            elif (dx, dy) == (0, 1):      # from north neighbor
+                pad[:1, 1:-1] = arr
+            elif (dx, dy) == (0, -1):
+                pad[-1:, 1:-1] = arr
+            elif (dx, dy) == (1, 1):
+                pad[:1, :1] = arr
+            elif (dx, dy) == (-1, 1):
+                pad[:1, -1:] = arr
+            elif (dx, dy) == (1, -1):
+                pad[-1:, :1] = arr
+            elif (dx, dy) == (-1, -1):
+                pad[-1:, -1:] = arr
+        a = pad[0:-2, 0:-2]; b = pad[0:-2, 1:-1]; c = pad[0:-2, 2:]
+        d = pad[1:-1, 0:-2];                      f_ = pad[1:-1, 2:]
+        g_ = pad[2:, 0:-2]; h = pad[2:, 1:-1]; i_ = pad[2:, 2:]
+        dzdx = ((c + 2 * f_ + i_) - (a + 2 * d + g_)) / (8.0 * xres)
+        dzdy = ((g_ + 2 * h + i_) - (a + 2 * b + c)) / (8.0 * yres)
+        slope = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+        slope = np.where(np.isnan(slope), nodata, slope)
+        return pd.DataFrame(
+            [
+                {
+                    "dataset_id": "slope",
+                    "zoom": zoom_v,
+                    "gx": tgx,
+                    "gy": tgy,
+                    "band": 1,
+                    "width": TILE,
+                    "height": TILE,
+                    "dtype": "float64",
+                    "nodata": nodata,
+                    "crs": "EPSG:3857",
+                    "pixels": slope.tobytes(),
+                    "checksum": CK.checksum_image(slope),
+                }
+            ]
+        )
+
+    strips = _strips(tiles, zoom)
+    return strips.groupBy("tgx", "tgy").applyInPandas(stencil, TILE_SCHEMA)

@@ -1,0 +1,257 @@
+"""Distributed polygonize: category raster -> connected regions.
+
+The re-expression of GDAL's polygonize (``/root/reference/alg/
+polygonize.cpp`` two-scan run-merging enumerator +
+``alg/gdalrasterpolygonenumerator.cpp``) for a tiled table — SURVEY §7
+hard part (a), the genuinely distributed piece:
+
+1. **per-tile CC labeling** (numpy two-pass union-find, 4-connectivity,
+   same-value connectivity like GDAL's enumerator): each component gets a
+   *globally unique provisional id* = min global flat pixel index
+   ``gpy * world + gpx`` it contains — deterministic, collision-free, and
+   independently computable by the SQL oracle for block-structured rasters;
+2. **border-run extraction**: for each tile edge, (position, value,
+   component id) runs — the only cross-tile information needed;
+3. **edge table**: self-join of borders between adjacent tiles where
+   values match -> (id_a, id_b) merge edges;
+4. **iterative min-label propagation** (DataFrame union-find): each round
+   every id adopts the smallest id in its neighborhood; rounds ~
+   log2(region diameter in tiles), each a small join over the edge table —
+   NOT over pixels;
+5. final aggregation: per-region pixel_count / value / bbox.
+
+Ring assembly (the exact polygon boundary tracing) is deliberately not in
+v1 — the output is the region table (id, value, n_pixels, bbox), the part
+every downstream zonal/dissolve consumer needs; rings are a per-region
+local kernel to add later.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..sources.raster import TILE, parse_tile
+
+
+def _label_tile(grid: np.ndarray):
+    """Two-pass 4-connected same-value labeling. Returns int32 label ids
+    (0..k-1) per pixel."""
+    h, w = grid.shape
+    labels = -np.ones((h, w), dtype=np.int64)
+    parent = []
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nxt = 0
+    for y in range(h):
+        row = grid[y]
+        lrow = labels[y]
+        for x in range(w):
+            v = row[x]
+            up = labels[y - 1, x] if y > 0 and grid[y - 1, x] == v else -1
+            left = lrow[x - 1] if x > 0 and row[x - 1] == v else -1
+            if up < 0 and left < 0:
+                parent.append(nxt)
+                lrow[x] = nxt
+                nxt += 1
+            elif up >= 0 and left >= 0:
+                lrow[x] = min(find(up), find(left))
+                union(up, left)
+            else:
+                lrow[x] = max(up, left)
+    # resolve
+    roots = np.asarray([find(i) for i in range(nxt)], dtype=np.int64)
+    return roots[labels]
+
+
+_REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("rid", T.LongType()),       # provisional region id
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("xmin", T.LongType()),
+        T.StructField("ymin", T.LongType()),
+        T.StructField("xmax", T.LongType()),
+        T.StructField("ymax", T.LongType()),
+    ]
+)
+
+_BORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("edge_key", T.StringType()),  # canonical shared-edge key
+        T.StructField("side", T.IntegerType()),     # 0: tile is west/north of edge
+        T.StructField("pos", T.LongType()),         # global coord along the edge
+        T.StructField("value", T.DoubleType()),
+        T.StructField("rid", T.LongType()),
+    ]
+)
+
+
+def _tile_pieces(row, zoom):
+    """Label one tile; return (regions, borders) numpy-side."""
+    world = (1 << zoom) * TILE
+    grid = parse_tile(row).astype(np.float64)
+    lab = _label_tile(grid)
+    gx, gy = int(row["gx"]), int(row["gy"])
+    ox, oy = gx * TILE, gy * TILE
+    h, w = grid.shape
+    xs = ox + np.arange(w)[None, :] + np.zeros((h, 1), dtype=np.int64)
+    ys = oy + np.arange(h)[:, None] + np.zeros((1, w), dtype=np.int64)
+    flat = ys * world + xs
+    # provisional id per local label = min global flat index
+    k = lab.max() + 1
+    rid_of = np.full(k, np.iinfo(np.int64).max)
+    np.minimum.at(rid_of, lab.ravel(), flat.ravel())
+    rid = rid_of[lab]
+
+    regions = []
+    for li in range(k):
+        m = lab == li
+        regions.append(
+            (
+                int(rid_of[li]),
+                float(grid[m][0]),
+                int(m.sum()),
+                int(xs[m].min()), int(ys[m].min()),
+                int(xs[m].max()), int(ys[m].max()),
+            )
+        )
+
+    borders = []
+    n = 1 << zoom
+    # vertical shared edges: key = f"v:{x_boundary}:{gy}" between (gx,gy)-(gx+1,gy)
+    if gx + 1 < n:
+        col = -1
+        borders += [
+            (f"v:{ox + w}:{gy}", 0, int(oy + i), float(grid[i, col]), int(rid[i, col]))
+            for i in range(h)
+        ]
+    if gx > 0:
+        borders += [
+            (f"v:{ox}:{gy}", 1, int(oy + i), float(grid[i, 0]), int(rid[i, 0]))
+            for i in range(h)
+        ]
+    if gy + 1 < n:
+        borders += [
+            (f"h:{oy + h}:{gx}", 0, int(ox + j), float(grid[-1, j]), int(rid[-1, j]))
+            for j in range(w)
+        ]
+    if gy > 0:
+        borders += [
+            (f"h:{oy}:{gx}", 1, int(ox + j), float(grid[0, j]), int(rid[0, j]))
+            for j in range(w)
+        ]
+    return regions, borders
+
+
+def polygonize(tiles: DataFrame, zoom: int, max_rounds=32):
+    """Region table for a tiled category raster.
+
+    Returns DataFrame (region_id, value, n_pixels, xmin, ymin, xmax, ymax)
+    where region_id = min global flat pixel index in the region.
+    """
+    spark = tiles.sparkSession
+
+    def pieces_regions(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                regions, _ = _tile_pieces(row, zoom)
+                out += regions
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["rid", "value", "n_pixels", "xmin", "ymin",
+                                  "xmax", "ymax"]
+                )
+
+    def pieces_borders(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                _, borders = _tile_pieces(row, zoom)
+                out += borders
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["edge_key", "side", "pos", "value", "rid"]
+                )
+
+    regions = tiles.mapInPandas(pieces_regions, _REGION_SCHEMA)
+    borders = tiles.mapInPandas(pieces_borders, _BORDER_SCHEMA).cache()
+
+    a = borders.filter(F.col("side") == 0).select(
+        "edge_key", "pos", F.col("value").alias("va"), F.col("rid").alias("ra")
+    )
+    b = borders.filter(F.col("side") == 1).select(
+        "edge_key", "pos", F.col("value").alias("vb"), F.col("rid").alias("rb")
+    )
+    edges = (
+        a.join(b, ["edge_key", "pos"])
+        .filter(F.col("va") == F.col("vb"))
+        .select(F.col("ra").alias("src"), F.col("rb").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    # symmetric closure once; then iterative min-label propagation
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+
+    labels = regions.select(F.col("rid"), F.col("rid").alias("label")).cache()
+    for _ in range(max_rounds):
+        neigh = (
+            sym.join(labels, sym.dst == labels.rid)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.rid == neigh.src, "left")
+            .select(
+                "rid",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "rid")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        # propagate labels transitively: label <- label-of-label until stable
+        labels = new_labels
+        if changed == 0:
+            break
+        # pointer jumping: rid -> label -> label(label): halves rounds
+        l2 = labels.alias("x").join(
+            labels.select(F.col("rid").alias("label"),
+                          F.col("label").alias("label2")).alias("y"),
+            "label",
+        ).select(F.col("rid"), F.col("label2").alias("label")).cache()
+        labels = l2
+
+    merged = (
+        regions.join(labels, "rid")
+        .groupBy(F.col("label").alias("region_id"))
+        .agg(
+            F.first("value").alias("value"),
+            F.sum("n_pixels").alias("n_pixels"),
+            F.min("xmin").alias("xmin"),
+            F.min("ymin").alias("ymin"),
+            F.max("xmax").alias("xmax"),
+            F.max("ymax").alias("ymax"),
+        )
+    )
+    return merged

@@ -82,6 +82,48 @@ def synth_tiles(spark: SparkSession, zoom: int, dataset_id="synth") -> DataFrame
     return keys.mapInPandas(gen, TILE_SCHEMA)
 
 
+def synth_category_tiles(spark: SparkSession, zoom: int, block=96,
+                         dataset_id="blocks") -> DataFrame:
+    """Categorical fixture for polygonize: value = (gpx//block +
+    gpy//block) % 3. Adjacent blocks always differ (4-connectivity), so
+    every block is exactly one connected region; block=96 does NOT divide
+    the 256-px tile, so regions straddle tile borders — the cross-tile
+    merge is always exercised. Fully reproducible by SQL arithmetic."""
+    n = 1 << zoom
+    keys = spark.range(n * n).select(
+        (F.col("id") % n).alias("gx"), (F.col("id") / n).cast("long").alias("gy")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for gx, gy in zip(pdf["gx"], pdf["gy"]):
+                gpx = int(gx) * TILE + np.arange(TILE)[None, :]
+                gpy = int(gy) * TILE + np.arange(TILE)[:, None]
+                grid = ((gpx // block + gpy // block) % 3).astype(np.uint8)
+                rows.append(
+                    {
+                        "dataset_id": dataset_id,
+                        "zoom": zoom,
+                        "gx": int(gx),
+                        "gy": int(gy),
+                        "band": 1,
+                        "width": TILE,
+                        "height": TILE,
+                        "dtype": "uint8",
+                        "nodata": None,
+                        "crs": "EPSG:3857",
+                        "pixels": grid.tobytes(),
+                        "checksum": CK.checksum_image(grid),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return keys.mapInPandas(gen, TILE_SCHEMA)
+
+
 def parse_tile(row) -> np.ndarray:
     """Unpack a tile row's pixels into a 2-D numpy array."""
     dt = np.dtype(row["dtype"])

@@ -1,0 +1,73 @@
+"""Focal stencil (halo join) and polygonize operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osgeo_gdal_spark.operators import focal as FO, polygonize as PZ
+from osgeo_gdal_spark.sources import raster as RS
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    return RS.synth_tiles(spark, 1).cache()
+
+
+def reference_slope(zoom=1, nodata=-9999.0):
+    """Driver-side reference: full-raster Horn slope from the generator."""
+    world = (1 << zoom) * 256
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    z = ((gpx * 7 + gpy * 11 + zoom) % 255).astype(np.float64)
+    a = z[0:-2, 0:-2]; b = z[0:-2, 1:-1]; c = z[0:-2, 2:]
+    d = z[1:-1, 0:-2]; f_ = z[1:-1, 2:]
+    g_ = z[2:, 0:-2]; h = z[2:, 1:-1]; i_ = z[2:, 2:]
+    dzdx = ((c + 2 * f_ + i_) - (a + 2 * d + g_)) / 8.0
+    dzdy = ((g_ + 2 * h + i_) - (a + 2 * b + c)) / 8.0
+    slope = np.degrees(np.arctan(np.sqrt(dzdx**2 + dzdy**2)))
+    out = np.full((world, world), nodata)
+    out[1:-1, 1:-1] = slope
+    return out
+
+
+def test_focal_slope_matches_reference_incl_tile_borders(spark, tiles):
+    got_rows = FO.focal_slope(tiles, 1).collect()
+    want = reference_slope()
+    for row in got_rows:
+        grid = RS.parse_tile(row)
+        ox, oy = row["gx"] * 256, row["gy"] * 256
+        np.testing.assert_allclose(
+            grid, want[oy : oy + 256, ox : ox + 256], atol=1e-9,
+            err_msg=f"tile {row['gx']},{row['gy']}",
+        )
+
+
+def test_focal_slope_partition_invariance(spark, tiles):
+    a = {(r["gx"], r["gy"]): r["checksum"]
+         for r in FO.focal_slope(tiles.repartition(1), 1).collect()}
+    b = {(r["gx"], r["gy"]): r["checksum"]
+         for r in FO.focal_slope(tiles.repartition(7), 1).collect()}
+    assert a == b
+
+
+def test_polygonize_block_regions(spark):
+    cat = RS.synth_category_tiles(spark, 1, block=96)
+    out = PZ.polygonize(cat, 1).collect()
+    # 512/96 -> 6 blocks per axis (last clipped) = 36 regions
+    assert len(out) == 36
+    full = [r for r in out if r["n_pixels"] == 96 * 96]
+    assert len(full) == 25  # 5x5 interior blocks are full 96x96
+    total = sum(r["n_pixels"] for r in out)
+    assert total == 512 * 512
+    # region value matches its block coordinates
+    for r in out:
+        bx, by = r["xmin"] // 96, r["ymin"] // 96
+        assert r["value"] == float((bx + by) % 3)
+        assert r["region_id"] == r["ymin"] * 512 + r["xmin"]
+
+
+def test_polygonize_partition_invariance(spark):
+    cat = RS.synth_category_tiles(spark, 1, block=96)
+    a = {(r["region_id"], r["n_pixels"]) for r in PZ.polygonize(cat.repartition(1), 1).collect()}
+    b = {(r["region_id"], r["n_pixels"]) for r in PZ.polygonize(cat.repartition(5), 1).collect()}
+    assert a == b

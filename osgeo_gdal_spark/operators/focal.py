@@ -86,9 +86,61 @@ def _strips(tiles: DataFrame, zoom: int) -> DataFrame:
     return tiles.mapInPandas(gen, _STRIP_SCHEMA)
 
 
-def focal_slope(tiles: DataFrame, zoom: int, xres=1.0, yres=1.0,
-                nodata=-9999.0) -> DataFrame:
-    """Horn slope (degrees) per tile with exact cross-tile halos."""
+def _dem_compute(mode, pad, xres, yres, nodata, alt_deg=45.0, az_deg=315.0):
+    """All gdaldem 3x3 stencils over the padded array. Window layout
+    matches the reference's afWin (row-major 0..8, center=4):
+        a=0 b=1 c=2 / d=3 4 f=5 / g=6 h=7 i=8."""
+    a = pad[0:-2, 0:-2]; b = pad[0:-2, 1:-1]; c = pad[0:-2, 2:]
+    d = pad[1:-1, 0:-2]; e = pad[1:-1, 1:-1]; f_ = pad[1:-1, 2:]
+    g_ = pad[2:, 0:-2]; h = pad[2:, 1:-1]; i_ = pad[2:, 2:]
+    if mode == "slope":
+        dzdx = ((c + 2 * f_ + i_) - (a + 2 * d + g_)) / (8.0 * xres)
+        dzdy = ((g_ + 2 * h + i_) - (a + 2 * b + c)) / (8.0 * yres)
+        out = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+    elif mode == "aspect":
+        # GDALAspectAlg (gdaldem_lib.cpp:1445-1480), azimuth convention
+        dx = (c + 2 * f_ + i_) - (a + 2 * d + g_)
+        dy = (g_ + 2 * h + i_) - (a + 2 * b + c)
+        asp = np.degrees(np.arctan2(dy, -dx))
+        asp = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+        asp = np.where(asp == 360.0, 0.0, asp)
+        out = np.where((dx == 0) & (dy == 0), nodata, asp)
+    elif mode == "tpi":
+        # GDALTPIAlg: center minus neighbor mean
+        out = e - (a + b + c + d + f_ + g_ + h + i_) * 0.125
+    elif mode == "tri_wilson":
+        out = (np.abs(a - e) + np.abs(b - e) + np.abs(c - e) + np.abs(d - e)
+               + np.abs(f_ - e) + np.abs(g_ - e) + np.abs(h - e)
+               + np.abs(i_ - e)) * 0.125
+    elif mode == "tri_riley":
+        out = np.sqrt((a - e) ** 2 + (b - e) ** 2 + (c - e) ** 2 + (d - e) ** 2
+                      + (f_ - e) ** 2 + (g_ - e) ** 2 + (h - e) ** 2
+                      + (i_ - e) ** 2)
+    elif mode == "roughness":
+        # GDALRoughnessAlg: max - min over the whole window
+        stack = np.stack([a, b, c, d, e, f_, g_, h, i_])
+        out = stack.max(axis=0) - stack.min(axis=0)
+    elif mode == "hillshade":
+        # Horn hillshade: 1 + 254 * cos(incidence), clamped at 1
+        dzdx = ((c + 2 * f_ + i_) - (a + 2 * d + g_)) / (8.0 * xres)
+        dzdy = ((g_ + 2 * h + i_) - (a + 2 * b + c)) / (8.0 * yres)
+        slope_r = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        aspect_r = np.arctan2(dzdy, -dzdx)
+        alt, az = np.radians(alt_deg), np.radians(az_deg)
+        cang = (np.sin(alt) * np.cos(slope_r)
+                + np.cos(alt) * np.sin(slope_r)
+                * np.cos(az - np.pi / 2.0 - aspect_r))
+        out = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    else:
+        raise ValueError(mode)
+    return np.where(np.isnan(out), nodata, out)
+
+
+def focal_dem(tiles: DataFrame, zoom: int, mode="slope", xres=1.0, yres=1.0,
+              nodata=-9999.0) -> DataFrame:
+    """Any gdaldem 3x3 operator (slope/aspect/tpi/tri_wilson/tri_riley/
+    roughness/hillshade — apps/gdaldem_lib.cpp formulas) per tile with
+    exact cross-tile halos."""
     n = 1 << zoom
     world = n * TILE
 
@@ -121,17 +173,11 @@ def focal_slope(tiles: DataFrame, zoom: int, xres=1.0, yres=1.0,
                 pad[-1:, :1] = arr
             elif (dx, dy) == (-1, -1):
                 pad[-1:, -1:] = arr
-        a = pad[0:-2, 0:-2]; b = pad[0:-2, 1:-1]; c = pad[0:-2, 2:]
-        d = pad[1:-1, 0:-2];                      f_ = pad[1:-1, 2:]
-        g_ = pad[2:, 0:-2]; h = pad[2:, 1:-1]; i_ = pad[2:, 2:]
-        dzdx = ((c + 2 * f_ + i_) - (a + 2 * d + g_)) / (8.0 * xres)
-        dzdy = ((g_ + 2 * h + i_) - (a + 2 * b + c)) / (8.0 * yres)
-        slope = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
-        slope = np.where(np.isnan(slope), nodata, slope)
+        slope = _dem_compute(mode, pad, xres, yres, nodata)
         return pd.DataFrame(
             [
                 {
-                    "dataset_id": "slope",
+                    "dataset_id": mode,
                     "zoom": zoom_v,
                     "gx": tgx,
                     "gy": tgy,
@@ -149,3 +195,9 @@ def focal_slope(tiles: DataFrame, zoom: int, xres=1.0, yres=1.0,
 
     strips = _strips(tiles, zoom)
     return strips.groupBy("tgx", "tgy").applyInPandas(stencil, TILE_SCHEMA)
+
+
+def focal_slope(tiles: DataFrame, zoom: int, xres=1.0, yres=1.0,
+                nodata=-9999.0) -> DataFrame:
+    """Horn slope (degrees) — see focal_dem."""
+    return focal_dem(tiles, zoom, "slope", xres, yres, nodata)

@@ -71,3 +71,28 @@ def test_polygonize_partition_invariance(spark):
     a = {(r["region_id"], r["n_pixels"]) for r in PZ.polygonize(cat.repartition(1), 1).collect()}
     b = {(r["region_id"], r["n_pixels"]) for r in PZ.polygonize(cat.repartition(5), 1).collect()}
     assert a == b
+
+
+def _reference_stencil(mode, zoom=1, nodata=-9999.0):
+    from osgeo_gdal_spark.operators.focal import _dem_compute
+    world = (1 << zoom) * 256
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    z = ((gpx * 7 + gpy * 11 + zoom) % 255).astype(np.float64)
+    pad = np.full((world + 2, world + 2), np.nan)
+    pad[1:-1, 1:-1] = z
+    return _dem_compute(mode, pad, 1.0, 1.0, nodata)
+
+
+@pytest.mark.parametrize(
+    "mode", ["aspect", "tpi", "tri_wilson", "tri_riley", "roughness", "hillshade"]
+)
+def test_focal_dem_modes_match_reference(spark, tiles, mode):
+    got = {(r["gx"], r["gy"]): RS.parse_tile(r)
+           for r in FO.focal_dem(tiles, 1, mode).collect()}
+    want = _reference_stencil(mode)
+    for (gx, gy), grid in got.items():
+        ox, oy = gx * 256, gy * 256
+        np.testing.assert_allclose(
+            grid, want[oy : oy + 256, ox : ox + 256], atol=1e-9
+        )

@@ -976,6 +976,60 @@ FROM blocks GROUP BY bx, by
 """
 
 
+WARP = {"a": 0.5, "b": 100.25, "c": 0.5, "d": 50.25}
+WARP_WIN = (256, 384, 256, 384)  # dst probe window x0,x1,y0,y1
+
+
+def q_warp_affine(spark: SparkSession, sf: str) -> DataFrame:
+    """gdalwarp core: dst tiles gather their src windows across tile
+    borders and run the inverse-mapping bilinear kernel
+    (alg/gdalwarpoperation.cpp chunk design + gdalwarpkernel.cpp
+    PerformWarp). Oracle: closed-form bilinear of the pixel generator at
+    the transformed coordinates over a probe window."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = RO.warp_affine(tiles, RASTER_ZOOM, WARP["a"], WARP["b"],
+                         WARP["c"], WARP["d"], method="bilinear")
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = WARP_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", "value")
+
+
+def sql_warp_affine() -> str:
+    a, b, c, d = WARP["a"], WARP["b"], WARP["c"], WARP["d"]
+    x0, x1, y0, y1 = WARP_WIN
+    gen = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+),
+m AS (
+  SELECT gpx, gpy,
+         {G.D(a)} * gpx + {G.D(b)} AS sx,
+         {G.D(c)} * gpy + {G.D(d)} AS sy
+  FROM dst
+),
+fr AS (
+  SELECT gpx, gpy,
+         CAST(FLOOR(sx) AS BIGINT) AS ix, CAST(FLOOR(sy) AS BIGINT) AS iy,
+         sx - FLOOR(sx) AS fx, sy - FLOOR(sy) AS fy
+  FROM m
+)
+SELECT gpx, gpy,
+       (1 - fy) * ((1 - fx) * {gen % ('ix', 'iy')} + fx * {gen % ('(ix + 1)', 'iy')})
+     + fy * ((1 - fx) * {gen % ('ix', '(iy + 1)')} + fx * {gen % ('(ix + 1)', '(iy + 1)')})
+       AS value
+FROM fr
+"""
+
+
 def q_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
     """Relational INTERSECT / EXCEPT (absent in OGR SQL — SURVEY §2.I
     free-in-Spark row): nations having customers vs having suppliers."""
@@ -1072,6 +1126,7 @@ QUERIES = {
     "polygonize_regions": q_polygonize,
     "intersect_except": q_intersect_except,
     "array_explode": q_array_explode,
+    "warp_affine": q_warp_affine,
 }
 
 ORACLES = {
@@ -1111,6 +1166,7 @@ ORACLES = {
     "polygonize_regions": sql_polygonize(),
     "intersect_except": SQL_INTERSECT_EXCEPT,
     "array_explode": SQL_ARRAY_EXPLODE,
+    "warp_affine": sql_warp_affine(),
     # no oracle (Spark-specific hashing / approximate by design) -> the
     # driver records rows-only checks: minhash_lsh_pairs, simhash,
     # embedding_ann_lsh, raster_resample

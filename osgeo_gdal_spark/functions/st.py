@@ -152,3 +152,30 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_AsText", st_astext)
     spark.udf.register("ST_ContainsPoint", st_contains_point)
     spark.udf.register("ST_MakePoint", st_makepoint)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_simplify_tol1(geoms):
+    """ST_Simplify with tolerance 1.0 (Douglas-Peucker over packed rings —
+    kernels/simplify.py; OGR delegates to GEOS, ogrgeometry.cpp:6778).
+    Fixed tolerance because pandas UDFs take columns; parametrize via
+    partial registration when needed."""
+    import pandas as pd
+
+    from ..kernels import simplify as SIMP
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type != "Polygon":
+            out.append(bytes(g))
+            continue
+        rings = []
+        for xs, ys in pg.rings():
+            sx, sy = SIMP.simplify_ring(xs, ys, 1.0)
+            rings.append(list(zip(sx.tolist(), sy.tolist())))
+        out.append(W.polygon_wkb(rings))
+    return pd.Series(out)

@@ -204,6 +204,123 @@ def resample_tiles(tiles: DataFrame, out_size: int, method: str) -> DataFrame:
     return tiles.mapInPandas(kernel, TILE_SCHEMA)
 
 
+def warp_affine(tiles: DataFrame, zoom: int, a: float, b: float, c: float,
+                d: float, method="bilinear", nodata=0.0) -> DataFrame:
+    """The gdalwarp core for affine pixel transforms: dst global pixel
+    (X, Y) samples src at ``(a*X + b, c*Y + d)`` (separable affine — the
+    geotransform∘reproject∘geotransform⁻¹ chain of SURVEY §3.2 collapses
+    to this for rescale/shift warps; the full mercator chain reuses the
+    same gather with the kernel swapped).
+
+    Distributed shape (ChunkAndWarpImage ≙ partitioning,
+    alg/gdalwarpoperation.cpp:1069): driver-side, each dst tile's src
+    window maps to the set of src tiles it reads (computed from the
+    inverse transform + kernel radius); that (dst_tile, src_tile) cover
+    list joins the tile table, ``groupBy(dst_tile).applyInPandas`` mosaics
+    the gathered src tiles and runs the vectorized inverse-mapping kernel
+    (per-dst-scanline batched transform ≙ whole-tile numpy here,
+    gdalwarpkernel.cpp:1058). Out-of-source pixels get ``nodata``.
+    """
+    from ..kernels.resample import _KERNELS
+
+    n = 1 << zoom
+    world = n * TILE
+    radius = 0 if method == "near" else _KERNELS[method][1]
+
+    # driver-side cover list: dst tile -> src tiles its window touches
+    pairs = []
+    for dgy in range(n):
+        for dgx in range(n):
+            xs = [a * (dgx * TILE) + b, a * ((dgx + 1) * TILE - 1) + b]
+            ys = [c * (dgy * TILE) + d, c * ((dgy + 1) * TILE - 1) + d]
+            x0 = int(np.floor(min(xs))) - radius - 1
+            x1 = int(np.ceil(max(xs))) + radius + 1
+            y0 = int(np.floor(min(ys))) - radius - 1
+            y1 = int(np.ceil(max(ys))) + radius + 1
+            for sgy in range(max(0, y0 // TILE), min(n - 1, y1 // TILE) + 1):
+                for sgx in range(max(0, x0 // TILE), min(n - 1, x1 // TILE) + 1):
+                    pairs.append((dgx, dgy, sgx, sgy))
+    spark = tiles.sparkSession
+    cover = spark.createDataFrame(
+        pairs, "dgx LONG, dgy LONG, gx LONG, gy LONG"
+    )
+    gathered = cover.join(tiles, ["gx", "gy"])
+
+    def warp_one(pdf):
+        import pandas as pd
+
+        dgx, dgy = int(pdf["dgx"].iloc[0]), int(pdf["dgy"].iloc[0])
+        zoom_v = int(pdf["zoom"].iloc[0])
+        # mosaic the gathered src tiles into one array covering their bbox
+        sxs = pdf["gx"].astype(int) * TILE
+        sys_ = pdf["gy"].astype(int) * TILE
+        ox, oy = int(sxs.min()), int(sys_.min())
+        mw = int(sxs.max()) + TILE - ox
+        mh = int(sys_.max()) + TILE - oy
+        mosaic = np.full((mh, mw), np.nan)
+        for _, row in pdf.iterrows():
+            g = parse_tile(row).astype(np.float64)
+            yy, xx = int(row["gy"]) * TILE - oy, int(row["gx"]) * TILE - ox
+            mosaic[yy : yy + TILE, xx : xx + TILE] = g
+        # dst pixel centers -> src continuous coords (vectorized)
+        dx = dgx * TILE + np.arange(TILE)[None, :]
+        dy = dgy * TILE + np.arange(TILE)[:, None]
+        sx = a * dx + b - ox
+        sy = c * dy + d - oy
+        if method == "near":
+            ix = np.clip(np.floor(sx + 0.5).astype(np.int64), 0, mw - 1)
+            iy = np.clip(np.floor(sy + 0.5).astype(np.int64), 0, mh - 1)
+            IY, IX = np.broadcast_arrays(iy, ix)
+            out = mosaic[IY, IX]
+        else:
+            fn, rad = _KERNELS[method]
+            bx = np.floor(sx).astype(np.int64)
+            by = np.floor(sy).astype(np.int64)
+            out = np.zeros((TILE, TILE))
+            wsum = np.zeros((TILE, TILE))
+            for oyk in range(-rad + 1, rad + 1):
+                wy = fn((by + oyk) - sy)
+                iy = np.clip(by + oyk, 0, mh - 1)
+                for oxk in range(-rad + 1, rad + 1):
+                    wx = fn((bx + oxk) - sx)
+                    ix = np.clip(bx + oxk, 0, mw - 1)
+                    w = wy * wx
+                    IY, IX = np.broadcast_arrays(iy, ix)
+                    v = mosaic[IY, IX]
+                    valid = ~np.isnan(v)
+                    out += np.where(valid, v, 0.0) * np.where(valid, w, 0.0)
+                    wsum += np.where(valid, w, 0.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(wsum != 0, out / wsum, np.nan)
+        # src coords outside the global raster -> nodata
+        gx_f = a * dx + b
+        gy_f = c * dy + d
+        oob = (gx_f < -0.5) | (gx_f > world - 0.5) | (gy_f < -0.5) | (gy_f > world - 0.5)
+        out = np.where(oob | np.isnan(out), nodata, out)
+        return pd.DataFrame(
+            [
+                {
+                    "dataset_id": "warp",
+                    "zoom": zoom_v,
+                    "gx": dgx,
+                    "gy": dgy,
+                    "band": int(pdf["band"].iloc[0]),
+                    "width": TILE,
+                    "height": TILE,
+                    "dtype": "float64",
+                    "nodata": nodata,
+                    "crs": pdf["crs"].iloc[0],
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                }
+            ]
+        )
+
+    return gathered.withColumnRenamed("dgx", "dgx").groupBy("dgx", "dgy").applyInPandas(
+        warp_one, TILE_SCHEMA
+    )
+
+
 def interpolate_at_points(tiles: DataFrame, points: DataFrame, zoom: int,
                           method="bilinear") -> DataFrame:
     """Raster->vector point join: sample the tiled raster at lon/lat points

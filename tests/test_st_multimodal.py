@@ -71,3 +71,24 @@ def test_multimodal_real_decode_is_stubbed(spark):
     media = MM.synth_media(spark, SF_DIR).limit(1)
     with pytest.raises(Exception, match="decode requires"):
         MM.decode_resize_features(media, fake=False).collect()
+
+
+def test_simplify_kernel_and_udf(spark):
+    from osgeo_gdal_spark.kernels import simplify as SIMP
+    # a square with redundant collinear midpoints + one real detour vertex
+    xs = np.array([0.0, 5.0, 10.0, 10.0, 10.0, 5.0, 4.9, 0.0, 0.0, 0.0])
+    ys = np.array([0.0, 0.0, 0.0, 5.0, 10.0, 10.0, 5.0, 10.0, 5.0, 0.0])
+    ox, oy = SIMP.simplify_ring(xs, ys, 1.0)
+    # collinear midpoints dropped; the (4.9, 5.0) detour (>1 deep) kept
+    assert len(ox) < len(xs)
+    assert (4.9, 5.0) in set(zip(ox.tolist(), oy.tolist()))
+    for corner in [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)]:
+        assert corner in set(zip(ox.tolist(), oy.tolist()))
+    # the UDF path preserves area within tolerance on fixture polygons
+    from osgeo_gdal_spark.kernels import wkb as Wk
+    df = PL.polygons_df(spark).select("fid", ST.st_simplify_tol1("geometry").alias("g"))
+    for row in df.collect():
+        g = Wk.parse_wkb(bytes(row["g"]))
+        orig = PL.POLYGONS[row["fid"]]
+        if g.geom_type == "Polygon":
+            assert abs(Wk.polygon_area(g) - orig.area()) <= orig.area() * 0.05

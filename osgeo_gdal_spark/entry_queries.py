@@ -1030,6 +1030,70 @@ FROM fr
 """
 
 
+def q_raster_zonal(spark: SparkSession, sf: str) -> DataFrame:
+    """True raster zonal statistics (alg/zonal.cpp; pixel-center inclusion
+    rule) of the synthetic raster over the polygon layer — per-tile
+    partial stats, zone merge; oracle recomputes from the pixel generator
+    + inverse-mercator pixel centers + the polygons' strict predicates."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    return RO.raster_zonal_stats(tiles, PL.POLYGONS, RASTER_ZOOM)
+
+
+def sql_raster_zonal() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    per_poly = " UNION ALL ".join(
+        f"SELECT {p.eas_id} AS eas_id, v FROM px WHERE {p.sql_predicate('lon', 'lat')}"
+        for p in PL.POLYGONS
+    )
+    return f"""
+WITH raw AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+px AS (
+  SELECT ((gpx * 7 + gpy * 11 + {RASTER_ZOOM}) % 255) AS v,
+         (gpx + {G.D(0.5)}) / {world} * {G.D(360.0)} - {G.D(180.0)} AS lon,
+         DEGREES(2.0 * ATAN(EXP((CAST(1.0 AS DOUBLE)
+             - 2.0 * (gpy + {G.D(0.5)}) / {world}) * PI())) - PI() / 2.0) AS lat
+  FROM raw
+),
+zoned AS ({per_poly})
+SELECT eas_id, COUNT(*) AS zn_count, CAST(SUM(v) AS DOUBLE) AS zn_sum,
+       CAST(MIN(v) AS DOUBLE) AS zn_min, CAST(MAX(v) AS DOUBLE) AS zn_max,
+       SUM(v) / (COUNT(*) * CAST(1.0 AS DOUBLE)) AS zn_mean
+FROM zoned GROUP BY eas_id
+"""
+
+
+def q_raster_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-bin histogram (GetHistogram block streaming analog): per-tile
+    partial bincounts merged by one tiny groupBy."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    return RO.histogram(tiles, bin_width=16.0)
+
+
+def sql_raster_histogram() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    return f"""
+WITH raw AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+)
+SELECT CAST(FLOOR(((gpx * 7 + gpy * 11 + {RASTER_ZOOM}) % 255)
+            / {G.D(16.0)}) AS BIGINT) AS bin,
+       COUNT(*) AS n_pixels
+FROM raw GROUP BY 1
+"""
+
+
 def q_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
     """Relational INTERSECT / EXCEPT (absent in OGR SQL — SURVEY §2.I
     free-in-Spark row): nations having customers vs having suppliers."""
@@ -1127,6 +1191,8 @@ QUERIES = {
     "intersect_except": q_intersect_except,
     "array_explode": q_array_explode,
     "warp_affine": q_warp_affine,
+    "raster_zonal": q_raster_zonal,
+    "raster_histogram": q_raster_histogram,
 }
 
 ORACLES = {
@@ -1167,6 +1233,8 @@ ORACLES = {
     "intersect_except": SQL_INTERSECT_EXCEPT,
     "array_explode": SQL_ARRAY_EXPLODE,
     "warp_affine": sql_warp_affine(),
+    "raster_zonal": sql_raster_zonal(),
+    "raster_histogram": sql_raster_histogram(),
     # no oracle (Spark-specific hashing / approximate by design) -> the
     # driver records rows-only checks: minhash_lsh_pairs, simhash,
     # embedding_ann_lsh, raster_resample

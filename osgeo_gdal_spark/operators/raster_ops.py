@@ -422,6 +422,110 @@ def interpolate_at_points(tiles: DataFrame, points: DataFrame, zoom: int,
     return parts.groupBy("pid").agg(F.sum("part").alias("value"))
 
 
+def raster_zonal_stats(tiles: DataFrame, polys, zoom: int) -> DataFrame:
+    """True raster zonal statistics (``/root/reference/alg/zonal.cpp``,
+    stat list apps/gdalalg_raster_zonal_stats.cpp:63-82; 'default'
+    pixel-inclusion rule = pixel CENTER inside zone): zones are the
+    polygon layer, values are the tile pixels.
+
+    Distributed shape = zonal.cpp's raster-sequential strategy: per tile,
+    pixel centers -> lon/lat (inverse mercator, vectorized) -> per-zone
+    membership (prepared polygon set, rect fast path inside the kernel) ->
+    per-tile PARTIAL stats per zone; then one tiny groupBy(zone) merge.
+    The shuffle carries (tile x zone) partial rows, never pixels.
+    """
+    from ..kernels import mercator as M, pip as PIP, wkb as W
+
+    spark = tiles.sparkSession
+    payload = [(pf.fid, pf.eas_id, pf.wkb()) for pf in polys]
+    bc = spark.sparkContext.broadcast(payload)
+    world = (1 << zoom) * TILE
+
+    out_schema = T.StructType(
+        [
+            T.StructField("eas_id", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("vsum", T.DoubleType()),
+            T.StructField("vmin", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        geoms = [(eas, W.parse_wkb(bytes(buf))) for _fid, eas, buf in bc.value]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                grid = parse_tile(row).astype(np.float64)
+                h, w = grid.shape
+                ox, oy = int(row["gx"]) * TILE, int(row["gy"]) * TILE
+                # pixel centers -> lon/lat (inverse of the forward tile math)
+                lon = (ox + np.arange(w) + 0.5) / world * 360.0 - 180.0
+                yfrac = (oy + np.arange(h) + 0.5) / world
+                merc = (1.0 - 2.0 * yfrac) * np.pi
+                lat = np.degrees(2.0 * np.arctan(np.exp(merc)) - np.pi / 2.0)
+                LON = np.broadcast_to(lon[None, :], (h, w)).ravel()
+                LAT = np.broadcast_to(lat[:, None], (h, w)).ravel()
+                vals = grid.ravel()
+                for eas, g in geoms:
+                    # tile-level envelope reject (lat DECREASES with row
+                    # index: lat[0] is the tile's north edge)
+                    xmin, ymin, xmax, ymax = g.envelope()
+                    if lon[-1] < xmin or lon[0] > xmax or lat[0] < ymin or lat[-1] > ymax:
+                        continue
+                    m = PIP.points_in_polygon(LON, LAT, g)
+                    if m.any():
+                        v = vals[m]
+                        rows.append(
+                            (int(eas), int(m.sum()), float(v.sum()),
+                             float(v.min()), float(v.max()))
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["eas_id", "cnt", "vsum", "vmin", "vmax"]
+                )
+
+    part = tiles.mapInPandas(partials, out_schema)
+    return part.groupBy("eas_id").agg(
+        F.sum("cnt").alias("zn_count"),
+        F.sum("vsum").alias("zn_sum"),
+        F.min("vmin").alias("zn_min"),
+        F.max("vmax").alias("zn_max"),
+        (F.sum("vsum") / F.sum("cnt")).alias("zn_mean"),
+    )
+
+
+def histogram(tiles: DataFrame, bin_width: float) -> DataFrame:
+    """Fixed-bin raster histogram (GetHistogram over blocks,
+    gcore/gdalrasterband.cpp): per-tile partial bin counts (numpy bincount)
+    -> groupBy(bin) merge. Shuffle carries bins, not pixels."""
+    out_schema = T.StructType(
+        [T.StructField("bin", T.LongType()), T.StructField("cnt", T.LongType())]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            acc = {}
+            for _, row in pdf.iterrows():
+                grid = parse_tile(row).astype(np.float64)
+                bins = np.floor(grid.ravel() / bin_width).astype(np.int64)
+                u, c = np.unique(bins, return_counts=True)
+                for b, n in zip(u.tolist(), c.tolist()):
+                    acc[b] = acc.get(b, 0) + n
+            if acc:
+                yield pd.DataFrame(
+                    {"bin": list(acc.keys()), "cnt": list(acc.values())}
+                )
+
+    return tiles.mapInPandas(partials, out_schema).groupBy("bin").agg(
+        F.sum("cnt").alias("n_pixels")
+    )
+
+
 def mosaic_first(tiles_a: DataFrame, tiles_b: DataFrame) -> DataFrame:
     """Mosaic two tile tables: first non-null wins per tile key (buildvrt
     overlay-order semantics, apps/gdalbuildvrt_lib.cpp) — a unionByName +

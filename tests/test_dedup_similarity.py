@@ -83,3 +83,15 @@ def test_lsh_bucket_is_deterministic(spark, emb):
     b = {r["vec_id"]: r["lsh_bucket"]
          for r in SIM.with_lsh_bucket(emb.limit(50), planes).collect()}
     assert a == b and len(set(a.values())) > 1
+
+
+def test_cosine_topk_matmul_matches_fold(spark, emb):
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = SIM.cosine_topk(emb, queries_df, k=3)
+    qlist = [(r["qid"], r["qvec"]) for r in queries_df.collect()]
+    fast = SIM.cosine_topk_matmul(emb, qlist, k=3)
+    a = {(r["qid"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    b = {(r["qid"], r["rank"]): r["vec_id"] for r in fast.collect()}
+    assert a == b

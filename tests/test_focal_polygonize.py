@@ -96,3 +96,45 @@ def test_focal_dem_modes_match_reference(spark, tiles, mode):
         np.testing.assert_allclose(
             grid, want[oy : oy + 256, ox : ox + 256], atol=1e-9
         )
+
+
+def test_sieve_absorbs_small_regions(spark):
+    """Brute-force reference: label the full 512^2 grid driver-side, apply
+    the same merge rule (small -> largest neighbor, tie -> smallest id),
+    compare region tables."""
+    from osgeo_gdal_spark.operators.polygonize import _label_tile
+
+    block, thr, world = 96, 2000, 512
+    cat = RS.synth_category_tiles(spark, 1, block=block)
+    got = {r["region_id"]: (r["value"], r["n_pixels"])
+           for r in PZ.sieve(cat, 1, thr).collect()}
+
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    grid = ((gpx // block + gpy // block) % 3).astype(np.float64)
+    lab = _label_tile(grid)
+    flat = (gpy * world + gpx).ravel()
+    k = lab.max() + 1
+    rid_of = np.full(k, np.iinfo(np.int64).max)
+    np.minimum.at(rid_of, lab.ravel(), flat)
+    sizes = np.bincount(lab.ravel())
+    # adjacency
+    adj = {i: set() for i in range(k)}
+    for a, b in ((lab[:, :-1], lab[:, 1:]), (lab[:-1, :], lab[1:, :])):
+        d = a != b
+        for x, y in zip(a[d].ravel().tolist(), b[d].ravel().tolist()):
+            adj[x].add(y); adj[y].add(x)
+    into = {}
+    for i in range(k):
+        if sizes[i] < thr and adj[i]:
+            best = sorted(adj[i], key=lambda j: (-sizes[j], rid_of[j]))[0]
+            into[i] = best
+    want = {}
+    for i in range(k):
+        tgt = into.get(i, i)
+        rid = int(rid_of[tgt])
+        v, n = want.get(rid, (float(grid[lab == tgt][0]), 0))
+        want[rid] = (v, n + int(sizes[i]))
+    assert got == want
+    # sanity: something was actually absorbed and mass conserved
+    assert len(got) < k and sum(n for _, n in got.values()) == world * world

@@ -64,3 +64,26 @@ def test_translate_window_bounds(spark, tiles):
         F.min("gpx"), F.max("gpx"), F.min("gpy"), F.max("gpy"), F.count("*")
     ).first()
     assert tuple(stats) == (100, 249, 120, 249, 150 * 130)
+
+
+def test_pansharpen_brovey(spark, tiles):
+    # bands 1..3 = synth tiles scaled differently; pan = 2x the mean
+    b1 = tiles
+    b2 = RO.translate_tiles(tiles, scale=0.5, out_dtype="float64").drop("_ox0", "_oy0") \
+        .withColumn("band", F.lit(2))
+    b3 = RO.translate_tiles(tiles, scale=0.25, out_dtype="float64").drop("_ox0", "_oy0") \
+        .withColumn("band", F.lit(3))
+    rgb = b1.unionByName(b2).unionByName(b3)
+    pan = RO.translate_tiles(tiles, scale=2.0 * (1 + 0.5 + 0.25) / 3.0,
+                             out_dtype="float64").drop("_ox0", "_oy0")
+    out = RO.pansharpen(pan, rgb)
+    rows = out.collect()
+    assert len(rows) == 12  # 4 tiles x 3 bands
+    # Brovey with pan = 2*pseudo -> every band doubled (within cast rounding)
+    src = {(r["gx"], r["gy"]): RS.parse_tile(r).astype(np.float64)
+           for r in tiles.collect()}
+    for r in rows:
+        if r["band"] == 1:
+            got = RS.parse_tile(r)
+            want = src[(r["gx"], r["gy"])] * 2.0
+            np.testing.assert_allclose(got, want, atol=2.1)  # uint8 casts

@@ -290,6 +290,68 @@ SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
 # --------------------------------------------------------------------------
 
 
+def q_multi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way join + grouped aggregation (TPC-H Q3 shape) — the join-
+    reordering/broadcast territory Catalyst upgrades OGR's index nested
+    loop into (SURVEY §4 join-strategy row)."""
+    cust = read_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+SQL_MULTI_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
+def q_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS subquery (absent in OGR SQL; Catalyst
+    decorrelates it to a semi join — SURVEY §4 'free upgrades' row)."""
+    spark.read.parquet(f"{sf}/orders.parquet").createOrReplaceTempView("v_orders")
+    spark.read.parquet(f"{sf}/lineitem.parquet").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM v_orders
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 48
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+SQL_EXISTS_SUBQUERY = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity > 48
+)
+GROUP BY o_orderpriority
+"""
+
+
 def q_geocode_tiles(spark: SparkSession, sf: str) -> DataFrame:
     """Geocode + XYZ tile assignment + quadkey (gdal2tiles GlobalMercator
     math, gdal2tiles.py:415-533) — all native Spark SQL, zero Python."""
@@ -1161,6 +1223,8 @@ QUERIES = {
     "scalar_funcs": q_scalar_funcs,
     "json_get": q_json_get,
     "window_rank": q_window_rank,
+    "multi_join": q_multi_join,
+    "exists_subquery": q_exists_subquery,
     "geocode_tiles": q_geocode_tiles,
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_counts": q_spatial_join_counts,
@@ -1207,6 +1271,8 @@ ORACLES = {
     "scalar_funcs": SQL_SCALAR_FUNCS,
     "json_get": SQL_JSON_GET,
     "window_rank": SQL_WINDOW_RANK,
+    "multi_join": SQL_MULTI_JOIN,
+    "exists_subquery": SQL_EXISTS_SUBQUERY,
     "geocode_tiles": sql_geocode_tiles(),
     "spatial_join_pairs": sql_spatial_join_pairs(),
     "spatial_join_counts": sql_spatial_join_counts(),

@@ -87,3 +87,26 @@ def test_pansharpen_brovey(spark, tiles):
             got = RS.parse_tile(r)
             want = src[(r["gx"], r["gy"])] * 2.0
             np.testing.assert_allclose(got, want, atol=2.1)  # uint8 casts
+
+
+def test_proximity_matches_brute_force(spark, tiles):
+    from osgeo_gdal_spark.operators import proximity as PX
+
+    target, maxd = 17.0, 80.0
+    got = {(r["gx"], r["gy"]): RS.parse_tile(r)
+           for r in PX.proximity(tiles, 1, target, maxd).collect()}
+    assert len(got) == 4
+    # driver-side brute force on the full 512^2 generator grid
+    world = 512
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    grid = ((gpx * 7 + gpy * 11 + 1) % 255).astype(np.float64)
+    tys, txs = np.nonzero(grid == target)
+    want = np.full((world, world), maxd)
+    for y0 in range(0, world, 64):
+        d2 = ((gpx[y0:y0+64, :, None] - txs[None, None, :]) ** 2
+              + (gpy[y0:y0+64, :, None] - tys[None, None, :]) ** 2)
+        want[y0:y0+64] = np.minimum(np.sqrt(d2.min(axis=2)), maxd)
+    for (gx, gy), g in got.items():
+        np.testing.assert_allclose(
+            g, want[gy*256:(gy+1)*256, gx*256:(gx+1)*256], atol=1e-9)

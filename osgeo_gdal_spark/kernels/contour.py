@@ -1,0 +1,69 @@
+"""Marching-squares iso-line segments for one contour level.
+
+The kernel core of GDAL contour (``/root/reference/alg/contour.cpp`` +
+``alg/marching_squares/``): each 2x2 pixel cell contributes 0..2 segments
+of the iso-line at `level`, with endpoints linearly interpolated along the
+crossed cell edges. Marching squares is *cell-local*, so the distributed
+operator only needs a 1-px halo to own every cell — no cross-tile
+iteration (polyline stitching is a separate, deferred step; GDAL also
+emits segments first and stitches after).
+
+Coordinates: pixel-center grid; a cell (i, j) has corners at pixel centers
+(j, i), (j+1, i), (j, i+1), (j+1, i+1). Saddle cells (case 5/10) follow
+the standard center-average disambiguation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def marching_squares(grid: np.ndarray, level: float):
+    """Segments [(x0, y0, x1, y1), ...] in pixel-center coords."""
+    g = np.asarray(grid, dtype=np.float64)
+    h, w = g.shape
+    tl = g[:-1, :-1]
+    tr = g[:-1, 1:]
+    bl = g[1:, :-1]
+    br = g[1:, 1:]
+    case = (
+        (tl >= level).astype(np.int8)
+        | ((tr >= level).astype(np.int8) << 1)
+        | ((br >= level).astype(np.int8) << 2)
+        | ((bl >= level).astype(np.int8) << 3)
+    )
+    ys, xs = np.nonzero((case != 0) & (case != 15))
+    segs = []
+
+    def interp(a, b):
+        # fraction along the edge from corner value a to b where it hits level
+        d = b - a
+        return 0.5 if d == 0 else (level - a) / d
+
+    for i, j in zip(ys.tolist(), xs.tolist()):
+        a, b, c, d = g[i, j], g[i, j + 1], g[i + 1, j + 1], g[i + 1, j]
+        cs = int(case[i, j])
+        # edge points: top (between a-b), right (b-c), bottom (d-c), left (a-d)
+        top = (j + interp(a, b), float(i))
+        right = (float(j + 1), i + interp(b, c))
+        bottom = (j + interp(d, c), float(i + 1))
+        left = (float(j), i + interp(a, d))
+        table = {
+            1: [(left, top)], 2: [(top, right)], 3: [(left, right)],
+            4: [(right, bottom)], 6: [(top, bottom)], 7: [(left, bottom)],
+            8: [(bottom, left)], 9: [(bottom, top)], 11: [(bottom, right)],
+            12: [(right, left)], 13: [(right, top)], 14: [(top, left)],
+        }
+        if cs in (5, 10):
+            center = (a + b + c + d) / 4.0
+            if cs == 5:
+                pairs = [(left, top), (right, bottom)] if center < level else [
+                    (left, bottom), (right, top)]
+            else:
+                pairs = [(top, right), (bottom, left)] if center < level else [
+                    (top, left), (bottom, right)]
+        else:
+            pairs = table[cs]
+        for (x0, y0), (x1, y1) in pairs:
+            segs.append((x0, y0, x1, y1))
+    return segs

@@ -138,3 +138,34 @@ def test_sieve_absorbs_small_regions(spark):
     assert got == want
     # sanity: something was actually absorbed and mass conserved
     assert len(got) < k and sum(n for _, n in got.values()) == world * world
+
+
+def test_marching_squares_hand_case():
+    from osgeo_gdal_spark.kernels.contour import marching_squares
+    g = np.array([[0.0, 0.0], [0.0, 10.0]])
+    segs = marching_squares(g, 5.0)
+    # one segment crossing right edge (at y=0.5) and bottom edge (x=0.5)
+    assert len(segs) == 1
+    (x0, y0, x1, y1) = segs[0]
+    assert {(x0, y0), (x1, y1)} == {(1.0, 0.5), (0.5, 1.0)}
+
+
+def test_contour_segments_match_full_grid(spark, tiles):
+    from osgeo_gdal_spark.kernels.contour import marching_squares
+    from osgeo_gdal_spark.operators import contour as CT
+
+    levels = [100.0, 200.5]
+    got = {
+        (r["level"], round(r["x0"], 9), round(r["y0"], 9),
+         round(r["x1"], 9), round(r["y1"], 9))
+        for r in CT.contour_segments(tiles, 1, levels).collect()
+    }
+    world = 512
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    grid = ((gpx * 7 + gpy * 11 + 1) % 255).astype(np.float64)
+    want = set()
+    for lev in levels:
+        for x0, y0, x1, y1 in marching_squares(grid, lev):
+            want.add((lev, round(x0, 9), round(y0, 9), round(x1, 9), round(y1, 9)))
+    assert got == want and len(want) > 1000

@@ -44,10 +44,11 @@ _STRIP_SCHEMA = T.StructType(
 )
 
 
-def _strips(tiles: DataFrame, zoom: int) -> DataFrame:
-    """Each tile -> its own body (dx=dy=0) + the 8 edge strips addressed
-    to neighbors. Strip payloads are float64."""
+def _strips(tiles: DataFrame, zoom: int, width: int = 1) -> DataFrame:
+    """Each tile -> its own body (dx=dy=0) + the 8 edge strips of `width`
+    pixels addressed to neighbors. Strip payloads are float64."""
     n = 1 << zoom
+    r = width
 
     def gen(batches):
         import pandas as pd
@@ -59,14 +60,14 @@ def _strips(tiles: DataFrame, zoom: int) -> DataFrame:
                 gx, gy = int(row["gx"]), int(row["gy"])
                 pieces = {
                     (0, 0): g,
-                    (1, 0): g[:, -1:],     # our east col -> east neighbor's west halo
-                    (-1, 0): g[:, :1],     # our west col -> west neighbor's east halo
-                    (0, 1): g[-1:, :],     # our south row -> south neighbor's north halo
-                    (0, -1): g[:1, :],     # our north row -> north neighbor's south halo
-                    (1, 1): g[-1:, -1:],   # SE corner -> SE neighbor's NW halo
-                    (1, -1): g[:1, -1:],   # NE corner -> NE neighbor's SW halo
-                    (-1, 1): g[-1:, :1],   # SW corner -> SW neighbor's NE halo
-                    (-1, -1): g[:1, :1],   # NW corner -> NW neighbor's SE halo
+                    (1, 0): g[:, -r:],     # our east cols -> east neighbor's west halo
+                    (-1, 0): g[:, :r],     # our west cols -> west neighbor's east halo
+                    (0, 1): g[-r:, :],     # our south rows -> south neighbor's north halo
+                    (0, -1): g[:r, :],     # our north rows -> north neighbor's south halo
+                    (1, 1): g[-r:, -r:],   # SE corner -> SE neighbor's NW halo
+                    (1, -1): g[:r, -r:],   # NE corner -> NE neighbor's SW halo
+                    (-1, 1): g[-r:, :r],   # SW corner -> SW neighbor's NE halo
+                    (-1, -1): g[:r, :r],   # NW corner -> NW neighbor's SE halo
                 }
                 for (dx, dy), arr in pieces.items():
                     tgx, tgy = gx + dx, gy + dy

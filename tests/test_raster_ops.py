@@ -110,3 +110,50 @@ def test_proximity_matches_brute_force(spark, tiles):
     for (gx, gy), g in got.items():
         np.testing.assert_allclose(
             g, want[gy*256:(gy+1)*256, gx*256:(gx+1)*256], atol=1e-9)
+
+
+def test_fillnodata_matches_full_grid(spark, tiles):
+    from pyspark.sql import types as T
+    from osgeo_gdal_spark.operators import fillnodata as FN
+    from osgeo_gdal_spark.sources.raster import TILE_SCHEMA
+    from osgeo_gdal_spark.kernels import checksum as CK
+
+    ND, R = -9999.0, 8
+
+    def punch(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                g = RS.parse_tile(row).astype(np.float64)
+                g[g == 42] = ND  # deterministic holes (incl. near borders)
+                d = row.to_dict()
+                d.update(dtype="float64", nodata=ND, pixels=g.tobytes(),
+                         checksum=CK.checksum_image(g))
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    holed = tiles.mapInPandas(punch, TILE_SCHEMA)
+    got = {(r["gx"], r["gy"]): RS.parse_tile(r)
+           for r in FN.fillnodata(holed, 1, ND, R).collect()}
+
+    # full-grid reference through the same kernel with a NaN border pad
+    world = 512
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    grid = ((gpx * 7 + gpy * 11 + 1) % 255).astype(np.float64)
+    grid[grid == 42] = ND
+    for (gx, gy), g in got.items():
+        pad = np.full((256 + 2 * R, 256 + 2 * R), np.nan)
+        y0, x0 = gy * 256, gx * 256
+        ys0, ys1 = max(0, y0 - R), min(world, y0 + 256 + R)
+        xs0, xs1 = max(0, x0 - R), min(world, x0 + 256 + R)
+        pad[R - (y0 - ys0):R - (y0 - ys0) + (ys1 - ys0),
+            R - (x0 - xs0):R - (x0 - xs0) + (xs1 - xs0)] = grid[ys0:ys1, xs0:xs1]
+        want = FN.fill_kernel(pad, R, ND)
+        np.testing.assert_allclose(g, want, atol=1e-9,
+                                   err_msg=f"tile {gx},{gy}")
+    # every hole with donors in range was filled
+    n_nodata = sum(int((RS.parse_tile(r) == ND).sum())
+                   for r in FN.fillnodata(holed, 1, ND, R).collect())
+    assert n_nodata == 0

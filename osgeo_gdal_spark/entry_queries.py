@@ -1207,6 +1207,154 @@ FROM (
 """
 
 
+FOCAL_WIN = (200, 312, 200, 312)  # spans the z1 tile border at 256
+
+
+def q_focal_tpi(spark: SparkSession, sf: str) -> DataFrame:
+    """TPI focal stencil (gdaldem TPI: center minus 8-neighbor mean) over
+    a probe window that SPANS a tile border — the oracle recomputes the
+    same fixed-order arithmetic from the pixel generator, so the halo
+    exchange is verified inside the driver gate too."""
+    from .operators import focal as FO, raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = FO.focal_dem(tiles, RASTER_ZOOM, "tpi")
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = FOCAL_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", F.round("value", 9).alias("value"))
+
+
+def sql_focal_tpi() -> str:
+    x0, x1, y0, y1 = FOCAL_WIN
+    g = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    nbrs = " + ".join(
+        g % (f"(gpx + {dx})", f"(gpy + {dy})")
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    )
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+)
+SELECT gpx, gpy,
+       ROUND({g % ('gpx', 'gpy')} - ({nbrs}) * CAST(0.125 AS DOUBLE), 9) AS value
+FROM dst
+"""
+
+
+def q_proximity(spark: SparkSession, sf: str) -> DataFrame:
+    """Proximity (gdalproximity.cpp, bounded MAXDIST) over a probe window;
+    the oracle recomputes min Euclidean distance to the generator's target
+    pixels directly (MIN is order-exact, so parity is bitwise)."""
+    from .operators import proximity as PX, raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = PX.proximity(tiles, RASTER_ZOOM, 17.0, 80.0)
+    px = RO.explode_pixels(out)
+    return px.filter(
+        (F.col("gpx") >= 200) & (F.col("gpx") < 300)
+        & (F.col("gpy") >= 200) & (F.col("gpy") < 300)
+    ).select("gpx", "gpy", F.round("value", 9).alias("value"))
+
+
+def sql_proximity() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    g = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    return f"""
+WITH raw AS (
+  SELECT xs.i AS tpx, ys.i AS tpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+targets AS (SELECT tpx, tpy FROM raw WHERE {g % ('tpx', 'tpy')} = 17),
+dst AS (
+  SELECT (200 + xs.i) AS gpx, (200 + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, 100)) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 100)) AS i) ys
+)
+SELECT gpx, gpy,
+       ROUND(LEAST(CAST(80.0 AS DOUBLE),
+         (SELECT MIN(SQRT(CAST((gpx - tpx) * (gpx - tpx)
+                   + (gpy - tpy) * (gpy - tpy) AS DOUBLE))) FROM targets)), 9) AS value
+FROM dst
+"""
+
+
+def q_focal_hillshade(spark: SparkSession, sf: str) -> DataFrame:
+    """Horn hillshade tiles (rows-only: libm trig parity across engines is
+    not contract-grade; pixel goldens live in pytest)."""
+    from .operators import focal as FO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    return FO.focal_dem(tiles, RASTER_ZOOM, "hillshade").select(
+        "gx", "gy", "checksum"
+    )
+
+
+def q_contour(spark: SparkSession, sf: str) -> DataFrame:
+    """Marching-squares contour segments (rows-only; exactness vs the
+    full-raster reference is pinned in pytest)."""
+    from .operators import contour as CT
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    segs = CT.contour_segments(tiles, RASTER_ZOOM, [100.0])
+    return segs.groupBy("level").agg(
+        F.count("*").alias("n_segments"),
+        F.round(F.sum(
+            F.sqrt((F.col("x1") - F.col("x0")) ** 2 + (F.col("y1") - F.col("y0")) ** 2)
+        ), 6).alias("total_len"),
+    )
+
+
+def q_sieve(spark: SparkSession, sf: str) -> DataFrame:
+    """Sieve small-region removal (rows-only; brute-force reference in
+    pytest)."""
+    from .operators import polygonize as PZ
+    from .sources import raster as RS
+
+    cat = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
+    return PZ.sieve(cat, RASTER_ZOOM, 2000)
+
+
+def q_fillnodata(spark: SparkSession, sf: str) -> DataFrame:
+    """IDW fillnodata checksums (rows-only; full-grid reference in pytest)."""
+    import numpy as np
+
+    from .operators import fillnodata as FN
+    from .sources import raster as RS
+    from .sources.raster import TILE_SCHEMA
+    from .kernels import checksum as CKK
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+
+    def punch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                g = RS.parse_tile(row).astype(np.float64)
+                g[g == 42] = -9999.0
+                d = row.to_dict()
+                d.update(dtype="float64", nodata=-9999.0, pixels=g.tobytes(),
+                         checksum=CKK.checksum_image(g))
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    holed = tiles.mapInPandas(punch, TILE_SCHEMA)
+    return FN.fillnodata(holed, RASTER_ZOOM, -9999.0, 8).select(
+        "gx", "gy", "checksum"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1257,6 +1405,12 @@ QUERIES = {
     "warp_affine": q_warp_affine,
     "raster_zonal": q_raster_zonal,
     "raster_histogram": q_raster_histogram,
+    "focal_tpi": q_focal_tpi,
+    "proximity_dist": q_proximity,
+    "focal_hillshade": q_focal_hillshade,
+    "contour_stats": q_contour,
+    "sieve_regions": q_sieve,
+    "fillnodata_checksums": q_fillnodata,
 }
 
 ORACLES = {
@@ -1301,7 +1455,11 @@ ORACLES = {
     "warp_affine": sql_warp_affine(),
     "raster_zonal": sql_raster_zonal(),
     "raster_histogram": sql_raster_histogram(),
-    # no oracle (Spark-specific hashing / approximate by design) -> the
+    "focal_tpi": sql_focal_tpi(),
+    "proximity_dist": sql_proximity(),
+    # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
+    # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
+    # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the
     # driver records rows-only checks: minhash_lsh_pairs, simhash,
     # embedding_ann_lsh, raster_resample
 }

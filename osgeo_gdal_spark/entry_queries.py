@@ -422,13 +422,23 @@ GROUP BY p.eas_id, poly.prfedea
 
 
 def q_spatial_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
-    """Clip/Erase counts (spatial semi/anti join, ogrlayer.cpp:7537/:7846)."""
+    """Clip/Erase counts (spatial semi/anti join, ogrlayer.cpp:7537/:7846).
+
+    One pass: pages left-join the matched url set with a flag, then a
+    single conditional aggregation — semi/anti/total in ONE job instead
+    of three separate count() actions re-running the join."""
     pages = PG.pages_df(spark, sf)
-    n_in = SJ.spatial_join(spark, pages, PL.POLYGONS, how="semi").count()
-    n_out = SJ.spatial_join(spark, pages, PL.POLYGONS, how="anti").count()
-    n_tot = pages.count()
-    return spark.createDataFrame(
-        [(n_in, n_out, n_tot)], "n_inside BIGINT, n_outside BIGINT, n_total BIGINT"
+    matched = (
+        SJ.spatial_join(spark, pages, PL.POLYGONS)
+        .select("url").distinct().withColumn("_in", F.lit(1))
+    )
+    flagged = pages.select("url").join(matched, "url", "left")
+    return flagged.agg(
+        F.sum(F.when(F.col("_in").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_inside"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_outside"),
+        F.count("*").alias("n_total"),
     )
 
 
@@ -436,8 +446,8 @@ def sql_spatial_semi_anti() -> str:
     preds = " OR ".join(p.sql_predicate("lon", "lat") for p in PL.POLYGONS)
     return f"""
 WITH pages AS ({PAGES_CTE})
-SELECT SUM(CASE WHEN {preds} THEN 1 ELSE 0 END) AS n_inside,
-       SUM(CASE WHEN {preds} THEN 0 ELSE 1 END) AS n_outside,
+SELECT CAST(SUM(CASE WHEN {preds} THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       CAST(SUM(CASE WHEN {preds} THEN 0 ELSE 1 END) AS BIGINT) AS n_outside,
        COUNT(*) AS n_total
 FROM pages
 """
@@ -558,7 +568,7 @@ def sql_tile_checksum() -> str:
 WITH pages AS ({PAGES_CTE}), {_pixel_cte()}
 SELECT gx, gy,
        CAST(SUM({term}) % 65536 AS INT) AS checksum,
-       SUM(cnt) AS n_points
+       CAST(SUM(cnt) AS BIGINT) AS n_points
 FROM cells GROUP BY gx, gy
 """
 
@@ -577,8 +587,8 @@ WITH pages AS ({PAGES_CTE}),
 pg AS (SELECT p.*, d.n_chars FROM pages p JOIN documents d USING (doc_id)),
 pairs AS ({PL.pip_pairs_sql('lon', 'lat').replace('FROM pages', 'FROM pg').replace('SELECT url, doc_id,', 'SELECT url, doc_id, n_chars,')})
 SELECT eas_id, COUNT(*) AS zn_count, MIN(n_chars) AS zn_min,
-       MAX(n_chars) AS zn_max, SUM(n_chars) AS zn_sum,
-       SUM(n_chars) / COUNT(*) AS zn_mean
+       MAX(n_chars) AS zn_max, CAST(SUM(n_chars) AS BIGINT) AS zn_sum,
+       CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS zn_mean
 FROM pairs GROUP BY eas_id
 """
 
@@ -637,8 +647,8 @@ def sql_token_stats() -> str:
 
     return f"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM({SG.token_count_sql('text')}) AS sum_tokens,
-       SUM(n_chars) / COUNT(*) AS avg_chars
+       CAST(SUM({SG.token_count_sql('text')}) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_chars
 FROM documents GROUP BY lang
 """
 

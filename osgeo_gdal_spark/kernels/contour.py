@@ -32,7 +32,12 @@ def marching_squares(grid: np.ndarray, level: float):
         | ((br >= level).astype(np.int8) << 2)
         | ((bl >= level).astype(np.int8) << 3)
     )
-    ys, xs = np.nonzero((case != 0) & (case != 15))
+    # a cell with ANY NaN corner is outside the known raster (missing halo
+    # or sparse tile table) and must emit nothing — NaN >= level comparing
+    # False would otherwise fake a "below-level" corner and interpolate
+    # NaN endpoints
+    any_nan = np.isnan(tl) | np.isnan(tr) | np.isnan(bl) | np.isnan(br)
+    ys, xs = np.nonzero((case != 0) & (case != 15) & ~any_nan)
     segs = []
 
     def interp(a, b):

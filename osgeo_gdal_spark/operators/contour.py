@@ -60,10 +60,10 @@ def contour_segments(tiles: DataFrame, zoom: int, levels) -> DataFrame:
         rows = []
         ox, oy = tgx * TILE, tgy * TILE
         for level in lv:
-            # marching squares treats NaN corners as < level; mask by
-            # limiting to the valid region (global border tiles lack halo)
-            valid = pad[~np.isnan(pad).all(axis=1)][:, ~np.isnan(pad).all(axis=0)]
-            for x0, y0, x1, y1 in marching_squares(valid, level):
+            # marching_squares skips any cell with a NaN corner, so the
+            # NaN halo padding (global border tiles, sparse tile tables)
+            # needs no trimming — missing neighbors simply emit nothing
+            for x0, y0, x1, y1 in marching_squares(pad, level):
                 rows.append((level, ox + x0, oy + y0, ox + x1, oy + y1))
         return pd.DataFrame(rows, columns=["level", "x0", "y0", "x1", "y1"])
 

@@ -77,7 +77,12 @@ def proximity(tiles: DataFrame, zoom: int, target_value: float,
     ).alias("t")
     scattered = targets.select("tpx", "tpy", ring).select("tpx", "tpy", "t.gx", "t.gy")
 
-    joined = tiles.join(scattered, ["gx", "gy"], "left")
+    # the kernel's output depends only on the tile KEY and the gathered
+    # targets — joining the full tile rows would replicate each ~512 KB
+    # pixels payload once per in-range target (shuffle volume = tiles x
+    # targets x tile bytes). Join only the skinny key/metadata columns.
+    tile_keys = tiles.select("zoom", "gx", "gy", "band", "crs")
+    joined = tile_keys.join(scattered, ["gx", "gy"], "left")
 
     def kernel(pdf):
         import pandas as pd

@@ -558,45 +558,45 @@ def pansharpen(pan_tiles: DataFrame, rgb_tiles: DataFrame,
 
     wlist = list(weights)
 
-    def kernel(batches):
+    def kernel(grp):
+        # applyInPandas guarantees grp holds ALL band rows of exactly one
+        # tile — a repartition+mapInPandas shape instead would let Arrow
+        # split one tile's bands across record batches, silently computing
+        # pseudo_pan from a subset of bands
         import pandas as pd
 
-        for pdf in batches:
-            rows = []
-            # group by tile: all bands of one tile needed together
-            for (_z, _gx, _gy), grp in pdf.groupby(["zoom", "gx", "gy"]):
-                bands = {}
-                for _, row in grp.iterrows():
-                    bands[int(row["band"])] = np.frombuffer(
-                        bytes(row["pixels"]), dtype=np.dtype(row["dtype"])
-                    ).reshape(row["height"], row["width"]).astype(np.float64)
-                first = grp.iloc[0]
-                pan_arr = np.frombuffer(
-                    bytes(first["pan_pixels"]), dtype=np.dtype(first["pan_dtype"])
-                ).reshape(first["height"], first["width"]).astype(np.float64)
-                pseudo = sum(w * bands[i + 1] for i, w in enumerate(wlist)
-                             if (i + 1) in bands)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    ratio = np.where(pseudo > 0, pan_arr / pseudo, 0.0)
-                for bid, arr in bands.items():
-                    out = arr * ratio
-                    rows.append(
-                        {
-                            "dataset_id": "pansharp",
-                            "zoom": int(first["zoom"]),
-                            "gx": int(first["gx"]),
-                            "gy": int(first["gy"]),
-                            "band": bid,
-                            "width": int(first["width"]),
-                            "height": int(first["height"]),
-                            "dtype": "float64",
-                            "nodata": first["nodata"],
-                            "crs": first["crs"],
-                            "pixels": out.tobytes(),
-                            "checksum": CK.checksum_image(out),
-                        }
-                    )
-            if rows:
-                yield pd.DataFrame(rows)
+        bands = {}
+        for _, row in grp.iterrows():
+            bands[int(row["band"])] = np.frombuffer(
+                bytes(row["pixels"]), dtype=np.dtype(row["dtype"])
+            ).reshape(row["height"], row["width"]).astype(np.float64)
+        first = grp.iloc[0]
+        pan_arr = np.frombuffer(
+            bytes(first["pan_pixels"]), dtype=np.dtype(first["pan_dtype"])
+        ).reshape(first["height"], first["width"]).astype(np.float64)
+        pseudo = sum(w * bands[i + 1] for i, w in enumerate(wlist)
+                     if (i + 1) in bands)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.where(pseudo > 0, pan_arr / pseudo, 0.0)
+        rows = []
+        for bid, arr in bands.items():
+            out = arr * ratio
+            rows.append(
+                {
+                    "dataset_id": "pansharp",
+                    "zoom": int(first["zoom"]),
+                    "gx": int(first["gx"]),
+                    "gy": int(first["gy"]),
+                    "band": bid,
+                    "width": int(first["width"]),
+                    "height": int(first["height"]),
+                    "dtype": "float64",
+                    "nodata": first["nodata"],
+                    "crs": first["crs"],
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                }
+            )
+        return pd.DataFrame(rows)
 
-    return joined.repartition("zoom", "gx", "gy").mapInPandas(kernel, TILE_SCHEMA)
+    return joined.groupBy("zoom", "gx", "gy").applyInPandas(kernel, TILE_SCHEMA)

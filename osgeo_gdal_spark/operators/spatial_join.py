@@ -32,12 +32,25 @@ from ..kernels import cells as C, wkb as W
 
 DEFAULT_JOIN_ZOOM = 7
 
-# per-worker cache of parsed polygon sets keyed by id of the payload
+# per-worker cache of parsed polygon sets, keyed by a CONTENT digest of the
+# payload computed driver-side. id(payload) is unsafe here: CPython reuses
+# addresses after GC, so a later job's broadcast landing at the same address
+# would silently join against the previous job's polygons.
 _PREPARED_CACHE: dict = {}
 
 
-def _prepared(payload):
-    key = id(payload)
+def payload_key(payload) -> str:
+    """Stable content key for a [(fid, wkb_bytes), ...] payload."""
+    import hashlib
+
+    h = hashlib.md5()
+    for fid, buf in payload:
+        h.update(str(fid).encode())
+        h.update(bytes(buf))
+    return h.hexdigest()
+
+
+def _prepared(payload, key):
     got = _PREPARED_CACHE.get(key)
     if got is None:
         got = {fid: W.parse_wkb(bytes(buf)) for fid, buf in payload}
@@ -116,6 +129,7 @@ def with_cell_key(df: DataFrame, zoom=DEFAULT_JOIN_ZOOM,
 def _contains_udf(spark, polys):
     """Arrow-batched exact-PIP refine: (poly_fid, lon, lat) -> bool."""
     payload = [(pf.fid, pf.wkb()) for pf in polys]
+    key = payload_key(payload)
     bc = spark.sparkContext.broadcast(payload)
 
     @F.pandas_udf(T.BooleanType())
@@ -125,7 +139,7 @@ def _contains_udf(spark, polys):
 
         from osgeo_gdal_spark.kernels import pip as P
 
-        geoms = _prepared(bc.value)  # id(bc.value) is stable per worker
+        geoms = _prepared(bc.value, key)
         out = np.zeros(len(poly_fid), dtype=bool)
         px = lon.to_numpy(dtype="float64")
         py = lat.to_numpy(dtype="float64")

@@ -124,6 +124,40 @@ def synth_category_tiles(spark: SparkSession, zoom: int, block=96,
     return keys.mapInPandas(gen, TILE_SCHEMA)
 
 
+def tiles_from_grid(spark: SparkSession, grid: np.ndarray, zoom: int,
+                    dataset_id="custom", nodata=None) -> DataFrame:
+    """Tile table from an explicit (n*TILE)^2 numpy grid — for hand-built
+    test fixtures (concave regions, sieve chains) that the generators
+    can't express."""
+    n = 1 << zoom
+    assert grid.shape == (n * TILE, n * TILE), grid.shape
+    rows = []
+    for gy in range(n):
+        for gx in range(n):
+            sub = np.ascontiguousarray(
+                grid[gy * TILE:(gy + 1) * TILE, gx * TILE:(gx + 1) * TILE]
+            )
+            rows.append(
+                {
+                    "dataset_id": dataset_id,
+                    "zoom": zoom,
+                    "gx": gx,
+                    "gy": gy,
+                    "band": 1,
+                    "width": TILE,
+                    "height": TILE,
+                    "dtype": str(sub.dtype),
+                    "nodata": nodata,
+                    "crs": "EPSG:3857",
+                    "pixels": sub.tobytes(),
+                    "checksum": CK.checksum_image(sub),
+                }
+            )
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+
+
 def parse_tile(row) -> np.ndarray:
     """Unpack a tile row's pixels into a 2-D numpy array."""
     dt = np.dtype(row["dtype"])

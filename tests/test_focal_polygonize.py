@@ -169,3 +169,103 @@ def test_contour_segments_match_full_grid(spark, tiles):
         for x0, y0, x1, y1 in marching_squares(grid, lev):
             want.add((lev, round(x0, 9), round(y0, 9), round(x1, 9), round(y1, 9)))
     assert got == want and len(want) > 1000
+
+
+def test_label_tile_l_shape_union():
+    """ADVICE repro: an L-shaped region whose two arms get separate
+    provisional labels that later union — labels must stay dense and the
+    region stats must not crash on merged-away ids."""
+    from osgeo_gdal_spark.operators.polygonize import _label_tile
+
+    g = np.array([[1.0, 0.0, 0.0, 2.0],
+                  [1.0, 1.0, 1.0, 1.0]])
+    lab = _label_tile(g)
+    # regions: the L/U of 1s (6 px), the 0s (2 px), the single 2
+    assert lab[0, 0] == lab[1, 0] == lab[1, 3] == lab[1, 1]
+    assert lab[0, 3] != lab[0, 0] and lab[0, 1] != lab[0, 0]
+    k = lab.max() + 1
+    assert k == 3  # dense ids, no gaps
+    assert sorted(np.bincount(lab.ravel()).tolist()) == [1, 2, 5]
+
+
+def test_label_tile_matches_bruteforce_random():
+    """Property: RLE+union-find labeling == per-pixel BFS on random grids."""
+    from osgeo_gdal_spark.operators.polygonize import _label_tile
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        g = rng.integers(0, 3, size=(40, 40)).astype(np.float64)
+        lab = _label_tile(g)
+        # BFS reference
+        ref = -np.ones(g.shape, dtype=np.int64)
+        nxt = 0
+        for y in range(40):
+            for x in range(40):
+                if ref[y, x] >= 0:
+                    continue
+                stack = [(y, x)]
+                ref[y, x] = nxt
+                while stack:
+                    cy, cx = stack.pop()
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx_ = cy + dy, cx + dx
+                        if (0 <= ny < 40 and 0 <= nx_ < 40
+                                and ref[ny, nx_] < 0 and g[ny, nx_] == g[cy, cx]):
+                            ref[ny, nx_] = nxt
+                            stack.append((ny, nx_))
+                nxt += 1
+        # same partition (labels may be numbered differently)
+        import itertools
+        pairs = set(zip(lab.ravel().tolist(), ref.ravel().tolist()))
+        assert len(pairs) == lab.max() + 1 == nxt
+
+
+def test_polygonize_concave_region_spanning_tiles(spark):
+    """A U-shaped region straddling the tile border (requires in-tile
+    union AND cross-tile merge) — the exact shape that crashed the old
+    range(k) loops."""
+    world = 512
+    grid = np.zeros((world, world), dtype=np.uint8)
+    # U shape: left arm, right arm, bottom bar; crosses x=256 tile border
+    grid[100:300, 200:220] = 7
+    grid[100:300, 300:320] = 7
+    grid[280:300, 200:320] = 7
+    tiles = RS.tiles_from_grid(spark, grid, 1)
+    out = {r["value"]: (r["n_pixels"], r["xmin"], r["ymin"], r["xmax"], r["ymax"])
+           for r in PZ.polygonize(tiles, 1).collect()}
+    n7 = int((grid == 7).sum())
+    assert out[7.0] == (n7, 200, 100, 319, 299)
+    assert out[0.0][0] == world * world - n7
+    assert len(out) == 2
+
+
+def test_sieve_chain_resolves_in_one_call(spark):
+    """Chain absorb: small squares -> small frame -> big background must
+    collapse into the background in ONE sieve call (the old single-hop
+    pass left the frame's group alive)."""
+    world = 512
+    grid = np.zeros((world, world), dtype=np.uint8)
+    grid[90:130, 90:130] = 3     # frame, 1400 px after carve-outs
+    grid[100:110, 100:110] = 1   # 100 px
+    grid[100:110, 110:120] = 2   # 100 px
+    # threshold 2000: regions 1, 2 (100 px) and 3 (1400 px) are all small.
+    # largest neighbor of 1 and 2 is the frame (3); the frame's largest
+    # neighbor is the background -> chain 1->3->0, 2->3->0.
+    tiles = RS.tiles_from_grid(spark, grid, 1)
+    got = {r["value"]: r["n_pixels"] for r in PZ.sieve(tiles, 1, 2000).collect()}
+    assert got == {0.0: world * world}
+
+
+def test_sieve_nested_smalls_absorb_into_host(spark):
+    """Two tiny regions carved inside a large host region: both absorb
+    into the host, whose pixel count returns to its full rectangle."""
+    world = 512
+    grid = np.zeros((world, world), dtype=np.uint8)
+    grid[0:200, 0:256] = 5    # host: 200*256 px minus the carve-outs
+    grid[0:200, 256:512] = 6
+    grid[50:60, 50:70] = 8    # 200 px, only neighbors: 5 and 9
+    grid[60:70, 50:70] = 9    # 200 px, only neighbors: 5 and 8
+    tiles = RS.tiles_from_grid(spark, grid, 1)
+    got = {r["value"]: r["n_pixels"] for r in PZ.sieve(tiles, 1, 300).collect()}
+    assert 8.0 not in got and 9.0 not in got
+    assert got[5.0] == 200 * 256

@@ -157,3 +157,57 @@ def test_fillnodata_matches_full_grid(spark, tiles):
     n_nodata = sum(int((RS.parse_tile(r) == ND).sum())
                    for r in FN.fillnodata(holed, 1, ND, R).collect())
     assert n_nodata == 0
+
+
+def test_pansharpen_survives_tiny_arrow_batches(spark, tiles):
+    """Regression: with maxRecordsPerBatch=1 a mapInPandas shape would see
+    each band row in its own batch and compute pseudo_pan from one band;
+    the groupBy().applyInPandas shape must be batch-size independent."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        b1 = tiles
+        b2 = RO.translate_tiles(tiles, scale=0.5, out_dtype="float64") \
+            .drop("_ox0", "_oy0").withColumn("band", F.lit(2))
+        b3 = RO.translate_tiles(tiles, scale=0.25, out_dtype="float64") \
+            .drop("_ox0", "_oy0").withColumn("band", F.lit(3))
+        rgb = b1.unionByName(b2).unionByName(b3)
+        pan = RO.translate_tiles(tiles, scale=2.0 * (1 + 0.5 + 0.25) / 3.0,
+                                 out_dtype="float64").drop("_ox0", "_oy0")
+        rows = RO.pansharpen(pan, rgb).collect()
+        assert len(rows) == 12
+        src = {(r["gx"], r["gy"]): RS.parse_tile(r).astype(np.float64)
+               for r in tiles.collect()}
+        for r in rows:
+            if r["band"] == 1:
+                np.testing.assert_allclose(
+                    RS.parse_tile(r), src[(r["gx"], r["gy"])] * 2.0, atol=2.1
+                )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_contour_sparse_tile_table_no_nan_segments(spark, tiles):
+    """ADVICE repro: with a missing neighbor tile, NaN halo corners must
+    emit NO segments (not NaN-coordinate or spurious ones)."""
+    from osgeo_gdal_spark.kernels.contour import marching_squares
+    from osgeo_gdal_spark.operators import contour as CT
+
+    sparse = tiles.filter(~((F.col("gx") == 1) & (F.col("gy") == 0)))
+    rows = CT.contour_segments(sparse, 1, [100.0]).collect()
+    vals = np.array([[r["x0"], r["y0"], r["x1"], r["y1"]] for r in rows])
+    assert not np.isnan(vals).any()
+    # exactly the full-grid segments whose 2x2 cell avoids the missing tile
+    world = 512
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    grid = ((gpx * 7 + gpy * 11 + 1) % 255).astype(np.float64)
+    grid[0:256, 256:512] = np.nan
+    want = {(round(x0, 9), round(y0, 9), round(x1, 9), round(y1, 9))
+            for x0, y0, x1, y1 in marching_squares(grid, 100.0)}
+    got = {(round(r["x0"], 9), round(r["y0"], 9),
+            round(r["x1"], 9), round(r["y1"], 9)) for r in rows}
+    assert got == want and len(want) > 100

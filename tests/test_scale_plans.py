@@ -138,3 +138,19 @@ def test_spatial_join_strategy_plan_shapes(spark):
     a = {(r["url"], r["eas_id"]) for r in single.select("url", "eas_id").collect()}
     b = {(r["url"], r["eas_id"]) for r in branch.select("url", "eas_id").collect()}
     assert a == b
+
+
+def test_proximity_shuffle_carries_no_pixels(spark):
+    """The proximity gather join must not replicate the ~512 KB pixels
+    payload per (tile x target) row — only skinny key columns shuffle."""
+    from osgeo_gdal_spark.operators import proximity as PX
+    from osgeo_gdal_spark.sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, 1)
+    out = PX.proximity(tiles, 1, 17.0, 80.0)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    # the tile side entering the gather join must project only skinny
+    # key/metadata columns (first child line under the LeftOuter join)
+    join_part = opt.split("Join LeftOuter", 1)[1]
+    left_child = join_part.splitlines()[1]
+    assert "Project" in left_child and "pixels" not in left_child

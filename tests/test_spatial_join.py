@@ -123,3 +123,34 @@ def test_broadcast_join_no_pages_shuffle(spark, pages):
     plan = keyed.join(F.broadcast(cover), "cell_key")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_successive_joins_different_polygon_sets(spark, pages, pages_pdf):
+    """Regression for the stale prepared-geometry cache: two successive
+    joins with DIFFERENT (non-rect) polygon sets in one session must each
+    match their own brute force. The old id()-keyed cache could silently
+    reuse the first job's parsed polygons for the second."""
+    tri_a = PL.PolyFeature(0, 900, "a", "tri",
+                           {"vertices": ((130.0005, 10.0005), (160.0005, 15.0005),
+                                         (142.3455, 44.8885))})
+    tri_b = PL.PolyFeature(0, 901, "b", "tri",
+                           {"vertices": ((-60.0005, -10.0005), (-20.0005, -5.0005),
+                                         (-42.3455, 30.8885))})
+
+    def brute(p):
+        lon = pages_pdf["lon"].to_numpy()
+        lat = pages_pdf["lat"].to_numpy()
+        (ax, ay), (bx, by), (cx, cy) = p.params["vertices"]
+        m = ((bx - ax) * (lat - ay) - (by - ay) * (lon - ax) > 0)
+        m &= ((cx - bx) * (lat - by) - (cy - by) * (lon - bx) > 0)
+        m &= ((ax - cx) * (lat - cy) - (ay - cy) * (lon - cx) > 0)
+        return set(pages_pdf["url"].to_numpy()[m])
+
+    for tri in (tri_a, tri_b):
+        got = {r["url"] for r in
+               SJ.spatial_join(spark, pages, [tri]).select("url").collect()}
+        assert got == brute(tri), tri.prfedea
+    # content digests differ, so the per-worker cache cannot collide
+    pa = SJ.payload_key([(tri_a.fid, tri_a.wkb())])
+    pb = SJ.payload_key([(tri_b.fid, tri_b.wkb())])
+    assert pa != pb

@@ -1369,6 +1369,128 @@ def q_fillnodata(spark: SparkSession, sf: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------
 
+RASTERIZE_ZOOM = 2
+
+
+def q_rasterize_polygons(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygon rasterize (scanline even-odd fill, llrasterize.cpp:58;
+    chunk orchestration gdalrasterize.cpp:905-940): burn the fixture layer
+    (burn value = eas_id, MERGE_ALG=REPLACE so the highest-fid feature
+    wins) at zoom 2 and emit a per-covered-tile digest — GDALChecksumImage
+    checksum + burned-pixel count + value sum. The oracle reconstructs all
+    three from the pixel-center containment predicates."""
+    from .operators import raster_ops as RO, rasterize as RZ
+
+    shapes = RZ.shapes_from_features(PL.POLYGONS, lambda p: p.eas_id)
+    tiles = RZ.rasterize(spark, shapes, RASTERIZE_ZOOM)
+    stats = (
+        RO.explode_pixels(tiles)
+        .groupBy(
+            F.expr("CAST(FLOOR(gpx / CAST(256.0 AS DOUBLE)) AS BIGINT)").alias("gx"),
+            F.expr("CAST(FLOOR(gpy / CAST(256.0 AS DOUBLE)) AS BIGINT)").alias("gy"),
+        )
+        .agg(
+            F.sum(F.expr("CASE WHEN value <> 0 THEN 1 ELSE 0 END"))
+            .cast("long").alias("n_burned"),
+            F.sum("value").cast("long").alias("sum_burn"),
+        )
+    )
+    return tiles.select("gx", "gy", "checksum").join(stats, ["gx", "gy"])
+
+
+def _px_predicate(p, zoom: int) -> str:
+    """Strict pixel-CENTER containment of polygon ``p`` with vertices
+    transformed to pixel space — edges are STRAIGHT LINES IN PIXEL SPACE,
+    exactly like the rasterizer (gv_rasterize_one_shape transforms ring
+    points, then llrasterize burns straight pixel segments; a lon/lat
+    predicate would diverge along slanted edges by the mercator
+    curvature). Tested against (pxc, pyc) center coords."""
+    import numpy as np
+
+    from .operators.rasterize import lonlat_to_px
+
+    prm = p.params
+
+    def px(lon, lat):
+        x, y = lonlat_to_px(np.array([lon]), np.array([lat]), zoom)
+        return float(x[0]), float(y[0])
+
+    def rect(x0, y0, x1, y1):
+        xa, yb = px(x0, y0)  # south-west -> larger py
+        xb, ya = px(x1, y1)  # north-east -> smaller py
+        return (f"(pxc > {G.D(xa)} AND pxc < {G.D(xb)} "
+                f"AND pyc > {G.D(ya)} AND pyc < {G.D(yb)})")
+
+    if p.kind == "rect":
+        return rect(*prm["bounds"])
+    if p.kind == "rect_hole":
+        return f"({rect(*prm['bounds'])} AND NOT {rect(*prm['hole'])})"
+    if p.kind == "tri":
+        pts = [px(lon, lat) for lon, lat in prm["vertices"]]
+        conds = []
+        for i in range(3):
+            (ax, ay), (bx, by) = pts[i], pts[(i + 1) % 3]
+            cx, cy = pts[(i + 2) % 3]
+            # orient the half-plane so the opposite vertex is inside
+            sign = 1.0 if (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) > 0 else -1.0
+            conds.append(
+                f"((({G.D(bx)} - {G.D(ax)}) * (pyc - {G.D(ay)}) "
+                f"- ({G.D(by)} - {G.D(ay)}) * (pxc - {G.D(ax)})) "
+                f"* {G.D(sign)} > 0)"
+            )
+        return "(" + " AND ".join(conds) + ")"
+    if p.kind == "dateline":
+        y0, y1 = prm["lat"]
+        xw, _ = px(prm["west_lon"], 0.0)
+        xe, _ = px(prm["east_lon"], 0.0)
+        _, ya = px(0.0, y1)
+        _, yb = px(0.0, y0)
+        return (f"((pxc > {G.D(xw)} OR pxc < {G.D(xe)}) "
+                f"AND pyc > {G.D(ya)} AND pyc < {G.D(yb)})")
+    raise ValueError(p.kind)
+
+
+def sql_rasterize_polygons() -> str:
+    from .operators import rasterize as RZ
+
+    world = (1 << RASTERIZE_ZOOM) * 256
+    shapes = RZ.shapes_from_features(PL.POLYGONS, lambda p: p.eas_id)
+    cover = ", ".join(f"({gx}, {gy})" for gx, gy in RZ.cover_tiles(shapes, RASTERIZE_ZOOM))
+    # REPLACE merge = last burned feature wins -> CASE in DESCENDING fid order
+    whens = " ".join(
+        f"WHEN {_px_predicate(p, RASTERIZE_ZOOM)} THEN {p.eas_id}"
+        for p in sorted(PL.POLYGONS, key=lambda p: -p.fid)
+    )
+    term = G.checksum_term_sql("bv", "((gpy % 256) * 256 + (gpx % 256))")
+    return f"""
+WITH raw AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+px AS (
+  SELECT gpx, gpy,
+         gpx + {G.D(0.5)} AS pxc,
+         gpy + {G.D(0.5)} AS pyc
+  FROM raw
+),
+burned AS (
+  SELECT gpx, gpy, CASE {whens} ELSE 0 END AS bv FROM px
+),
+tiles(gx, gy) AS (VALUES {cover}),
+agg AS (
+  SELECT CAST(FLOOR(gpx / CAST(256.0 AS DOUBLE)) AS BIGINT) AS gx,
+         CAST(FLOOR(gpy / CAST(256.0 AS DOUBLE)) AS BIGINT) AS gy,
+         CAST(SUM({term}) % 65536 AS INT) AS checksum,
+         CAST(SUM(CASE WHEN bv <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_burned,
+         CAST(SUM(bv) AS BIGINT) AS sum_burn
+  FROM burned GROUP BY 1, 2
+)
+SELECT t.gx, t.gy, a.checksum, a.n_burned, a.sum_burn
+FROM tiles t JOIN agg a USING (gx, gy)
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_summary": q_agg_summary,
@@ -1421,6 +1543,7 @@ QUERIES = {
     "contour_stats": q_contour,
     "sieve_regions": q_sieve,
     "fillnodata_checksums": q_fillnodata,
+    "rasterize_polygons": q_rasterize_polygons,
 }
 
 ORACLES = {
@@ -1467,6 +1590,7 @@ ORACLES = {
     "raster_histogram": sql_raster_histogram(),
     "focal_tpi": sql_focal_tpi(),
     "proximity_dist": sql_proximity(),
+    "rasterize_polygons": sql_rasterize_polygons(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -1102,6 +1102,60 @@ FROM fr
 """
 
 
+WARP_GEO_WIN = (200, 232, 128, 160)  # x0, x1, y0, y1 probe (interior, off-edge)
+
+
+def q_warp_reproject(spark: SparkSession, sf: str) -> DataFrame:
+    """CRS reprojection warp (mercator src -> plate-carree dst; the
+    gdalwarp -t_srs chain, alg/gdaltransformer.cpp:1345 +
+    gdalwarpkernel.cpp PerformWarp). The (dst, src) tile cover is derived
+    natively (sequence explode), never on the driver. Oracle: closed-form
+    bilinear of the pixel generator at the reprojected coordinates."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = RO.warp_reproject_geodetic(tiles, RASTER_ZOOM, method="bilinear")
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = WARP_GEO_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", "value")
+
+
+def sql_warp_reproject() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    x0, x1, y0, y1 = WARP_GEO_WIN
+    gen = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+),
+m AS (
+  SELECT gpx, gpy,
+         CAST(gpx AS DOUBLE) AS sx,
+         (CAST(1.0 AS DOUBLE) - LN(TAN(PI() / 4.0
+            + RADIANS(90.0 - (gpy + CAST(0.5 AS DOUBLE)) / {world} * 180.0) / 2.0)) / PI())
+           / CAST(2.0 AS DOUBLE) * {world} - CAST(0.5 AS DOUBLE) AS sy
+  FROM dst
+),
+fr AS (
+  SELECT gpx, gpy,
+         CAST(FLOOR(sx) AS BIGINT) AS ix, CAST(FLOOR(sy) AS BIGINT) AS iy,
+         sx - FLOOR(sx) AS fx, sy - FLOOR(sy) AS fy
+  FROM m
+)
+SELECT gpx, gpy,
+       (1 - fy) * ((1 - fx) * {gen % ('ix', 'iy')} + fx * {gen % ('(ix + 1)', 'iy')})
+     + fy * ((1 - fx) * {gen % ('ix', '(iy + 1)')} + fx * {gen % ('(ix + 1)', '(iy + 1)')})
+       AS value
+FROM fr
+"""
+
+
 def q_raster_zonal(spark: SparkSession, sf: str) -> DataFrame:
     """True raster zonal statistics (alg/zonal.cpp; pixel-center inclusion
     rule) of the synthetic raster over the polygon layer — per-tile
@@ -1544,6 +1598,7 @@ QUERIES = {
     "sieve_regions": q_sieve,
     "fillnodata_checksums": q_fillnodata,
     "rasterize_polygons": q_rasterize_polygons,
+    "warp_reproject": q_warp_reproject,
 }
 
 ORACLES = {
@@ -1591,6 +1646,7 @@ ORACLES = {
     "focal_tpi": sql_focal_tpi(),
     "proximity_dist": sql_proximity(),
     "rasterize_polygons": sql_rasterize_polygons(),
+    "warp_reproject": sql_warp_reproject(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

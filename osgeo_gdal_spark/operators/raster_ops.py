@@ -204,45 +204,108 @@ def resample_tiles(tiles: DataFrame, out_size: int, method: str) -> DataFrame:
     return tiles.mapInPandas(kernel, TILE_SCHEMA)
 
 
-def warp_affine(tiles: DataFrame, zoom: int, a: float, b: float, c: float,
-                d: float, method="bilinear", nodata=0.0) -> DataFrame:
-    """The gdalwarp core for affine pixel transforms: dst global pixel
-    (X, Y) samples src at ``(a*X + b, c*Y + d)`` (separable affine — the
-    geotransform∘reproject∘geotransform⁻¹ chain of SURVEY §3.2 collapses
-    to this for rescale/shift warps; the full mercator chain reuses the
-    same gather with the kernel swapped).
+def _dst_to_src(transform, dx, dy, world):
+    """Vectorized inverse mapping dst pixel index -> src continuous pixel
+    coord (the GDALTransformerFunc slot, alg/gdaltransformer.cpp:96).
+
+    - ('affine', a, b, c, d): sx = a*X + b, sy = c*Y + d.
+    - ('geodetic',): dst is a plate-carree (EPSG:4326-style) world grid at
+      the same size; src is the mercator grid — the classic gdalwarp
+      3857->4326 chain (srcPix->geo->reproject->dstPix,
+      alg/gdaltransformer.cpp:1345) in closed form. X maps to itself;
+      lat = 90 - (Y+0.5)/world*180, sy = (1 - merc(lat)/pi)/2*world - 0.5.
+      Latitudes beyond the mercator limit (~85.05) map outside the source.
+    """
+    kind = transform[0]
+    if kind == "affine":
+        _, a, b, c, d = transform
+        return a * dx + b, c * dy + d
+    if kind == "geodetic":
+        sx = dx.astype(np.float64) * np.ones_like(dy, dtype=np.float64)
+        lat = 90.0 - (dy + 0.5) / world * 180.0
+        with np.errstate(divide="ignore", over="ignore"):
+            merc = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+        sy = (1.0 - merc / np.pi) / 2.0 * world - 0.5
+        sy = sy * np.ones_like(dx, dtype=np.float64)
+        return sx, sy
+    raise ValueError(kind)
+
+
+def _cover_sql(transform, world):
+    """SQL expressions (over dst tile corner pixels X0/X1/Y0/Y1) bounding
+    the src window — used to derive the (dst tile, src tile) cover
+    NATIVELY with a sequence-explode, replacing any driver-side O(n^2)
+    tile enumeration. Both v1 transforms are monotone per axis, so the
+    corners bound the window exactly (the general sampled-edge version is
+    GDALSuggestedWarpOutput2, alg/gdaltransformer.cpp:342)."""
+    def D(x):
+        return f"CAST({x!r} AS DOUBLE)"
+
+    kind = transform[0]
+    if kind == "affine":
+        _, a, b, c, d = transform
+        sx = lambda X: f"({D(a)} * {X} + {D(b)})"  # noqa: E731
+        sy = lambda Y: f"({D(c)} * {Y} + {D(d)})"  # noqa: E731
+    elif kind == "geodetic":
+        sx = lambda X: f"(CAST({X} AS DOUBLE))"  # noqa: E731
+        sy = lambda Y: (  # merc chain; clamp the pole overflow to +-2*world
+            f"(LEAST(CAST({2 * world} AS DOUBLE), GREATEST(CAST({-2 * world} AS DOUBLE), "
+            f"(CAST(1.0 AS DOUBLE) - LN(TAN(PI()/4.0 + "
+            f"RADIANS(90.0 - ({Y} + CAST(0.5 AS DOUBLE)) / {world} * 180.0) / 2.0)) / PI()) "
+            f"/ CAST(2.0 AS DOUBLE) * {world} - CAST(0.5 AS DOUBLE))))"
+        )  # noqa: E731
+    else:
+        raise ValueError(kind)
+    return sx, sy
+
+
+def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
+               nodata=0.0, dataset_id="warp") -> DataFrame:
+    """The gdalwarp core: dst global pixel (X, Y) samples src at
+    ``_dst_to_src(transform)`` with a resampling kernel.
 
     Distributed shape (ChunkAndWarpImage ≙ partitioning,
-    alg/gdalwarpoperation.cpp:1069): driver-side, each dst tile's src
-    window maps to the set of src tiles it reads (computed from the
-    inverse transform + kernel radius); that (dst_tile, src_tile) cover
-    list joins the tile table, ``groupBy(dst_tile).applyInPandas`` mosaics
-    the gathered src tiles and runs the vectorized inverse-mapping kernel
-    (per-dst-scanline batched transform ≙ whole-tile numpy here,
-    gdalwarpkernel.cpp:1058). Out-of-source pixels get ``nodata``.
+    alg/gdalwarpoperation.cpp:1069): the (dst_tile, src_tile) cover list
+    is derived NATIVELY from a range DF + corner-bound SQL + sequence
+    explode (never on the driver — at z=12+ a driver loop would be 16M+
+    iterations), joins the tile table, and
+    ``groupBy(dst_tile).applyInPandas`` mosaics the gathered src tiles and
+    runs the vectorized inverse-mapping kernel (per-dst-scanline batched
+    transform ≙ whole-tile numpy here, gdalwarpkernel.cpp:1058).
+    Out-of-source pixels get ``nodata``.
     """
     from ..kernels.resample import _KERNELS
 
     n = 1 << zoom
     world = n * TILE
     radius = 0 if method == "near" else _KERNELS[method][1]
-
-    # driver-side cover list: dst tile -> src tiles its window touches
-    pairs = []
-    for dgy in range(n):
-        for dgx in range(n):
-            xs = [a * (dgx * TILE) + b, a * ((dgx + 1) * TILE - 1) + b]
-            ys = [c * (dgy * TILE) + d, c * ((dgy + 1) * TILE - 1) + d]
-            x0 = int(np.floor(min(xs))) - radius - 1
-            x1 = int(np.ceil(max(xs))) + radius + 1
-            y0 = int(np.floor(min(ys))) - radius - 1
-            y1 = int(np.ceil(max(ys))) + radius + 1
-            for sgy in range(max(0, y0 // TILE), min(n - 1, y1 // TILE) + 1):
-                for sgx in range(max(0, x0 // TILE), min(n - 1, x1 // TILE) + 1):
-                    pairs.append((dgx, dgy, sgx, sgy))
     spark = tiles.sparkSession
-    cover = spark.createDataFrame(
-        pairs, "dgx LONG, dgy LONG, gx LONG, gy LONG"
+
+    sxe, sye = _cover_sql(transform, world)
+    pad = radius + 1
+    dst = spark.range(n * n).select(
+        (F.col("id") % n).alias("dgx"),
+        (F.col("id") / n).cast("long").alias("dgy"),
+    )
+    bounds = dst.select(
+        "dgx", "dgy",
+        F.expr(f"LEAST({sxe('(dgx * 256)')}, {sxe('((dgx + 1) * 256 - 1)')})").alias("sx0"),
+        F.expr(f"GREATEST({sxe('(dgx * 256)')}, {sxe('((dgx + 1) * 256 - 1)')})").alias("sx1"),
+        F.expr(f"LEAST({sye('(dgy * 256)')}, {sye('((dgy + 1) * 256 - 1)')})").alias("sy0"),
+        F.expr(f"GREATEST({sye('(dgy * 256)')}, {sye('((dgy + 1) * 256 - 1)')})").alias("sy1"),
+    ).select(
+        "dgx", "dgy",
+        F.expr(f"GREATEST(0, CAST(FLOOR((sx0 - {pad}) / CAST({TILE} AS DOUBLE)) AS BIGINT))").alias("tx0"),
+        F.expr(f"LEAST({n - 1}, CAST(FLOOR((sx1 + {pad}) / CAST({TILE} AS DOUBLE)) AS BIGINT))").alias("tx1"),
+        F.expr(f"GREATEST(0, CAST(FLOOR((sy0 - {pad}) / CAST({TILE} AS DOUBLE)) AS BIGINT))").alias("ty0"),
+        F.expr(f"LEAST({n - 1}, CAST(FLOOR((sy1 + {pad}) / CAST({TILE} AS DOUBLE)) AS BIGINT))").alias("ty1"),
+    )
+    cover = (
+        bounds.filter((F.col("tx0") <= F.col("tx1")) & (F.col("ty0") <= F.col("ty1")))
+        .select("dgx", "dgy",
+                F.explode(F.expr("sequence(tx0, tx1)")).alias("gx"), "ty0", "ty1")
+        .select("dgx", "dgy", "gx",
+                F.explode(F.expr("sequence(ty0, ty1)")).alias("gy"))
     )
     gathered = cover.join(tiles, ["gx", "gy"])
 
@@ -262,11 +325,12 @@ def warp_affine(tiles: DataFrame, zoom: int, a: float, b: float, c: float,
             g = parse_tile(row).astype(np.float64)
             yy, xx = int(row["gy"]) * TILE - oy, int(row["gx"]) * TILE - ox
             mosaic[yy : yy + TILE, xx : xx + TILE] = g
-        # dst pixel centers -> src continuous coords (vectorized)
+        # dst pixels -> src continuous coords (vectorized)
         dx = dgx * TILE + np.arange(TILE)[None, :]
         dy = dgy * TILE + np.arange(TILE)[:, None]
-        sx = a * dx + b - ox
-        sy = c * dy + d - oy
+        gx_f, gy_f = _dst_to_src(transform, dx, dy, world)
+        sx = gx_f - ox
+        sy = gy_f - oy
         if method == "near":
             ix = np.clip(np.floor(sx + 0.5).astype(np.int64), 0, mw - 1)
             iy = np.clip(np.floor(sy + 0.5).astype(np.int64), 0, mh - 1)
@@ -293,14 +357,16 @@ def warp_affine(tiles: DataFrame, zoom: int, a: float, b: float, c: float,
             with np.errstate(invalid="ignore", divide="ignore"):
                 out = np.where(wsum != 0, out / wsum, np.nan)
         # src coords outside the global raster -> nodata
-        gx_f = a * dx + b
-        gy_f = c * dy + d
-        oob = (gx_f < -0.5) | (gx_f > world - 0.5) | (gy_f < -0.5) | (gy_f > world - 0.5)
+        oob = (
+            (gx_f < -0.5) | (gx_f > world - 0.5)
+            | (gy_f < -0.5) | (gy_f > world - 0.5)
+            | ~np.isfinite(gy_f) | ~np.isfinite(gx_f)
+        )
         out = np.where(oob | np.isnan(out), nodata, out)
         return pd.DataFrame(
             [
                 {
-                    "dataset_id": "warp",
+                    "dataset_id": dataset_id,
                     "zoom": zoom_v,
                     "gx": dgx,
                     "gy": dgy,
@@ -316,9 +382,24 @@ def warp_affine(tiles: DataFrame, zoom: int, a: float, b: float, c: float,
             ]
         )
 
-    return gathered.withColumnRenamed("dgx", "dgx").groupBy("dgx", "dgy").applyInPandas(
-        warp_one, TILE_SCHEMA
-    )
+    return gathered.groupBy("dgx", "dgy").applyInPandas(warp_one, TILE_SCHEMA)
+
+
+def warp_affine(tiles: DataFrame, zoom: int, a: float, b: float, c: float,
+                d: float, method="bilinear", nodata=0.0) -> DataFrame:
+    """Separable affine warp — the geotransform∘reproject∘geotransform⁻¹
+    chain of SURVEY §3.2 collapsed for rescale/shift warps."""
+    return warp_tiles(tiles, zoom, ("affine", a, b, c, d), method, nodata)
+
+
+def warp_reproject_geodetic(tiles: DataFrame, zoom: int, method="bilinear",
+                            nodata=0.0) -> DataFrame:
+    """CRS reprojection warp: mercator source grid -> plate-carree
+    (EPSG:4326-style) destination grid of the same pixel size — the
+    gdalwarp -t_srs EPSG:4326 classic. Poleward of the mercator limit the
+    destination gets ``nodata``."""
+    return warp_tiles(tiles, zoom, ("geodetic",), method, nodata,
+                      dataset_id="warp4326")
 
 
 def interpolate_at_points(tiles: DataFrame, points: DataFrame, zoom: int,

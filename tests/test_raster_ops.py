@@ -211,3 +211,35 @@ def test_contour_sparse_tile_table_no_nan_segments(spark, tiles):
     got = {(round(r["x0"], 9), round(r["y0"], 9),
             round(r["x1"], 9), round(r["y1"], 9)) for r in rows}
     assert got == want and len(want) > 100
+
+
+def test_warp_reproject_geodetic_matches_closed_form(spark, tiles):
+    """Reprojection warp vs driver-side closed form: every valid dst pixel
+    equals the bilinear sample of the generator at the reprojected coords;
+    poleward rows (|lat| beyond the mercator limit) are nodata."""
+    world = 512
+    out = {(r["gx"], r["gy"]): RS.parse_tile(r)
+           for r in RO.warp_reproject_geodetic(tiles, 1).collect()}
+    assert len(out) == 4
+    gen = lambda x, y: ((x * 7 + y * 11 + 1) % 255).astype(float)  # noqa: E731
+    got = np.zeros((world, world))
+    for (gx, gy), g in out.items():
+        got[gy*256:(gy+1)*256, gx*256:(gx+1)*256] = g
+    X = np.arange(world)[None, :] * np.ones((world, 1))
+    Y = np.arange(world)[:, None] * np.ones((1, world))
+    lat = 90.0 - (Y + 0.5) / world * 180.0
+    with np.errstate(divide="ignore", over="ignore"):
+        sy = (1.0 - np.log(np.tan(np.pi/4 + np.radians(lat)/2)) / np.pi) / 2 * world - 0.5
+    sx = X
+    valid = (sy >= 0) & (sy <= world - 1.000001)
+    ix = np.floor(sx).astype(int)
+    iy = np.floor(np.where(valid, sy, 0)).astype(int)
+    fx = sx - ix
+    fy = np.where(valid, sy, 0) - iy
+    ix1 = np.minimum(ix + 1, world - 1)
+    iy1 = np.minimum(iy + 1, world - 1)
+    want = ((1-fy)*((1-fx)*gen(ix, iy) + fx*gen(ix1, iy))
+            + fy*((1-fx)*gen(ix, iy1) + fx*gen(ix1, iy1)))
+    np.testing.assert_allclose(got[valid], want[valid], atol=1e-9)
+    # out-of-mercator rows are nodata
+    assert (got[~valid] == 0.0).all() and (~valid).sum() > 1000

@@ -1545,6 +1545,109 @@ FROM tiles t JOIN agg a USING (gx, gy)
 """
 
 
+GRID_ZOOM = 2
+GRID_WIN = (504, 216, 48, 48)   # probe window over the Paris hot cluster
+GRID_RADIUS = 24.0
+
+
+def _grid_pts_sql() -> str:
+    # plate-carree pixel coords (gdal_grid grids in the layer CRS; pure
+    # arithmetic keeps Spark/DuckDB bit-equal — libm LN/TAN differ by ULPs)
+    world = (1 << GRID_ZOOM) * 256
+    return f"""
+pts AS (
+  SELECT (lon + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * {world} AS px,
+         (CAST(90.0 AS DOUBLE) - lat) / CAST(180.0 AS DOUBLE) * {world} AS py,
+         CAST(doc_id AS DOUBLE) AS z
+  FROM pages
+),
+cells AS (
+  SELECT ({GRID_WIN[0]} + xs.i) AS gpx, ({GRID_WIN[1]} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {GRID_WIN[2]})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {GRID_WIN[3]})) AS i) ys
+),
+inr AS (
+  SELECT gpx, gpy, px, py, z,
+         (px - (gpx + CAST(0.5 AS DOUBLE))) * (px - (gpx + CAST(0.5 AS DOUBLE)))
+       + (py - (gpy + CAST(0.5 AS DOUBLE))) * (py - (gpy + CAST(0.5 AS DOUBLE))) AS d2
+  FROM cells CROSS JOIN pts
+  WHERE (px - (gpx + CAST(0.5 AS DOUBLE))) * (px - (gpx + CAST(0.5 AS DOUBLE)))
+      + (py - (gpy + CAST(0.5 AS DOUBLE))) * (py - (gpy + CAST(0.5 AS DOUBLE)))
+      <= CAST({GRID_RADIUS * GRID_RADIUS!r} AS DOUBLE)
+)"""
+
+
+def _q_grid(spark: SparkSession, sf: str, method: str) -> DataFrame:
+    from .operators import grid as GR, raster_ops as RO
+
+    pages = PG.pages_df(spark, sf).select("lon", "lat",
+                                          F.col("doc_id").alias("z"))
+    pts = GR.points_to_px(pages, GRID_ZOOM, value="z", projection="equirect")
+    tiles = GR.grid_interpolate(spark, pts, GRID_ZOOM, method, GRID_RADIUS,
+                                window=GRID_WIN)
+    px = RO.explode_pixels(tiles)
+    x0, y0, w, h = GRID_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h)
+    ).select("gpx", "gpy", "value")
+
+
+def q_grid_invdist(spark: SparkSession, sf: str) -> DataFrame:
+    """Scatter-to-grid inverse-distance interpolation
+    (GDALGridInverseDistanceToAPower, alg/gdalgrid.cpp:110): pages are the
+    scattered points (z = doc_id), output is the pixel window over the hot
+    cluster. Bit-exact oracle: both sides accumulate the weight sums
+    SEQUENTIALLY in (px, py, z) order — np.cumsum in the kernel,
+    list_reduce over an ordered list in DuckDB."""
+    return _q_grid(spark, sf, "invdist")
+
+
+def sql_grid_invdist() -> str:
+    # power=2 -> w = 1/r2 with NO pow() call (libm/SIMD pow differs by ULPs
+    # between numpy, C and DuckDB even for integer exponents)
+    term_w = "(CAST(1.0 AS DOUBLE) / (d2 + CAST(0.0 AS DOUBLE)))"
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+{_grid_pts_sql()},
+g AS (
+  SELECT gpx, gpy,
+         list_reduce(list({term_w} * z ORDER BY px, py, z), (a, b) -> a + b) AS num,
+         list_reduce(list({term_w} ORDER BY px, py, z), (a, b) -> a + b) AS den,
+         list(z ORDER BY px, py, z)
+             FILTER (d2 + CAST(0.0 AS DOUBLE) < CAST(1e-13 AS DOUBLE)) AS coin
+  FROM inr GROUP BY gpx, gpy
+)
+SELECT c.gpx, c.gpy,
+       COALESCE(CASE WHEN len(g.coin) > 0 THEN g.coin[1]
+                     ELSE g.num / g.den END, CAST(0.0 AS DOUBLE)) AS value
+FROM cells c LEFT JOIN g USING (gpx, gpy)
+"""
+
+
+def q_grid_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Scatter-to-grid nearest neighbor (GDALGridNearestNeighbor,
+    alg/gdalgrid.cpp:905) — min-distance point within the radius, ties
+    broken by (px, py, z); no point in radius -> nodata."""
+    return _q_grid(spark, sf, "nearest")
+
+
+def sql_grid_nearest() -> str:
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+{_grid_pts_sql()},
+ranked AS (
+  SELECT gpx, gpy, z,
+         ROW_NUMBER() OVER (PARTITION BY gpx, gpy
+                            ORDER BY d2, px, py, z) AS rk
+  FROM inr
+)
+SELECT c.gpx, c.gpy, COALESCE(r.z, CAST(0.0 AS DOUBLE)) AS value
+FROM cells c
+LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r USING (gpx, gpy)
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_summary": q_agg_summary,
@@ -1599,6 +1702,8 @@ QUERIES = {
     "fillnodata_checksums": q_fillnodata,
     "rasterize_polygons": q_rasterize_polygons,
     "warp_reproject": q_warp_reproject,
+    "grid_invdist": q_grid_invdist,
+    "grid_nearest": q_grid_nearest,
 }
 
 ORACLES = {
@@ -1647,6 +1752,8 @@ ORACLES = {
     "proximity_dist": sql_proximity(),
     "rasterize_polygons": sql_rasterize_polygons(),
     "warp_reproject": sql_warp_reproject(),
+    "grid_invdist": sql_grid_invdist(),
+    "grid_nearest": sql_grid_nearest(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

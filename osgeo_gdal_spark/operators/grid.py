@@ -1,0 +1,187 @@
+"""Grid / scatter interpolation: points -> regular raster.
+
+The distributed re-expression of ``gdal_grid`` (``/root/reference/alg/
+gdalgrid.cpp``): invdist (:110), moving average (:630), nearest (:905).
+GDAL evaluates every grid node against a quadtree of ALL points; here the
+bounded search radius decomposes the problem exactly (the proximity/kNN
+ring pattern):
+
+1. points get continuous global-pixel coords natively (forward mercator
+   SQL — zero Python);
+2. each point is replicated to the output tiles within
+   ``ceil(radius / TILE)`` of its own tile (ring explode, native) — the
+   only shuffle, proportional to points x ring size;
+3. per-tile vectorized kernel: (pixel centers x gathered points) distance
+   matrix chunked over rows; weights/reduction per method.
+
+Determinism: the gathered points are sorted by (px, py, z) and the
+inverse-distance accumulators are summed SEQUENTIALLY in that order
+(np.cumsum, not pairwise np.sum) so a DuckDB oracle can reproduce the
+float result bit-exactly with ``list_reduce(list(term ORDER BY ...))``.
+GDAL itself accumulates in point-array order (gdalgrid.cpp:141-177);
+fixing the order is the distributed analog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..kernels import checksum as CK
+from ..sources.raster import TILE, TILE_SCHEMA
+
+_COINCIDENT_EPS = 1e-13  # gdalgrid.cpp:165 singularity guard
+
+
+def points_to_px(points: DataFrame, zoom: int, lon="lon", lat="lat",
+                 value="z", projection="mercator") -> DataFrame:
+    """Attach continuous global pixel coords (px, py) — native SQL.
+
+    projection='mercator' targets the web-mercator tile grid;
+    'equirect' grids in the layer's own lon/lat CRS (plate carree) —
+    what gdal_grid itself does, and pure arithmetic (no transcendentals),
+    so a DuckDB oracle reproduces the coords bit-exactly (Spark and
+    DuckDB libm LN/TAN differ in the last ULP)."""
+    world = (1 << zoom) * TILE
+    px = f"(({lon} + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * {world})"
+    if projection == "mercator":
+        merc = f"LN(TAN(RADIANS({lat})) + CAST(1.0 AS DOUBLE) / COS(RADIANS({lat})))"
+        py = (f"((CAST(1.0 AS DOUBLE) - {merc} / PI()) / CAST(2.0 AS DOUBLE) "
+              f"* {world})")
+    elif projection == "equirect":
+        py = (f"((CAST(90.0 AS DOUBLE) - {lat}) / CAST(180.0 AS DOUBLE) "
+              f"* {world})")
+    else:
+        raise ValueError(projection)
+    return points.select(
+        F.expr(px).alias("px"), F.expr(py).alias("py"),
+        F.col(value).cast("double").alias("z"),
+    )
+
+
+def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
+                     method: str, radius: float, power=2.0, smoothing=0.0,
+                     nodata=0.0, window=None) -> DataFrame:
+    """points (px, py, z) -> tile table at ``zoom`` over ``window`` =
+    (gpx0, gpy0, w, h) global-pixel rect (default: full world).
+
+    method: 'invdist' (w = 1/r^p, r^2 includes smoothing^2, coincident
+    point short-circuits), 'average' (mean in radius), 'nearest'
+    (min-distance value, ties -> smallest (px, py, z)). Pixels with no
+    point in radius get ``nodata``.
+    """
+    n = 1 << zoom
+    world = n * TILE
+    if window is None:
+        window = (0, 0, world, world)
+    x0, y0, w, h = window
+    tx0, tx1 = x0 // TILE, (x0 + w - 1) // TILE
+    ty0, ty1 = y0 // TILE, (y0 + h - 1) // TILE
+    r = int(np.ceil(radius / TILE))
+
+    # dst tile keys, native
+    nx = tx1 - tx0 + 1
+    dst = spark.range(nx * (ty1 - ty0 + 1)).select(
+        (F.col("id") % nx + tx0).alias("gx"),
+        (F.col("id") / nx).cast("long").alias("_r"),
+    ).select("gx", (F.col("_r") + ty0).alias("gy"))
+
+    # scatter points to every dst tile within the ring (proximity pattern)
+    ring = F.explode(
+        F.expr(
+            f"""
+            FILTER(
+              FLATTEN(TRANSFORM(sequence(-{r}, {r}), dx ->
+                TRANSFORM(sequence(-{r}, {r}), dy ->
+                  STRUCT(CAST(FLOOR(px / CAST({TILE} AS DOUBLE)) AS BIGINT) + dx AS gx,
+                         CAST(FLOOR(py / CAST({TILE} AS DOUBLE)) AS BIGINT) + dy AS gy)))),
+              t -> t.gx >= {tx0} AND t.gx <= {tx1}
+               AND t.gy >= {ty0} AND t.gy <= {ty1})
+            """
+        )
+    ).alias("t")
+    scattered = points.select("px", "py", "z", ring).select(
+        "px", "py", "z", "t.gx", "t.gy"
+    )
+    joined = dst.join(scattered, ["gx", "gy"], "left")
+
+    meth = str(method)
+    rad = float(radius)
+    pw = float(power)
+    sm = float(smoothing)
+    nd = float(nodata)
+
+    def kernel(pdf):
+        import pandas as pd
+
+        gx, gy = int(pdf["gx"].iloc[0]), int(pdf["gy"].iloc[0])
+        pts = pdf.dropna(subset=["px"])
+        # deterministic accumulation order (see module docstring)
+        pts = pts.sort_values(["px", "py", "z"], kind="mergesort")
+        tx = pts["px"].to_numpy(np.float64)
+        ty = pts["py"].to_numpy(np.float64)
+        tz = pts["z"].to_numpy(np.float64)
+        xc = gx * TILE + np.arange(TILE, dtype=np.float64)[None, :] + 0.5
+        out = np.full((TILE, TILE), nd)
+        if len(tx):
+            for y0_ in range(0, TILE, 32):
+                yc = (gy * TILE + np.arange(y0_, min(y0_ + 32, TILE),
+                                            dtype=np.float64)[:, None] + 0.5)
+                rx = tx[None, None, :] - xc[..., None]      # (1, W, P)
+                ry = ty[None, None, :] - yc[..., None]      # (B, 1, P)
+                rx = np.broadcast_to(rx, (yc.shape[0], TILE, len(tx)))
+                ry = np.broadcast_to(ry, (yc.shape[0], TILE, len(tx)))
+                d2 = rx * rx + ry * ry
+                in_r = d2 <= rad * rad  # circle: R2²dx²+R1²dy² <= R1²R2²
+                if meth == "invdist":
+                    r2s = d2 + sm * sm
+                    # p=2 avoids pow entirely: numpy's SIMD power() is off
+                    # by 1 ULP even for integer exponents, and C/DuckDB pow
+                    # would differ again — 1/r2 is exact everywhere
+                    if pw == 2.0:
+                        inv = 1.0 / r2s
+                    else:
+                        inv = 1.0 / np.power(r2s, pw / 2.0)
+                    wgt = np.where(in_r, inv, 0.0)
+                    term = wgt * tz[None, None, :]
+                    num = np.cumsum(term, axis=2)[..., -1]   # sequential sum
+                    den = np.cumsum(wgt, axis=2)[..., -1]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        val = np.where(den != 0.0, num / den, nd)
+                    # coincident-point short-circuit (first such point in
+                    # accumulation order wins, gdalgrid.cpp:163-168)
+                    coin = in_r & (r2s < _COINCIDENT_EPS)
+                    has = coin.any(axis=2)
+                    first = np.argmax(coin, axis=2)
+                    val = np.where(has, tz[first], val)
+                elif meth == "average":
+                    cnt = in_r.sum(axis=2)
+                    ssum = np.cumsum(np.where(in_r, tz[None, None, :], 0.0),
+                                     axis=2)[..., -1]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        val = np.where(cnt > 0, ssum / cnt, nd)
+                else:  # nearest: min distance, ties by sort order (first)
+                    d2m = np.where(in_r, d2, np.inf)
+                    best = np.argmin(d2m, axis=2)
+                    val = np.where(np.isfinite(d2m.min(axis=2)), tz[best], nd)
+                out[y0_:y0_ + yc.shape[0]] = val
+        return pd.DataFrame(
+            [
+                {
+                    "dataset_id": f"grid_{meth}",
+                    "zoom": zoom,
+                    "gx": gx,
+                    "gy": gy,
+                    "band": 1,
+                    "width": TILE,
+                    "height": TILE,
+                    "dtype": "float64",
+                    "nodata": nd,
+                    "crs": "EPSG:3857",
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                }
+            ]
+        )
+
+    return joined.groupBy("gx", "gy").applyInPandas(kernel, TILE_SCHEMA)

@@ -1,0 +1,121 @@
+"""Grid scatter interpolation (gdalgrid.cpp invdist/average/nearest)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osgeo_gdal_spark.operators import grid as GR
+from osgeo_gdal_spark.sources import raster as RS
+
+ZOOM = 1
+WORLD = 512
+R = 40.0
+
+
+@pytest.fixture(scope="module")
+def pts_pdf():
+    rng = np.random.default_rng(11)
+    n = 120
+    return {
+        "px": (rng.random(n) * WORLD).astype(np.float64),
+        "py": (rng.random(n) * WORLD).astype(np.float64),
+        "z": rng.integers(1, 100, n).astype(np.float64),
+    }
+
+
+@pytest.fixture(scope="module")
+def pts_df(spark, pts_pdf):
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(pts_pdf))
+
+
+def _brute(pts, method, window, radius=R, power=2.0, smoothing=0.0, nodata=0.0):
+    x0, y0, w, h = window
+    out = np.full((h, w), nodata)
+    order = np.lexsort((pts["z"], pts["py"], pts["px"]))
+    px, py, z = pts["px"][order], pts["py"][order], pts["z"][order]
+    for yy in range(h):
+        for xx in range(w):
+            xc, yc = x0 + xx + 0.5, y0 + yy + 0.5
+            d2 = (px - xc) ** 2 + (py - yc) ** 2
+            m = d2 <= radius * radius
+            if not m.any():
+                continue
+            if method == "invdist":
+                r2 = d2[m] + smoothing * smoothing
+                if (r2 < 1e-13).any():
+                    out[yy, xx] = z[m][r2 < 1e-13][0]
+                    continue
+                # mirror the kernel's p=2 pow-free path bit-for-bit
+                wgt = (1.0 / r2 if power == 2.0
+                       else 1.0 / np.power(r2, power / 2.0))
+                num = den = 0.0
+                for wi, zi in zip(wgt, z[m]):
+                    num += wi * zi
+                    den += wi
+                out[yy, xx] = num / den
+            elif method == "average":
+                s = 0.0
+                for zi in z[m]:
+                    s += zi
+                out[yy, xx] = s / m.sum()
+            else:
+                out[yy, xx] = z[m][np.argmin(d2[m])]
+    return out
+
+
+@pytest.mark.parametrize("method", ["invdist", "average", "nearest"])
+def test_grid_matches_brute_force(spark, pts_df, pts_pdf, method):
+    win = (96, 64, 64, 48)
+    tiles = GR.grid_interpolate(spark, pts_df, ZOOM, method, R, window=win)
+    got_tiles = {(r["gx"], r["gy"]): RS.parse_tile(r) for r in tiles.collect()}
+    want = _brute(pts_pdf, method, win)
+    x0, y0, w, h = win
+    for yy in range(h):
+        for xx in range(w):
+            gpx, gpy = x0 + xx, y0 + yy
+            g = got_tiles[(gpx // 256, gpy // 256)][gpy % 256, gpx % 256]
+            assert g == want[yy, xx], (method, gpx, gpy, g, want[yy, xx])
+
+
+def test_grid_invdist_smoothing_and_power(spark, pts_df, pts_pdf):
+    win = (128, 128, 32, 32)
+    tiles = GR.grid_interpolate(spark, pts_df, ZOOM, "invdist", R,
+                                power=3.0, smoothing=2.0, window=win)
+    got = {(r["gx"], r["gy"]): RS.parse_tile(r) for r in tiles.collect()}
+    want = _brute(pts_pdf, "invdist", win, power=3.0, smoothing=2.0)
+    x0, y0, w, h = win
+    for yy in range(0, h, 5):
+        for xx in range(0, w, 5):
+            gpx, gpy = x0 + xx, y0 + yy
+            g = got[(gpx // 256, gpy // 256)][gpy % 256, gpx % 256]
+            np.testing.assert_allclose(g, want[yy, xx], rtol=1e-12)
+
+
+def test_grid_nodata_outside_radius(spark):
+    import pandas as pd
+
+    one = spark.createDataFrame(
+        pd.DataFrame({"px": [100.0], "py": [100.0], "z": [7.0]})
+    )
+    tiles = GR.grid_interpolate(spark, one, ZOOM, "nearest", 10.0,
+                                nodata=-1.0, window=(0, 0, 256, 256))
+    g = RS.parse_tile(tiles.collect()[0])
+    assert g[100, 100] == 7.0
+    assert g[100, 111] == -1.0 and g[200, 200] == -1.0
+    # exact disc: pixel centers within 10 px of the point (100.0, 100.0)
+    cx = np.arange(256) + 0.5
+    d2 = (cx[None, :] - 100.0) ** 2 + (cx[:, None] - 100.0) ** 2
+    assert (g != -1.0).sum() == (d2 <= 100.0).sum() > 200
+
+
+def test_grid_partition_invariance(spark, pts_df):
+    win = (96, 64, 64, 48)
+    a = {(r["gx"], r["gy"]): r["checksum"]
+         for r in GR.grid_interpolate(spark, pts_df.repartition(1), ZOOM,
+                                      "invdist", R, window=win).collect()}
+    b = {(r["gx"], r["gy"]): r["checksum"]
+         for r in GR.grid_interpolate(spark, pts_df.repartition(13), ZOOM,
+                                      "invdist", R, window=win).collect()}
+    assert a == b

@@ -892,6 +892,76 @@ FROM px
 """
 
 
+def _q_pyramid_mode(spark: SparkSession, sf: str, mode: str) -> DataFrame:
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    z0 = RO.pyramid_reduce(tiles, mode)
+    return RO.explode_pixels(z0).select("gpx", "gpy", "value")
+
+
+def q_raster_pyramid_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Overview MODE reduction (GDALResampleChunk_ModeT,
+    overview.cpp:2336): per 2x2 block the first value to reach the final
+    max count in TL,TR,BL,BR scan order. Exact SQL oracle via the
+    equivalent decision tree over the four children."""
+    return _q_pyramid_mode(spark, sf, "mode")
+
+
+def q_raster_pyramid_rms(spark: SparkSession, sf: str) -> DataFrame:
+    """Overview RMS reduction (overview.cpp RMS dispatch :4761): sqrt of
+    the block mean of squares, fixed accumulation order so the oracle is
+    bit-equal (IEEE sqrt is correctly rounded)."""
+    return _q_pyramid_mode(spark, sf, "rms")
+
+
+def _pyr_children() -> tuple:
+    f = _GEN
+
+    def g(dx, dy):
+        return f.replace("gpx", f"(2 * gpx + {dx})").replace("gpy", f"(2 * gpy + {dy})")
+
+    # TL, TR, BL, BR — the GDAL scan order
+    return g(0, 0), g(1, 0), g(0, 1), g(1, 1)
+
+
+_PYR_PX_CTE = """px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, 256)) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 256)) AS i) ys
+)"""
+
+
+def sql_raster_pyramid_mode() -> str:
+    c0, c1, c2, c3 = _pyr_children()
+    return f"""
+WITH {_PYR_PX_CTE}
+SELECT gpx, gpy,
+       CAST(CASE
+         WHEN {c0} = {c1} OR {c0} = {c2} THEN {c0}
+         WHEN {c1} = {c2} THEN {c1}
+         WHEN {c0} = {c3} THEN {c0}
+         WHEN {c1} = {c3} THEN {c1}
+         WHEN {c2} = {c3} THEN {c2}
+         ELSE {c0}
+       END AS DOUBLE) AS value
+FROM px
+"""
+
+
+def sql_raster_pyramid_rms() -> str:
+    c0, c1, c2, c3 = _pyr_children()
+    return f"""
+WITH {_PYR_PX_CTE}
+SELECT gpx, gpy,
+       SQRT((CAST({c0} AS DOUBLE) * {c0} + CAST({c1} AS DOUBLE) * {c1}
+           + CAST({c2} AS DOUBLE) * {c2} + CAST({c3} AS DOUBLE) * {c3})
+           / CAST(4.0 AS DOUBLE)) AS value
+FROM px
+"""
+
+
 def q_raster_checksum(spark: SparkSession, sf: str) -> DataFrame:
     """Per-tile GDALChecksumImage of the synthetic raster — the ported
     comparator vs an independent SQL prime-modulo reconstruction."""
@@ -1135,11 +1205,15 @@ WITH dst AS (
   CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
 ),
 m AS (
+  -- sy quantized to 1/4096 px, mirroring the kernel's approx-transformer
+  -- step (libm LN/TAN differ across engines in the last ULP)
   SELECT gpx, gpy,
          CAST(gpx AS DOUBLE) AS sx,
-         (CAST(1.0 AS DOUBLE) - LN(TAN(PI() / 4.0
+         FLOOR(((CAST(1.0 AS DOUBLE) - LN(TAN(PI() / 4.0
             + RADIANS(90.0 - (gpy + CAST(0.5 AS DOUBLE)) / {world} * 180.0) / 2.0)) / PI())
-           / CAST(2.0 AS DOUBLE) * {world} - CAST(0.5 AS DOUBLE) AS sy
+           / CAST(2.0 AS DOUBLE) * {world} - CAST(0.5 AS DOUBLE))
+           * CAST(4096.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / CAST(4096.0 AS DOUBLE) AS sy
   FROM dst
 ),
 fr AS (
@@ -1545,6 +1619,78 @@ FROM tiles t JOIN agg a USING (gx, gy)
 """
 
 
+def q_raster_zonal_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical zonal statistics tier (stat list
+    apps/gdalalg_raster_zonal_stats.cpp:63-82; accumulator comparators
+    alg/raster_stats.h): variety/majority/minority/median/stdev per zone,
+    assembled from a (zone, value) histogram so the shuffle carries
+    histogram rows, never pixels."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    return RO.raster_zonal_full(tiles, PL.POLYGONS, RASTER_ZOOM)
+
+
+def sql_raster_zonal_full() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    per_poly = " UNION ALL ".join(
+        f"SELECT {p.eas_id} AS eas_id, v FROM px WHERE {p.sql_predicate('lon', 'lat')}"
+        for p in PL.POLYGONS
+    )
+    return f"""
+WITH raw AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+px AS (
+  SELECT CAST((gpx * 7 + gpy * 11 + {RASTER_ZOOM}) % 255 AS BIGINT) AS v,
+         (gpx + {G.D(0.5)}) / {world} * {G.D(360.0)} - {G.D(180.0)} AS lon,
+         DEGREES(2.0 * ATAN(EXP((CAST(1.0 AS DOUBLE)
+             - 2.0 * (gpy + {G.D(0.5)}) / {world}) * PI())) - PI() / 2.0) AS lat
+  FROM raw
+),
+zoned AS ({per_poly}),
+hist AS (SELECT eas_id, v, COUNT(*) AS cnt FROM zoned GROUP BY eas_id, v),
+tot AS (
+  SELECT eas_id, CAST(SUM(cnt) AS BIGINT) AS zn_count,
+         COUNT(*) AS zn_variety,
+         CAST(SUM(v * cnt) AS BIGINT) AS s1,
+         CAST(SUM(v * v * cnt) AS BIGINT) AS s2
+  FROM hist GROUP BY eas_id
+),
+maj AS (
+  SELECT eas_id, v AS zn_majority FROM (
+    SELECT eas_id, v,
+           ROW_NUMBER() OVER (PARTITION BY eas_id ORDER BY cnt DESC, v DESC) AS rk
+    FROM hist) WHERE rk = 1
+),
+mino AS (
+  SELECT eas_id, v AS zn_minority FROM (
+    SELECT eas_id, v,
+           ROW_NUMBER() OVER (PARTITION BY eas_id ORDER BY cnt ASC, v ASC) AS rk
+    FROM hist) WHERE rk = 1
+),
+med AS (
+  SELECT h.eas_id, MIN(h.v) AS zn_median FROM (
+    SELECT eas_id, v,
+           SUM(cnt) OVER (PARTITION BY eas_id ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM hist) h
+  JOIN tot USING (eas_id)
+  WHERE h.cum * 2 >= tot.zn_count + 1
+  GROUP BY h.eas_id
+)
+SELECT t.eas_id, t.zn_count, t.zn_variety, m.zn_majority, mi.zn_minority,
+       md.zn_median,
+       SQRT((t.s2 / t.zn_count) - (t.s1 / t.zn_count) * (t.s1 / t.zn_count))
+         AS zn_stdev
+FROM tot t JOIN maj m USING (eas_id) JOIN mino mi USING (eas_id)
+JOIN med md USING (eas_id)
+"""
+
+
 GRID_ZOOM = 2
 GRID_WIN = (504, 216, 48, 48)   # probe window over the Paris hot cluster
 GRID_RADIUS = 24.0
@@ -1704,6 +1850,9 @@ QUERIES = {
     "warp_reproject": q_warp_reproject,
     "grid_invdist": q_grid_invdist,
     "grid_nearest": q_grid_nearest,
+    "raster_pyramid_mode": q_raster_pyramid_mode,
+    "raster_pyramid_rms": q_raster_pyramid_rms,
+    "raster_zonal_full": q_raster_zonal_full,
 }
 
 ORACLES = {
@@ -1754,6 +1903,9 @@ ORACLES = {
     "warp_reproject": sql_warp_reproject(),
     "grid_invdist": sql_grid_invdist(),
     "grid_nearest": sql_grid_nearest(),
+    "raster_pyramid_mode": sql_raster_pyramid_mode(),
+    "raster_pyramid_rms": sql_raster_pyramid_rms(),
+    "raster_zonal_full": sql_raster_zonal_full(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -132,3 +132,53 @@ def average_2x2_nodata(src: np.ndarray, nodata: float) -> np.ndarray:
     with np.errstate(invalid="ignore", divide="ignore"):
         out = np.where(cnt > 0, s / np.maximum(cnt, 1), nodata)
     return out
+
+
+def reduce_2x2(src: np.ndarray, mode: str) -> np.ndarray:
+    """One overview pyramid step for the aggregating modes of
+    ``overview.cpp`` dispatch (:4758-4800): NEAREST / MODE / RMS / MIN /
+    MAX / SUM over each 2x2 block (AVERAGE lives in average_2x2).
+
+    - nearest: top-left child — ``int(0.5 + 2x) == 2x``
+      (GDALResampleChunk_Near source offset precompute, overview.cpp:125).
+    - mode: the first value to reach the final max count in TL,TR,BL,BR
+      scan order (GDALResampleChunk_ModeT strictly-greater update,
+      overview.cpp:2526-2537); all-distinct blocks give the top-left.
+      (The dedicated GByte histogram path breaks ties toward the smallest
+      VALUE instead; this kernel implements the generic-T semantics.)
+    - rms: sqrt(mean of squares), fixed left-to-right accumulation so a
+      SQL oracle is bit-equal (IEEE sqrt is correctly rounded).
+    - min / max / sum: exact.
+    """
+    src = np.asarray(src, dtype=np.float64)
+    h, w = src.shape
+    if h % 2 or w % 2:
+        raise ValueError("reduce_2x2 requires even dimensions")
+    c0 = src[0::2, 0::2]
+    c1 = src[0::2, 1::2]
+    c2 = src[1::2, 0::2]
+    c3 = src[1::2, 1::2]
+    if mode == "nearest":
+        return c0.copy()
+    if mode == "min":
+        return np.minimum(np.minimum(c0, c1), np.minimum(c2, c3))
+    if mode == "max":
+        return np.maximum(np.maximum(c0, c1), np.maximum(c2, c3))
+    if mode == "sum":
+        return ((c0 + c1) + c2) + c3
+    if mode == "rms":
+        return np.sqrt((((c0 * c0 + c1 * c1) + c2 * c2) + c3 * c3) / 4.0)
+    if mode == "mode":
+        # decision tree == first-to-reach-max-count in scan order
+        return np.select(
+            [
+                (c0 == c1) | (c0 == c2),
+                c1 == c2,
+                c0 == c3,
+                c1 == c3,
+                c2 == c3,
+            ],
+            [c0, c1, c0, c1, c2],
+            default=c0,
+        )
+    raise ValueError(mode)

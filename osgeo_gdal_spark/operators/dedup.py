@@ -83,30 +83,30 @@ def minhash_signatures(sh: DataFrame, num_hashes=16) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands=4, rows_per_band=4) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, bands=4, rows_per_band=4,
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature and emit candidate pairs sharing any band bucket.
 
     Returns distinct (doc_a, doc_b) with doc_a < doc_b. At 10^12 scale the
-    bucket join is the only shuffle and hot buckets (boilerplate pages) are
-    the skew risk — AQE skew-join plus an optional bucket-size cap handle
-    that.
+    bucket join is the only shuffle; the self-join inside one bucket is
+    O(bucket^2), so hot buckets (boilerplate/template pages hashing to one
+    band value) are the blow-up risk. ``max_bucket`` caps that: buckets
+    with more than ``max_bucket`` members are DROPPED from pair generation
+    (the standard web-dedup mitigation — members of a mega-bucket are
+    near-certain duplicates of each other and are better handled by the
+    exact-hash pass; a 1M-doc bucket would emit 5*10^11 pairs). Use
+    ``lsh_bucket_stats`` to observe how many buckets/docs a cap drops.
     """
-    band_cols = []
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.xxhash64(*[F.col(c) for c in cols], F.lit(b)).alias(f"band{b}")
+    stacked = _banded(sig, bands, rows_per_band)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        stacked = (
+            stacked.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
         )
-    banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
     left = stacked.alias("l")
     right = stacked.alias("r")
     pairs = (
@@ -120,6 +120,42 @@ def lsh_candidate_pairs(sig: DataFrame, bands=4, rows_per_band=4) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+def _banded(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.xxhash64(*[F.col(c) for c in cols], F.lit(b)).alias(f"band{b}")
+        )
+    banded = sig.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_bucket_stats(sig: DataFrame, bands=4, rows_per_band=4,
+                     max_bucket: int | None = None) -> DataFrame:
+    """Observability for the hot-bucket cap: per-band count of buckets and
+    docs, plus how many of each a ``max_bucket`` cap would drop."""
+    sizes = (
+        _banded(sig, bands, rows_per_band)
+        .groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    )
+    dropped = (F.col("n") > max_bucket) if max_bucket is not None else F.lit(False)
+    return sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(dropped, 1).otherwise(0)).alias("buckets_dropped"),
+        F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias("docs_dropped"),
+    )
 
 
 def simhash64(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:

@@ -121,11 +121,17 @@ def explode_pixels(tiles: DataFrame) -> DataFrame:
 
 
 def pyramid_average(tiles: DataFrame) -> DataFrame:
+    """One AVERAGE overview level (see pyramid_reduce)."""
+    return pyramid_reduce(tiles, "average")
+
+
+def pyramid_reduce(tiles: DataFrame, mode: str) -> DataFrame:
     """One overview level: parent tile at zoom-1 assembled from up to 4
-    children, each average_2x2-reduced into its quadrant (AVERAGE
-    semantics of overview.cpp; missing children = implicit zero, matching
-    a sparse tile table). Output values are float64 means (exact for
-    integer inputs)."""
+    children, each 2x2-reduced into its quadrant. Modes follow the
+    overview.cpp resampler dispatch (:4758-4800): average (nodata-aware),
+    nearest, mode, rms, min, max, sum (kernels/resample.py reduce_2x2).
+    Missing children = implicit zero, matching a sparse tile table.
+    Output values are float64."""
 
     def reduce(pdf):
         import pandas as pd
@@ -137,10 +143,13 @@ def pyramid_average(tiles: DataFrame) -> DataFrame:
             child = parse_tile(row).astype(np.float64)
             qx = (int(row["gx"]) % 2) * (TILE // 2)
             qy = (int(row["gy"]) % 2) * (TILE // 2)
-            if row["nodata"] is not None and not np.isnan(row["nodata"]):
-                red = R.average_2x2_nodata(child, float(row["nodata"]))
+            if mode == "average":
+                if row["nodata"] is not None and not np.isnan(row["nodata"]):
+                    red = R.average_2x2_nodata(child, float(row["nodata"]))
+                else:
+                    red = R.average_2x2(child)
             else:
-                red = R.average_2x2(child)
+                red = R.reduce_2x2(child, mode)
             grid[qy : qy + TILE // 2, qx : qx + TILE // 2] = red
         out = grid
         return pd.DataFrame(
@@ -226,6 +235,14 @@ def _dst_to_src(transform, dx, dy, world):
         with np.errstate(divide="ignore", over="ignore"):
             merc = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
         sy = (1.0 - merc / np.pi) / 2.0 * world - 0.5
+        # quantize the transformed coord to 1/4096 px — the analog of
+        # GDAL's default error-bounded approximate transformer
+        # (alg/gdaltransformer.cpp:3979; gdalwarp defaults to 0.125 px
+        # error). Also what lets a DuckDB oracle match bit-exactly: libm
+        # log/tan differ between engines in the last ULP, and the
+        # quantized value only disagrees when the true coord sits within
+        # that ULP of a 2^-12 boundary.
+        sy = np.floor(sy * 4096.0 + 0.5) / 4096.0
         sy = sy * np.ones_like(dx, dtype=np.float64)
         return sx, sy
     raise ValueError(kind)
@@ -681,3 +698,111 @@ def pansharpen(pan_tiles: DataFrame, rgb_tiles: DataFrame,
         return pd.DataFrame(rows)
 
     return joined.groupBy("zoom", "gx", "gy").applyInPandas(kernel, TILE_SCHEMA)
+
+
+def raster_zonal_hist(tiles: DataFrame, polys, zoom: int) -> DataFrame:
+    """Per-(zone, value) pixel counts — the decomposable carrier for the
+    categorical zonal statistics (majority/minority/variety/median).
+    Shuffle carries (zone, value) partials, never pixels; for integer
+    rasters the histogram is small and every downstream stat is exact."""
+    from ..kernels import pip as PIP, wkb as W
+
+    spark = tiles.sparkSession
+    payload = [(pf.fid, pf.eas_id, pf.wkb()) for pf in polys]
+    bc = spark.sparkContext.broadcast(payload)
+    world = (1 << zoom) * TILE
+
+    out_schema = T.StructType(
+        [
+            T.StructField("eas_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        geoms = [(eas, W.parse_wkb(bytes(buf))) for _fid, eas, buf in bc.value]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                grid = parse_tile(row).astype(np.float64)
+                h, w = grid.shape
+                ox, oy = int(row["gx"]) * TILE, int(row["gy"]) * TILE
+                lon = (ox + np.arange(w) + 0.5) / world * 360.0 - 180.0
+                yfrac = (oy + np.arange(h) + 0.5) / world
+                merc = (1.0 - 2.0 * yfrac) * np.pi
+                lat = np.degrees(2.0 * np.arctan(np.exp(merc)) - np.pi / 2.0)
+                LON = np.broadcast_to(lon[None, :], (h, w)).ravel()
+                LAT = np.broadcast_to(lat[:, None], (h, w)).ravel()
+                vals = grid.ravel()
+                for eas, g in geoms:
+                    xmin, ymin, xmax, ymax = g.envelope()
+                    if lon[-1] < xmin or lon[0] > xmax or lat[0] < ymin or lat[-1] > ymax:
+                        continue
+                    m = PIP.points_in_polygon(LON, LAT, g)
+                    if m.any():
+                        u, c = np.unique(vals[m], return_counts=True)
+                        rows += [(int(eas), float(v), int(n))
+                                 for v, n in zip(u, c)]
+            if rows:
+                yield pd.DataFrame(rows, columns=["eas_id", "value", "cnt"])
+
+    part = tiles.mapInPandas(partials, out_schema)
+    return part.groupBy("eas_id", "value").agg(F.sum("cnt").alias("cnt"))
+
+
+def raster_zonal_full(tiles: DataFrame, polys, zoom: int) -> DataFrame:
+    """The categorical tier of the zonal stat set
+    (apps/gdalalg_raster_zonal_stats.cpp:63-82 choices; accumulator
+    semantics alg/raster_stats.h): count, variety, majority (mode: max
+    count, ties -> LARGEST value, raster_stats.h mode() comparator),
+    minority (min count, ties -> smallest value), median (our pinned
+    convention: lower-middle element — the value whose cumulative count
+    first reaches floor((n+1)/2); the reference CLI lists median but the
+    in-repo accumulator carries no quantile), stdev/variance (population,
+    from exact integer sum/sumsq partials)."""
+    from pyspark.sql import Window
+
+    hist = raster_zonal_hist(tiles, polys, zoom).withColumn(
+        "vl", F.col("value").cast("long")
+    )
+    w_maj = Window.partitionBy("eas_id").orderBy(F.desc("cnt"), F.desc("vl"))
+    w_min = Window.partitionBy("eas_id").orderBy(F.asc("cnt"), F.asc("vl"))
+    w_cum = Window.partitionBy("eas_id").orderBy("vl").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        hist
+        .withColumn("rk_maj", F.row_number().over(w_maj))
+        .withColumn("rk_min", F.row_number().over(w_min))
+        .withColumn("cum", F.sum("cnt").over(w_cum))
+    )
+    n_tot = hist.groupBy("eas_id").agg(
+        F.sum("cnt").alias("zn_count"),
+        F.count("*").alias("zn_variety"),
+        F.sum(F.col("vl") * F.col("cnt")).alias("_s1"),
+        F.sum(F.col("vl") * F.col("vl") * F.col("cnt")).alias("_s2"),
+    )
+    med = (
+        ranked.join(n_tot.select("eas_id", "zn_count"), "eas_id")
+        .filter(F.col("cum") * 2 >= F.col("zn_count") + F.lit(1))
+        .groupBy("eas_id").agg(F.min("vl").alias("zn_median"))
+    )
+    maj = ranked.filter(F.col("rk_maj") == 1).select(
+        "eas_id", F.col("vl").alias("zn_majority"))
+    mino = ranked.filter(F.col("rk_min") == 1).select(
+        "eas_id", F.col("vl").alias("zn_minority"))
+    return (
+        n_tot.join(maj, "eas_id").join(mino, "eas_id").join(med, "eas_id")
+        .select(
+            "eas_id", "zn_count", "zn_variety", "zn_majority", "zn_minority",
+            "zn_median",
+            F.sqrt(
+                (F.col("_s2") / F.col("zn_count"))
+                - (F.col("_s1") / F.col("zn_count"))
+                * (F.col("_s1") / F.col("zn_count"))
+            ).alias("zn_stdev"),
+        )
+    )

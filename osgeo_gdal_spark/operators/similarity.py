@@ -139,11 +139,18 @@ def ann_topk_lsh(emb: DataFrame, queries: DataFrame, planes, k=3,
     re-rank. Recall < 1 by design; the scale path vs brute force.
 
     planes: one (bits x dim) matrix or a list of them (L tables).
+
+    Plan shape: both sides EXPLODE to (table, bucket) rows and EQUI-JOIN
+    on the composite key — a hash join whose probe work is O(matching
+    rows). The naive alternative (join condition = OR of per-table bucket
+    equalities) degenerates to a BroadcastNestedLoopJoin evaluating L
+    predicates against every (embedding x query) pair — O(N x Q) work
+    that cannot survive a 100 TB scan. Candidates matching in several
+    tables are deduped BEFORE the re-rank so each pair is scored once.
     """
     tables = planes if isinstance(planes, (list, tuple)) else [planes]
     e = emb
     q = queries
-    conds = []
     for t, pl in enumerate(tables):
         e = with_lsh_bucket(e, pl, vec_col).withColumnRenamed(
             "lsh_bucket", f"b{t}"
@@ -151,11 +158,27 @@ def ann_topk_lsh(emb: DataFrame, queries: DataFrame, planes, k=3,
         q = with_lsh_bucket(q, pl, "qvec").withColumnRenamed(
             "lsh_bucket", f"qb{t}"
         )
-        conds.append(F.col(f"b{t}") == F.col(f"qb{t}"))
-    any_match = conds[0]
-    for c in conds[1:]:
-        any_match = any_match | c
-    cand = e.join(F.broadcast(q), any_match).filter(F.col("qid") != F.col(id_col))
+    nt = len(tables)
+    e_kv = e.select(
+        id_col, vec_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+            for t in range(nt)
+        ])).alias("tb"),
+    ).select(id_col, vec_col, "tb.t", "tb.bucket")
+    q_kv = q.select(
+        "qid", "qvec",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"qb{t}").alias("bucket"))
+            for t in range(nt)
+        ])).alias("tb"),
+    ).select("qid", "qvec", "tb.t", "tb.bucket")
+    cand = (
+        e_kv.join(F.broadcast(q_kv), ["t", "bucket"])
+        .filter(F.col("qid") != F.col(id_col))
+        # a pair matching in several tables scores once
+        .dropDuplicates(["qid", id_col])
+    )
     scored = cand.select(
         "qid",
         F.col(id_col).alias("vec_id"),

@@ -95,3 +95,46 @@ def test_cosine_topk_matmul_matches_fold(spark, emb):
     a = {(r["qid"], r["rank"]): r["vec_id"] for r in exact.collect()}
     b = {(r["qid"], r["rank"]): r["vec_id"] for r in fast.collect()}
     assert a == b
+
+
+def test_ann_lsh_plan_is_hash_join_not_bnlj(spark, emb):
+    from osgeo_gdal_spark.operators import similarity as SIM
+
+    queries = emb.limit(2).selectExpr("vec_id AS qid", "embedding AS qvec")
+    tables = [SIM.hyperplanes(16, 4, seed=s) for s in (1, 2)]
+    plan = (SIM.ann_topk_lsh(emb, queries, tables, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_lsh_hot_bucket_cap_drops_mega_bucket(spark, docs):
+    from osgeo_gdal_spark.operators import dedup as DD
+
+    # plant a template family: 40 docs with IDENTICAL text -> identical
+    # minhash signatures -> one bucket of 40 per band
+    import pandas as pd
+
+    template = pd.DataFrame({
+        "doc_id": range(100000, 100040),
+        "text": ["the same boilerplate template page body " * 4] * 40,
+    })
+    base = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(template))
+    sig = DD.minhash_signatures(DD.shingles(base), 16)
+
+    uncapped = DD.lsh_candidate_pairs(sig, 4, 4)
+    capped = DD.lsh_candidate_pairs(sig, 4, 4, max_bucket=10)
+    mega = uncapped.filter((F.col("doc_a") >= 100000) & (F.col("doc_b") >= 100000))
+    assert mega.count() == 40 * 39 // 2
+    assert capped.filter(
+        (F.col("doc_a") >= 100000) & (F.col("doc_b") >= 100000)
+    ).count() == 0
+    # pairs among normal docs are unaffected by the cap
+    norm_a = {tuple(r) for r in uncapped.filter(F.col("doc_b") < 100000).collect()}
+    norm_b = {tuple(r) for r in capped.filter(F.col("doc_b") < 100000).collect()}
+    assert norm_a == norm_b
+
+    stats = DD.lsh_bucket_stats(sig, 4, 4, max_bucket=10).collect()
+    assert all(r["buckets_dropped"] >= 1 for r in stats)
+    assert all(r["docs_dropped"] >= 40 for r in stats)

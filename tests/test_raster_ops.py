@@ -230,6 +230,7 @@ def test_warp_reproject_geodetic_matches_closed_form(spark, tiles):
     lat = 90.0 - (Y + 0.5) / world * 180.0
     with np.errstate(divide="ignore", over="ignore"):
         sy = (1.0 - np.log(np.tan(np.pi/4 + np.radians(lat)/2)) / np.pi) / 2 * world - 0.5
+    sy = np.floor(sy * 4096.0 + 0.5) / 4096.0  # approx-transformer quantum
     sx = X
     valid = (sy >= 0) & (sy <= world - 1.000001)
     ix = np.floor(sx).astype(int)
@@ -243,3 +244,46 @@ def test_warp_reproject_geodetic_matches_closed_form(spark, tiles):
     np.testing.assert_allclose(got[valid], want[valid], atol=1e-9)
     # out-of-mercator rows are nodata
     assert (got[~valid] == 0.0).all() and (~valid).sum() > 1000
+
+
+def test_reduce_2x2_modes():
+    from osgeo_gdal_spark.kernels.resample import reduce_2x2
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 4, size=(64, 64)).astype(np.float64)
+
+    def brute_mode(block):
+        # GDALResampleChunk_ModeT: first value to reach the final max
+        # count in scan order (strictly-greater update)
+        vals, counts, imax = [], [], 0
+        for v in block:
+            for i, x in enumerate(vals):
+                if x == v:
+                    counts[i] += 1
+                    if counts[i] > counts[imax]:
+                        imax = i
+                    break
+            else:
+                vals.append(v)
+                counts.append(1)
+        return vals[imax]
+
+    got = reduce_2x2(src, "mode")
+    for y in range(32):
+        for x in range(32):
+            block = [src[2*y, 2*x], src[2*y, 2*x+1],
+                     src[2*y+1, 2*x], src[2*y+1, 2*x+1]]
+            assert got[y, x] == brute_mode(block), (y, x, block)
+
+    np.testing.assert_array_equal(reduce_2x2(src, "nearest"), src[0::2, 0::2])
+    np.testing.assert_array_equal(
+        reduce_2x2(src, "min"),
+        np.minimum.reduce([src[0::2, 0::2], src[0::2, 1::2],
+                           src[1::2, 0::2], src[1::2, 1::2]]))
+    np.testing.assert_array_equal(
+        reduce_2x2(src, "sum"),
+        src[0::2, 0::2] + src[0::2, 1::2] + src[1::2, 0::2] + src[1::2, 1::2])
+    rms = reduce_2x2(src, "rms")
+    want = np.sqrt((src[0::2, 0::2]**2 + src[0::2, 1::2]**2
+                    + src[1::2, 0::2]**2 + src[1::2, 1::2]**2) / 4.0)
+    np.testing.assert_allclose(rms, want, rtol=0)

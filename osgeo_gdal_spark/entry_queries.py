@@ -1118,6 +1118,65 @@ FROM blocks GROUP BY bx, by
 """
 
 
+def q_polygonize_rings(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygonize ring assembly (alg/polygonize_polygonizer.cpp boundary
+    tracing, distributed as boundary-edge extraction + per-region
+    stitching): per-region digest of the emitted WKB polygon — ring count,
+    exterior vertex count, exterior shoelace area. The block fixture's
+    regions are rectangles, so the oracle reconstructs all three
+    analytically (1 ring, 4 corners, area = pixel count)."""
+    from .operators import polygonize as PZ
+    from .kernels import wkb as W
+    from .sources import raster as RS
+
+    tiles = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
+    polys = PZ.polygonize_polygons(tiles, RASTER_ZOOM)
+
+    @F.udf("struct<n_pts: int, area: double>")
+    def ring_digest(wkb):
+        g = W.parse_wkb(bytes(wkb))
+        s, e = g.ring_offsets[0], g.ring_offsets[1]
+        xs, ys = g.xs[s:e], g.ys[s:e]
+        # e - s counts the closing duplicate vertex; report unique corners
+        return (int(e - s - 1),
+                float(W.shoelace_area(xs, ys)))
+
+    return polys.select(
+        "region_id", "value", "n_rings",
+        ring_digest("wkb").alias("d"),
+    ).select(
+        "region_id", "value", "n_rings",
+        F.col("d.n_pts").alias("n_exterior_pts"),
+        # inside-left directed edges give positive y-down shoelace for the
+        # exterior == NEGATIVE y-up shoelace; report the magnitude
+        F.abs(F.col("d.area")).alias("exterior_area"),
+    )
+
+
+def sql_polygonize_rings() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    block = 96
+    return f"""
+WITH px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+blocks AS (
+  SELECT CAST(FLOOR(gpx / CAST({block} AS DOUBLE)) AS BIGINT) AS bx,
+         CAST(FLOOR(gpy / CAST({block} AS DOUBLE)) AS BIGINT) AS by,
+         gpx, gpy
+  FROM px
+)
+SELECT MIN(gpy) * {world} + MIN(gpx) AS region_id,
+       CAST((bx + by) % 3 AS DOUBLE) AS value,
+       1 AS n_rings,
+       4 AS n_exterior_pts,
+       CAST(COUNT(*) AS DOUBLE) AS exterior_area
+FROM blocks GROUP BY bx, by
+"""
+
+
 WARP = {"a": 0.5, "b": 100.25, "c": 0.5, "d": 50.25}
 WARP_WIN = (256, 384, 256, 384)  # dst probe window x0,x1,y0,y1
 
@@ -1853,6 +1912,7 @@ QUERIES = {
     "raster_pyramid_mode": q_raster_pyramid_mode,
     "raster_pyramid_rms": q_raster_pyramid_rms,
     "raster_zonal_full": q_raster_zonal_full,
+    "polygonize_rings": q_polygonize_rings,
 }
 
 ORACLES = {
@@ -1906,6 +1966,7 @@ ORACLES = {
     "raster_pyramid_mode": sql_raster_pyramid_mode(),
     "raster_pyramid_rms": sql_raster_pyramid_rms(),
     "raster_zonal_full": sql_raster_zonal_full(),
+    "polygonize_rings": sql_polygonize_rings(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -269,3 +269,73 @@ def test_sieve_nested_smalls_absorb_into_host(spark):
     got = {r["value"]: r["n_pixels"] for r in PZ.sieve(tiles, 1, 300).collect()}
     assert 8.0 not in got and 9.0 not in got
     assert got[5.0] == 200 * 256
+
+
+def _burn_polys(polys_rows, world):
+    """Even-odd burn of polygonize_polygons output with the rasterize
+    kernel — the rasterize<->polygonize round-trip (SURVEY §7 step 7)."""
+    from osgeo_gdal_spark.kernels import rasterize as RK, wkb as W
+
+    out = np.full((world, world), np.nan)
+    for r in polys_rows:
+        g = W.parse_wkb(bytes(r["wkb"]))
+        part_sizes, ring_i = [], 0
+        for nr in g.part_rings:
+            for _ in range(int(nr)):
+                s, e = g.ring_offsets[ring_i], g.ring_offsets[ring_i + 1]
+                part_sizes.append(e - s)
+                ring_i += 1
+        m = RK.polygon_mask(part_sizes, g.xs, g.ys, world, world)
+        assert not (m & ~np.isnan(out)).any(), "regions overlap"
+        out[m] = r["value"]
+    return out
+
+
+def test_polygonize_rings_roundtrip_blocks(spark):
+    cat = RS.synth_category_tiles(spark, 1, block=96)
+    rows = PZ.polygonize_polygons(cat, 1).collect()
+    assert len(rows) == 36
+    world = 512
+    got = _burn_polys(rows, world)
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    want = ((gpx // 96 + gpy // 96) % 3).astype(np.float64)
+    assert not np.isnan(got).any()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_polygonize_rings_hole_and_concave(spark):
+    """A U-shaped region spanning the tile seam + an island inside another
+    region: ring assembly must emit holes and concave exteriors whose
+    burn reproduces the source exactly."""
+    world = 512
+    grid = np.zeros((world, world), dtype=np.uint8)
+    grid[100:300, 200:220] = 7
+    grid[100:300, 300:320] = 7
+    grid[280:300, 200:320] = 7
+    grid[400:440, 100:140] = 3          # island inside background
+    tiles = RS.tiles_from_grid(spark, grid, 1)
+    rows = PZ.polygonize_polygons(tiles, 1).collect()
+    vals = sorted(r["value"] for r in rows)
+    assert vals == [0.0, 3.0, 7.0]
+    bg = [r for r in rows if r["value"] == 0.0][0]
+    assert bg["n_rings"] >= 3  # exterior + U-hole + island-hole
+    got = _burn_polys(rows, world)
+    np.testing.assert_array_equal(got, grid.astype(np.float64))
+
+
+def test_footprint_mask_polygon(spark):
+    world = 512
+    grid = np.zeros((world, world), dtype=np.uint8)
+    grid[50:200, 60:400] = 9   # valid data block spanning the tile seam
+    grid[100:120, 100:140] = 0  # nodata hole inside it
+    tiles = RS.tiles_from_grid(spark, grid, 1)
+    rows = PZ.footprint(tiles, 1, lambda g: g != 0).collect()
+    assert len(rows) == 1
+    fp = rows[0]
+    assert fp["n_rings"] == 2  # exterior + the nodata hole
+    got = _burn_polys(rows, world)
+    want = np.where(grid != 0, 1.0, np.nan)
+    m = ~np.isnan(want)
+    np.testing.assert_array_equal(got[m], want[m])
+    assert np.isnan(got[~m]).all()

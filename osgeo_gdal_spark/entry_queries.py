@@ -1177,6 +1177,59 @@ FROM blocks GROUP BY bx, by
 """
 
 
+CLIP_RECT = (-100.0, -35.0, 165.0, 49.5)
+
+
+def q_clip_rect(spark: SparkSession, sf: str) -> DataFrame:
+    """Geometric overlay Clip emitting geometries (ogr2ogr -clipsrc,
+    apps/ogr2ogr_lib.cpp:2460; layer algebra Clip ogrlayer.cpp:7537):
+    Sutherland-Hodgman of every layer ring against the clip window, empty
+    results dropped. Digest = clipped area per feature (4 dp — the engine
+    computes shoelace over clipped rings, the oracle analytic box/triangle
+    areas; the expressions differ so the last ULP may too)."""
+    from .operators import overlay as OV
+
+    clipped = OV.clip_features_rect(PL.polygons_df(spark), CLIP_RECT)
+    return clipped.select(
+        "fid", "eas_id", F.round("clip_area", 4).alias("clip_area")
+    )
+
+
+def sql_clip_rect() -> str:
+    rx0, ry0, rx1, ry1 = CLIP_RECT
+
+    def box(x0, y0, x1, y1):
+        w = f"GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST({x1!r} AS DOUBLE), {G.D(rx1)}) - GREATEST(CAST({x0!r} AS DOUBLE), {G.D(rx0)}))"
+        h = f"GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST({y1!r} AS DOUBLE), {G.D(ry1)}) - GREATEST(CAST({y0!r} AS DOUBLE), {G.D(ry0)}))"
+        return f"({w} * {h})"
+
+    rows = []
+    for p in PL.POLYGONS:
+        pr = p.params
+        if p.kind == "rect":
+            area = box(*pr["bounds"])
+        elif p.kind == "rect_hole":
+            area = f"({box(*pr['bounds'])} - {box(*pr['hole'])})"
+        elif p.kind == "tri":
+            # the clip window is chosen to fully contain the triangle —
+            # assert that here so a future window change fails loudly
+            (ax, ay), (bx, by), (cx, cy) = pr["vertices"]
+            assert (min(ax, bx, cx) >= rx0 and max(ax, bx, cx) <= rx1
+                    and min(ay, by, cy) >= ry0 and max(ay, by, cy) <= ry1)
+            area = (f"(ABS(({bx} - {ax}) * ({cy} - {ay}) - "
+                    f"({cx} - {ax}) * ({by} - {ay})) / CAST(2.0 AS DOUBLE))")
+        else:  # dateline: two rects split at +-180
+            y0, y1 = pr["lat"]
+            xw, xe = pr["west_lon"], pr["east_lon"]
+            area = f"({box(xw, y0, 180.0, y1)} + {box(-180.0, y0, xe, y1)})"
+        rows.append(
+            f"SELECT {p.fid} AS fid, {p.eas_id} AS eas_id, "
+            f"ROUND(CAST({area} AS DOUBLE), 4) AS clip_area"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"SELECT * FROM ({union}) WHERE clip_area > 0"
+
+
 WARP = {"a": 0.5, "b": 100.25, "c": 0.5, "d": 50.25}
 WARP_WIN = (256, 384, 256, 384)  # dst probe window x0,x1,y0,y1
 
@@ -1913,6 +1966,7 @@ QUERIES = {
     "raster_pyramid_rms": q_raster_pyramid_rms,
     "raster_zonal_full": q_raster_zonal_full,
     "polygonize_rings": q_polygonize_rings,
+    "clip_rect": q_clip_rect,
 }
 
 ORACLES = {
@@ -1967,6 +2021,7 @@ ORACLES = {
     "raster_pyramid_rms": sql_raster_pyramid_rms(),
     "raster_zonal_full": sql_raster_zonal_full(),
     "polygonize_rings": sql_polygonize_rings(),
+    "clip_rect": sql_clip_rect(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -1564,6 +1564,23 @@ def q_contour(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_contour_polylines(spark: SparkSession, sf: str) -> DataFrame:
+    """Contour polyline stitching (contour.cpp segment merger; rows-only —
+    pinned against a full-grid union-find reference in pytest): per-level
+    polyline count / segment total / closed count."""
+    from .operators import contour as CT
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    pl = CT.contour_polylines(tiles, RASTER_ZOOM, [100.0, 200.5], bucket=128)
+    return pl.groupBy("level").agg(
+        F.count("*").alias("n_polylines"),
+        F.sum("n_segs").alias("n_segments"),
+        F.round(F.sum("length"), 4).alias("total_len"),
+        F.sum(F.col("closed").cast("int")).alias("n_closed"),
+    )
+
+
 def q_sieve(spark: SparkSession, sf: str) -> DataFrame:
     """Sieve small-region removal (rows-only; brute-force reference in
     pytest)."""
@@ -1967,6 +1984,7 @@ QUERIES = {
     "raster_zonal_full": q_raster_zonal_full,
     "polygonize_rings": q_polygonize_rings,
     "clip_rect": q_clip_rect,
+    "contour_polylines": q_contour_polylines,
 }
 
 ORACLES = {

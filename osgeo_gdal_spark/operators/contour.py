@@ -69,3 +69,179 @@ def contour_segments(tiles: DataFrame, zoom: int, levels) -> DataFrame:
 
     strips = _strips(tiles, zoom)
     return strips.groupBy("tgx", "tgy").applyInPandas(stencil, _SEG_SCHEMA)
+
+
+def contour_polylines(tiles: DataFrame, zoom: int, levels,
+                      bucket=512, max_rounds=24) -> DataFrame:
+    """Stitch per-cell segments into polylines — the second phase of GDAL
+    contour (``alg/contour.cpp`` segment merger / ring appender),
+    distributed in three stages:
+
+    1. **global vertex degrees**: one groupBy over segment endpoints.
+       Endpoints join bit-exactly across tiles because a shared endpoint
+       is interpolated from the SAME two corner values on both sides.
+       Vertices with degree != 2 (chain terminals, and the degenerate
+       junction vertices where an isoline passes exactly through a pixel
+       corner) are CHAIN BREAKERS — polylines end there.
+    2. **local stitch** per (level, super-tile bucket): union-find over
+       the bucket's segments joined only at degree-2 vertices; emits one
+       FRAGMENT row per local chain with its unmatched degree-2 endpoints
+       (bucket-border crossings) and a terminal flag.
+    3. **global merge**: min-label propagation over fragments sharing a
+       border endpoint — a tiny graph (only chains crossing buckets).
+
+    Returns (level, polyline_id, n_segs, length, closed); closed = the
+    merged chain has no terminal and no unmatched endpoint.
+    """
+    segs = contour_segments(tiles, zoom, levels)
+    vkey = "%.17g|%.17g|%.17g"
+    segs = segs.withColumn(
+        "vk0", F.format_string(vkey, "level", "x0", "y0")
+    ).withColumn("vk1", F.format_string(vkey, "level", "x1", "y1"))
+    ends = segs.select(F.col("vk0").alias("vk")).unionByName(
+        segs.select(F.col("vk1").alias("vk")))
+    vdeg = ends.groupBy("vk").agg(F.count("*").alias("deg"))
+    segs = (
+        segs.join(vdeg.withColumnRenamed("vk", "vk0")
+                  .withColumnRenamed("deg", "deg0"), "vk0")
+        .join(vdeg.withColumnRenamed("vk", "vk1")
+              .withColumnRenamed("deg", "deg1"), "vk1")
+        .withColumn(
+            "bk",
+            F.format_string(
+                "%d|%d",
+                F.floor(((F.col("x0") + F.col("x1")) / 2)
+                        / F.lit(float(bucket))).cast("long"),
+                F.floor(((F.col("y0") + F.col("y1")) / 2)
+                        / F.lit(float(bucket))).cast("long"),
+            ),
+        )
+    )
+
+    frag_schema = T.StructType([
+        T.StructField("level", T.DoubleType()),
+        T.StructField("frag_id", T.LongType()),
+        T.StructField("n_segs", T.LongType()),
+        T.StructField("length", T.DoubleType()),
+        T.StructField("terminal", T.BooleanType()),
+        T.StructField("open_keys", T.ArrayType(T.StringType())),
+    ])
+
+    def local_stitch(pdf):
+        import pandas as pd
+
+        lev = float(pdf["level"].iloc[0])
+        n = len(pdf)
+        x0 = pdf["x0"].to_numpy(); y0 = pdf["y0"].to_numpy()
+        x1 = pdf["x1"].to_numpy(); y1 = pdf["y1"].to_numpy()
+        vk0 = pdf["vk0"].to_numpy(); vk1 = pdf["vk1"].to_numpy()
+        d0 = pdf["deg0"].to_numpy(); d1 = pdf["deg1"].to_numpy()
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        byv = {}
+        localdeg = {}
+        for i in range(n):
+            for vk, gd in ((vk0[i], d0[i]), (vk1[i], d1[i])):
+                if gd != 2:
+                    continue  # junction/terminal: never union through
+                localdeg[vk] = localdeg.get(vk, 0) + 1
+                j = byv.get(vk)
+                if j is None:
+                    byv[vk] = i
+                else:
+                    a, b = find(j), find(i)
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+        groups = {}
+        for i in range(n):
+            r = find(i)
+            g = groups.setdefault(
+                r, {"n": 0, "len": 0.0, "open": [], "term": False,
+                    "hid": None})
+            g["n"] += 1
+            g["len"] += float(np.hypot(x1[i] - x0[i], y1[i] - y0[i]))
+            h = hash((lev, float(x0[i]), float(y0[i]),
+                      float(x1[i]), float(y1[i]))) & 0x7FFFFFFFFFFFFFFF
+            if g["hid"] is None or h < g["hid"]:
+                g["hid"] = h
+            for vk, gd in ((vk0[i], d0[i]), (vk1[i], d1[i])):
+                if gd != 2:
+                    g["term"] = True
+                elif localdeg.get(vk, 0) == 1:
+                    g["open"].append(vk)  # partner lives in another bucket
+        rows = [
+            {"level": lev, "frag_id": g["hid"], "n_segs": g["n"],
+             "length": g["len"], "terminal": g["term"],
+             "open_keys": sorted(g["open"])}
+            for g in groups.values()
+        ]
+        return pd.DataFrame(rows)
+
+    frags = segs.groupBy("level", "bk").applyInPandas(
+        local_stitch, frag_schema).localCheckpoint()
+
+    fends = frags.select(
+        "frag_id", F.explode_outer("open_keys").alias("vk"))
+    open_ends = fends.filter(F.col("vk").isNotNull())
+    a = open_ends.select("vk", F.col("frag_id").alias("fa"))
+    b = open_ends.select("vk", F.col("frag_id").alias("fb"))
+    edges = (
+        a.join(b, "vk").filter(F.col("fa") != F.col("fb"))
+        .select(F.col("fa").alias("src"), F.col("fb").alias("dst"))
+        .distinct().localCheckpoint()
+    )
+    labels = frags.select(F.col("frag_id").alias("rid"),
+                          F.col("frag_id").alias("label")).localCheckpoint()
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges.dst == labels.rid)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.rid == neigh.src, "left")
+            .select("rid", F.least(
+                F.col("label"), F.coalesce("nmin", F.col("label"))
+            ).alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "rid")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        labels = labels.alias("x").join(
+            labels.select(F.col("rid").alias("label"),
+                          F.col("label").alias("label2")).alias("y"),
+            "label",
+        ).select("rid", F.col("label2").alias("label")).localCheckpoint()
+
+    lab = labels.select(F.col("rid").alias("frag_id"),
+                        F.col("label").alias("polyline_id"))
+    with_pl = frags.join(lab, "frag_id")
+    unmatched = (
+        open_ends.join(lab, "frag_id")
+        .groupBy("polyline_id", "vk").agg(F.count("*").alias("deg"))
+        .groupBy("polyline_id")
+        .agg(F.sum(F.when(F.col("deg") < 2, 1).otherwise(0)).alias("n_open"))
+    )
+    return (
+        with_pl.groupBy("level", "polyline_id")
+        .agg(
+            F.sum("n_segs").alias("n_segs"),
+            F.sum("length").alias("length"),
+            F.max(F.col("terminal").cast("int")).alias("_term"),
+        )
+        .join(unmatched, "polyline_id", "left")
+        .withColumn(
+            "closed",
+            (F.coalesce(F.col("n_open"), F.lit(0)) == 0) & (F.col("_term") == 0),
+        )
+        .drop("n_open", "_term")
+    )

@@ -339,3 +339,76 @@ def test_footprint_mask_polygon(spark):
     m = ~np.isnan(want)
     np.testing.assert_array_equal(got[m], want[m])
     assert np.isnan(got[~m]).all()
+
+
+def test_contour_polylines_match_bruteforce_stitch(spark, tiles):
+    from osgeo_gdal_spark.kernels.contour import marching_squares
+    from osgeo_gdal_spark.operators import contour as CT
+
+    levels = [100.0, 200.5]
+    rows = CT.contour_polylines(tiles, 1, levels, bucket=128).collect()
+    got = sorted((r["level"], r["n_segs"], round(r["length"], 6), r["closed"])
+                 for r in rows)
+
+    # driver-side reference with the SAME semantics: chains join only at
+    # vertices of global degree 2 (junction vertices — the isoline passing
+    # exactly through a pixel corner — break polylines)
+    world = 512
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    grid = ((gpx * 7 + gpy * 11 + 1) % 255).astype(np.float64)
+    want = []
+    for lev in levels:
+        segs = marching_squares(grid, lev)
+        deg = {}
+        for x0, y0, x1, y1 in segs:
+            for v in ((x0, y0), (x1, y1)):
+                deg[v] = deg.get(v, 0) + 1
+        parent = list(range(len(segs)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        byv = {}
+        for i, (x0, y0, x1, y1) in enumerate(segs):
+            for v in ((x0, y0), (x1, y1)):
+                if deg[v] != 2:
+                    continue
+                if v in byv:
+                    a, b = find(byv[v]), find(i)
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+                else:
+                    byv[v] = i
+        groups = {}
+        for i, (x0, y0, x1, y1) in enumerate(segs):
+            r = find(i)
+            n, ln, term = groups.get(r, (0, 0.0, False))
+            t = term or deg[(x0, y0)] != 2 or deg[(x1, y1)] != 2
+            groups[r] = (n + 1, ln + np.hypot(x1 - x0, y1 - y0), t)
+        for n, ln, term in groups.values():
+            want.append((lev, n, round(ln, 6), not term))
+    assert got == sorted(want)
+    assert any(not c for (_l, _n, _len, c) in got)  # open chains exist
+
+
+def test_contour_polylines_closed_loop(spark):
+    """A smooth bump crossing the tile seam yields ONE closed polyline."""
+    from osgeo_gdal_spark.operators import contour as CT
+
+    world = 512
+    yy, xx = np.mgrid[0:world, 0:world].astype(np.float64)
+    grid = 100.0 * np.exp(-(((xx - 256.0) / 40.0) ** 2
+                            + ((yy - 256.0) / 40.0) ** 2))
+    tiles = RS.tiles_from_grid(spark, grid, 1)
+    rows = CT.contour_polylines(tiles, 1, [50.0], bucket=128).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["closed"] and r["n_segs"] > 50
+    # ~circle of radius 40*sqrt(ln 2) px
+    import math
+    expect = 2 * math.pi * 40.0 * math.sqrt(math.log(2.0))
+    assert abs(r["length"] - expect) < 0.05 * expect

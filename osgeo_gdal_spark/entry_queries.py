@@ -453,6 +453,26 @@ FROM pages
 """
 
 
+def q_spatial_join_polygons(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygon x polygon spatial join (envelope + prepared-geometry
+    pattern beyond point probes, ogrlayer.cpp:4004-4076): the
+    tile-index-style rect layer against the fixture polygon layer, exact
+    strict-interior intersects. Oracle: separating-axis SQL per polygon
+    kind over the rect coordinates."""
+    ti = PL.tindex_df(spark)
+    j = SJ.spatial_join_polygons(spark, ti, PL.POLYGONS)
+    return j.select("a_id", "eas_id")
+
+
+def sql_spatial_join_polygons() -> str:
+    per_poly = " UNION ALL ".join(
+        f"SELECT (1000 + fid) AS a_id, {p.eas_id} AS eas_id "
+        f"FROM {PL.tindex_values_sql()} WHERE {PL.rect_intersects_sql(p)}"
+        for p in PL.POLYGONS
+    )
+    return f"SELECT a_id, eas_id FROM ({per_poly})"
+
+
 def q_knn(spark: SparkSession, sf: str) -> DataFrame:
     """Ring-expansion kNN (gdalgrid.cpp:242-277 candidate search analog),
     exact vs the global brute force the oracle runs."""
@@ -1985,6 +2005,7 @@ QUERIES = {
     "polygonize_rings": q_polygonize_rings,
     "clip_rect": q_clip_rect,
     "contour_polylines": q_contour_polylines,
+    "spatial_join_polygons": q_spatial_join_polygons,
 }
 
 ORACLES = {
@@ -2040,6 +2061,7 @@ ORACLES = {
     "raster_zonal_full": sql_raster_zonal_full(),
     "polygonize_rings": sql_polygonize_rings(),
     "clip_rect": sql_clip_rect(),
+    "spatial_join_polygons": sql_spatial_join_polygons(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

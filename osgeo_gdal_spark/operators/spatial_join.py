@@ -228,3 +228,77 @@ def zonal_stats(spark, pages: DataFrame, polys, value_col: str,
         F.sum(value_col).alias("zn_sum"),
         F.avg(value_col).alias("zn_mean"),
     )
+
+
+def spatial_join_polygons(spark, feats: DataFrame, polys,
+                          zoom=DEFAULT_JOIN_ZOOM,
+                          predicate: str = "intersects") -> DataFrame:
+    """Polygon x polygon containment/intersection join — the moment a
+    second VECTOR layer shows up (the reference's envelope + prepared-
+    geometry pattern, ogrlayer.cpp:4004-4076, with GEOS replaced by the
+    closed-form kernels in kernels/polypoly.py):
+
+    1. the small layer's per-part cell cover broadcasts (polygon_cover_df);
+    2. each feature row explodes NATIVELY to the cells its bbox touches
+       (mercator tile ranges from the flat bbox struct — no Python);
+    3. cell equi-join + native strict bbox-overlap prefilter;
+    4. distinct (feature, polygon) candidates refine in an Arrow batch
+       with the prepared-polygon cache.
+
+    feats needs (fid, geometry WKB, bbox struct). Returns feats columns +
+    eas_id of each matching polygon.
+    """
+    from ..kernels import polypoly as PP
+
+    n = 1 << zoom
+    cover = polygon_cover_df(spark, polys, zoom)
+
+    tx = G.tile_x_sql("bbox.xmin", zoom), G.tile_x_sql("bbox.xmax", zoom)
+    # mercator y grows downward: ymax -> smaller ty
+    ty = G.tile_y_sql("bbox.ymax", zoom), G.tile_y_sql("bbox.ymin", zoom)
+    keyed = feats.select(
+        "*",
+        F.explode(F.expr(f"sequence({tx[0]}, {tx[1]})")).alias("_cx"),
+        F.expr(f"sequence({ty[0]}, {ty[1]})").alias("_cys"),
+    ).select(
+        "*", F.explode("_cys").alias("_cy")
+    ).withColumn("cell_key", F.col("_cx") * n + F.col("_cy")).drop("_cx", "_cys", "_cy")
+
+    cand = keyed.join(F.broadcast(cover), "cell_key")
+    # strict envelope-overlap prefilter, fully native
+    cand = cand.filter(
+        (F.col("bbox.xmin") < F.col("p_xmax")) & (F.col("bbox.xmax") > F.col("p_xmin"))
+        & (F.col("bbox.ymin") < F.col("p_ymax")) & (F.col("bbox.ymax") > F.col("p_ymin"))
+    ).dropDuplicates(["fid", "poly_fid"])
+
+    payload = [(pf.fid, pf.wkb()) for pf in polys]
+    key = payload_key(payload)
+    bc = spark.sparkContext.broadcast(payload)
+    pred = str(predicate)
+
+    @F.pandas_udf(T.BooleanType())
+    def matches(poly_fid, geom):
+        import pandas as pd
+
+        from osgeo_gdal_spark.kernels import polypoly as _PP, wkb as _W
+
+        geoms = _prepared(bc.value, key)
+        out = []
+        for pf_, buf in zip(poly_fid, geom):
+            ga = _W.parse_wkb(bytes(buf))
+            gb = geoms[int(pf_)]
+            if pred == "intersects":
+                out.append(_PP.polygons_intersect(ga, gb))
+            elif pred == "within":
+                out.append(_PP.polygon_contains_polygon(gb, ga))
+            elif pred == "contains":
+                out.append(_PP.polygon_contains_polygon(ga, gb))
+            else:
+                raise ValueError(pred)
+        return pd.Series(out)
+
+    aux = ["p_xmin", "p_ymin", "p_xmax", "p_ymax", "cell_key",
+           "refine_needed", "poly_fid"]
+    matched = cand.filter(matches("poly_fid", "geometry"))
+    return matched.drop(*[c for c in aux if c != "poly_fid"]).withColumnRenamed(
+        "poly_fid", "b_fid")

@@ -241,3 +241,104 @@ def pip_pairs_sql(lon: str, lat: str) -> str:
         f"WHERE {p.sql_predicate(lon, lat)}"
         for p in POLYGONS
     )
+
+
+# --- second vector layer: a tile-index-style rect grid (gdaltindex /
+# GTI analog, apps/gdaltindex_lib.cpp — one bbox polygon per "file") -------
+
+def tindex_rects():
+    """48 deterministic axis rects. Edge coordinates are chosen OFF the
+    POLYGONS layer's .0005/.9995 grids (offsets differ mod 30 in x and by
+    half-integers in y), so polygon-polygon predicates never hit
+    boundary-touch ties."""
+    rects = []
+    for i in range(48):
+        cx = -175.0005 + (i % 12) * 30.0
+        cy = -75.0005 + (i // 12) * 40.0
+        w2 = 4.0 + (i % 5) * 3.0     # half-width 4..16
+        h2 = 3.0 + (i % 7) * 2.5     # half-height 3..18
+        rects.append((i, cx - w2, cy - h2, cx + w2, cy + h2))
+    return rects
+
+
+def tindex_features():
+    """The rect layer as PolyFeature objects (fid = index, eas_id = 1000+i)."""
+    return [
+        PolyFeature(i, 1000 + i, f"T{i:04d}", "rect",
+                    {"bounds": (x0, y0, x1, y1)})
+        for i, x0, y0, x1, y1 in tindex_rects()
+    ]
+
+
+def tindex_df(spark):
+    """The rect layer as a DataFrame with WKB + flat bbox (GeoParquet
+    covering-column pattern)."""
+    from pyspark.sql import functions as F, types as T
+
+    rows = []
+    for pf in tindex_features():
+        x0, y0, x1, y1 = pf.envelope()
+        rows.append((pf.fid, pf.eas_id, bytearray(pf.wkb()),
+                     {"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1}))
+    schema = T.StructType([
+        T.StructField("fid", T.LongType()),
+        T.StructField("a_id", T.LongType()),
+        T.StructField("geometry", T.BinaryType()),
+        T.StructField("bbox", T.StructType([
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ])),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def tindex_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for i, x0, y0, x1, y1 in tindex_rects()
+    )
+    return (f"(VALUES {rows}) AS ti(fid, ax0, ay0, ax1, ay1)")
+
+
+def rect_intersects_sql(p: "PolyFeature") -> str:
+    """Strict-interior 'A rect intersects B polygon' as SQL over the A
+    rect columns (ax0, ay0, ax1, ay1) — separating-axis logic, exact for
+    the fixture kinds (no boundary ties by construction)."""
+    prm = p.params
+
+    def overlap(x0, y0, x1, y1):
+        return (f"(ax0 < {x1} AND ax1 > {x0} AND ay0 < {y1} AND ay1 > {y0})")
+
+    if p.kind == "rect":
+        return overlap(*prm["bounds"])
+    if p.kind == "rect_hole":
+        hx0, hy0, hx1, hy1 = prm["hole"]
+        inside_hole = (f"(ax0 > {hx0} AND ax1 < {hx1} "
+                       f"AND ay0 > {hy0} AND ay1 < {hy1})")
+        return f"({overlap(*prm['bounds'])} AND NOT {inside_hole})"
+    if p.kind == "tri":
+        (ax, ay), (bx, by), (cx, cy) = prm["vertices"]
+        bx0 = min(ax, bx, cx); bx1 = max(ax, bx, cx)
+        by0 = min(ay, by, cy); by1 = max(ay, by, cy)
+        conds = [overlap(bx0, by0, bx1, by1)]
+        # SAT: not separated by any triangle edge (CCW, interior cross>0)
+        for (ex0, ey0), (ex1, ey1) in (((ax, ay), (bx, by)),
+                                       ((bx, by), (cx, cy)),
+                                       ((cx, cy), (ax, ay))):
+            outs = []
+            for cxs, cys in (("ax0", "ay0"), ("ax1", "ay0"),
+                             ("ax1", "ay1"), ("ax0", "ay1")):
+                outs.append(
+                    f"(({ex1} - {ex0}) * ({cys} - {ey0}) "
+                    f"- ({ey1} - {ey0}) * ({cxs} - {ex0}) < 0)"
+                )
+            conds.append(f"NOT ({' AND '.join(outs)})")
+        return "(" + " AND ".join(conds) + ")"
+    if p.kind == "dateline":
+        y0, y1 = prm["lat"]
+        xw, xe = prm["west_lon"], prm["east_lon"]
+        return (f"({overlap(xw, y0, 180.0, y1)} "
+                f"OR {overlap(-180.0, y0, xe, y1)})")
+    raise ValueError(p.kind)

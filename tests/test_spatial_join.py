@@ -154,3 +154,50 @@ def test_successive_joins_different_polygon_sets(spark, pages, pages_pdf):
     pa = SJ.payload_key([(tri_a.fid, tri_a.wkb())])
     pb = SJ.payload_key([(tri_b.fid, tri_b.wkb())])
     assert pa != pb
+
+
+def test_polypoly_kernels():
+    from osgeo_gdal_spark.kernels import polypoly as PP, wkb as W
+
+    sq = lambda x0, y0, x1, y1: W.parse_wkb(  # noqa: E731
+        W.polygon_wkb([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]))
+    a = sq(0, 0, 10, 10)
+    assert PP.polygons_intersect(a, sq(5, 5, 15, 15))       # overlap
+    assert not PP.polygons_intersect(a, sq(11, 0, 20, 10))  # disjoint
+    assert PP.polygons_intersect(a, sq(2, 2, 8, 8))         # containment
+    assert PP.polygons_intersect(sq(2, 2, 8, 8), a)
+    assert PP.polygon_contains_polygon(a, sq(2, 2, 8, 8))
+    assert not PP.polygon_contains_polygon(a, sq(5, 5, 15, 15))
+    # cross-shape: edges cross, but NO vertex of either inside the other
+    wide = sq(-5, 3, 15, 7)
+    tall = sq(3, -5, 7, 15)
+    assert PP.polygons_intersect(wide, tall)
+    # hole: a small rect fully inside the hole does NOT intersect
+    holed = W.parse_wkb(W.polygon_wkb([
+        [(0, 0), (20, 0), (20, 20), (0, 20)],
+        [(5, 5), (15, 5), (15, 15), (5, 15)],
+    ]))
+    assert not PP.polygons_intersect(holed, sq(8, 8, 12, 12))
+    assert PP.polygons_intersect(holed, sq(1, 1, 3, 3))
+    assert PP.polygons_intersect(holed, sq(3, 3, 8, 8))  # straddles hole edge
+
+    hull = PP.convex_hull([0, 10, 10, 0, 5], [0, 0, 10, 10, 5])
+    assert sorted(hull) == [(0, 0), (0, 10), (10, 0), (10, 10)]
+
+
+def test_spatial_join_polygons_vs_bruteforce(spark):
+    from osgeo_gdal_spark.kernels import polypoly as PP, wkb as W
+
+    ti = PL.tindex_df(spark)
+    got = {(r["a_id"], r["eas_id"])
+           for r in SJ.spatial_join_polygons(spark, ti, PL.POLYGONS)
+           .select("a_id", "eas_id").collect()}
+    want = set()
+    for af in PL.tindex_features():
+        ga = W.parse_wkb(af.wkb())
+        for p in PL.POLYGONS:
+            gb = W.parse_wkb(p.wkb())
+            if PP.polygons_intersect(ga, gb):
+                want.add((af.eas_id, p.eas_id))
+    assert got == want
+    assert len(want) > 10  # the layers genuinely overlap

@@ -40,6 +40,13 @@ HEADLINE = [
     "dedup_prefix",
     "embedding_topk",
     "quality_lang",
+    # round-2 operators
+    "rasterize_polygons",
+    "warp_reproject",
+    "grid_invdist",
+    "polygonize_regions",
+    "spatial_join_polygons",
+    "raster_zonal_full",
 ]
 
 

@@ -8,9 +8,10 @@ ring pattern):
 
 1. points get continuous global-pixel coords natively (forward mercator
    SQL — zero Python);
-2. each point is replicated to the output tiles within
-   ``ceil(radius / TILE)`` of its own tile (ring explode, native) — the
-   only shuffle, proportional to points x ring size;
+2. each point is replicated to exactly the output tiles its RADIUS BOX
+   overlaps (native sequence explode) — the only shuffle, proportional to
+   points x box tiles (usually 1); a whole-tile kRing would over-gather
+   by (TILE/radius)^2 when radius << TILE;
 3. per-tile vectorized kernel: (pixel centers x gathered points) distance
    matrix chunked over rows; weights/reduction per method.
 
@@ -77,7 +78,6 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
     x0, y0, w, h = window
     tx0, tx1 = x0 // TILE, (x0 + w - 1) // TILE
     ty0, ty1 = y0 // TILE, (y0 + h - 1) // TILE
-    r = int(np.ceil(radius / TILE))
 
     # dst tile keys, native
     nx = tx1 - tx0 + 1
@@ -86,22 +86,32 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
         (F.col("id") / nx).cast("long").alias("_r"),
     ).select("gx", (F.col("_r") + ty0).alias("gy"))
 
-    # scatter points to every dst tile within the ring (proximity pattern)
-    ring = F.explode(
+    # scatter each point to exactly the dst tiles its RADIUS BOX overlaps
+    # (radius granularity, not tile granularity — a whole-tile kRing would
+    # over-gather by (TILE/radius)^2 when radius << TILE)
+    rr = float(radius)
+    # native prefilter: only points whose radius box reaches the window
+    # (also keeps the sequence() ranges non-degenerate — Spark sequence
+    # with start > stop DESCENDS rather than being empty)
+    points = points.filter(
+        (F.col("px") >= x0 - rr) & (F.col("px") <= x0 + w + rr)
+        & (F.col("py") >= y0 - rr) & (F.col("py") <= y0 + h + rr)
+    )
+    scattered = points.select(
+        "px", "py", "z",
+        F.explode(F.expr(
+            f"sequence(GREATEST({tx0}, CAST(FLOOR((px - {rr}) / CAST({TILE} AS DOUBLE)) AS BIGINT)), "
+            f"LEAST({tx1}, CAST(FLOOR((px + {rr}) / CAST({TILE} AS DOUBLE)) AS BIGINT)))"
+        )).alias("gx"),
         F.expr(
-            f"""
-            FILTER(
-              FLATTEN(TRANSFORM(sequence(-{r}, {r}), dx ->
-                TRANSFORM(sequence(-{r}, {r}), dy ->
-                  STRUCT(CAST(FLOOR(px / CAST({TILE} AS DOUBLE)) AS BIGINT) + dx AS gx,
-                         CAST(FLOOR(py / CAST({TILE} AS DOUBLE)) AS BIGINT) + dy AS gy)))),
-              t -> t.gx >= {tx0} AND t.gx <= {tx1}
-               AND t.gy >= {ty0} AND t.gy <= {ty1})
-            """
-        )
-    ).alias("t")
-    scattered = points.select("px", "py", "z", ring).select(
-        "px", "py", "z", "t.gx", "t.gy"
+            f"sequence(GREATEST({ty0}, CAST(FLOOR((py - {rr}) / CAST({TILE} AS DOUBLE)) AS BIGINT)), "
+            f"LEAST({ty1}, CAST(FLOOR((py + {rr}) / CAST({TILE} AS DOUBLE)) AS BIGINT)))"
+        ).alias("_gys"),
+    ).select("px", "py", "z", "gx", F.explode("_gys").alias("gy")).filter(
+        # empty sequence guard: points far outside the window produce
+        # descending ranges -> filter degenerates
+        (F.col("gx") >= tx0) & (F.col("gx") <= tx1)
+        & (F.col("gy") >= ty0) & (F.col("gy") <= ty1)
     )
     joined = dst.join(scattered, ["gx", "gy"], "left")
 
@@ -121,16 +131,25 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
         tx = pts["px"].to_numpy(np.float64)
         ty = pts["py"].to_numpy(np.float64)
         tz = pts["z"].to_numpy(np.float64)
-        xc = gx * TILE + np.arange(TILE, dtype=np.float64)[None, :] + 0.5
         out = np.full((TILE, TILE), nd)
+        # only the requested-window sub-rectangle of this tile needs
+        # computing (pixels outside stay nodata — GDAL computes exactly
+        # the requested grid)
+        wy0 = max(0, y0 - gy * TILE)
+        wy1 = min(TILE, y0 + h - gy * TILE)
+        wx0 = max(0, x0 - gx * TILE)
+        wx1 = min(TILE, x0 + w - gx * TILE)
+        ww = wx1 - wx0
+        xc = (gx * TILE
+              + np.arange(wx0, wx1, dtype=np.float64)[None, :] + 0.5)
         if len(tx):
-            for y0_ in range(0, TILE, 32):
-                yc = (gy * TILE + np.arange(y0_, min(y0_ + 32, TILE),
+            for y0_ in range(wy0, wy1, 32):
+                yc = (gy * TILE + np.arange(y0_, min(y0_ + 32, wy1),
                                             dtype=np.float64)[:, None] + 0.5)
                 rx = tx[None, None, :] - xc[..., None]      # (1, W, P)
                 ry = ty[None, None, :] - yc[..., None]      # (B, 1, P)
-                rx = np.broadcast_to(rx, (yc.shape[0], TILE, len(tx)))
-                ry = np.broadcast_to(ry, (yc.shape[0], TILE, len(tx)))
+                rx = np.broadcast_to(rx, (yc.shape[0], ww, len(tx)))
+                ry = np.broadcast_to(ry, (yc.shape[0], ww, len(tx)))
                 d2 = rx * rx + ry * ry
                 in_r = d2 <= rad * rad  # circle: R2²dx²+R1²dy² <= R1²R2²
                 if meth == "invdist":
@@ -164,7 +183,7 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
                     d2m = np.where(in_r, d2, np.inf)
                     best = np.argmin(d2m, axis=2)
                     val = np.where(np.isfinite(d2m.min(axis=2)), tz[best], nd)
-                out[y0_:y0_ + yc.shape[0]] = val
+                out[y0_:y0_ + yc.shape[0], wx0:wx1] = val
         return pd.DataFrame(
             [
                 {

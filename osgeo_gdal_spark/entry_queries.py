@@ -1304,6 +1304,63 @@ FROM fr
 """
 
 
+WARP_AGG = {"a": 2.5, "b": 0.25}
+WARP_AGG_WIN = (64, 96, 64, 96)  # dst probe x0,x1,y0,y1 (interior boxes)
+
+
+def q_warp_downscale_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregating AVERAGE warp resampler (GWKAverageOrMode,
+    alg/gdalwarpkernel.cpp:7573): each dst pixel averages the source
+    pixels whose index lands in its footprint box
+    [floor(min+1e-10), ceil(max-1e-10)). Exact oracle: integer sums over
+    the reconstructed boxes."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    a, b = WARP_AGG["a"], WARP_AGG["b"]
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = RO.warp_tiles(tiles, RASTER_ZOOM, ("affine", a, b, a, b),
+                        method="average", nodata=-1.0)
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = WARP_AGG_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", "value")
+
+
+def sql_warp_downscale_avg() -> str:
+    a, b = WARP_AGG["a"], WARP_AGG["b"]
+    world = (1 << RASTER_ZOOM) * 256
+    x0, x1, y0, y1 = WARP_AGG_WIN
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+),
+boxes AS (
+  SELECT gpx, gpy,
+    GREATEST(CAST(FLOOR({G.D(a)} * gpx + {G.D(b)} + CAST(1e-10 AS DOUBLE)) AS BIGINT), 0) AS ix0,
+    LEAST(CAST(CEILING({G.D(a)} * (gpx + 1) + {G.D(b)} - CAST(1e-10 AS DOUBLE)) AS BIGINT), {world}) AS ix1,
+    GREATEST(CAST(FLOOR({G.D(a)} * gpy + {G.D(b)} + CAST(1e-10 AS DOUBLE)) AS BIGINT), 0) AS iy0,
+    LEAST(CAST(CEILING({G.D(a)} * (gpy + 1) + {G.D(b)} - CAST(1e-10 AS DOUBLE)) AS BIGINT), {world}) AS iy1
+  FROM dst
+),
+contrib AS (
+  SELECT b.gpx, b.gpy,
+         ((b.ix0 + kx.i) * 7 + (b.iy0 + ky.i) * 11 + {RASTER_ZOOM}) % 255 AS v
+  FROM boxes b
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS i) kx
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS i) ky
+  WHERE b.ix0 + kx.i < b.ix1 AND b.iy0 + ky.i < b.iy1
+)
+SELECT gpx, gpy,
+       CAST(SUM(v) AS BIGINT) / COUNT(*) AS value
+FROM contrib GROUP BY gpx, gpy
+"""
+
+
 WARP_GEO_WIN = (200, 232, 128, 160)  # x0, x1, y0, y1 probe (interior, off-edge)
 
 
@@ -2006,6 +2063,7 @@ QUERIES = {
     "clip_rect": q_clip_rect,
     "contour_polylines": q_contour_polylines,
     "spatial_join_polygons": q_spatial_join_polygons,
+    "warp_downscale_avg": q_warp_downscale_avg,
 }
 
 ORACLES = {
@@ -2062,6 +2120,7 @@ ORACLES = {
     "polygonize_rings": sql_polygonize_rings(),
     "clip_rect": sql_clip_rect(),
     "spatial_join_polygons": sql_spatial_join_polygons(),
+    "warp_downscale_avg": sql_warp_downscale_avg(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -295,7 +295,10 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
 
     n = 1 << zoom
     world = n * TILE
-    radius = 0 if method == "near" else _KERNELS[method][1]
+    if method in ("near", "average", "amin", "amax", "asum"):
+        radius = 0
+    else:
+        radius = _KERNELS[method][1]
     spark = tiles.sparkSession
 
     sxe, sye = _cover_sql(transform, world)
@@ -306,10 +309,10 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
     )
     bounds = dst.select(
         "dgx", "dgy",
-        F.expr(f"LEAST({sxe('(dgx * 256)')}, {sxe('((dgx + 1) * 256 - 1)')})").alias("sx0"),
-        F.expr(f"GREATEST({sxe('(dgx * 256)')}, {sxe('((dgx + 1) * 256 - 1)')})").alias("sx1"),
-        F.expr(f"LEAST({sye('(dgy * 256)')}, {sye('((dgy + 1) * 256 - 1)')})").alias("sy0"),
-        F.expr(f"GREATEST({sye('(dgy * 256)')}, {sye('((dgy + 1) * 256 - 1)')})").alias("sy1"),
+        F.expr(f"LEAST({sxe('(dgx * 256)')}, {sxe('((dgx + 1) * 256)')})").alias("sx0"),
+        F.expr(f"GREATEST({sxe('(dgx * 256)')}, {sxe('((dgx + 1) * 256)')})").alias("sx1"),
+        F.expr(f"LEAST({sye('(dgy * 256)')}, {sye('((dgy + 1) * 256)')})").alias("sy0"),
+        F.expr(f"GREATEST({sye('(dgy * 256)')}, {sye('((dgy + 1) * 256)')})").alias("sy1"),
     ).select(
         "dgx", "dgy",
         F.expr(f"GREATEST(0, CAST(FLOOR((sx0 - {pad}) / CAST({TILE} AS DOUBLE)) AS BIGINT))").alias("tx0"),
@@ -348,11 +351,69 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
         gx_f, gy_f = _dst_to_src(transform, dx, dy, world)
         sx = gx_f - ox
         sy = gy_f - oy
+        oob_override = None
         if method == "near":
             ix = np.clip(np.floor(sx + 0.5).astype(np.int64), 0, mw - 1)
             iy = np.clip(np.floor(sy + 0.5).astype(np.int64), 0, mh - 1)
             IY, IX = np.broadcast_arrays(iy, ix)
             out = mosaic[IY, IX]
+        elif method in ("average", "amin", "amax", "asum"):
+            # aggregating resamplers (GWKAverageOrMode,
+            # alg/gdalwarpkernel.cpp:7573): the dst pixel's source
+            # FOOTPRINT is the box between the transforms of (X, Y) and
+            # (X+1, Y+1); contributing pixels are those whose index lands
+            # in [floor(min+1e-10), ceil(max-1e-10)) (unweighted — the
+            # default non-fractional COMPUTE_WEIGHT), aggregated per mode.
+            EPSA = 1e-10
+            gx2_f, gy2_f = _dst_to_src(transform, dx + 1, dy + 1, world)
+            bx0 = np.minimum(gx_f, gx2_f)
+            bx1 = np.maximum(gx_f, gx2_f)
+            by0 = np.minimum(gy_f, gy2_f)
+            by1 = np.maximum(gy_f, gy2_f)
+            valid = (
+                np.isfinite(bx0) & np.isfinite(bx1)
+                & np.isfinite(by0) & np.isfinite(by1)
+                & (bx1 > -EPSA) & (bx0 < world + EPSA)
+                & (by1 > -EPSA) & (by0 < world + EPSA)
+            )
+            ix0 = np.maximum(np.floor(np.where(valid, bx0, 0) + EPSA), 0.0).astype(np.int64)
+            ix1 = np.minimum(np.ceil(np.where(valid, bx1, 0) - EPSA),
+                             float(world)).astype(np.int64)
+            iy0 = np.maximum(np.floor(np.where(valid, by0, 0) + EPSA), 0.0).astype(np.int64)
+            iy1 = np.minimum(np.ceil(np.where(valid, by1, 0) - EPSA),
+                             float(world)).astype(np.int64)
+            ix1 = np.where((ix0 == ix1) & (ix1 < world), ix1 + 1, ix1)
+            iy1 = np.where((iy0 == iy1) & (iy1 < world), iy1 + 1, iy1)
+            IX0, IY0 = np.broadcast_arrays(ix0, iy0)
+            IX1, IY1 = np.broadcast_arrays(ix1, iy1)
+            VAL = np.broadcast_to(valid, IX0.shape)
+            acc = np.zeros(IX0.shape)
+            cnt = np.zeros(IX0.shape, dtype=np.int64)
+            amin_ = np.full(IX0.shape, np.inf)
+            amax_ = np.full(IX0.shape, -np.inf)
+            kmax = int((IX1 - IX0).max()) if VAL.any() else 0
+            lmax = int((IY1 - IY0).max()) if VAL.any() else 0
+            for l_ in range(lmax):
+                for k_ in range(kmax):
+                    m = VAL & (IX0 + k_ < IX1) & (IY0 + l_ < IY1)
+                    jx = np.clip(IX0 + k_ - ox, 0, mw - 1)
+                    jy = np.clip(IY0 + l_ - oy, 0, mh - 1)
+                    v = mosaic[jy, jx]
+                    m = m & ~np.isnan(v)
+                    acc += np.where(m, v, 0.0)
+                    cnt += m
+                    amin_ = np.where(m & (v < amin_), v, amin_)
+                    amax_ = np.where(m & (v > amax_), v, amax_)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if method == "average":
+                    out = np.where(cnt > 0, acc / cnt, np.nan)
+                elif method == "asum":
+                    out = np.where(cnt > 0, acc, np.nan)
+                elif method == "amin":
+                    out = np.where(cnt > 0, amin_, np.nan)
+                else:
+                    out = np.where(cnt > 0, amax_, np.nan)
+            oob_override = ~VAL | (cnt == 0)
         else:
             fn, rad = _KERNELS[method]
             bx = np.floor(sx).astype(np.int64)
@@ -374,11 +435,14 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
             with np.errstate(invalid="ignore", divide="ignore"):
                 out = np.where(wsum != 0, out / wsum, np.nan)
         # src coords outside the global raster -> nodata
-        oob = (
-            (gx_f < -0.5) | (gx_f > world - 0.5)
-            | (gy_f < -0.5) | (gy_f > world - 0.5)
-            | ~np.isfinite(gy_f) | ~np.isfinite(gx_f)
-        )
+        if oob_override is not None:
+            oob = oob_override
+        else:
+            oob = (
+                (gx_f < -0.5) | (gx_f > world - 0.5)
+                | (gy_f < -0.5) | (gy_f > world - 0.5)
+                | ~np.isfinite(gy_f) | ~np.isfinite(gx_f)
+            )
         out = np.where(oob | np.isnan(out), nodata, out)
         return pd.DataFrame(
             [

@@ -201,3 +201,61 @@ def test_hilbert_layout_prunes(spark):
     # small fraction of the world bbox.
     world = 360.0 * 170.0
     assert (sp["w"] * sp["h_"]).median() < 0.35 * world
+
+
+def test_affine2d_roundtrip():
+    from osgeo_gdal_spark.kernels import transform as TR
+
+    gt = (100.0, 0.5, 0.1, -50.0, -0.2, 2.0)
+    x = np.array([0.0, 10.0, -3.5, 1234.25])
+    y = np.array([0.0, -7.0, 8.125, -99.5])
+    fx, fy = TR.affine2d(x, y, gt)
+    inv = TR.affine2d_inverse(gt)
+    bx, by = TR.affine2d(fx, fy, inv)
+    np.testing.assert_allclose(bx, x, atol=1e-9)
+    np.testing.assert_allclose(by, y, atol=1e-9)
+
+
+def test_ecef_geodetic_roundtrip():
+    from osgeo_gdal_spark.kernels import transform as TR
+
+    lon = np.array([0.0, 2.35, -43.2, 151.2, 179.9, -179.9])
+    lat = np.array([0.0, 48.85, -22.9, -33.8, 85.0, -85.0])
+    x, y, z = TR.geodetic_to_ecef(lon, lat)
+    lo2, la2, h2 = TR.ecef_to_geodetic(x, y, z)
+    np.testing.assert_allclose(lo2, lon, atol=1e-10)
+    np.testing.assert_allclose(la2, lat, atol=1e-10)
+    np.testing.assert_allclose(h2, 0.0, atol=1e-6)
+    # equator/prime-meridian golden: ECEF X = semi-major axis
+    x0, y0, z0 = TR.geodetic_to_ecef(0.0, 0.0)
+    assert abs(float(x0) - 6378137.0) < 1e-6
+    assert abs(float(y0)) < 1e-9 and abs(float(z0)) < 1e-9
+
+
+def test_helmert7_known_shift_and_inverse():
+    from osgeo_gdal_spark.kernels import transform as TR
+
+    # WGS84 -> OSGB36-style parameters (classic published 7-param set)
+    params = (-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894)
+    lon, lat = np.array([-0.1278]), np.array([51.5074])  # London
+    lo2, la2, _ = TR.datum_shift(lon, lat, params)
+    # the OSGB shift moves coordinates by ~100 m (~0.001 deg) — sanity
+    dlon = abs(float(lo2) - float(lon))
+    dlat = abs(float(la2) - float(lat))
+    assert 1e-4 < dlon < 5e-3 and 1e-4 < dlat < 5e-3
+    # linearized inverse round-trips to second order: the dominant
+    # residual is scale x translation ~ 20ppm * 500 m = 1 cm = ~1e-7 deg
+    inv = TR.helmert7_inverse_params(*params)
+    lo3, la3, _ = TR.datum_shift(lo2, la2, inv)
+    np.testing.assert_allclose(lo3, lon, atol=5e-7)
+    np.testing.assert_allclose(la3, lat, atol=5e-7)
+
+
+def test_helmert_zero_params_is_identity():
+    from osgeo_gdal_spark.kernels import transform as TR
+
+    lon = np.linspace(-170, 170, 12)
+    lat = np.linspace(-80, 80, 12)
+    lo2, la2, _ = TR.datum_shift(lon, lat, (0, 0, 0, 0, 0, 0, 0))
+    np.testing.assert_allclose(lo2, lon, atol=1e-11)
+    np.testing.assert_allclose(la2, lat, atol=1e-11)

@@ -287,3 +287,52 @@ def test_reduce_2x2_modes():
     want = np.sqrt((src[0::2, 0::2]**2 + src[0::2, 1::2]**2
                     + src[1::2, 0::2]**2 + src[1::2, 1::2]**2) / 4.0)
     np.testing.assert_allclose(rms, want, rtol=0)
+
+
+def test_warp_aggregating_average_matches_bruteforce(spark, tiles):
+    """Downscale warp with the aggregating AVERAGE resampler
+    (GWKAverageOrMode footprint-box semantics) vs a driver-side brute
+    force using the same floor(+eps)/ceil(-eps) index rule."""
+    a, b = 2.5, 0.25
+    out = {(r["gx"], r["gy"]): RS.parse_tile(r)
+           for r in RO.warp_tiles(tiles, 1, ("affine", a, b, a, b),
+                                  method="average", nodata=-1.0).collect()}
+    world = 512
+    gen = lambda x, y: ((x * 7 + y * 11 + 1) % 255).astype(float)  # noqa: E731
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    src = gen(gpx, gpy)
+    EPS = 1e-10
+    for (dgx, dgy), g in out.items():
+        for yy in range(0, 256, 37):
+            for xx in range(0, 256, 41):
+                X, Y = dgx * 256 + xx, dgy * 256 + yy
+                x0, x1 = a * X + b, a * (X + 1) + b
+                y0, y1 = a * Y + b, a * (Y + 1) + b
+                if x1 < EPS or x0 > world - EPS or y1 < EPS or y0 > world - EPS:
+                    assert g[yy, xx] == -1.0
+                    continue
+                ix0 = max(int(np.floor(x0 + EPS)), 0)
+                ix1 = min(int(np.ceil(x1 - EPS)), world)
+                iy0 = max(int(np.floor(y0 + EPS)), 0)
+                iy1 = min(int(np.ceil(y1 - EPS)), world)
+                want = src[iy0:iy1, ix0:ix1].mean()
+                assert g[yy, xx] == want, (X, Y, g[yy, xx], want)
+
+
+def test_warp_aggregating_min_max_sum(spark, tiles):
+    a, b = 3.0, 0.0   # exact 3x3 boxes
+    world = 512
+    gen = lambda x, y: ((x * 7 + y * 11 + 1) % 255).astype(float)  # noqa: E731
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    src = gen(gpx, gpy)
+    for method, red in (("amin", np.min), ("amax", np.max), ("asum", np.sum)):
+        out = {(r["gx"], r["gy"]): RS.parse_tile(r)
+               for r in RO.warp_tiles(tiles, 1, ("affine", a, b, a, b),
+                                      method=method, nodata=-1.0).collect()}
+        g = out[(0, 0)]
+        for yy in (0, 50, 100, 170):
+            for xx in (0, 63, 130):
+                want = red(src[3*yy:3*yy+3, 3*xx:3*xx+3])
+                assert g[yy, xx] == want, (method, xx, yy)

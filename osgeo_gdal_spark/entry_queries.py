@@ -1304,6 +1304,58 @@ FROM fr
 """
 
 
+def q_mosaic_overlay(spark: SparkSession, sf: str) -> DataFrame:
+    """Pixel-level nodata-aware mosaic (gdalbuildvrt overlay order: later
+    sources on top, nodata transparent). Top layer = (gen + 97) % 255
+    with nodata holes where gen % 5 == 0 -> those holes show the bottom
+    layer. Exact per-pixel SQL oracle."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+    from .sources.raster import TILE_SCHEMA
+    from .kernels import checksum as CKS
+
+    ND = -1.0
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+
+    def mk_top(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                g = RS.parse_tile(row).astype(np.float64)
+                top = (g + 97.0) % 255.0
+                top[g % 5 == 0] = ND
+                d = row.to_dict()
+                d.update(dataset_id="top", dtype="float64", nodata=ND,
+                         pixels=top.tobytes(),
+                         checksum=CKS.checksum_image(top))
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    top = tiles.mapInPandas(mk_top, TILE_SCHEMA)
+    m = RO.mosaic_overlay([tiles, top], ND)
+    px = RO.explode_pixels(m)
+    return px.filter((F.col("gpx") < 256) & (F.col("gpy") < 256)).select(
+        "gpx", "gpy", "value")
+
+
+def sql_mosaic_overlay() -> str:
+    return f"""
+WITH px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, 256)) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 256)) AS i) ys
+),
+v AS (SELECT gpx, gpy, {_GEN} AS g FROM px)
+SELECT gpx, gpy,
+       CASE WHEN g % 5 <> 0 THEN CAST((g + 97) % 255 AS DOUBLE)
+            ELSE CAST(g AS DOUBLE) END AS value
+FROM v
+"""
+
+
 WARP_AGG = {"a": 2.5, "b": 0.25}
 WARP_AGG_WIN = (64, 96, 64, 96)  # dst probe x0,x1,y0,y1 (interior boxes)
 
@@ -2064,6 +2116,7 @@ QUERIES = {
     "contour_polylines": q_contour_polylines,
     "spatial_join_polygons": q_spatial_join_polygons,
     "warp_downscale_avg": q_warp_downscale_avg,
+    "mosaic_overlay": q_mosaic_overlay,
 }
 
 ORACLES = {
@@ -2121,6 +2174,7 @@ ORACLES = {
     "clip_rect": sql_clip_rect(),
     "spatial_join_polygons": sql_spatial_join_polygons(),
     "warp_downscale_avg": sql_warp_downscale_avg(),
+    "mosaic_overlay": sql_mosaic_overlay(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -705,6 +705,50 @@ def mosaic_first(tiles_a: DataFrame, tiles_b: DataFrame) -> DataFrame:
     )
 
 
+def mosaic_overlay(tile_tables, nodata: float) -> DataFrame:
+    """Pixel-level nodata-aware mosaic (gdalbuildvrt overlay order,
+    apps/gdalbuildvrt_lib.cpp: sources are drawn in list order with LATER
+    sources on top; nodata pixels are transparent). Aligned tile grids;
+    one groupBy(tile) + per-tile numpy paint-over — the shuffle carries
+    only the overlapping tiles' payloads."""
+    u = None
+    for i, t in enumerate(tile_tables):
+        w = t.withColumn("_src", F.lit(i))
+        u = w if u is None else u.unionByName(w)
+
+    nd = float(nodata)
+
+    def paint(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_src")
+        first = pdf.iloc[0]
+        out = np.full((int(first["height"]), int(first["width"])), nd)
+        for _, row in pdf.iterrows():
+            g = parse_tile(row).astype(np.float64)
+            out = np.where(g != nd, g, out)
+        return pd.DataFrame(
+            [
+                {
+                    "dataset_id": "mosaic",
+                    "zoom": int(first["zoom"]),
+                    "gx": int(first["gx"]),
+                    "gy": int(first["gy"]),
+                    "band": int(first["band"]),
+                    "width": int(first["width"]),
+                    "height": int(first["height"]),
+                    "dtype": "float64",
+                    "nodata": nd,
+                    "crs": first["crs"],
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                }
+            ]
+        )
+
+    return u.groupBy("zoom", "gx", "gy", "band").applyInPandas(paint, TILE_SCHEMA)
+
+
 def pansharpen(pan_tiles: DataFrame, rgb_tiles: DataFrame,
                weights=(1.0 / 3, 1.0 / 3, 1.0 / 3)) -> DataFrame:
     """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp): for each

@@ -152,6 +152,9 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_AsText", st_astext)
     spark.udf.register("ST_ContainsPoint", st_contains_point)
     spark.udf.register("ST_MakePoint", st_makepoint)
+    spark.udf.register("ST_Intersects", st_intersects)
+    spark.udf.register("ST_Contains", st_contains)
+    spark.udf.register("ST_ConvexHull", st_convexhull)
 
 
 @F.pandas_udf(T.BinaryType())
@@ -178,4 +181,88 @@ def st_simplify_tol1(geoms):
             sx, sy = SIMP.simplify_ring(xs, ys, 1.0)
             rings.append(list(zip(sx.tolist(), sy.tolist())))
         out.append(W.polygon_wkb(rings))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_intersects(ga, gb):
+    """ST_Intersects over two WKB columns — the closed-form polygon x
+    polygon kernel (kernels/polypoly.py; strict-interior semantics, the
+    GEOS-prepared slot of OGR2SQLITE_ST_int_geomgeom_op)."""
+    import pandas as pd
+
+    from ..kernels import polypoly as PP
+
+    out = []
+    for a, b in zip(ga, gb):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        out.append(PP.polygons_intersect(W.parse_wkb(bytes(a)),
+                                         W.parse_wkb(bytes(b))))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains(ga, gb):
+    """ST_Contains(A, B): A strictly contains B (kernels/polypoly.py)."""
+    import pandas as pd
+
+    from ..kernels import polypoly as PP
+
+    out = []
+    for a, b in zip(ga, gb):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        out.append(PP.polygon_contains_polygon(W.parse_wkb(bytes(a)),
+                                               W.parse_wkb(bytes(b))))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_convexhull(geoms):
+    """ST_ConvexHull over a WKB column (Andrew monotone chain — no GEOS;
+    `gdal vector convex-hull` step analog)."""
+    import pandas as pd
+
+    from ..kernels import polypoly as PP
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        hull = PP.convex_hull(pg.xs, pg.ys)
+        out.append(W.polygon_wkb([hull]))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_cliprect_10x10(geoms):
+    """ST clip against the fixed rect [-10,-10]x[10,10] (Sutherland-
+    Hodgman, kernels/clip.py). Fixed window because pandas UDFs take
+    columns; parametrize via partial registration when needed."""
+    import pandas as pd
+
+    from ..kernels import clip as CL
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        rings = []
+        ring_i = 0
+        for nr in pg.part_rings:
+            for _ in range(int(nr)):
+                s, e = pg.ring_offsets[ring_i], pg.ring_offsets[ring_i + 1]
+                cx, cy = CL.sh_clip_ring(pg.xs[s:e], pg.ys[s:e],
+                                         -10.0, -10.0, 10.0, 10.0)
+                ring_i += 1
+                if len(cx) >= 3:
+                    rings.append(list(zip(cx.tolist(), cy.tolist())))
+        out.append(W.polygon_wkb(rings) if rings else None)
     return pd.Series(out)

@@ -120,6 +120,43 @@ class Pipeline:
         self._df = RO.translate_tiles(self._df, scale, offset, out_dtype)
         return self
 
+    def reproject(self, zoom: int, method="bilinear", nodata=0.0):  # `reproject`
+        from ..operators import raster_ops as RO
+
+        self._df = RO.warp_reproject_geodetic(self._df, zoom, method, nodata)
+        return self
+
+    def mosaic(self, other: "Pipeline | DataFrame", nodata: float):  # `mosaic`
+        from ..operators import raster_ops as RO
+
+        odf = other.df() if isinstance(other, Pipeline) else other
+        self._df = RO.mosaic_overlay([self._df, odf], nodata)
+        return self
+
+    def contour(self, zoom: int, levels):             # raster -> segments
+        from ..operators import contour as CT
+
+        self._df = CT.contour_segments(self._df, zoom, levels)
+        return self
+
+    def polygonize(self, zoom: int):                  # raster -> polygons
+        from ..operators import polygonize as PZ
+
+        self._df = PZ.polygonize_polygons(self._df, zoom)
+        return self
+
+    def footprint(self, zoom: int, valid):            # validity -> polygon
+        from ..operators import polygonize as PZ
+
+        self._df = PZ.footprint(self._df, zoom, valid)
+        return self
+
+    def clip_rect(self, rect, keep_cols=("fid", "eas_id")):  # `clip` w/ geometry
+        from ..operators import overlay as OV
+
+        self._df = OV.clip_features_rect(self._df, rect, keep_cols=keep_cols)
+        return self
+
     # --- plumbing ----------------------------------------------------------
     def tee(self):                                    # `tee` ≙ cache + fork
         self._df = self._df.cache()

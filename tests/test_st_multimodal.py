@@ -92,3 +92,47 @@ def test_simplify_kernel_and_udf(spark):
         orig = PL.POLYGONS[row["fid"]]
         if g.geom_type == "Polygon":
             assert abs(Wk.polygon_area(g) - orig.area()) <= orig.area() * 0.05
+
+
+def test_st_polygon_predicates_and_hull(spark):
+    from osgeo_gdal_spark.functions import st as ST
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    ST.register_all(spark)
+    import pandas as pd
+
+    sq = lambda x0, y0, x1, y1: bytearray(  # noqa: E731
+        W.polygon_wkb([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]))
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": [sq(0, 0, 10, 10)] * 3,
+        "b": [sq(5, 5, 15, 15), sq(11, 0, 20, 5), sq(2, 2, 8, 8)],
+    }))
+    rows = spark.sql("SELECT ST_Intersects(a, b) AS i, ST_Contains(a, b) AS c "
+                     "FROM {df}", df=df).collect()
+    assert [r["i"] for r in rows] == [True, False, True]
+    assert [r["c"] for r in rows] == [False, False, True]
+    hull_rows = spark.sql(
+        "SELECT ST_Area(ST_ConvexHull(a)) AS ha FROM {df}", df=df).collect()
+    assert all(abs(r["ha"] - 100.0) < 1e-9 for r in hull_rows)
+
+
+def test_pipeline_round2_steps(spark):
+    from osgeo_gdal_spark.plans.pipeline import Pipeline
+    from osgeo_gdal_spark.sources import polygons as PL, raster as RS
+
+    # clip step drops outside features and emits clipped geometry
+    clipped = (Pipeline(spark, PL.polygons_df(spark))
+               .clip_rect((-100.0, -35.0, 165.0, 49.5)).df())
+    assert 0 < clipped.count() < len(PL.POLYGONS)
+
+    # reproject + mosaic steps produce tile tables
+    tiles = RS.synth_tiles(spark, 1)
+    warped = Pipeline(spark, tiles).reproject(1).df()
+    assert warped.count() == 4
+    m = Pipeline(spark, tiles).mosaic(warped, nodata=-1.0).df()
+    assert m.count() == 4
+
+    # polygonize step emits WKB polygons
+    cat = RS.synth_category_tiles(spark, 1, block=96)
+    polys = Pipeline(spark, cat).polygonize(1).df()
+    assert polys.count() == 36

@@ -823,6 +823,56 @@ def q_embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("qid", "vec_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_embedding_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate NN: coarse k-means quantizer (trained on a
+    driver-side sample), cluster equi-join probe, exact re-rank
+    (rows-only; recall pinned vs brute force in pytest)."""
+    import numpy as np
+
+    from .operators import similarity as SIM
+
+    emb = read_table(spark, sf, "embeddings")
+    sample = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") < 200).collect()
+    ])
+    cent = SIM.kmeans_centroids(sample, k=8)
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = [(int(r["vec_id"]), np.asarray(r["embedding"], dtype=np.float64))
+               for r in qrows]
+    out = SIM.ann_topk_ivf(emb, queries, cent, k=3, nprobe=3)
+    return out.select("qid", "vec_id", "rank",
+                      F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH buckets + exact
+    cosine filter (rows-only; planted-pair exactness in pytest). The
+    fixture corpus has no natural near-dups (max pairwise cosine ~0.51),
+    so the query plants exact copies of the first 10 vectors natively —
+    the expected output is exactly those 10 (original, copy) pairs."""
+    from .operators import similarity as SIM
+
+    emb = read_table(spark, sf, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    tables = [SIM.hyperplanes(64, 6, seed=s) for s in (1, 2, 3)]
+    pairs = SIM.embedding_near_dup_pairs(emb.unionByName(copies), tables,
+                                         threshold=0.99)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_dedup_near_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup pipeline: MinHash -> LSH -> Jaccard verify ->
+    connected components -> keeper per group (rows-only; planted-cluster
+    exactness in pytest)."""
+    from .operators import dedup as DD
+
+    docs = read_table(spark, sf, "documents")
+    return DD.near_dup_groups(docs, jaccard_threshold=0.7)
+
+
 def q_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 1h window aggregation over the events stream table (the
     batch twin of the Structured Streaming wrapper, SURVEY §2.N)."""
@@ -2117,6 +2167,9 @@ QUERIES = {
     "spatial_join_polygons": q_spatial_join_polygons,
     "warp_downscale_avg": q_warp_downscale_avg,
     "mosaic_overlay": q_mosaic_overlay,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "dedup_near_groups": q_dedup_near_groups,
 }
 
 ORACLES = {

@@ -204,3 +204,60 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col="text",
              ).alias("jaccard"),
         )
     )
+
+
+def near_dup_groups(docs: DataFrame, n_shingle=3, num_hashes=16, bands=4,
+                    rows_per_band=4, jaccard_threshold=0.8,
+                    max_bucket: int | None = None, text_col="text",
+                    id_col="doc_id", max_rounds=16) -> DataFrame:
+    """The END-TO-END near-duplicate pipeline every web corpus runs:
+    shingles -> MinHash -> LSH candidate pairs -> exact word-Jaccard
+    verify (>= threshold) -> connected components -> one keeper per group
+    (min doc_id). Returns (group_id, doc_id, keep) — ``keep=false`` rows
+    are the documents a dedup pass would drop.
+
+    The component closure uses the same bounded min-label propagation as
+    the polygonize merge (duplicate clusters are tiny; rounds ~
+    log2(largest cluster diameter))."""
+    sh = shingles(docs, n_shingle, text_col, id_col)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket)
+    verified = jaccard_pairs(docs, cand, text_col, id_col).filter(
+        F.col("jaccard") >= jaccard_threshold
+    ).select("doc_a", "doc_b")
+
+    edges = verified.unionByName(
+        verified.select(F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"))
+    ).distinct().localCheckpoint()
+    members = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = members.select("doc_id", F.col("doc_id").alias("label")
+                            ).localCheckpoint()
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select("doc_id", F.least(
+                F.col("label"), F.coalesce("nmin", F.col("label"))
+            ).alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        labels = labels.alias("x").join(
+            labels.select(F.col("doc_id").alias("label"),
+                          F.col("label").alias("label2")).alias("y"),
+            "label",
+        ).select("doc_id", F.col("label2").alias("label")).localCheckpoint()
+
+    return labels.select(
+        F.col("label").alias("group_id"), "doc_id",
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )

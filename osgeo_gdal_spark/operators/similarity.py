@@ -188,3 +188,118 @@ def ann_topk_lsh(emb: DataFrame, queries: DataFrame, planes, k=3,
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_centroids(sample: np.ndarray, k: int, iters=10, seed=7) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side SAMPLE — the coarse
+    quantizer trainer of an IVF index (at 100 TB the sample is a tiny
+    uniform draw; training is O(sample x k), never cluster-wide)."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(sample, dtype=np.float64)
+    cent = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = X[m].mean(axis=0)
+    return cent
+
+
+def with_ivf_cluster(emb: DataFrame, centroids: np.ndarray,
+                     vec_col="embedding") -> DataFrame:
+    """Assign each vector its nearest coarse centroid id (Arrow-batched
+    matmul against the broadcast centroid matrix — map-only)."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf(T.LongType())
+    def assign(vecs):
+        import pandas as pd
+
+        C = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = ((V ** 2).sum(axis=1)[:, None] - 2.0 * (V @ C.T)
+             + (C ** 2).sum(axis=1)[None, :])
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    return emb.withColumn("ivf_cluster", assign(vec_col))
+
+
+def ann_topk_ivf(emb: DataFrame, queries, centroids: np.ndarray, k=3,
+                 nprobe=2, vec_col="embedding", id_col="vec_id") -> DataFrame:
+    """IVF approximate top-k (the inverted-file scale path named in
+    SURVEY's similarity plan): vectors partition by nearest coarse
+    centroid; each query probes its ``nprobe`` nearest centroids and
+    re-ranks ONLY those clusters' members — candidates drop from N to
+    ~N*nprobe/k_clusters. The probe list is an equi-join on the cluster
+    id (hash join; the same shape as the LSH bucket join).
+
+    queries: [(qid, np.ndarray)]. Returns (qid, vec_id, cos_sim, rank).
+    """
+    spark = emb.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    e = with_ivf_cluster(emb, C, vec_col)
+    probe_rows = []
+    for qid, qv in queries:
+        qv = np.asarray(qv, dtype=np.float64)
+        d = ((C - qv[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:nprobe]:
+            probe_rows.append((int(qid), qv.tolist(), int(c)))
+    probes = spark.createDataFrame(
+        probe_rows, "qid LONG, qvec ARRAY<DOUBLE>, ivf_cluster LONG"
+    )
+    cand = e.join(F.broadcast(probes), "ivf_cluster").filter(
+        F.col("qid") != F.col(id_col)
+    )
+    scored = cand.select(
+        "qid",
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"{_dot_expr(vec_col, 'qvec')} / ({_norm_expr(vec_col)} * {_norm_expr('qvec')})"
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(emb: DataFrame, planes, threshold=0.95,
+                             vec_col="embedding", id_col="vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a sign-LSH
+    bucket in ANY table (same recall lever as ann_topk_lsh), then the
+    exact cosine filter keeps pairs >= threshold. The quadratic step is
+    confined to same-bucket groups — never all-pairs."""
+    tables = planes if isinstance(planes, (list, tuple)) else [planes]
+    e = emb
+    for t, pl in enumerate(tables):
+        e = with_lsh_bucket(e, pl, vec_col).withColumnRenamed("lsh_bucket", f"b{t}")
+    nt = len(tables)
+    kv = e.select(
+        id_col, vec_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+            for t in range(nt)
+        ])).alias("tb"),
+    ).select(id_col, vec_col, "tb.t", "tb.bucket")
+    a = kv.alias("l")
+    b = kv.alias("r")
+    pairs = (
+        a.join(b, (F.col("l.t") == F.col("r.t"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("va"),
+            F.col(f"r.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.expr(
+            f"{_dot_expr('va', 'vb')} / ({_norm_expr('va')} * {_norm_expr('vb')})"
+        ).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)

@@ -138,3 +138,78 @@ def test_lsh_hot_bucket_cap_drops_mega_bucket(spark, docs):
     stats = DD.lsh_bucket_stats(sig, 4, 4, max_bucket=10).collect()
     assert all(r["buckets_dropped"] >= 1 for r in stats)
     assert all(r["docs_dropped"] >= 40 for r in stats)
+
+
+def test_near_dup_groups_end_to_end(spark, docs):
+    from osgeo_gdal_spark.operators import dedup as DD
+    import pandas as pd
+
+    # plant two clusters of near-identical docs + leave the corpus alone
+    base_text = ("the quick brown fox jumps over the lazy dog again and "
+                 "again while the band plays on " * 3)
+    rows = []
+    for i in range(5):   # cluster A: one word tweaked per copy
+        rows.append((200000 + i, base_text + f"suffix{i}"))
+    other = ("completely different content about tile pyramids and "
+             "mercator mathematics in spark engines " * 4)
+    for i in range(3):   # cluster B
+        rows.append((300000 + i, other + f"tail{i}"))
+    planted = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+    base = docs.select("doc_id", "text").unionByName(planted)
+
+    out = DD.near_dup_groups(base, jaccard_threshold=0.7).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["doc_id"])
+    ga = [g for g, m in by_group.items() if 200000 in m]
+    gb = [g for g, m in by_group.items() if 300000 in m]
+    assert ga and by_group[ga[0]] == {200000 + i for i in range(5)}
+    assert gb and by_group[gb[0]] == {300000 + i for i in range(3)}
+    # exactly one keeper per group, the min id
+    for g, m in by_group.items():
+        keeps = [r["doc_id"] for r in out
+                 if r["group_id"] == g and r["keep"]]
+        assert keeps == [min(m)]
+
+
+def test_ann_ivf_recall_and_plan(spark, emb):
+    from osgeo_gdal_spark.operators import similarity as SIM
+    import numpy as np
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    cent = SIM.kmeans_centroids(X[:200], k=8)
+    queries = [(int(pdf["vec_id"][i]), X[i]) for i in (3, 77, 211)]
+    approx = SIM.ann_topk_ivf(emb, queries, cent, k=3, nprobe=3)
+    exact = SIM.cosine_topk_matmul(emb, queries, k=3)
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.5   # nprobe=3 of 8 clusters on clustered fixture
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    from osgeo_gdal_spark.operators import similarity as SIM
+    from pyspark.sql import functions as F
+    import pandas as pd
+    import numpy as np
+
+    # plant an exact duplicate vector pair + a noisy near-dup
+    pdf = emb.limit(2).toPandas()
+    v0 = np.asarray(pdf["embedding"][0], dtype=np.float64)
+    rng = np.random.default_rng(3)
+    near = v0 + rng.normal(0, 0.01 * np.abs(v0).mean(), size=v0.shape)
+    extra = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [900001, 900002],
+        "embedding": [v0.tolist(), near.tolist()],
+        "label": [0, 0],
+    }))
+    base = emb.unionByName(extra)
+    tables = [SIM.hyperplanes(64, 6, seed=s) for s in (1, 2, 3)]
+    pairs = SIM.embedding_near_dup_pairs(base, tables, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (int(pdf["vec_id"][0]), 900001) in got
+    assert any(900002 in p for p in got)

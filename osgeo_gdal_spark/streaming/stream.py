@@ -91,3 +91,56 @@ def run_available_now(sdf: DataFrame, checkpoint: str, out_path: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup_first_seen(docs_stream: DataFrame,
+                               timeout_minutes: int = 0) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): exact
+    first-seen dedup over a document stream — only the FIRST row of each
+    text hash ever passes; later duplicates are dropped across triggers.
+    The per-group state is one boolean; with ``timeout_minutes > 0`` the
+    state expires after processing-time inactivity (bounding state for
+    unbounded hash spaces, the production knob).
+
+    GDAL precedent: none (batch-only reference); this is the engine-side
+    extension SURVEY §2.N plans — the streaming twin of
+    operators/dedup.exact_dup_groups.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("text_hash", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            # hash already emitted in an earlier trigger: drop everything
+            for _ in pdfs:
+                pass
+            if timeout_minutes > 0:
+                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and (first is None or pdf["doc_id"].min() < first):
+                first = int(pdf["doc_id"].min())
+        state.update((True,))
+        if timeout_minutes > 0:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if first is None:
+            return iter(())
+        return iter([pd.DataFrame({"text_hash": [key[0]], "doc_id": [first]})])
+
+    keyed = docs_stream.select(
+        F.md5(F.col("text")).alias("text_hash"), F.col("doc_id")
+    ).groupBy("text_hash")
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if timeout_minutes > 0
+               else GroupStateTimeout.NoTimeout)
+    return keyed.applyInPandasWithState(
+        dedup_fn, out_schema, state_schema, "update", timeout
+    )

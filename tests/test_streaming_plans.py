@@ -128,3 +128,39 @@ def test_pipeline_raster_steps(spark):
     rows = tiles.collect()
     assert all(r["zoom"] == 2 for r in rows)
     assert sum(r["n_points"] for r in rows) == 500
+
+
+def test_streaming_stateful_dedup_first_seen(spark, tmpdir):
+    """applyInPandasWithState exact dedup: duplicates planted across TWO
+    separate input files (drained as separate micro-batches via
+    maxFilesPerTrigger=1) are dropped by the cross-trigger state."""
+    import pandas as pd
+
+    src = str(tmpdir.join("docs_in"))
+    import os
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha", "beta", "alpha"],       # in-batch dup
+    }).to_parquet(f"{src}/part1.parquet")
+    pd.DataFrame({
+        "doc_id": [4, 5, 6],
+        "text": ["alpha", "gamma", "beta"],       # cross-batch dups
+    }).to_parquet(f"{src}/part2.parquet")
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ST.streaming_dedup_first_seen(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    got = {r["text_hash"]: r["doc_id"] for r in rows}
+    assert len(rows) == 3          # alpha, beta, gamma — each ONCE
+    assert sorted(got.values()) in ([1, 2, 5],)  # first-seen doc ids

@@ -295,7 +295,7 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
 
     n = 1 << zoom
     world = n * TILE
-    if method in ("near", "average", "amin", "amax", "asum"):
+    if method in ("near", "average", "amin", "amax", "asum", "amode"):
         radius = 0
     else:
         radius = _KERNELS[method][1]
@@ -357,7 +357,7 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
             iy = np.clip(np.floor(sy + 0.5).astype(np.int64), 0, mh - 1)
             IY, IX = np.broadcast_arrays(iy, ix)
             out = mosaic[IY, IX]
-        elif method in ("average", "amin", "amax", "asum"):
+        elif method in ("average", "amin", "amax", "asum", "amode"):
             # aggregating resamplers (GWKAverageOrMode,
             # alg/gdalwarpkernel.cpp:7573): the dst pixel's source
             # FOOTPRINT is the box between the transforms of (X, Y) and
@@ -393,6 +393,7 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
             amax_ = np.full(IX0.shape, -np.inf)
             kmax = int((IX1 - IX0).max()) if VAL.any() else 0
             lmax = int((IY1 - IY0).max()) if VAL.any() else 0
+            gathered = []  # scan-order (row-major) value planes for amode
             for l_ in range(lmax):
                 for k_ in range(kmax):
                     m = VAL & (IX0 + k_ < IX1) & (IY0 + l_ < IY1)
@@ -404,6 +405,8 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
                     cnt += m
                     amin_ = np.where(m & (v < amin_), v, amin_)
                     amax_ = np.where(m & (v > amax_), v, amax_)
+                    if method == "amode":
+                        gathered.append(np.where(m, v, np.nan))
             with np.errstate(invalid="ignore", divide="ignore"):
                 if method == "average":
                     out = np.where(cnt > 0, acc / cnt, np.nan)
@@ -411,8 +414,24 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
                     out = np.where(cnt > 0, acc, np.nan)
                 elif method == "amin":
                     out = np.where(cnt > 0, amin_, np.nan)
-                else:
+                elif method == "amax":
                     out = np.where(cnt > 0, amax_, np.nan)
+                else:
+                    # mode with the GWKAverageOrMode/ModeT tie rule: max
+                    # final count, ties -> the value whose LAST scan-order
+                    # occurrence comes first (== first to reach the final
+                    # max count). Vectorized over the (pixels x K) stack.
+                    V = np.stack(gathered, axis=-1) if gathered else \
+                        np.full(IX0.shape + (1,), np.nan)
+                    K = V.shape[-1]
+                    eq = (V[..., :, None] == V[..., None, :])
+                    cnts = eq.sum(axis=-1)                      # per position
+                    idx = np.arange(K)
+                    last = (np.where(eq, idx[None, :], -1)).max(axis=-1)
+                    score = cnts * (K + 1) + (K - last)         # lexicographic
+                    score = np.where(np.isnan(V), -1, score)
+                    best = np.argmax(score, axis=-1)
+                    out = np.take_along_axis(V, best[..., None], axis=-1)[..., 0]
             oob_override = ~VAL | (cnt == 0)
         else:
             fn, rad = _KERNELS[method]

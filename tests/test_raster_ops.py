@@ -336,3 +336,42 @@ def test_warp_aggregating_min_max_sum(spark, tiles):
             for xx in (0, 63, 130):
                 want = red(src[3*yy:3*yy+3, 3*xx:3*xx+3])
                 assert g[yy, xx] == want, (method, xx, yy)
+
+
+def test_warp_aggregating_mode(spark, tiles):
+    """MODE over 3x3 footprint boxes vs brute force with the first-to-
+    reach-max-count scan-order tie rule."""
+    a = 3.0
+    world = 512
+    gen = lambda x, y: ((x * 7 + y * 11 + 1) % 255).astype(float)  # noqa: E731
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    # coarse value classes so boxes contain REPEATS (else mode is trivial)
+    src = (gen(gpx, gpy) // 64).astype(np.float64)
+    from osgeo_gdal_spark.sources.raster import tiles_from_grid
+    t = tiles_from_grid(spark, src, 1)
+    out = {(r["gx"], r["gy"]): RS.parse_tile(r)
+           for r in RO.warp_tiles(t, 1, ("affine", a, 0.0, a, 0.0),
+                                  method="amode", nodata=-1.0).collect()}
+
+    def brute_mode(vals):
+        seen, counts, imax = [], [], 0
+        for v in vals:
+            for i, x in enumerate(seen):
+                if x == v:
+                    counts[i] += 1
+                    if counts[i] > counts[imax]:
+                        imax = i
+                    break
+            else:
+                seen.append(v)
+                counts.append(1)
+                if len(seen) == 1:
+                    imax = 0
+        return seen[imax]
+
+    g = out[(0, 0)]
+    for yy in (0, 13, 55, 101, 169):
+        for xx in (0, 7, 42, 120):
+            box = src[3*yy:3*yy+3, 3*xx:3*xx+3].ravel().tolist()
+            assert g[yy, xx] == brute_mode(box), (xx, yy, box, g[yy, xx])

@@ -154,3 +154,32 @@ def test_proximity_shuffle_carries_no_pixels(spark):
     join_part = opt.split("Join LeftOuter", 1)[1]
     left_child = join_part.splitlines()[1]
     assert "Project" in left_child and "pixels" not in left_child
+
+
+def test_warp_cover_is_native_not_driver_literal(spark):
+    """The (dst, src) warp tile cover must come from a Range + sequence
+    explode — a driver-side Python loop would show up as a LocalTableScan
+    of n^2 literal rows (and be 16M+ iterations at z12)."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, 1)
+    out = RO.warp_tiles(tiles, 1, ("affine", 0.5, 100.25, 0.5, 50.25))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Range (" in plan
+    assert "LocalTableScan" not in plan
+
+
+def test_grid_scatter_no_cartesian(spark):
+    """Grid interpolation must scatter by radius-box equi-join, never a
+    cartesian/nested-loop product of points x tiles."""
+    import pandas as pd
+    from osgeo_gdal_spark.operators import grid as GR
+
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"px": [10.0, 400.0], "py": [10.0, 300.0], "z": [1.0, 2.0]}))
+    out = GR.grid_interpolate(spark, pts, 1, "invdist", 24.0,
+                              window=(0, 0, 512, 512))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1770,6 +1770,54 @@ def q_sieve(spark: SparkSession, sf: str) -> DataFrame:
     return PZ.sieve(cat, RASTER_ZOOM, 2000)
 
 
+def sql_sieve() -> str:
+    """Analytic sieve oracle on the 96px block fixture: regions are
+    blocks; below threshold 2000 only the 32x32 corner block qualifies,
+    and every small block's largest neighbor is a big block (no absorb
+    chains on this fixture), so one absorb hop reproduces the engine's
+    component resolution exactly."""
+    world = (1 << RASTER_ZOOM) * 256
+    block = 96
+    return f"""
+WITH px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+blocks AS (
+  SELECT CAST(FLOOR(gpx / CAST({block} AS DOUBLE)) AS BIGINT) AS bx,
+         CAST(FLOOR(gpy / CAST({block} AS DOUBLE)) AS BIGINT) AS by,
+         MIN(gpy) * {world} + MIN(gpx) AS region_id,
+         COUNT(*) AS n,
+         MIN(gpx) AS xmin, MIN(gpy) AS ymin,
+         MAX(gpx) AS xmax, MAX(gpy) AS ymax
+  FROM px GROUP BY 1, 2
+),
+absorb AS (
+  SELECT ra, rb FROM (
+    SELECT s.region_id AS ra, b2.region_id AS rb,
+           ROW_NUMBER() OVER (PARTITION BY s.region_id
+                              ORDER BY b2.n DESC, b2.region_id ASC) AS rk
+    FROM (SELECT * FROM blocks WHERE n < 2000) s
+    JOIN blocks b2
+      ON ABS(b2.bx - s.bx) + ABS(b2.by - s.by) = 1
+  ) WHERE rk = 1
+),
+merged AS (
+  SELECT COALESCE(a.rb, b.region_id) AS final_id,
+         b.n, b.xmin, b.ymin, b.xmax, b.ymax
+  FROM blocks b LEFT JOIN absorb a ON a.ra = b.region_id
+)
+SELECT m.final_id AS region_id,
+       CAST((t.bx + t.by) % 3 AS DOUBLE) AS value,
+       CAST(SUM(m.n) AS BIGINT) AS n_pixels,
+       MIN(m.xmin) AS xmin, MIN(m.ymin) AS ymin,
+       MAX(m.xmax) AS xmax, MAX(m.ymax) AS ymax
+FROM merged m JOIN blocks t ON t.region_id = m.final_id
+GROUP BY m.final_id, t.bx, t.by
+"""
+
+
 def q_fillnodata(spark: SparkSession, sf: str) -> DataFrame:
     """IDW fillnodata checksums (rows-only; full-grid reference in pytest)."""
     import numpy as np
@@ -1799,6 +1847,63 @@ def q_fillnodata(spark: SparkSession, sf: str) -> DataFrame:
     return FN.fillnodata(holed, RASTER_ZOOM, -9999.0, 8).select(
         "gx", "gy", "checksum"
     )
+
+
+def sql_fillnodata() -> str:
+    """Exact reconstruction of the IDW fill + checksum: holes (gen == 42)
+    take SUM(donor/d2)/SUM(1/d2) over the radius-8 disc of valid donors;
+    the 16-bit checksum then runs over the GDALCopyWords int conversion.
+    The float division result can differ from the kernel by ~1 ULP
+    (pairwise vs ordered summation), but the +0.5-floor int conversion
+    absorbs that except on exact .5 boundaries — probability ~1e-10 over
+    the fixture's ~1k holes."""
+    world = (1 << RASTER_ZOOM) * 256
+    g_at = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    term = G.checksum_term_sql("iv", "((gpy % 256) * 256 + (gpx % 256))")
+    return f"""
+WITH px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+v AS (SELECT gpx, gpy, {g_at % ('gpx', 'gpy')} AS g FROM px),
+offs AS (
+  SELECT dx.i - 8 AS dx, dy.i - 8 AS dy
+  FROM (SELECT UNNEST(RANGE(0, 17)) AS i) dx
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 17)) AS i) dy
+  WHERE (dx.i - 8) * (dx.i - 8) + (dy.i - 8) * (dy.i - 8) BETWEEN 1 AND 64
+),
+contrib AS (
+  SELECT h.gpx, h.gpy,
+         CAST({g_at % ('(h.gpx + o.dx)', '(h.gpy + o.dy)')} AS DOUBLE) AS dv,
+         CAST(o.dx * o.dx + o.dy * o.dy AS DOUBLE) AS d2
+  FROM (SELECT gpx, gpy FROM v WHERE g = 42) h
+  CROSS JOIN offs o
+  WHERE h.gpx + o.dx BETWEEN 0 AND {world - 1}
+    AND h.gpy + o.dy BETWEEN 0 AND {world - 1}
+    AND {g_at % ('(h.gpx + o.dx)', '(h.gpy + o.dy)')} <> 42
+),
+filled AS (
+  SELECT gpx, gpy,
+         SUM(dv * (CAST(1.0 AS DOUBLE) / d2)) / SUM(CAST(1.0 AS DOUBLE) / d2) AS fv
+  FROM contrib GROUP BY gpx, gpy
+),
+allpx AS (
+  SELECT v.gpx, v.gpy,
+         CASE WHEN v.g <> 42 THEN CAST(v.g AS DOUBLE)
+              ELSE COALESCE(f.fv, CAST(-9999.0 AS DOUBLE)) END AS val
+  FROM v LEFT JOIN filled f USING (gpx, gpy)
+),
+ints AS (
+  SELECT gpx, gpy,
+         CAST(FLOOR(val + CAST(0.5 AS DOUBLE)) AS BIGINT) AS iv
+  FROM allpx
+)
+SELECT CAST(FLOOR(gpx / CAST(256.0 AS DOUBLE)) AS BIGINT) AS gx,
+       CAST(FLOOR(gpy / CAST(256.0 AS DOUBLE)) AS BIGINT) AS gy,
+       CAST(SUM({term}) % 65536 AS INT) AS checksum
+FROM ints GROUP BY 1, 2
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2216,6 +2321,8 @@ ORACLES = {
     "raster_histogram": sql_raster_histogram(),
     "focal_tpi": sql_focal_tpi(),
     "proximity_dist": sql_proximity(),
+    "fillnodata_checksums": sql_fillnodata(),
+    "sieve_regions": sql_sieve(),
     "rasterize_polygons": sql_rasterize_polygons(),
     "warp_reproject": sql_warp_reproject(),
     "grid_invdist": sql_grid_invdist(),

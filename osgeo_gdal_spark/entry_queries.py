@@ -1073,6 +1073,51 @@ def q_raster_resample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sql_raster_resample() -> str:
+    """Exact oracle for the 2x cubic rescale: at scale 2 every dst pixel
+    sits at fractional offset 0.5, so the Catmull-Rom taps have CONSTANT
+    dyadic weights (-1/16, 9/16, 9/16, -1/16) — all arithmetic on integer
+    sources is exact in float64 regardless of summation order. Edge taps
+    clamp; the checksum runs over the GDALCopyWords int conversion with
+    C-style modulo (DuckDB % is trunc like C; the final sum needs the
+    ((x % m) + m) % m wrap because cubic undershoot makes negatives)."""
+    n = 1 << RASTER_ZOOM
+    g_at = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    w = "CASE %s.i WHEN 0 THEN CAST(-0.0625 AS DOUBLE) WHEN 1 THEN CAST(0.5625 AS DOUBLE) WHEN 2 THEN CAST(0.5625 AS DOUBLE) ELSE CAST(-0.0625 AS DOUBLE) END"
+    idx = "LEAST(255, GREATEST(0, 2 * %s + (%s.i - 1)))"
+    term = G.checksum_term_sql("iv", "(y * 128 + x)")
+    return f"""
+WITH tiles AS (
+  SELECT tx.i AS gx, ty.i AS gy
+  FROM (SELECT UNNEST(RANGE(0, {n})) AS i) tx
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {n})) AS i) ty
+),
+dst AS (
+  SELECT t.gx, t.gy, xs.i AS x, ys.i AS y
+  FROM tiles t
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 128)) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 128)) AS i) ys
+),
+contrib AS (
+  SELECT d.gx, d.gy, d.x, d.y,
+         ({w % 'kx'}) * ({w % 'ky'})
+         * {g_at % (f"(d.gx * 256 + {idx % ('d.x', 'kx')})",
+                    f"(d.gy * 256 + {idx % ('d.y', 'ky')})")} AS c
+  FROM dst d
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS i) kx
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS i) ky
+),
+vals AS (
+  SELECT gx, gy, x, y,
+         CAST(FLOOR(SUM(c) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS iv
+  FROM contrib GROUP BY gx, gy, x, y
+)
+SELECT gx, gy, 128 AS width, 128 AS height,
+       CAST(((SUM({term}) % 65536) + 65536) % 65536 AS INT) AS checksum
+FROM vals GROUP BY gx, gy
+"""
+
+
 def q_st_functions(spark: SparkSession, sf: str) -> DataFrame:
     """The ST_* library over WKB (SQLite-dialect registry parity,
     ogrsqlitesqlfunctions.cpp): area / centroid / geometry-type via the
@@ -2323,6 +2368,7 @@ ORACLES = {
     "proximity_dist": sql_proximity(),
     "fillnodata_checksums": sql_fillnodata(),
     "sieve_regions": sql_sieve(),
+    "raster_resample": sql_raster_resample(),
     "rasterize_polygons": sql_rasterize_polygons(),
     "warp_reproject": sql_warp_reproject(),
     "grid_invdist": sql_grid_invdist(),

@@ -1788,6 +1788,52 @@ def q_contour(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+FOCAL5_WIN = (120, 168, 230, 280)   # x0, x1, y0, y1 — spans the tile seam
+
+
+def q_focal_mean5(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic focal neighbors (`gdal raster neighbors` / VRT
+    KernelFilteredSource): 5x5 equal-weight mean on the width-2 halo
+    exchange. Exact oracle: integer window sums / 25 over an interior
+    probe window that SPANS a tile seam (the distributed halo is what's
+    under test)."""
+    import numpy as np
+
+    from .operators import focal as FO, raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = FO.focal_generic(tiles, RASTER_ZOOM, np.ones((5, 5)), "mean")
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = FOCAL5_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", "value")
+
+
+def sql_focal_mean5() -> str:
+    x0, x1, y0, y1 = FOCAL5_WIN
+    g_at = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+),
+contrib AS (
+  SELECT d.gpx, d.gpy,
+         {g_at % ('(d.gpx + kx.i - 2)', '(d.gpy + ky.i - 2)')} AS v
+  FROM dst d
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 5)) AS i) kx
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 5)) AS i) ky
+)
+SELECT gpx, gpy,
+       CAST(SUM(v) AS BIGINT) / CAST(25.0 AS DOUBLE) AS value
+FROM contrib GROUP BY gpx, gpy
+"""
+
+
 def q_contour_polylines(spark: SparkSession, sf: str) -> DataFrame:
     """Contour polyline stitching (contour.cpp segment merger; rows-only —
     pinned against a full-grid union-find reference in pytest): per-level
@@ -2320,6 +2366,7 @@ QUERIES = {
     "embedding_ann_ivf": q_embedding_ann_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "dedup_near_groups": q_dedup_near_groups,
+    "focal_mean5": q_focal_mean5,
 }
 
 ORACLES = {
@@ -2369,6 +2416,7 @@ ORACLES = {
     "fillnodata_checksums": sql_fillnodata(),
     "sieve_regions": sql_sieve(),
     "raster_resample": sql_raster_resample(),
+    "focal_mean5": sql_focal_mean5(),
     "rasterize_polygons": sql_rasterize_polygons(),
     "warp_reproject": sql_warp_reproject(),
     "grid_invdist": sql_grid_invdist(),

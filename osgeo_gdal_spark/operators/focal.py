@@ -202,3 +202,112 @@ def focal_slope(tiles: DataFrame, zoom: int, xres=1.0, yres=1.0,
                 nodata=-9999.0) -> DataFrame:
     """Horn slope (degrees) — see focal_dem."""
     return focal_dem(tiles, zoom, "slope", xres, yres, nodata)
+
+
+def focal_generic(tiles: DataFrame, zoom: int, kernel, method="mean",
+                  nodata=-9999.0) -> DataFrame:
+    """Generic focal neighbors with an ARBITRARY odd-size kernel — the
+    `gdal raster neighbors` analog (``apps/gdalalg_raster_neighbors.cpp``
+    -> VRT KernelFilteredSource): per-pixel weighted reduce over the KxK
+    window, distributed on a width-(K//2) halo exchange (the fillnodata
+    strip machinery), so results equal the full-raster convolution across
+    tile borders exactly.
+
+    method: 'mean' (weight-normalized over AVAILABLE taps — world-border
+    pixels renormalize like the VRT source), 'sum' (missing taps = 0),
+    'min'/'max' (over taps with nonzero weight), 'stddev' (population, of
+    the weighted window treated as values with weight > 0).
+    """
+    K = np.asarray(kernel, dtype=np.float64)
+    if K.ndim != 2 or K.shape[0] != K.shape[1] or K.shape[0] % 2 != 1:
+        raise ValueError("kernel must be square with odd size")
+    r = K.shape[0] // 2
+    meth = str(method)
+    nd = float(nodata)
+
+    def stencil(pdf):
+        import pandas as pd
+
+        from ..kernels import checksum as CK
+
+        tgx, tgy = int(pdf["tgx"].iloc[0]), int(pdf["tgy"].iloc[0])
+        zoom_v = int(pdf["zoom"].iloc[0])
+        pad = np.full((TILE + 2 * r, TILE + 2 * r), np.nan)
+        place = {
+            (0, 0): (slice(r, r + TILE), slice(r, r + TILE)),
+            (1, 0): (slice(r, r + TILE), slice(0, r)),
+            (-1, 0): (slice(r, r + TILE), slice(r + TILE, None)),
+            (0, 1): (slice(0, r), slice(r, r + TILE)),
+            (0, -1): (slice(r + TILE, None), slice(r, r + TILE)),
+            (1, 1): (slice(0, r), slice(0, r)),
+            (-1, 1): (slice(0, r), slice(r + TILE, None)),
+            (1, -1): (slice(r + TILE, None), slice(0, r)),
+            (-1, -1): (slice(r + TILE, None), slice(r + TILE, None)),
+        }
+        for _, row in pdf.iterrows():
+            arr = np.frombuffer(bytes(row["strip"]), dtype=np.float64).reshape(
+                row["sh"], row["sw"]
+            )
+            sy, sx = place[(int(row["dx"]), int(row["dy"]))]
+            pad[sy, sx] = arr
+        acc = np.zeros((TILE, TILE))
+        wacc = np.zeros((TILE, TILE))
+        mn = np.full((TILE, TILE), np.inf)
+        mx = np.full((TILE, TILE), -np.inf)
+        s1 = np.zeros((TILE, TILE))
+        s2 = np.zeros((TILE, TILE))
+        cnt = np.zeros((TILE, TILE))
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                w = K[dy + r, dx + r]
+                if w == 0.0 and meth in ("min", "max"):
+                    continue
+                v = pad[r + dy:r + dy + TILE, r + dx:r + dx + TILE]
+                ok = ~np.isnan(v)
+                vv = np.where(ok, v, 0.0)
+                acc += np.where(ok, w * vv, 0.0)
+                wacc += np.where(ok, w, 0.0)
+                s1 += np.where(ok, vv, 0.0)
+                s2 += np.where(ok, vv * vv, 0.0)
+                cnt += ok
+                if meth in ("min", "max"):
+                    mn = np.where(ok & (v < mn), v, mn)
+                    mx = np.where(ok & (v > mx), v, mx)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if meth == "mean":
+                out = np.where(wacc != 0, acc / wacc, nd)
+            elif meth == "sum":
+                out = acc
+            elif meth == "min":
+                out = np.where(np.isfinite(mn), mn, nd)
+            elif meth == "max":
+                out = np.where(np.isfinite(mx), mx, nd)
+            elif meth == "stddev":
+                # UNWEIGHTED population stddev over taps with any weight
+                m = s1 / np.maximum(cnt, 1)
+                out = np.where(cnt > 0,
+                               np.sqrt(np.maximum(s2 / np.maximum(cnt, 1) - m * m, 0.0)),
+                               nd)
+            else:
+                raise ValueError(meth)
+        return pd.DataFrame(
+            [
+                {
+                    "dataset_id": f"focal_{meth}",
+                    "zoom": zoom_v,
+                    "gx": tgx,
+                    "gy": tgy,
+                    "band": 1,
+                    "width": TILE,
+                    "height": TILE,
+                    "dtype": "float64",
+                    "nodata": nd,
+                    "crs": "EPSG:3857",
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                }
+            ]
+        )
+
+    strips = _strips(tiles, zoom, width=r)
+    return strips.groupBy("tgx", "tgy").applyInPandas(stencil, TILE_SCHEMA)

@@ -412,3 +412,60 @@ def test_contour_polylines_closed_loop(spark):
     import math
     expect = 2 * math.pi * 40.0 * math.sqrt(math.log(2.0))
     assert abs(r["length"] - expect) < 0.05 * expect
+
+
+def test_focal_generic_methods_match_full_grid(spark, tiles):
+    """Generic KxK focal (mean/sum/min/max/stddev) vs a driver-side
+    full-grid reference, including tile-border pixels (the halo)."""
+    from osgeo_gdal_spark.operators.focal import focal_generic
+
+    world = 512
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    z = ((gpx * 7 + gpy * 11 + 1) % 255).astype(np.float64)
+    r = 2
+    pad = np.full((world + 2 * r, world + 2 * r), np.nan)
+    pad[r:-r, r:-r] = z
+    K = np.ones((5, 5))
+    K[0, 0] = 0.0  # non-trivial weight pattern for min/max skip logic
+
+    for meth in ("mean", "sum", "min", "max", "stddev"):
+        got = {(rw["gx"], rw["gy"]): RS.parse_tile(rw)
+               for rw in focal_generic(tiles, 1, K, meth).collect()}
+        # reference
+        acc = np.zeros((world, world)); wacc = np.zeros((world, world))
+        s1 = np.zeros((world, world)); s2 = np.zeros((world, world))
+        cnt = np.zeros((world, world))
+        mn = np.full((world, world), np.inf); mx = np.full((world, world), -np.inf)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                w = K[dy + r, dx + r]
+                if w == 0.0 and meth in ("min", "max"):
+                    continue
+                v = pad[r + dy:r + dy + world, r + dx:r + dx + world]
+                ok = ~np.isnan(v)
+                vv = np.where(ok, v, 0.0)
+                acc += np.where(ok, w * vv, 0.0)
+                wacc += np.where(ok, w, 0.0)
+                s1 += np.where(ok, vv, 0.0); s2 += np.where(ok, vv * vv, 0.0)
+                cnt += ok
+                if meth in ("min", "max"):
+                    mn = np.where(ok & (v < mn), v, mn)
+                    mx = np.where(ok & (v > mx), v, mx)
+        if meth == "mean":
+            want = np.where(wacc != 0, acc / wacc, -9999.0)
+        elif meth == "sum":
+            want = acc
+        elif meth == "min":
+            want = np.where(np.isfinite(mn), mn, -9999.0)
+        elif meth == "max":
+            want = np.where(np.isfinite(mx), mx, -9999.0)
+        else:
+            m = s1 / np.maximum(cnt, 1)
+            want = np.where(cnt > 0,
+                            np.sqrt(np.maximum(s2 / np.maximum(cnt, 1) - m * m, 0.0)),
+                            -9999.0)
+        for (gx, gy), g in got.items():
+            np.testing.assert_allclose(
+                g, want[gy*256:(gy+1)*256, gx*256:(gx+1)*256],
+                atol=1e-9, err_msg=f"{meth} tile {gx},{gy}")

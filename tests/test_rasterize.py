@@ -178,3 +178,43 @@ def test_rasterize_line_shapes(spark):
             RS.parse_tile(row), want[oy:oy + 256, ox:ox + 256])
     got_n = sum(int((RS.parse_tile(r) != 0).sum()) for r in out)
     assert got_n == int((want != 0).sum()) > 200
+
+
+def test_polygon_fill_random_convex_property():
+    """Property: scanline fill == center-rule even-odd PIP for random
+    convex polygons (hulls of random point sets — simple by construction,
+    arbitrary slopes/orientations)."""
+    from osgeo_gdal_spark.kernels.polypoly import convex_hull
+
+    rng = np.random.default_rng(17)
+    for trial in range(25):
+        npts = int(rng.integers(3, 9))
+        xs = rng.uniform(1, 39, npts)
+        ys = rng.uniform(1, 29, npts)
+        hull = convex_hull(xs, ys)
+        if len(hull) < 3:
+            continue
+        hx = [p[0] for p in hull]
+        hy = [p[1] for p in hull]
+        got = RK.polygon_mask([len(hull)], hx, hy, 40, 30)
+        want = _center_pip_even_odd([len(hull)], hx, hy, 40, 30)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_polygon_fill_horizontal_edge_at_pixel_center():
+    """The bottom-horizontal special case (llrasterize.cpp:150-185): a
+    rect whose horizontal edges sit EXACTLY at pixel-center height must
+    still fill its interior rows once and only once."""
+    ps = [5]
+    xs = [2.0, 8.0, 8.0, 2.0, 2.0]
+    ys = [1.5, 1.5, 5.5, 5.5, 1.5]   # edges at y = k + 0.5 exactly
+    m = RK.polygon_mask(ps, xs, ys, 12, 8)
+    # scanlines with center in [1.5, 5.5): rows 1..4 crossings; plus the
+    # bottom horizontal fill at the exact-center row. Mass must stay
+    # rectangular: cols 2..7 over contiguous rows, no double/missing rows
+    cols = np.nonzero(m.any(axis=0))[0]
+    rows = np.nonzero(m.any(axis=1))[0]
+    assert cols.tolist() == [2, 3, 4, 5, 6, 7]
+    assert rows.tolist() == list(range(rows[0], rows[-1] + 1))
+    per_row = m[rows].sum(axis=1)
+    assert (per_row == 6).all()

@@ -72,7 +72,7 @@ def contour_segments(tiles: DataFrame, zoom: int, levels) -> DataFrame:
 
 
 def contour_polylines(tiles: DataFrame, zoom: int, levels,
-                      bucket=512, max_rounds=24) -> DataFrame:
+                      bucket=512, max_rounds=24, emit_wkb=False) -> DataFrame:
     """Stitch per-cell segments into polylines — the second phase of GDAL
     contour (``alg/contour.cpp`` segment merger / ring appender),
     distributed in three stages:
@@ -91,7 +91,10 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
        border endpoint — a tiny graph (only chains crossing buckets).
 
     Returns (level, polyline_id, n_segs, length, closed); closed = the
-    merged chain has no terminal and no unmatched endpoint.
+    merged chain has no terminal and no unmatched endpoint. With
+    ``emit_wkb=True`` each polyline also carries its ordered LineString
+    WKB (fragment chains are walked locally; the per-polyline assembly
+    connects the few bucket fragments at their shared endpoints).
     """
     segs = contour_segments(tiles, zoom, levels)
     vkey = "%.17g|%.17g|%.17g"
@@ -125,6 +128,10 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
         T.StructField("length", T.DoubleType()),
         T.StructField("terminal", T.BooleanType()),
         T.StructField("open_keys", T.ArrayType(T.StringType())),
+        # ordered vertex chain [x0, y0, x1, y1, ...] — walked locally so
+        # the global stage can emit LineString WKB by joining fragments
+        # at their shared endpoints
+        T.StructField("chain", T.ArrayType(T.DoubleType())),
     ])
 
     def local_stitch(pdf):
@@ -163,9 +170,10 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
             r = find(i)
             g = groups.setdefault(
                 r, {"n": 0, "len": 0.0, "open": [], "term": False,
-                    "hid": None})
+                    "hid": None, "segs": []})
             g["n"] += 1
             g["len"] += float(np.hypot(x1[i] - x0[i], y1[i] - y0[i]))
+            g["segs"].append(i)
             h = hash((lev, float(x0[i]), float(y0[i]),
                       float(x1[i]), float(y1[i]))) & 0x7FFFFFFFFFFFFFFF
             if g["hid"] is None or h < g["hid"]:
@@ -175,10 +183,48 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
                     g["term"] = True
                 elif localdeg.get(vk, 0) == 1:
                     g["open"].append(vk)  # partner lives in another bucket
+
+        def walk(seg_ids):
+            # order the fragment's segments into one vertex chain; start
+            # at a chain end (a vertex used once within the fragment) or
+            # anywhere for a closed loop
+            adj = {}
+            for i in seg_ids:
+                a = (float(x0[i]), float(y0[i]))
+                b = (float(x1[i]), float(y1[i]))
+                adj.setdefault(a, []).append((i, b))
+                adj.setdefault(b, []).append((i, a))
+            start = None
+            for v, es in sorted(adj.items()):
+                if len(es) == 1:
+                    start = v
+                    break
+            if start is None:
+                start = min(adj)
+            chain = [start]
+            used = set()
+            cur = start
+            while True:
+                nxt = None
+                for i, other in adj[cur]:
+                    if i not in used:
+                        used.add(i)
+                        nxt = other
+                        break
+                if nxt is None:
+                    break
+                chain.append(nxt)
+                cur = nxt
+            out = []
+            for vx, vy in chain:
+                out += [vx, vy]
+            return out
+
         rows = [
             {"level": lev, "frag_id": g["hid"], "n_segs": g["n"],
              "length": g["len"], "terminal": g["term"],
-             "open_keys": sorted(g["open"])}
+             "open_keys": sorted(g["open"]),
+             "chain": walk(g["segs"])}
             for g in groups.values()
         ]
         return pd.DataFrame(rows)
@@ -231,7 +277,7 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
         .groupBy("polyline_id")
         .agg(F.sum(F.when(F.col("deg") < 2, 1).otherwise(0)).alias("n_open"))
     )
-    return (
+    digest = (
         with_pl.groupBy("level", "polyline_id")
         .agg(
             F.sum("n_segs").alias("n_segs"),
@@ -245,3 +291,53 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
         )
         .drop("n_open", "_term")
     )
+    if not emit_wkb:
+        return digest
+
+    wkb_schema = T.StructType([
+        T.StructField("polyline_id", T.LongType()),
+        T.StructField("wkb", T.BinaryType()),
+    ])
+
+    def assemble_wkb(pdf):
+        import pandas as pd
+        import struct
+
+        pid = int(pdf["polyline_id"].iloc[0])
+        chains = [list(c) for c in pdf["chain"]]
+        # connect fragments at shared endpoints (few per polyline)
+        pts_of = [
+            [(c[i], c[i + 1]) for i in range(0, len(c), 2)] for c in chains
+        ]
+        cur = pts_of.pop(0)
+        while pts_of:
+            hit = None
+            for j, other in enumerate(pts_of):
+                if other[0] == cur[-1]:
+                    hit, piece = j, other[1:]
+                elif other[-1] == cur[-1]:
+                    hit, piece = j, other[::-1][1:]
+                elif other[-1] == cur[0]:
+                    hit, piece = j, None
+                    cur = other[:-1] + cur
+                elif other[0] == cur[0]:
+                    hit, piece = j, None
+                    cur = other[::-1][:-1] + cur
+                else:
+                    continue
+                if piece is not None:
+                    cur = cur + piece
+                break
+            if hit is None:
+                break  # disconnected remainder (shouldn't happen)
+            pts_of.pop(hit)
+        buf = [struct.pack("<BII", 1, 2, len(cur))]  # WKB LineString
+        for vx, vy in cur:
+            buf.append(struct.pack("<dd", vx, vy))
+        return pd.DataFrame([{"polyline_id": pid, "wkb": b"".join(buf)}])
+
+    wkbs = (
+        frags.join(lab, "frag_id").select("polyline_id", "chain")
+        .groupBy("polyline_id").applyInPandas(assemble_wkb, wkb_schema)
+    )
+    return digest.join(wkbs, "polyline_id")

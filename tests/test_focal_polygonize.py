@@ -469,3 +469,39 @@ def test_focal_generic_methods_match_full_grid(spark, tiles):
             np.testing.assert_allclose(
                 g, want[gy*256:(gy+1)*256, gx*256:(gx+1)*256],
                 atol=1e-9, err_msg=f"{meth} tile {gx},{gy}")
+
+
+def test_contour_polyline_wkb_emission(spark):
+    """emit_wkb: the gaussian bump's single closed contour comes back as
+    an ordered LineString whose vertices are exactly the stitched segment
+    endpoints (closed ring: first == last after closure by walk)."""
+    import struct
+
+    from osgeo_gdal_spark.kernels.contour import marching_squares
+    from osgeo_gdal_spark.operators import contour as CT
+
+    world = 512
+    yy, xx = np.mgrid[0:world, 0:world].astype(np.float64)
+    grid = 100.0 * np.exp(-(((xx - 256.0) / 40.0) ** 2
+                            + ((yy - 256.0) / 40.0) ** 2))
+    tiles = RS.tiles_from_grid(spark, grid, 1)
+    rows = CT.contour_polylines(tiles, 1, [50.0], bucket=128,
+                                emit_wkb=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    buf = bytes(r["wkb"])
+    endian, gtype, npts = struct.unpack_from("<BII", buf, 0)
+    assert gtype == 2  # LineString
+    pts = [struct.unpack_from("<dd", buf, 9 + 16 * i) for i in range(npts)]
+    assert npts == r["n_segs"] + 1 or npts == r["n_segs"]
+    # vertex set equals the segment endpoint set of the reference
+    ref = set()
+    for x0, y0, x1, y1 in marching_squares(grid, 50.0):
+        ref.add((x0, y0)); ref.add((x1, y1))
+    assert set(pts) == ref
+    # consecutive vertices are true segments of the reference
+    seg_ref = set()
+    for x0, y0, x1, y1 in marching_squares(grid, 50.0):
+        seg_ref.add(((x0, y0), (x1, y1))); seg_ref.add(((x1, y1), (x0, y0)))
+    for a, b in zip(pts[:-1], pts[1:]):
+        assert (a, b) in seg_ref

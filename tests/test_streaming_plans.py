@@ -136,8 +136,8 @@ def test_streaming_stateful_dedup_first_seen(spark, tmpdir):
     maxFilesPerTrigger=1) are dropped by the cross-trigger state."""
     import pandas as pd
 
-    src = str(tmpdir.join("docs_in"))
     import os
+    src = os.path.join(tmpdir, "docs_in")
     os.makedirs(src, exist_ok=True)
     pd.DataFrame({
         "doc_id": [1, 2, 3],

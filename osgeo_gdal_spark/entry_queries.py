@@ -1345,6 +1345,142 @@ def sql_clip_rect() -> str:
     return f"SELECT * FROM ({union}) WHERE clip_area > 0"
 
 
+# --- general layer algebra: Intersection / Union / Erase -----------------
+
+
+def _tri_rect_clip_area(p, rect) -> float:
+    """tri ∩ axis-rect area via the INDEPENDENT Sutherland-Hodgman path
+    (kernels/clip.py, round-2-verified by the clip_rect oracle) — used to
+    inline oracle constants for the triangle pairs, where no closed-form
+    box arithmetic exists. The engine side runs the separate
+    edge-classification kernel (kernels/overlay_kernel.py)."""
+    import numpy as np
+
+    from .kernels import clip as CLK
+
+    _, x0, y0, x1, y1 = rect
+    vx, vy = zip(*p.params["vertices"])
+    cx, cy = CLK.sh_clip_ring(np.array(vx), np.array(vy), x0, y0, x1, y1)
+    if len(cx) < 3:
+        return 0.0
+    return abs(CLK.ring_area(cx, cy))
+
+
+def _overlay_pair_area_sql(p) -> str:
+    """Exact A∩B area as SQL over the tindex rect columns (ax0..ay1) for
+    one fixture polygon; triangle handled via inlined S-H constants."""
+
+    def box(x0, y0, x1, y1):
+        w = (f"GREATEST(CAST(0.0 AS DOUBLE), "
+             f"LEAST(ax1, CAST({x1!r} AS DOUBLE)) "
+             f"- GREATEST(ax0, CAST({x0!r} AS DOUBLE)))")
+        h = (f"GREATEST(CAST(0.0 AS DOUBLE), "
+             f"LEAST(ay1, CAST({y1!r} AS DOUBLE)) "
+             f"- GREATEST(ay0, CAST({y0!r} AS DOUBLE)))")
+        return f"({w} * {h})"
+
+    pr = p.params
+    if p.kind == "rect":
+        return box(*pr["bounds"])
+    if p.kind == "rect_hole":
+        return f"({box(*pr['bounds'])} - {box(*pr['hole'])})"
+    if p.kind == "dateline":
+        y0, y1 = pr["lat"]
+        xw, xe = pr["west_lon"], pr["east_lon"]
+        return f"({box(xw, y0, 180.0, y1)} + {box(-180.0, y0, xe, y1)})"
+    if p.kind == "tri":
+        whens = []
+        for rect in PL.tindex_rects():
+            a = _tri_rect_clip_area(p, rect)
+            if a > 0:
+                whens.append(f"WHEN {rect[0]} THEN CAST({a!r} AS DOUBLE)")
+        return ("CASE fid " + " ".join(whens)
+                + " ELSE CAST(0.0 AS DOUBLE) END")
+    raise ValueError(p.kind)
+
+
+def _overlay_pairs_cte() -> str:
+    """(a_id, eas_id, i_area, a_area, b_area) for every intersecting
+    (tindex rect, polygon) pair — the shared oracle base for the three
+    layer-algebra queries."""
+    per_poly = " UNION ALL ".join(
+        f"SELECT (1000 + fid) AS a_id, {p.eas_id} AS eas_id, "
+        f"CAST({_overlay_pair_area_sql(p)} AS DOUBLE) AS i_area, "
+        f"(ax1 - ax0) * (ay1 - ay0) AS a_area, "
+        f"CAST({p.area()!r} AS DOUBLE) AS b_area "
+        f"FROM {PL.tindex_values_sql()} WHERE {PL.rect_intersects_sql(p)}"
+        for p in PL.POLYGONS
+    )
+    return f"SELECT * FROM ({per_poly}) WHERE i_area > 0"
+
+
+def q_overlay_intersection(spark: SparkSession, sf: str) -> DataFrame:
+    """Layer algebra Intersection EMITTING GEOMETRIES
+    (ogrlayer.cpp:5385; per-pair set op = ogrgeometry.cpp:4893, GEOS
+    replaced by the edge-classification kernel overlay_kernel.py): every
+    intersecting (tile-index rect, polygon) pair emits the A∩B polygon;
+    digest = shoelace area of the emitted rings at 4 dp."""
+    from .operators import overlay as OV
+
+    ov = OV.overlay_features(
+        spark, PL.tindex_df(spark), PL.POLYGONS, "intersection"
+    )
+    return ov.select(
+        "a_id", "eas_id", F.round("piece_area", 4).alias("i_area")
+    )
+
+
+def sql_overlay_intersection() -> str:
+    return (f"SELECT a_id, eas_id, ROUND(i_area, 4) AS i_area "
+            f"FROM ({_overlay_pairs_cte()})")
+
+
+def q_overlay_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Union emitting geometries (ogrlayer.cpp:5803 per-pair
+    piece): same pairs, kernel op='union'; oracle area is
+    |A| + |B| − |A∩B| — a completely different arithmetic path from the
+    engine's assembled-ring shoelace."""
+    from .operators import overlay as OV
+
+    ov = OV.overlay_features(spark, PL.tindex_df(spark), PL.POLYGONS, "union")
+    return ov.select(
+        "a_id", "eas_id", F.round("piece_area", 4).alias("u_area")
+    )
+
+
+def sql_overlay_union() -> str:
+    return (f"SELECT a_id, eas_id, "
+            f"ROUND(a_area + b_area - i_area, 4) AS u_area "
+            f"FROM ({_overlay_pairs_cte()})")
+
+
+def q_overlay_erase(spark: SparkSession, sf: str) -> DataFrame:
+    """Layer algebra Erase (ogrlayer.cpp:6158): each tile-index rect
+    minus the union of every polygon it intersects (difference fold in
+    the kernel); untouched rects pass through whole. Oracle:
+    |A| − Σ|A∩B| — exact because the fixture POLYGONS are pairwise
+    disjoint."""
+    from .operators import overlay as OV
+
+    ov = OV.erase_features(spark, PL.tindex_df(spark), PL.POLYGONS)
+    return ov.select("a_id", F.round("piece_area", 4).alias("e_area"))
+
+
+def sql_overlay_erase() -> str:
+    return f"""
+WITH pairs AS ({_overlay_pairs_cte()}),
+ti AS (SELECT (1000 + fid) AS a_id, (ax1 - ax0) * (ay1 - ay0) AS a_area
+       FROM {PL.tindex_values_sql()})
+SELECT ti.a_id,
+       ROUND(ti.a_area - COALESCE(SUM(pairs.i_area), CAST(0.0 AS DOUBLE)), 4)
+         AS e_area
+FROM ti LEFT JOIN pairs ON ti.a_id = pairs.a_id
+GROUP BY ti.a_id, ti.a_area
+HAVING ROUND(ti.a_area - COALESCE(SUM(pairs.i_area), CAST(0.0 AS DOUBLE)), 4)
+       > 0
+"""
+
+
 WARP = {"a": 0.5, "b": 100.25, "c": 0.5, "d": 50.25}
 WARP_WIN = (256, 384, 256, 384)  # dst probe window x0,x1,y0,y1
 
@@ -2326,6 +2462,9 @@ QUERIES = {
     "dedup_near_groups": q_dedup_near_groups,
     "focal_mean5": q_focal_mean5,
     # -- round-3 operators (inserted here as they land) -------------------
+    "overlay_intersection": q_overlay_intersection,
+    "overlay_union": q_overlay_union,
+    "overlay_erase": q_overlay_erase,
     # -- round-1 flagship operators ---------------------------------------
     "geocode_tiles": q_geocode_tiles,
     "spatial_join_pairs": q_spatial_join_pairs,
@@ -2440,6 +2579,9 @@ ORACLES = {
     "spatial_join_polygons": sql_spatial_join_polygons(),
     "warp_downscale_avg": sql_warp_downscale_avg(),
     "mosaic_overlay": sql_mosaic_overlay(),
+    "overlay_intersection": sql_overlay_intersection(),
+    "overlay_union": sql_overlay_union(),
+    "overlay_erase": sql_overlay_erase(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -1,16 +1,20 @@
 """Overlay operators emitting geometries.
 
-v1 scope: CLIP against an axis rect (the ogr2ogr ``-clipsrc xmin ymin
-xmax ymax`` path, ``apps/ogr2ogr_lib.cpp:2460-2545``; layer-algebra Clip
-``ogrlayer.cpp:7537``), Sutherland-Hodgman per ring — no GEOS needed.
-General polygon∩polygon clipping stays a named extension point (the
-container has no shapely; the kernel slot is ``kernels/clip.py``).
+- CLIP against an axis rect (the ogr2ogr ``-clipsrc xmin ymin xmax ymax``
+  path, ``apps/ogr2ogr_lib.cpp:2460-2545``; layer-algebra Clip
+  ``ogrlayer.cpp:7537``), Sutherland-Hodgman per ring;
+- general layer-algebra Intersection / Union / Erase emitting geometries
+  (``ogrlayer.cpp:5385`` Intersection, ``:5803`` Union, ``:6158`` Erase)
+  via the GEOS-free edge-classification kernel in
+  ``kernels/overlay_kernel.py``.
 
-Distributed shape: a mapInPandas over the feature rows (features are the
-SMALL side of every workload here; each clip is O(ring vertices)). A
-native bbox prefilter drops features entirely outside the window before
-any Python runs, and — the GeoParquet covering-column pattern — lets
-Catalyst prune files on the flat bbox struct.
+Distributed shape: candidate (feature, polygon) pairs come from the
+broadcast cell-cover machinery of ``operators/spatial_join.py`` (the
+big feature side never shuffles; the polygon layer broadcasts), then an
+Arrow batch runs the per-pair boolean kernel. A native bbox prefilter
+drops features entirely outside the window before any Python runs, and
+— the GeoParquet covering-column pattern — lets Catalyst prune files on
+the flat bbox struct.
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..kernels import clip as CL, wkb as W
+from ..kernels import clip as CL, overlay_kernel as OVK, wkb as W
 
 _CLIP_SCHEMA_EXTRA = [
     T.StructField("clip_wkb", T.BinaryType()),
@@ -88,3 +92,164 @@ def clip_features_rect(feats: DataFrame, rect, geom_col="geometry",
                 yield pd.DataFrame(rows)
 
     return pre.mapInPandas(kernel, out_schema)
+
+
+# --- general layer algebra (Intersection / Union / Erase) ----------------
+
+_PIECE_FIELDS = [
+    T.StructField("piece_wkb", T.BinaryType()),
+    T.StructField("piece_area", T.DoubleType()),
+    T.StructField("piece_npts", T.IntegerType()),
+]
+
+_RINGS_CACHE: dict = {}
+
+
+def _prepared_rings(payload, key):
+    """Per-executor cache: polygon fid -> ring soup (parse WKB once per
+    payload, not once per Arrow batch)."""
+    got = _RINGS_CACHE.get(key)
+    if got is None:
+        got = {
+            fid: OVK.geometry_rings(W.parse_wkb(bytes(buf)))
+            for fid, buf in payload
+        }
+        _RINGS_CACHE.clear()
+        _RINGS_CACHE[key] = got
+    return got
+
+
+def overlay_features(spark, feats: DataFrame, polys, op: str,
+                     keep_cols=("fid", "a_id"), geom_col="geometry",
+                     zoom=None) -> DataFrame:
+    """Pairwise layer-algebra overlay: for every intersecting
+    (feature, polygon) pair, emit the boolean-op geometry.
+
+    op='intersection' is OGRLayer::Intersection (ogrlayer.cpp:5385): one
+    output row per intersecting pair with both sides' attributes.
+    op='union' emits the PAIRWISE union piece (the A∪B geometry per
+    matched pair — area oracle: |A| + |B| − |A∩B|).
+
+    Plan shape: spatial_join_polygons provides the matched pairs (cell
+    cover broadcast + native bbox prefilter + exact intersects refine);
+    this adds one Arrow pass running the edge-classification kernel with
+    the polygon payload broadcast — features never shuffle.
+    """
+    from . import spatial_join as SJ
+
+    kw = {} if zoom is None else {"zoom": zoom}
+    matched = SJ.spatial_join_polygons(spark, feats, polys, **kw)
+
+    payload = [(pf.fid, pf.wkb()) for pf in polys]
+    key = SJ.payload_key(payload)
+    bc = spark.sparkContext.broadcast(payload)
+    opv = str(op)
+    cols = list(keep_cols)
+
+    out_schema = T.StructType(
+        [feats.schema[c] for c in cols]
+        + [T.StructField("eas_id", T.LongType())]
+        + _PIECE_FIELDS
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rings_by_fid = _prepared_rings(bc.value, key)
+            rows = []
+            for _, row in pdf.iterrows():
+                ra = OVK.geometry_rings(W.parse_wkb(bytes(row[geom_col])))
+                rb = rings_by_fid[int(row["b_fid"])]
+                res = OVK.overlay_rings(ra, rb, opv)
+                area = OVK.rings_area(res)
+                if not res or area <= 0:
+                    continue
+                rows.append(
+                    {**{c: row[c] for c in cols},
+                     "eas_id": int(row["eas_id"]),
+                     "piece_wkb": OVK.rings_to_wkb(res),
+                     "piece_area": float(area),
+                     "piece_npts": int(sum(len(xs) for xs, _ in res))}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return matched.mapInPandas(kernel, out_schema)
+
+
+def erase_features(spark, feats: DataFrame, polys,
+                   keep_cols=("fid", "a_id"), geom_col="geometry",
+                   zoom=None) -> DataFrame:
+    """Layer-algebra Erase (ogrlayer.cpp:6158): each feature minus the
+    union of every polygon it intersects; features intersecting nothing
+    pass through whole. Output: keep_cols + (piece_wkb, piece_area,
+    piece_npts); features fully erased are dropped.
+
+    Plan shape: matched pairs -> groupBy(feature) -> applyInPandas
+    difference fold (the method layer broadcasts; each feature's fold is
+    O(matched polys) kernel calls), then a left-anti union for the
+    untouched features — two jobs total, no feature payload shuffle
+    beyond the matched subset.
+    """
+    from . import spatial_join as SJ
+
+    kw = {} if zoom is None else {"zoom": zoom}
+    matched = SJ.spatial_join_polygons(spark, feats, polys, **kw)
+
+    payload = [(pf.fid, pf.wkb()) for pf in polys]
+    key = SJ.payload_key(payload)
+    bc = spark.sparkContext.broadcast(payload)
+    cols = list(keep_cols)
+
+    out_schema = T.StructType(
+        [feats.schema[c] for c in cols] + _PIECE_FIELDS
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        rings_by_fid = _prepared_rings(bc.value, key)
+        row0 = pdf.iloc[0]
+        acc = OVK.geometry_rings(W.parse_wkb(bytes(row0[geom_col])))
+        # sorted fold order: difference results are order-independent in
+        # exact arithmetic but not in floats — keep runs reproducible
+        for bf in sorted(int(v) for v in pdf["b_fid"]):
+            if not acc:
+                break
+            acc = OVK.overlay_rings(acc, rings_by_fid[bf], "difference")
+        area = OVK.rings_area(acc)
+        if not acc or area <= 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema}
+            )
+        return pd.DataFrame(
+            [{**{c: row0[c] for c in cols},
+              "piece_wkb": OVK.rings_to_wkb(acc),
+              "piece_area": float(area),
+              "piece_npts": int(sum(len(xs) for xs, _ in acc))}]
+        )
+
+    erased = matched.groupBy("fid").applyInPandas(fold, out_schema)
+
+    untouched = feats.join(
+        matched.select("fid").distinct(), "fid", "left_anti"
+    )
+
+    def whole(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rings = OVK.geometry_rings(W.parse_wkb(bytes(row[geom_col])))
+                rows.append(
+                    {**{c: row[c] for c in cols},
+                     "piece_wkb": OVK.rings_to_wkb(rings),
+                     "piece_area": float(OVK.rings_area(rings)),
+                     "piece_npts": int(sum(len(xs) for xs, _ in rings))}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return erased.unionByName(untouched.mapInPandas(whole, out_schema))

@@ -84,3 +84,152 @@ def test_clip_features_rect_vs_sampling(spark):
             assert abs(got[p.eas_id] - approx) < max(30.0, 0.1 * approx), p.eas_id
         else:
             assert approx < 30.0, p.eas_id
+
+
+# --- general boolean overlay kernel (kernels/overlay_kernel.py) ----------
+
+
+def _rect_rings(x0, y0, x1, y1):
+    from osgeo_gdal_spark.kernels import overlay_kernel as OK, wkb as W
+
+    return OK.geometry_rings(
+        W.parse_wkb(W.polygon_wkb([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]))
+    )
+
+
+def test_overlay_boolean_identities():
+    from osgeo_gdal_spark.kernels import overlay_kernel as OK
+
+    a = _rect_rings(0, 0, 10, 10)
+    b = _rect_rings(5.25, 5.25, 15.25, 15.25)
+    ia = OK.rings_area(OK.overlay_rings(a, b, "intersection"))
+    ua = OK.rings_area(OK.overlay_rings(a, b, "union"))
+    da = OK.rings_area(OK.overlay_rings(a, b, "difference"))
+    db = OK.rings_area(OK.overlay_rings(b, a, "difference"))
+    assert abs(ia - 4.75 * 4.75) < 1e-12
+    # conservation: |A| = |A∩B| + |A−B|; |A∪B| = |A| + |B| − |A∩B|
+    assert abs((ia + da) - 100.0) < 1e-12
+    assert abs(ua - (100.0 + 100.0 - ia)) < 1e-12
+    assert abs((ia + db) - 100.0) < 1e-12
+
+
+def test_overlay_hole_and_containment():
+    from osgeo_gdal_spark.kernels import overlay_kernel as OK, wkb as W
+
+    holed = OK.geometry_rings(
+        W.parse_wkb(
+            W.polygon_wkb(
+                [
+                    [(0, 0), (10, 0), (10, 10), (0, 10)],
+                    [(2, 2), (5, 2), (5, 5), (2, 5)],
+                ]
+            )
+        )
+    )
+    probe = _rect_rings(1, 1, 6, 6)
+    ia = OK.rings_area(OK.overlay_rings(holed, probe, "intersection"))
+    assert abs(ia - (25.0 - 9.0)) < 1e-12
+    # containment with no boundary crossings at all
+    small = _rect_rings(7, 7, 8, 8)
+    assert abs(OK.rings_area(OK.overlay_rings(holed, small, "intersection")) - 1.0) < 1e-12
+    assert abs(OK.rings_area(OK.overlay_rings(holed, small, "union")) - 91.0) < 1e-12
+    # difference punches a NEW hole: ring count grows, area drops
+    d = OK.overlay_rings(holed, small, "difference")
+    assert abs(OK.rings_area(d) - 90.0) < 1e-12
+    assert sum(1 for xs, ys in d if OK.ring_area(xs, ys) < 0) == 2
+
+
+def test_overlay_union_fold_inclusion_exclusion():
+    from osgeo_gdal_spark.kernels import overlay_kernel as OK
+
+    rects = [(0, 0, 10, 10), (5.5, 5.5, 15.5, 15.5), (8.25, 8.25, 12.25, 12.25)]
+
+    def box_i(a, b):
+        w = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        h = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        return w * h
+
+    def box_i3(a, b, c):
+        lo0, lo1 = max(a[0], b[0], c[0]), max(a[1], b[1], c[1])
+        hi0, hi1 = min(a[2], b[2], c[2]), min(a[3], b[3], c[3])
+        return max(0.0, hi0 - lo0) * max(0.0, hi1 - lo1)
+
+    want = (
+        sum((r[2] - r[0]) * (r[3] - r[1]) for r in rects)
+        - box_i(rects[0], rects[1])
+        - box_i(rects[0], rects[2])
+        - box_i(rects[1], rects[2])
+        + box_i3(*rects)
+    )
+    got = OK.rings_area(OK.union_all_rings([_rect_rings(*r) for r in rects]))
+    assert abs(got - want) < 1e-12
+
+
+def test_overlay_multipart_and_wkb_roundtrip():
+    from osgeo_gdal_spark.kernels import overlay_kernel as OK, wkb as W
+
+    # disjoint union -> multipolygon WKB that reparses to the same area
+    a = _rect_rings(0, 0, 4, 4)
+    b = _rect_rings(10, 10, 14, 14)
+    u = OK.overlay_rings(a, b, "union")
+    g = W.parse_wkb(OK.rings_to_wkb(u))
+    assert len(g.part_rings) == 2
+    assert abs(W.polygon_area(g) - 32.0) < 1e-12
+    # intersection result with a hole round-trips shells+holes correctly
+    holed = OK.geometry_rings(
+        W.parse_wkb(
+            W.polygon_wkb(
+                [
+                    [(0, 0), (10, 0), (10, 10), (0, 10)],
+                    [(4, 4), (6, 4), (6, 6), (4, 6)],
+                ]
+            )
+        )
+    )
+    probe = _rect_rings(1, 1, 9, 9)
+    res = OK.overlay_rings(holed, probe, "intersection")
+    g2 = W.parse_wkb(OK.rings_to_wkb(res))
+    assert abs(W.polygon_area(g2) - (64.0 - 4.0)) < 1e-12
+
+
+def test_overlay_fixture_conservation_all_pairs():
+    """Every intersecting (tindex rect, POLYGONS) fixture pair satisfies
+    |A| = |A∩B| + |A−B| and |A∪B| = |A| + |B| − |A∩B| in the kernel."""
+    from osgeo_gdal_spark.kernels import overlay_kernel as OK, wkb as W
+
+    polys = [OK.geometry_rings(W.parse_wkb(p.wkb())) for p in PL.POLYGONS]
+    checked = 0
+    for _, x0, y0, x1, y1 in PL.tindex_rects():
+        a = _rect_rings(x0, y0, x1, y1)
+        a_area = OK.rings_area(a)
+        for rb in polys:
+            ia = OK.rings_area(OK.overlay_rings(a, rb, "intersection"))
+            if ia <= 0:
+                continue
+            checked += 1
+            da = OK.rings_area(OK.overlay_rings(a, rb, "difference"))
+            ua = OK.rings_area(OK.overlay_rings(a, rb, "union"))
+            b_area = OK.rings_area(rb)
+            assert abs(a_area - (ia + da)) < 1e-9
+            assert abs(ua - (a_area + b_area - ia)) < 1e-9
+    assert checked >= 15  # the fixture yields 17 intersecting pairs
+
+
+def test_erase_features_matches_pair_sums(spark):
+    """erase_features area == |A| − Σ|A∩B| (fixture POLYGONS disjoint);
+    untouched rects pass through with their full area."""
+    from osgeo_gdal_spark.kernels import overlay_kernel as OK, wkb as W
+
+    rows = OV.erase_features(spark, PL.tindex_df(spark), PL.POLYGONS).collect()
+    got = {r["a_id"]: r["piece_area"] for r in rows}
+    polys = [OK.geometry_rings(W.parse_wkb(p.wkb())) for p in PL.POLYGONS]
+    for i, x0, y0, x1, y1 in PL.tindex_rects():
+        a = _rect_rings(x0, y0, x1, y1)
+        want = OK.rings_area(a) - sum(
+            OK.rings_area(OK.overlay_rings(a, rb, "intersection"))
+            for rb in polys
+        )
+        if want <= 1e-12:
+            assert 1000 + i not in got
+        else:
+            assert abs(got[1000 + i] - want) < 1e-9

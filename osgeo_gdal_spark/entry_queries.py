@@ -1481,6 +1481,55 @@ HAVING ROUND(ti.a_area - COALESCE(SUM(pairs.i_area), CAST(0.0 AS DOUBLE)), 4)
 """
 
 
+def q_dissolve_regions(spark: SparkSession, sf: str) -> DataFrame:
+    """Dissolve (UnaryUnion per attribute,
+    apps/gdalalg_vector_dissolve.cpp:120; ogrgeometry.cpp:5437): the
+    overlapping-rect fixture grouped by gid, two-level union tree
+    (partial union per (gid, salt), final fold per gid). Oracle: union
+    area by inclusion-exclusion over axis boxes in pure SQL; part count
+    fixed by the fixture construction (verified in pytest)."""
+    from .operators import overlay as OV
+
+    d = OV.dissolve(spark, PL.dissolve_df(spark), "gid")
+    return d.select(
+        "gid", "n_parts", F.round("u_area", 4).alias("u_area")
+    )
+
+
+def sql_dissolve_regions() -> str:
+    parts = ", ".join(
+        f"({g}, {n})" for g, n in sorted(PL.dissolve_parts_expected().items())
+    )
+
+    def boxi(tabs):
+        lo_x = "GREATEST(" + ", ".join(f"{t}.x0" for t in tabs) + ")"
+        hi_x = "LEAST(" + ", ".join(f"{t}.x1" for t in tabs) + ")"
+        lo_y = "GREATEST(" + ", ".join(f"{t}.y0" for t in tabs) + ")"
+        hi_y = "LEAST(" + ", ".join(f"{t}.y1" for t in tabs) + ")"
+        return (f"GREATEST(CAST(0.0 AS DOUBLE), {hi_x} - {lo_x}) * "
+                f"GREATEST(CAST(0.0 AS DOUBLE), {hi_y} - {lo_y})")
+
+    return f"""
+WITH dr AS (SELECT * FROM {PL.dissolve_values_sql()}),
+s1 AS (SELECT gid, SUM((x1 - x0) * (y1 - y0)) AS v FROM dr GROUP BY gid),
+s2 AS (SELECT a.gid AS gid, SUM({boxi(['a', 'b'])}) AS v
+       FROM dr a JOIN dr b ON a.gid = b.gid AND a.rid < b.rid
+       GROUP BY a.gid),
+s3 AS (SELECT a.gid AS gid, SUM({boxi(['a', 'b', 'c'])}) AS v
+       FROM dr a JOIN dr b ON a.gid = b.gid AND a.rid < b.rid
+       JOIN dr c ON a.gid = c.gid AND b.rid < c.rid
+       GROUP BY a.gid),
+np(gid, n_parts) AS (VALUES {parts})
+SELECT np.gid, np.n_parts,
+       ROUND(s1.v - COALESCE(s2.v, CAST(0.0 AS DOUBLE))
+                  + COALESCE(s3.v, CAST(0.0 AS DOUBLE)), 4) AS u_area
+FROM np
+JOIN s1 ON np.gid = s1.gid
+LEFT JOIN s2 ON np.gid = s2.gid
+LEFT JOIN s3 ON np.gid = s3.gid
+"""
+
+
 WARP = {"a": 0.5, "b": 100.25, "c": 0.5, "d": 50.25}
 WARP_WIN = (256, 384, 256, 384)  # dst probe window x0,x1,y0,y1
 
@@ -2465,6 +2514,7 @@ QUERIES = {
     "overlay_intersection": q_overlay_intersection,
     "overlay_union": q_overlay_union,
     "overlay_erase": q_overlay_erase,
+    "dissolve_regions": q_dissolve_regions,
     # -- round-1 flagship operators ---------------------------------------
     "geocode_tiles": q_geocode_tiles,
     "spatial_join_pairs": q_spatial_join_pairs,
@@ -2582,6 +2632,7 @@ ORACLES = {
     "overlay_intersection": sql_overlay_intersection(),
     "overlay_union": sql_overlay_union(),
     "overlay_erase": sql_overlay_erase(),
+    "dissolve_regions": sql_dissolve_regions(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

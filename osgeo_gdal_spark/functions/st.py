@@ -136,9 +136,40 @@ def _not_implemented(name, hint):
     return udf
 
 
-# GEOS-delegating set ops: explicit stubs (shapely not in this container)
+def _binary_overlay(op):
+    """Two-geometry boolean set op via the GEOS-free edge-classification
+    kernel (kernels/overlay_kernel.py) — the closed-form replacement for
+    the GEOS delegation in ``ogrgeometry.cpp:4893`` (Intersection),
+    ``:5437`` (Union), ``:5556`` (Difference). General-position inputs
+    (no shared boundary segments); see the kernel docstring."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(ga, gb):
+        import pandas as pd
+
+        from ..kernels import overlay_kernel as OVK
+
+        out = []
+        for a, b in zip(ga, gb):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            ra = OVK.geometry_rings(W.parse_wkb(bytes(a)))
+            rb = OVK.geometry_rings(W.parse_wkb(bytes(b)))
+            out.append(OVK.rings_to_wkb(OVK.overlay_rings(ra, rb, op)))
+        return pd.Series(out)
+
+    return udf
+
+
+st_union = _binary_overlay("union")
+st_intersection = _binary_overlay("intersection")
+st_difference = _binary_overlay("difference")
+
+# GEOS-delegating ops with no closed-form equivalent: explicit stubs
+# (shapely not in this container; arc-offset buffering and validity
+# repair genuinely need a GEOS-class engine)
 st_buffer = _not_implemented("ST_Buffer", "shapely.buffer in a pandas UDF")
-st_union = _not_implemented("ST_Union", "shapely.union_all via applyInPandas dissolve")
 st_makevalid = _not_implemented("ST_MakeValid", "shapely.make_valid")
 
 
@@ -155,6 +186,9 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_Intersects", st_intersects)
     spark.udf.register("ST_Contains", st_contains)
     spark.udf.register("ST_ConvexHull", st_convexhull)
+    spark.udf.register("ST_Union", st_union)
+    spark.udf.register("ST_Intersection", st_intersection)
+    spark.udf.register("ST_Difference", st_difference)
 
 
 @F.pandas_udf(T.BinaryType())

@@ -253,3 +253,75 @@ def erase_features(spark, feats: DataFrame, polys,
                 yield pd.DataFrame(rows)
 
     return erased.unionByName(untouched.mapInPandas(whole, out_schema))
+
+
+def dissolve(spark, feats: DataFrame, group_col: str = "gid",
+             geom_col: str = "geometry", fanin: int = 8) -> DataFrame:
+    """Dissolve / UnaryUnion per attribute value
+    (``apps/gdalalg_vector_dissolve.cpp:120``; per-group set op =
+    ``ogrgeometry.cpp:5437`` UnionCascaded, GEOS replaced by the
+    edge-classification union fold of kernels/overlay_kernel.py).
+
+    Distributed shape — the partial-aggregation (map-side combine)
+    pattern, NOT one giant per-group fold: stage 1 unions each
+    (group, salt) slice independently (salt = xxhash64(geometry) mod
+    fanin, deterministic), stage 2 folds the ≤fanin partials per group.
+    A group 1000× larger only widens stage 1; stage 2 stays O(fanin)
+    per group. Disjoint-envelope pairs short-circuit inside the kernel,
+    so mostly-disjoint groups cost envelope tests, not overlays.
+
+    Returns (group_col, n_parts, u_area, union_wkb): number of connected
+    parts (CCW shells of the union), even-odd union area, union WKB.
+    """
+    import pandas as pd
+
+    from ..kernels import overlay_kernel as OVK
+
+    gfield = feats.schema[group_col]
+
+    partial_schema = T.StructType(
+        [gfield, T.StructField("partial_wkb", T.BinaryType())]
+    )
+
+    def partial(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        soups = [
+            OVK.geometry_rings(W.parse_wkb(bytes(b)))
+            for b in sorted(pdf[geom_col], key=bytes)
+        ]
+        u = OVK.union_all_rings(soups)
+        return pd.DataFrame(
+            [{group_col: pdf[group_col].iloc[0],
+              "partial_wkb": OVK.rings_to_wkb(u)}]
+        )
+
+    out_schema = T.StructType(
+        [
+            gfield,
+            T.StructField("n_parts", T.IntegerType()),
+            T.StructField("u_area", T.DoubleType()),
+            T.StructField("union_wkb", T.BinaryType()),
+        ]
+    )
+
+    def final(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        soups = [
+            OVK.geometry_rings(W.parse_wkb(bytes(b)))
+            for b in sorted(pdf["partial_wkb"], key=bytes)
+        ]
+        u = OVK.union_all_rings(soups)
+        n_parts = sum(1 for xs, ys in u if CL.ring_area(xs, ys) > 0)
+        return pd.DataFrame(
+            [{group_col: pdf[group_col].iloc[0],
+              "n_parts": int(n_parts),
+              "u_area": float(OVK.rings_area(u)),
+              "union_wkb": OVK.rings_to_wkb(u)}]
+        )
+
+    staged = (
+        feats.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(geom_col)), F.lit(int(fanin)))
+        )
+        .groupBy(group_col, "_salt")
+        .applyInPandas(partial, partial_schema)
+    )
+    return staged.groupBy(group_col).applyInPandas(final, out_schema)

@@ -342,3 +342,81 @@ def rect_intersects_sql(p: "PolyFeature") -> str:
         return (f"({overlap(xw, y0, 180.0, y1)} "
                 f"OR {overlap(-180.0, y0, xe, y1)})")
     raise ValueError(p.kind)
+
+
+# --- third vector layer: overlapping-rect groups for dissolve ------------
+
+def dissolve_rects():
+    """12 groups x 3 axis rects with known union topology — the dissolve
+    (UnaryUnion per attribute, apps/gdalalg_vector_dissolve.cpp:120)
+    fixture. Pattern by gid % 3:
+
+      0: diagonal chain r0-r1-r2 (r0∩r1 > 0, r1∩r2 > 0, r0∩r2 = 0)  -> 1 part
+      1: overlapping pair + isolated third                           -> 2 parts
+      2: three pairwise-disjoint rects                               -> 3 parts
+
+    Union AREA is inclusion-exclusion over axis boxes (closed-form in
+    SQL); N_PARTS is fixed by the construction above. Coordinates sit on
+    the .1235 offset grid — off every other fixture grid, so no
+    boundary-touch ties arise anywhere.
+
+    Returns (gid, rid, x0, y0, x1, y1) tuples.
+    """
+    out = []
+    for g in range(12):
+        bx = -168.1235 + (g % 4) * 80.0
+        by = -62.1235 + (g // 4) * 40.0
+        w, h = 10.0 + (g % 2) * 2.0, 8.0 + (g % 2)
+        pattern = g % 3
+        if pattern == 0:
+            r0 = (bx, by, bx + w, by + h)
+            r1 = (bx + 6.2, by + 4.4, bx + 6.2 + w, by + 4.4 + h)
+            r2 = (bx + 12.4, by + 8.8, bx + 12.4 + w, by + 8.8 + h)
+        elif pattern == 1:
+            r0 = (bx, by, bx + w, by + h)
+            r1 = (bx + 6.2, by + 4.4, bx + 6.2 + w, by + 4.4 + h)
+            r2 = (bx + 24.0, by, bx + 30.0, by + 6.0)
+        else:
+            r0 = (bx, by, bx + 6.0, by + 6.0)
+            r1 = (bx + 12.0, by, bx + 18.0, by + 6.0)
+            r2 = (bx + 24.0, by, bx + 30.0, by + 6.0)
+        for rid, r in enumerate((r0, r1, r2)):
+            out.append((g, rid, *r))
+    return out
+
+
+def dissolve_parts_expected():
+    """gid -> number of connected parts, fixed by the construction."""
+    return {g: (1, 2, 3)[g % 3] for g in range(12)}
+
+
+def dissolve_df(spark):
+    """The dissolve fixture as a DataFrame (fid, gid, geometry WKB, flat
+    bbox struct)."""
+    from pyspark.sql import types as T
+
+    rows = []
+    for i, (g, rid, x0, y0, x1, y1) in enumerate(dissolve_rects()):
+        wkb = W.polygon_wkb([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+        rows.append((i, g, bytearray(wkb),
+                     {"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1}))
+    schema = T.StructType([
+        T.StructField("fid", T.LongType()),
+        T.StructField("gid", T.LongType()),
+        T.StructField("geometry", T.BinaryType()),
+        T.StructField("bbox", T.StructType([
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ])),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def dissolve_values_sql() -> str:
+    rows = ", ".join(
+        f"({g}, {rid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for g, rid, x0, y0, x1, y1 in dissolve_rects()
+    )
+    return f"(VALUES {rows}) AS dr(gid, rid, x0, y0, x1, y1)"

@@ -233,3 +233,77 @@ def test_erase_features_matches_pair_sums(spark):
             assert 1000 + i not in got
         else:
             assert abs(got[1000 + i] - want) < 1e-9
+
+
+def test_dissolve_parts_and_area(spark):
+    """Two-level dissolve matches the analytic inclusion-exclusion union
+    area and the constructed part counts."""
+    from osgeo_gdal_spark.operators import overlay as OVops
+
+    got = {
+        r["gid"]: (r["n_parts"], r["u_area"])
+        for r in OVops.dissolve(spark, PL.dissolve_df(spark), "gid").collect()
+    }
+    want_parts = PL.dissolve_parts_expected()
+
+    def box_i(rs):
+        lo0 = max(r[0] for r in rs); lo1 = max(r[1] for r in rs)
+        hi0 = min(r[2] for r in rs); hi1 = min(r[3] for r in rs)
+        return max(0.0, hi0 - lo0) * max(0.0, hi1 - lo1)
+
+    by_gid = {}
+    for g, rid, x0, y0, x1, y1 in PL.dissolve_rects():
+        by_gid.setdefault(g, []).append((x0, y0, x1, y1))
+    for g, rects in by_gid.items():
+        want = (
+            sum((r[2] - r[0]) * (r[3] - r[1]) for r in rects)
+            - box_i([rects[0], rects[1]])
+            - box_i([rects[0], rects[2]])
+            - box_i([rects[1], rects[2]])
+            + box_i(rects)
+        )
+        n, area = got[g]
+        assert n == want_parts[g]
+        assert abs(area - want) < 1e-9
+
+
+def test_dissolve_single_level_equivalence(spark):
+    """fanin=1 (pure per-group fold) and fanin=8 (tree) agree — the
+    partial-union stage is semantics-preserving."""
+    from osgeo_gdal_spark.operators import overlay as OVops
+
+    a = {
+        r["gid"]: (r["n_parts"], round(r["u_area"], 9))
+        for r in OVops.dissolve(
+            spark, PL.dissolve_df(spark), "gid", fanin=1
+        ).collect()
+    }
+    b = {
+        r["gid"]: (r["n_parts"], round(r["u_area"], 9))
+        for r in OVops.dissolve(
+            spark, PL.dissolve_df(spark), "gid", fanin=8
+        ).collect()
+    }
+    assert a == b
+
+
+def test_st_set_op_functions(spark):
+    """ST_Union / ST_Intersection / ST_Difference registered in Spark SQL
+    compute the textbook areas."""
+    from osgeo_gdal_spark.functions import st as ST
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    ST.register_all(spark)
+    a = W.polygon_wkb([[(0, 0), (10, 0), (10, 10), (0, 10)]])
+    b = W.polygon_wkb([[(5.5, 5.5), (15.5, 5.5), (15.5, 15.5), (5.5, 15.5)]])
+    df = spark.createDataFrame([(bytearray(a), bytearray(b))], "ga binary, gb binary")
+    df.createOrReplaceTempView("stpairs")
+    row = spark.sql(
+        """SELECT ST_Area(ST_Union(ga, gb)) AS u,
+                  ST_Area(ST_Intersection(ga, gb)) AS i,
+                  ST_Area(ST_Difference(ga, gb)) AS d
+           FROM stpairs"""
+    ).collect()[0]
+    assert abs(row["i"] - 4.5 * 4.5) < 1e-12
+    assert abs(row["u"] - (200.0 - row["i"])) < 1e-12
+    assert abs(row["d"] - (100.0 - row["i"])) < 1e-12

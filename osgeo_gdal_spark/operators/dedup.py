@@ -83,8 +83,11 @@ def minhash_signatures(sh: DataFrame, num_hashes=16) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+DEFAULT_MAX_BUCKET = 1000
+
+
 def lsh_candidate_pairs(sig: DataFrame, bands=4, rows_per_band=4,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Band the signature and emit candidate pairs sharing any band bucket.
 
     Returns distinct (doc_a, doc_b) with doc_a < doc_b. At 10^12 scale the
@@ -94,8 +97,10 @@ def lsh_candidate_pairs(sig: DataFrame, bands=4, rows_per_band=4,
     with more than ``max_bucket`` members are DROPPED from pair generation
     (the standard web-dedup mitigation — members of a mega-bucket are
     near-certain duplicates of each other and are better handled by the
-    exact-hash pass; a 1M-doc bucket would emit 5*10^11 pairs). Use
-    ``lsh_bucket_stats`` to observe how many buckets/docs a cap drops.
+    exact-hash pass; a 1M-doc bucket would emit 5*10^11 pairs). The cap
+    is ON BY DEFAULT (1000 members ⇒ ≤ ~500k pairs per bucket); pass
+    ``max_bucket=None`` to disable explicitly. Use ``lsh_bucket_stats``
+    to observe how many buckets/docs the cap drops.
     """
     stacked = _banded(sig, bands, rows_per_band)
     if max_bucket is not None:
@@ -208,8 +213,9 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col="text",
 
 def near_dup_groups(docs: DataFrame, n_shingle=3, num_hashes=16, bands=4,
                     rows_per_band=4, jaccard_threshold=0.8,
-                    max_bucket: int | None = None, text_col="text",
-                    id_col="doc_id", max_rounds=16) -> DataFrame:
+                    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                    text_col="text", id_col="doc_id",
+                    max_rounds=16) -> DataFrame:
     """The END-TO-END near-duplicate pipeline every web corpus runs:
     shingles -> MinHash -> LSH candidate pairs -> exact word-Jaccard
     verify (>= threshold) -> connected components -> one keeper per group

@@ -265,11 +265,17 @@ def ann_topk_ivf(emb: DataFrame, queries, centroids: np.ndarray, k=3,
 
 
 def embedding_near_dup_pairs(emb: DataFrame, planes, threshold=0.95,
-                             vec_col="embedding", id_col="vec_id") -> DataFrame:
+                             vec_col="embedding", id_col="vec_id",
+                             max_bucket: int | None = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share a sign-LSH
     bucket in ANY table (same recall lever as ann_topk_lsh), then the
     exact cosine filter keeps pairs >= threshold. The quadratic step is
-    confined to same-bucket groups — never all-pairs."""
+    confined to same-bucket groups — never all-pairs — and a degenerate
+    bucket (e.g. the all-near-identical empty-page vector) is bounded by
+    ``max_bucket``: buckets larger than the cap are dropped from pair
+    generation (same mitigation and default as
+    dedup.lsh_candidate_pairs; observe drops with
+    embedding_bucket_stats). Pass ``max_bucket=None`` to disable."""
     tables = planes if isinstance(planes, (list, tuple)) else [planes]
     e = emb
     for t, pl in enumerate(tables):
@@ -282,6 +288,13 @@ def embedding_near_dup_pairs(emb: DataFrame, planes, threshold=0.95,
             for t in range(nt)
         ])).alias("tb"),
     ).select(id_col, vec_col, "tb.t", "tb.bucket")
+    if max_bucket is not None:
+        w = Window.partitionBy("t", "bucket")
+        kv = (
+            kv.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= int(max_bucket))
+            .drop("_n")
+        )
     a = kv.alias("l")
     b = kv.alias("r")
     pairs = (
@@ -303,3 +316,31 @@ def embedding_near_dup_pairs(emb: DataFrame, planes, threshold=0.95,
         ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_bucket_stats(emb: DataFrame, planes, vec_col="embedding",
+                           max_bucket: int | None = None) -> DataFrame:
+    """Observability for embedding_near_dup_pairs' hot-bucket cap: per
+    LSH table, bucket/vector counts plus how many a cap would drop
+    (mirror of dedup.lsh_bucket_stats)."""
+    tables = planes if isinstance(planes, (list, tuple)) else [planes]
+    e = emb
+    for t, pl in enumerate(tables):
+        e = with_lsh_bucket(e, pl, vec_col).withColumnRenamed(
+            "lsh_bucket", f"b{t}"
+        )
+    nt = len(tables)
+    kv = e.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+            for t in range(nt)
+        ])).alias("tb"),
+    ).select("tb.t", "tb.bucket")
+    sizes = kv.groupBy("t", "bucket").agg(F.count("*").alias("n"))
+    dropped = (F.col("n") > max_bucket) if max_bucket is not None else F.lit(False)
+    return sizes.groupBy("t").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n").alias("n_vecs"),
+        F.sum(F.when(dropped, 1).otherwise(0)).alias("buckets_dropped"),
+        F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias("vecs_dropped"),
+    )

@@ -213,3 +213,44 @@ def test_embedding_near_dup_pairs(spark, emb):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (int(pdf["vec_id"][0]), 900001) in got
     assert any(900002 in p for p in got)
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark, emb):
+    """A degenerate bucket (many identical vectors, e.g. empty pages) is
+    dropped by max_bucket; pairs among normal vectors are unchanged."""
+    from osgeo_gdal_spark.operators import similarity as SIM
+    import numpy as np
+    import pandas as pd
+
+    pdf = emb.limit(1).toPandas()
+    v0 = np.asarray(pdf["embedding"][0], dtype=np.float64)
+    clones = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(800000, 800030),
+        "embedding": [v0.tolist()] * 30,
+        "label": [0] * 30,
+    }))
+    base = emb.unionByName(clones)
+    tables = [SIM.hyperplanes(64, 6, seed=s) for s in (1, 2, 3)]
+
+    uncapped = SIM.embedding_near_dup_pairs(base, tables, threshold=0.99,
+                                            max_bucket=None)
+    capped = SIM.embedding_near_dup_pairs(base, tables, threshold=0.99,
+                                          max_bucket=20)
+    from pyspark.sql import functions as F
+
+    clone_pairs = uncapped.filter(
+        (F.col("id_a") >= 800000) & (F.col("id_b") >= 800000)
+    )
+    assert clone_pairs.count() == 30 * 29 // 2
+    assert capped.filter(
+        (F.col("id_a") >= 800000) & (F.col("id_b") >= 800000)
+    ).count() == 0
+    norm_u = {(r["id_a"], r["id_b"])
+              for r in uncapped.filter(F.col("id_b") < 800000).collect()}
+    norm_c = {(r["id_a"], r["id_b"])
+              for r in capped.filter(F.col("id_b") < 800000).collect()}
+    assert norm_u == norm_c
+
+    stats = SIM.embedding_bucket_stats(base, tables, max_bucket=20).collect()
+    assert all(r["buckets_dropped"] >= 1 for r in stats)
+    assert all(r["vecs_dropped"] >= 30 for r in stats)

@@ -1790,6 +1790,70 @@ FROM zoned GROUP BY eas_id
 """
 
 
+# fractional-coverage zonal fixture: axis rects kept inside the mercator
+# lat range so the lon/lat -> px transform is finite at RASTER_ZOOM
+FRAC_ZONES = [
+    PL.PolyFeature(i, 3000 + i, f"F{i:03d}", "rect",
+                   {"bounds": (-170.123 + (i % 6) * 55.0,
+                               -60.321 + (i // 6) * 30.0,
+                               -170.123 + (i % 6) * 55.0 + 28.0,
+                               -60.321 + (i // 6) * 30.0 + 16.0)})
+    for i in range(24)
+]
+
+
+def q_zonal_frac(spark: SparkSession, sf: str) -> DataFrame:
+    """Fractional-coverage / weighted zonal statistics (the coverage and
+    weighted_* stat tier of apps/gdalalg_raster_zonal_stats.cpp:63-82):
+    per pixel, the covered FRACTION of the cell weights its value. Zone
+    bounds quantize to 1/64 px (the approx-transformer analog), making
+    every weight an exact dyadic rational — weighted sums are then exact
+    doubles in ANY summation order, so engine and oracle match with no
+    rounding at all."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    return RO.raster_zonal_frac(tiles, FRAC_ZONES, RASTER_ZOOM)
+
+
+def sql_zonal_frac() -> str:
+    from .operators import raster_ops as RO
+
+    world = (1 << RASTER_ZOOM) * 256
+    # the SAME quantized pixel-space constants the engine broadcasts —
+    # parity by construction (sqlgen discipline); the transform itself is
+    # pinned by warp_reproject / geocode_tiles oracles
+    zones = ", ".join(
+        f"({eas}, {G.D(px0)}, {G.D(py0)}, {G.D(px1)}, {G.D(py1)})"
+        for _fid, eas, px0, py0, px1, py1
+        in RO._zone_px_bounds(FRAC_ZONES, RASTER_ZOOM)
+    )
+    return f"""
+WITH raw AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+zones(eas_id, px0, py0, px1, py1) AS (VALUES {zones}),
+wt AS (
+  SELECT z.eas_id,
+         GREATEST(CAST(0.0 AS DOUBLE),
+                  LEAST(z.px1, gpx + CAST(1.0 AS DOUBLE)) - GREATEST(z.px0, CAST(gpx AS DOUBLE)))
+         * GREATEST(CAST(0.0 AS DOUBLE),
+                    LEAST(z.py1, gpy + CAST(1.0 AS DOUBLE)) - GREATEST(z.py0, CAST(gpy AS DOUBLE)))
+           AS w,
+         CAST(((gpx * 7 + gpy * 11 + {RASTER_ZOOM}) % 255) AS DOUBLE) AS v
+  FROM raw JOIN zones z
+    ON gpx + 1 > z.px0 AND CAST(gpx AS DOUBLE) < z.px1
+   AND gpy + 1 > z.py0 AND CAST(gpy AS DOUBLE) < z.py1
+)
+SELECT eas_id, SUM(w) AS zn_cov, SUM(w * v) AS zn_wsum,
+       SUM(w * v) / SUM(w) AS zn_wmean
+FROM wt WHERE w > 0 GROUP BY eas_id
+"""
+
+
 def q_raster_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-bin histogram (GetHistogram block streaming analog): per-tile
     partial bincounts merged by one tiny groupBy."""
@@ -2515,6 +2579,7 @@ QUERIES = {
     "overlay_union": q_overlay_union,
     "overlay_erase": q_overlay_erase,
     "dissolve_regions": q_dissolve_regions,
+    "zonal_frac": q_zonal_frac,
     # -- round-1 flagship operators ---------------------------------------
     "geocode_tiles": q_geocode_tiles,
     "spatial_join_pairs": q_spatial_join_pairs,
@@ -2633,6 +2698,7 @@ ORACLES = {
     "overlay_union": sql_overlay_union(),
     "overlay_erase": sql_overlay_erase(),
     "dissolve_regions": sql_dissolve_regions(),
+    "zonal_frac": sql_zonal_frac(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -603,24 +603,113 @@ def interpolate_at_points(tiles: DataFrame, points: DataFrame, zoom: int,
     return parts.groupBy("pid").agg(F.sum("part").alias("value"))
 
 
+ZONE_NODATA = -1
+
+
+def zone_tiles(spark, polys, zoom: int) -> DataFrame:
+    """Burned zone-id raster: one int64 grid per covered tile, eas_id at
+    every pixel whose CENTER (in lon/lat — zonal.cpp's 'default'
+    pixel-inclusion rule, exact strict-interior ray cast) lies inside
+    the zone; ZONE_NODATA elsewhere. Zones burn in ascending fid order
+    (REPLACE semantics — last feature wins on overlap, matching
+    gdal_rasterize; the fixture zones are disjoint so order never
+    matters there).
+
+    Plan shape mirrors operators/rasterize.py: per-PART tile ranges
+    explode natively to the (feature × touched-tile) cover, the geometry
+    payload broadcasts, and groupBy(gx, gy).applyInPandas burns each
+    tile ONCE. This is the SURVEY §2.F plan — zonal stats become a
+    native tile-to-tile join + one vectorized pass, with per-tile work
+    driven by the zones actually covering that tile rather than a PIP
+    loop over the whole layer per tile, and one burned zone raster
+    serves every stat family (basic, histogram, categorical).
+    """
+    from ..kernels import pip as PIP, wkb as W
+    from .rasterize import lonlat_to_px
+
+    world = (1 << zoom) * TILE
+    maxt = (1 << zoom) - 1
+    payload = []
+    env_rows = []
+    for pf in sorted(polys, key=lambda p: p.fid):
+        g = W.parse_wkb(pf.wkb())
+        payload.append((int(pf.fid), int(pf.eas_id), pf.wkb()))
+        ring_i = 0
+        for nrings in g.part_rings:
+            s, e = g.ring_offsets[ring_i], g.ring_offsets[ring_i + 1]
+            xs, ys = g.xs[s:e], g.ys[s:e]
+            ring_i += int(nrings)
+            px, py = lonlat_to_px(
+                np.array([xs.min(), xs.max()]),
+                np.array([ys.min(), ys.max()]), zoom,
+            )
+            env_rows.append(
+                (int(pf.fid),
+                 max(0, int(px.min() // TILE)), min(maxt, int(px.max() // TILE)),
+                 max(0, int(py.min() // TILE)), min(maxt, int(py.max() // TILE)))
+            )
+    bc = spark.sparkContext.broadcast(payload)
+
+    env = spark.createDataFrame(
+        env_rows, "fid LONG, tx0 LONG, tx1 LONG, ty0 LONG, ty1 LONG"
+    )
+    cover = env.select(
+        "fid",
+        F.explode(F.expr("sequence(tx0, tx1)")).alias("gx"),
+        "ty0", "ty1",
+    ).select("fid", "gx", F.explode(F.expr("sequence(ty0, ty1)")).alias("gy"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("gx", T.LongType()),
+            T.StructField("gy", T.LongType()),
+            T.StructField("zones", T.BinaryType()),
+        ]
+    )
+
+    def burn(pdf):
+        import pandas as pd
+
+        gx, gy = int(pdf["gx"].iloc[0]), int(pdf["gy"].iloc[0])
+        ox, oy = gx * TILE, gy * TILE
+        lon = (ox + np.arange(TILE) + 0.5) / world * 360.0 - 180.0
+        yfrac = (oy + np.arange(TILE) + 0.5) / world
+        merc = (1.0 - 2.0 * yfrac) * np.pi
+        lat = np.degrees(2.0 * np.arctan(np.exp(merc)) - np.pi / 2.0)
+        LON = np.broadcast_to(lon[None, :], (TILE, TILE)).ravel()
+        LAT = np.broadcast_to(lat[:, None], (TILE, TILE)).ravel()
+        zones = np.full(TILE * TILE, ZONE_NODATA, dtype=np.int64)
+        want = set(int(f) for f in pdf["fid"])
+        for fid, eas, buf in bc.value:  # ascending fid = burn order
+            if fid not in want:
+                continue
+            g = W.parse_wkb(bytes(buf))
+            m = PIP.points_in_polygon(LON, LAT, g)
+            zones[m] = eas
+        return pd.DataFrame(
+            [{"gx": gx, "gy": gy, "zones": zones.tobytes()}]
+        )
+
+    return cover.groupBy("gx", "gy").applyInPandas(burn, out_schema)
+
+
 def raster_zonal_stats(tiles: DataFrame, polys, zoom: int) -> DataFrame:
     """True raster zonal statistics (``/root/reference/alg/zonal.cpp``,
     stat list apps/gdalalg_raster_zonal_stats.cpp:63-82; 'default'
     pixel-inclusion rule = pixel CENTER inside zone): zones are the
     polygon layer, values are the tile pixels.
 
-    Distributed shape = zonal.cpp's raster-sequential strategy: per tile,
-    pixel centers -> lon/lat (inverse mercator, vectorized) -> per-zone
-    membership (prepared polygon set, rect fast path inside the kernel) ->
-    per-tile PARTIAL stats per zone; then one tiny groupBy(zone) merge.
-    The shuffle carries (tile x zone) partial rows, never pixels.
+    Distributed shape: the zone layer is BURNED once into zone-id tiles
+    (zone_tiles — the raster-sequential strategy of zonal.cpp with the
+    per-tile zone loop replaced by a burned grid), value tiles join zone
+    tiles natively on (gx, gy), and one vectorized sort+reduceat pass
+    per tile emits per-zone partials. The shuffle carries (tile × zone)
+    partial rows, never pixels, and per-tile stat time is independent of
+    the layer's polygon count.
     """
-    from ..kernels import mercator as M, pip as PIP, wkb as W
-
     spark = tiles.sparkSession
-    payload = [(pf.fid, pf.eas_id, pf.wkb()) for pf in polys]
-    bc = spark.sparkContext.broadcast(payload)
-    world = (1 << zoom) * TILE
+    zt = zone_tiles(spark, polys, zoom)
+    joined = tiles.join(zt, ["gx", "gy"])
 
     out_schema = T.StructType(
         [
@@ -635,40 +724,30 @@ def raster_zonal_stats(tiles: DataFrame, polys, zoom: int) -> DataFrame:
     def partials(batches):
         import pandas as pd
 
-        geoms = [(eas, W.parse_wkb(bytes(buf))) for _fid, eas, buf in bc.value]
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                grid = parse_tile(row).astype(np.float64)
-                h, w = grid.shape
-                ox, oy = int(row["gx"]) * TILE, int(row["gy"]) * TILE
-                # pixel centers -> lon/lat (inverse of the forward tile math)
-                lon = (ox + np.arange(w) + 0.5) / world * 360.0 - 180.0
-                yfrac = (oy + np.arange(h) + 0.5) / world
-                merc = (1.0 - 2.0 * yfrac) * np.pi
-                lat = np.degrees(2.0 * np.arctan(np.exp(merc)) - np.pi / 2.0)
-                LON = np.broadcast_to(lon[None, :], (h, w)).ravel()
-                LAT = np.broadcast_to(lat[:, None], (h, w)).ravel()
-                vals = grid.ravel()
-                for eas, g in geoms:
-                    # tile-level envelope reject (lat DECREASES with row
-                    # index: lat[0] is the tile's north edge)
-                    xmin, ymin, xmax, ymax = g.envelope()
-                    if lon[-1] < xmin or lon[0] > xmax or lat[0] < ymin or lat[-1] > ymax:
-                        continue
-                    m = PIP.points_in_polygon(LON, LAT, g)
-                    if m.any():
-                        v = vals[m]
-                        rows.append(
-                            (int(eas), int(m.sum()), float(v.sum()),
-                             float(v.min()), float(v.max()))
-                        )
+                vals = parse_tile(row).astype(np.float64).ravel()
+                zones = np.frombuffer(bytes(row["zones"]), dtype=np.int64)
+                m = zones != ZONE_NODATA
+                if not m.any():
+                    continue
+                z, v = zones[m], vals[m]
+                order = np.argsort(z, kind="stable")
+                z, v = z[order], v[order]
+                uz, starts = np.unique(z, return_index=True)
+                cnts = np.diff(np.append(starts, len(z)))
+                sums = np.add.reduceat(v, starts)
+                mins = np.minimum.reduceat(v, starts)
+                maxs = np.maximum.reduceat(v, starts)
+                rows += list(zip(uz.tolist(), cnts.tolist(), sums.tolist(),
+                                 mins.tolist(), maxs.tolist()))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["eas_id", "cnt", "vsum", "vmin", "vmax"]
                 )
 
-    part = tiles.mapInPandas(partials, out_schema)
+    part = joined.mapInPandas(partials, out_schema)
     return part.groupBy("eas_id").agg(
         F.sum("cnt").alias("zn_count"),
         F.sum("vsum").alias("zn_sum"),
@@ -830,14 +909,14 @@ def pansharpen(pan_tiles: DataFrame, rgb_tiles: DataFrame,
 def raster_zonal_hist(tiles: DataFrame, polys, zoom: int) -> DataFrame:
     """Per-(zone, value) pixel counts — the decomposable carrier for the
     categorical zonal statistics (majority/minority/variety/median).
-    Shuffle carries (zone, value) partials, never pixels; for integer
-    rasters the histogram is small and every downstream stat is exact."""
-    from ..kernels import pip as PIP, wkb as W
-
+    Same burned-zone-tile shape as raster_zonal_stats: join value tiles
+    to zone_tiles on (gx, gy), one vectorized np.unique per tile over
+    the (zone, value) pairs. Shuffle carries (zone, value) partials,
+    never pixels; for integer rasters the histogram is small and every
+    downstream stat is exact."""
     spark = tiles.sparkSession
-    payload = [(pf.fid, pf.eas_id, pf.wkb()) for pf in polys]
-    bc = spark.sparkContext.broadcast(payload)
-    world = (1 << zoom) * TILE
+    zt = zone_tiles(spark, polys, zoom)
+    joined = tiles.join(zt, ["gx", "gy"])
 
     out_schema = T.StructType(
         [
@@ -850,33 +929,24 @@ def raster_zonal_hist(tiles: DataFrame, polys, zoom: int) -> DataFrame:
     def partials(batches):
         import pandas as pd
 
-        geoms = [(eas, W.parse_wkb(bytes(buf))) for _fid, eas, buf in bc.value]
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                grid = parse_tile(row).astype(np.float64)
-                h, w = grid.shape
-                ox, oy = int(row["gx"]) * TILE, int(row["gy"]) * TILE
-                lon = (ox + np.arange(w) + 0.5) / world * 360.0 - 180.0
-                yfrac = (oy + np.arange(h) + 0.5) / world
-                merc = (1.0 - 2.0 * yfrac) * np.pi
-                lat = np.degrees(2.0 * np.arctan(np.exp(merc)) - np.pi / 2.0)
-                LON = np.broadcast_to(lon[None, :], (h, w)).ravel()
-                LAT = np.broadcast_to(lat[:, None], (h, w)).ravel()
-                vals = grid.ravel()
-                for eas, g in geoms:
-                    xmin, ymin, xmax, ymax = g.envelope()
-                    if lon[-1] < xmin or lon[0] > xmax or lat[0] < ymin or lat[-1] > ymax:
-                        continue
-                    m = PIP.points_in_polygon(LON, LAT, g)
-                    if m.any():
-                        u, c = np.unique(vals[m], return_counts=True)
-                        rows += [(int(eas), float(v), int(n))
-                                 for v, n in zip(u, c)]
+                vals = parse_tile(row).astype(np.float64).ravel()
+                zones = np.frombuffer(bytes(row["zones"]), dtype=np.int64)
+                m = zones != ZONE_NODATA
+                if not m.any():
+                    continue
+                pairs = np.stack([zones[m].astype(np.float64), vals[m]], axis=1)
+                u, c = np.unique(pairs, axis=0, return_counts=True)
+                rows += [
+                    (int(z), float(v), int(n))
+                    for (z, v), n in zip(u.tolist(), c.tolist())
+                ]
             if rows:
                 yield pd.DataFrame(rows, columns=["eas_id", "value", "cnt"])
 
-    part = tiles.mapInPandas(partials, out_schema)
+    part = joined.mapInPandas(partials, out_schema)
     return part.groupBy("eas_id", "value").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -932,4 +1002,127 @@ def raster_zonal_full(tiles: DataFrame, polys, zoom: int) -> DataFrame:
                 * (F.col("_s1") / F.col("zn_count"))
             ).alias("zn_stdev"),
         )
+    )
+
+
+def _zone_px_bounds(polys, zoom: int, quant: int = 64):
+    """Axis-rect zones -> GLOBAL pixel-space bounds quantized to 1/quant
+    px. The quantization is the approx-transformer analog (same move as
+    the warp reprojection's 1/4096-px snap): it makes every coverage
+    weight an exact dyadic rational, so weighted sums are EXACT doubles
+    in any summation order — that is what lets a cross-engine oracle
+    match bit-for-bit with no rounding."""
+    from .rasterize import lonlat_to_px
+
+    out = []
+    for pf in polys:
+        x0, y0, x1, y1 = pf.params["bounds"]
+        px, py = lonlat_to_px(np.array([x0, x1]), np.array([y1, y0]), zoom)
+        out.append(
+            (int(pf.fid), int(pf.eas_id),
+             round(px[0] * quant) / quant, round(py[0] * quant) / quant,
+             round(px[1] * quant) / quant, round(py[1] * quant) / quant)
+        )
+    return out
+
+
+def raster_zonal_frac(tiles: DataFrame, polys, zoom: int) -> DataFrame:
+    """Fractional-coverage zonal statistics — the ``coverage`` /
+    ``weighted_*`` stat tier of apps/gdalalg_raster_zonal_stats.cpp:63-82
+    (each pixel contributes the FRACTION of its cell covered by the
+    zone, not a 0/1 center test).
+
+    v1 scope: axis-rect zones (the dominant tile-index / bbox workload).
+    The zone's pixel-space footprint of an axis rect is itself an axis
+    rect (lon→px is linear, lat→py monotone), so per-pixel coverage is
+    the product of two clamped 1-D overlaps — computed as an outer
+    product per (tile, zone) cover row. Bounds are quantized to 1/64 px
+    (see _zone_px_bounds) making every weight and weighted term exact.
+    General polygons: interior pixels weigh 1 (center rule), boundary
+    pixels need the per-pixel clip weight (kernels/clip.sh_clip_ring
+    against the pixel box over the ring-touched band) — the named
+    extension; zonal_frac_poly_weights in tests exercises the kernel
+    identity on a triangle.
+
+    Returns (eas_id, zn_cov, zn_wsum, zn_wmean): Σw, Σw·v, Σw·v / Σw.
+    Overlapping zones each receive their own coverage (per-zone weights,
+    unlike the burned REPLACE grid).
+    """
+    from .spatial_join import is_axis_rect
+    from ..kernels import wkb as W
+
+    for pf in polys:
+        if not is_axis_rect(W.parse_wkb(pf.wkb())):
+            raise NotImplementedError(
+                "fractional zonal v1 covers axis-rect zones; general "
+                "polygons need the boundary-band clip weights "
+                "(kernels/clip.sh_clip_ring per ring-touched pixel)"
+            )
+
+    spark = tiles.sparkSession
+    bounds = _zone_px_bounds(polys, zoom)
+    bc = spark.sparkContext.broadcast(bounds)
+    maxt = (1 << zoom) - 1
+
+    env = spark.createDataFrame(
+        [
+            (fid,
+             max(0, int(px0 // TILE)), min(maxt, int(px1 // TILE)),
+             max(0, int(py0 // TILE)), min(maxt, int(py1 // TILE)))
+            for fid, _eas, px0, py0, px1, py1 in bounds
+        ],
+        "fid LONG, tx0 LONG, tx1 LONG, ty0 LONG, ty1 LONG",
+    )
+    cover = env.select(
+        "fid",
+        F.explode(F.expr("sequence(tx0, tx1)")).alias("gx"),
+        "ty0", "ty1",
+    ).select("fid", "gx", F.explode(F.expr("sequence(ty0, ty1)")).alias("gy"))
+
+    joined = tiles.join(cover, ["gx", "gy"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("eas_id", T.LongType()),
+            T.StructField("cov", T.DoubleType()),
+            T.StructField("wsum", T.DoubleType()),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        by_fid = {
+            fid: (eas, px0, py0, px1, py1)
+            for fid, eas, px0, py0, px1, py1 in bc.value
+        }
+        for pdf in batches:
+            rows = []
+            for (gx, gy), idx in pdf.groupby(["gx", "gy"]).groups.items():
+                row = pdf.loc[idx[0]]
+                vals = parse_tile(row).astype(np.float64)
+                ox, oy = int(gx) * TILE, int(gy) * TILE
+                ex = ox + np.arange(TILE, dtype=np.float64)   # pixel left edges
+                ey = oy + np.arange(TILE, dtype=np.float64)   # pixel top edges
+                for fid in pdf.loc[idx, "fid"]:
+                    eas, px0, py0, px1, py1 = by_fid[int(fid)]
+                    wx = np.clip(np.minimum(px1, ex + 1.0) - np.maximum(px0, ex),
+                                 0.0, 1.0)
+                    wy = np.clip(np.minimum(py1, ey + 1.0) - np.maximum(py0, ey),
+                                 0.0, 1.0)
+                    if not wx.any() or not wy.any():
+                        continue
+                    Wgt = wy[:, None] * wx[None, :]
+                    cov = float(Wgt.sum())
+                    if cov == 0.0:
+                        continue
+                    rows.append((int(eas), cov, float((Wgt * vals).sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=["eas_id", "cov", "wsum"])
+
+    part = joined.mapInPandas(partials, out_schema)
+    return part.groupBy("eas_id").agg(
+        F.sum("cov").alias("zn_cov"),
+        F.sum("wsum").alias("zn_wsum"),
+        (F.sum("wsum") / F.sum("cov")).alias("zn_wmean"),
     )

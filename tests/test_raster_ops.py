@@ -375,3 +375,56 @@ def test_warp_aggregating_mode(spark, tiles):
         for xx in (0, 7, 42, 120):
             box = src[3*yy:3*yy+3, 3*xx:3*xx+3].ravel().tolist()
             assert g[yy, xx] == brute_mode(box), (xx, yy, box, g[yy, xx])
+
+
+def test_zonal_100_zones_burned_tiles(spark):
+    """Burned-zone-tile zonal stats: 100 disjoint rect zones at zoom 1,
+    verified against a driver-side numpy reference using the SAME
+    pixel-center inclusion rule. Also asserts each covered tile is
+    burned exactly once (the plan contract of zone_tiles)."""
+    from osgeo_gdal_spark.sources import polygons as PL
+
+    zoom = 1
+    world = (1 << zoom) * RS.TILE
+    zones = []
+    for i in range(100):
+        x0 = -171.123 + (i % 10) * 34.0
+        y0 = -64.321 + (i // 10) * 13.0
+        zones.append(PL.PolyFeature(i, 2000 + i, f"Z{i:03d}", "rect",
+                                    {"bounds": (x0, y0, x0 + 20.0, y0 + 8.0)}))
+
+    tiles = RS.synth_tiles(spark, zoom)
+    got = {
+        r["eas_id"]: (r["zn_count"], r["zn_sum"], r["zn_min"], r["zn_max"])
+        for r in RO.raster_zonal_stats(tiles, zones, zoom).collect()
+    }
+
+    # driver-side reference over the full zoom-1 pixel grid
+    gpx = np.arange(world)
+    lon = (gpx + 0.5) / world * 360.0 - 180.0
+    yfrac = (gpx + 0.5) / world
+    lat = np.degrees(2.0 * np.arctan(np.exp((1.0 - 2.0 * yfrac) * np.pi))
+                     - np.pi / 2.0)
+    LON = np.broadcast_to(lon[None, :], (world, world))
+    LAT = np.broadcast_to(lat[:, None], (world, world))
+    vals = ((np.broadcast_to(gpx[None, :], (world, world)) * 7
+             + np.broadcast_to(gpx[:, None], (world, world)) * 11
+             + zoom) % 255).astype(np.float64)
+    want = {}
+    for z in zones:
+        x0, y0, x1, y1 = z.params["bounds"]
+        m = (LON > x0) & (LON < x1) & (LAT > y0) & (LAT < y1)
+        if m.any():
+            v = vals[m]
+            want[z.eas_id] = (int(m.sum()), float(v.sum()),
+                              float(v.min()), float(v.max()))
+    assert set(got) == set(want)
+    for eas, (cnt, s, lo, hi) in want.items():
+        gc, gs, gl, gh = got[eas]
+        assert gc == cnt and gl == lo and gh == hi
+        assert abs(gs - s) < 1e-6
+
+    # plan contract: one burned row per covered tile
+    zt = RO.zone_tiles(spark, zones, zoom).collect()
+    keys = [(r["gx"], r["gy"]) for r in zt]
+    assert len(keys) == len(set(keys))

@@ -85,13 +85,13 @@ def _label_tile(grid: np.ndarray) -> np.ndarray:
 _PIECE_SCHEMA = T.StructType(
     [
         T.StructField("kind", T.StringType()),
-        T.StructField("rid", T.LongType()),        # r/b: provisional region id; a: rid_a
+        T.StructField("rid", T.LongType()),        # r/b/e: provisional region id; a: rid_a
         T.StructField("value", T.DoubleType()),    # r/b
         T.StructField("n_pixels", T.LongType()),   # r
-        T.StructField("xmin", T.LongType()),
-        T.StructField("ymin", T.LongType()),
-        T.StructField("xmax", T.LongType()),
-        T.StructField("ymax", T.LongType()),
+        T.StructField("xmin", T.LongType()),       # r: bbox; e: edge x0
+        T.StructField("ymin", T.LongType()),       # r: bbox; e: edge y0
+        T.StructField("xmax", T.LongType()),       # r: bbox; e: edge x1
+        T.StructField("ymax", T.LongType()),       # r: bbox; e: edge y1
         T.StructField("edge_key", T.StringType()),  # b
         T.StructField("side", T.IntegerType()),     # b
         T.StructField("pos", T.LongType()),         # b
@@ -101,9 +101,15 @@ _PIECE_SCHEMA = T.StructType(
 )
 
 
-def _tile_all(row, zoom):
-    """Label one tile ONCE; return (regions, borders, adjacency) as
-    column-dicts of numpy arrays (no per-pixel Python)."""
+def _tile_all(row, zoom, with_edges=False):
+    """Label one tile ONCE; return (regions, borders, adjacency, edges)
+    as column-dicts of numpy arrays (no per-pixel Python). ``edges``
+    (None unless with_edges) are the directed unit boundary edges
+    (inside on the LEFT) in global lattice coords — a pixel contributes
+    an edge on each side whose 4-neighbor differs in value; tile-seam
+    sides come from the border table; world borders are emitted here.
+    Emitting them from the SAME pass keeps the 'labeled exactly once'
+    contract for polygonize_polygons too."""
     world = (1 << zoom) * TILE
     grid = parse_tile(row).astype(np.float64)
     lab = _label_tile(grid)
@@ -190,12 +196,56 @@ def _tile_all(row, zoom):
     else:
         z = np.array([], dtype=np.int64)
         adjacency = {"rid_a": z, "rid_b": z, "npx": z}
-    return regions, borders, adjacency
+
+    edges = None
+    if with_edges:
+        out_r, out_x0, out_y0, out_x1, out_y1 = [], [], [], [], []
+
+        def emit(m, dx0, dy0, dx1, dy1):
+            out_r.append(rid[m])
+            out_x0.append(xs[m] + dx0)
+            out_y0.append(ys[m] + dy0)
+            out_x1.append(xs[m] + dx1)
+            out_y1.append(ys[m] + dy1)
+
+        north = np.zeros((h, w), dtype=bool)
+        north[1:, :] = grid[1:, :] != grid[:-1, :]
+        south = np.zeros((h, w), dtype=bool)
+        south[:-1, :] = grid[:-1, :] != grid[1:, :]
+        west = np.zeros((h, w), dtype=bool)
+        west[:, 1:] = grid[:, 1:] != grid[:, :-1]
+        east = np.zeros((h, w), dtype=bool)
+        east[:, :-1] = grid[:, :-1] != grid[:, 1:]
+        if gy == 0:
+            north[0, :] = True
+        if gy == n - 1:
+            south[-1, :] = True
+        if gx == 0:
+            west[:, 0] = True
+        if gx == n - 1:
+            east[:, -1] = True
+
+        emit(north, 0, 0, 1, 0)   # top edge, left-to-right
+        emit(east, 1, 0, 1, 1)    # right edge, downward
+        emit(south, 1, 1, 0, 1)   # bottom edge, right-to-left
+        emit(west, 0, 1, 0, 0)    # left edge, upward
+        if out_r:
+            edges = {
+                "rid": np.concatenate(out_r),
+                "x0": np.concatenate(out_x0), "y0": np.concatenate(out_y0),
+                "x1": np.concatenate(out_x1), "y1": np.concatenate(out_y1),
+            }
+        else:
+            z = np.array([], dtype=np.int64)
+            edges = {"rid": z, "x0": z, "y0": z, "x1": z, "y1": z}
+    return regions, borders, adjacency, edges
 
 
-def _pieces_df(tiles: DataFrame, zoom: int) -> DataFrame:
+def _pieces_df(tiles: DataFrame, zoom: int, with_edges=False) -> DataFrame:
     """ONE mapInPandas pass emitting the union piece table (cached by the
-    callers); each tile is decoded + labeled exactly once."""
+    callers); each tile is decoded + labeled exactly once — including the
+    boundary edges (kind 'e', endpoint coords carried in the bbox
+    columns) when the caller assembles rings."""
 
     def gen(batches):
         import pandas as pd
@@ -203,7 +253,9 @@ def _pieces_df(tiles: DataFrame, zoom: int) -> DataFrame:
         for pdf in batches:
             frames = []
             for _, row in pdf.iterrows():
-                regions, borders, adjacency = _tile_all(row, zoom)
+                regions, borders, adjacency, edges = _tile_all(
+                    row, zoom, with_edges
+                )
                 nr = len(regions["rid"])
                 frames.append(pd.DataFrame({
                     "kind": np.full(nr, "r", dtype=object),
@@ -227,6 +279,14 @@ def _pieces_df(tiles: DataFrame, zoom: int) -> DataFrame:
                         "rid": adjacency["rid_a"], "rid_b": adjacency["rid_b"],
                         "npx": adjacency["npx"],
                     }))
+                if edges is not None and len(edges["rid"]):
+                    ne = len(edges["rid"])
+                    frames.append(pd.DataFrame({
+                        "kind": np.full(ne, "e", dtype=object),
+                        "rid": edges["rid"],
+                        "xmin": edges["x0"], "ymin": edges["y0"],
+                        "xmax": edges["x1"], "ymax": edges["y1"],
+                    }))
             if frames:
                 out = pd.concat(frames)
                 for c in ["rid", "n_pixels", "xmin", "ymin", "xmax", "ymax",
@@ -248,11 +308,15 @@ def _pieces_df(tiles: DataFrame, zoom: int) -> DataFrame:
     return tiles.mapInPandas(gen, _PIECE_SCHEMA)
 
 
-def _polygonize_parts(tiles: DataFrame, zoom: int, max_rounds=32):
-    """Shared machinery: returns (regions, final_labels, borders, adjacency)
-    where labels maps every provisional rid to its merged component label.
-    All four views come from one cached single-pass piece table."""
-    pieces = _pieces_df(tiles, zoom).cache()
+def _polygonize_parts(tiles: DataFrame, zoom: int, max_rounds=32,
+                      with_edges=False):
+    """Shared machinery: returns (regions, final_labels, borders,
+    adjacency, edges) where labels maps every provisional rid to its
+    merged component label and edges (None unless with_edges) are the
+    in-tile directed boundary edges. All views come from one cached
+    single-pass piece table — each tile is decoded + labeled exactly
+    once, ring assembly included."""
+    pieces = _pieces_df(tiles, zoom, with_edges).cache()
     regions = pieces.filter(F.col("kind") == "r").select(
         "rid", "value", "n_pixels", "xmin", "ymin", "xmax", "ymax"
     )
@@ -262,6 +326,13 @@ def _polygonize_parts(tiles: DataFrame, zoom: int, max_rounds=32):
     adjacency = pieces.filter(F.col("kind") == "a").select(
         F.col("rid").alias("rid_a"), "rid_b", "npx"
     )
+    ring_edges = None
+    if with_edges:
+        ring_edges = pieces.filter(F.col("kind") == "e").select(
+            "rid",
+            F.col("xmin").alias("x0"), F.col("ymin").alias("y0"),
+            F.col("xmax").alias("x1"), F.col("ymax").alias("y1"),
+        )
 
     a = borders.filter(F.col("side") == 0).select(
         "edge_key", "pos", F.col("value").alias("va"), F.col("rid").alias("ra")
@@ -316,7 +387,7 @@ def _polygonize_parts(tiles: DataFrame, zoom: int, max_rounds=32):
         ).select(F.col("rid"), F.col("label2").alias("label")).localCheckpoint()
         labels = l2
 
-    return regions, labels, borders, adjacency
+    return regions, labels, borders, adjacency, ring_edges
 
 
 def polygonize(tiles: DataFrame, zoom: int, max_rounds=32):
@@ -325,7 +396,7 @@ def polygonize(tiles: DataFrame, zoom: int, max_rounds=32):
     Returns DataFrame (region_id, value, n_pixels, xmin, ymin, xmax, ymax)
     where region_id = min global flat pixel index in the region.
     """
-    regions, labels, _borders, _adj = _polygonize_parts(tiles, zoom, max_rounds)
+    regions, labels, _borders, _adj, _e = _polygonize_parts(tiles, zoom, max_rounds)
     merged = (
         regions.join(labels, "rid")
         .groupBy(F.col("label").alias("region_id"))
@@ -357,7 +428,7 @@ def sieve(tiles: DataFrame, zoom: int, threshold: int, max_rounds=32):
     Returns the merged region table (region_id, value, n_pixels, bbox) —
     value/id of the absorber; absorbed regions disappear into it.
     """
-    regions, labels, borders, in_tile = _polygonize_parts(tiles, zoom, max_rounds)
+    regions, labels, borders, in_tile, _e = _polygonize_parts(tiles, zoom, max_rounds)
 
     # cross-tile diff-value border pairs complete the adjacency graph
     a = borders.filter(F.col("side") == 0).select(
@@ -481,84 +552,6 @@ def sieve(tiles: DataFrame, zoom: int, threshold: int, max_rounds=32):
 #  RPolygon/ring machinery; distributed as boundary-edge extraction per tile
 #  + per-region local stitching — edges are O(perimeter), never O(area))
 # ---------------------------------------------------------------------------
-
-_EDGE_SCHEMA = T.StructType(
-    [
-        T.StructField("rid", T.LongType()),
-        T.StructField("x0", T.LongType()),
-        T.StructField("y0", T.LongType()),
-        T.StructField("x1", T.LongType()),
-        T.StructField("y1", T.LongType()),
-    ]
-)
-
-
-def _tile_boundary_edges(row, zoom):
-    """Directed unit boundary edges (inside on the LEFT) for one tile, in
-    global lattice coords. A pixel contributes an edge on each side whose
-    4-neighbor has a DIFFERENT value (same value + adjacent => same merged
-    region, different value => different region — so edge existence never
-    needs the merged labels). Tile-seam sides are handled by the border
-    table; world borders are emitted here. Fully vectorized."""
-    world_n = 1 << zoom
-    grid = parse_tile(row).astype(np.float64)
-    lab = _label_tile(grid)
-    gx, gy = int(row["gx"]), int(row["gy"])
-    ox, oy = gx * TILE, gy * TILE
-    h, w = grid.shape
-    world = world_n * TILE
-    xs = ox + np.broadcast_to(np.arange(w, dtype=np.int64)[None, :], (h, w))
-    ys = oy + np.broadcast_to(np.arange(h, dtype=np.int64)[:, None], (h, w))
-    flat = (ys * world + xs).ravel()
-    linv = lab.ravel()
-    k = int(linv.max()) + 1
-    big = np.iinfo(np.int64).max
-    rid_of = np.full(k, big, dtype=np.int64)
-    np.minimum.at(rid_of, linv, flat)
-    rid = rid_of[lab]
-
-    out_r, out_x0, out_y0, out_x1, out_y1 = [], [], [], [], []
-
-    def emit(m, X, Y, dx0, dy0, dx1, dy1):
-        # (X, Y) are the pixel's global coords where mask m holds
-        out_r.append(rid[m])
-        out_x0.append(X[m] + dx0)
-        out_y0.append(Y[m] + dy0)
-        out_x1.append(X[m] + dx1)
-        out_y1.append(Y[m] + dy1)
-
-    # interior sides (value-difference) — masks aligned on the PIXEL
-    north = np.zeros((h, w), dtype=bool)
-    north[1:, :] = grid[1:, :] != grid[:-1, :]
-    south = np.zeros((h, w), dtype=bool)
-    south[:-1, :] = grid[:-1, :] != grid[1:, :]
-    west = np.zeros((h, w), dtype=bool)
-    west[:, 1:] = grid[:, 1:] != grid[:, :-1]
-    east = np.zeros((h, w), dtype=bool)
-    east[:, :-1] = grid[:, :-1] != grid[:, 1:]
-    # world borders always boundary
-    if gy == 0:
-        north[0, :] = True
-    if gy == world_n - 1:
-        south[-1, :] = True
-    if gx == 0:
-        west[:, 0] = True
-    if gx == world_n - 1:
-        east[:, -1] = True
-
-    emit(north, xs, ys, 0, 0, 1, 0)   # top edge, left-to-right
-    emit(east, xs, ys, 1, 0, 1, 1)    # right edge, downward
-    emit(south, xs, ys, 1, 1, 0, 1)   # bottom edge, right-to-left
-    emit(west, xs, ys, 0, 1, 0, 0)    # left edge, upward
-    if not out_r:
-        z = np.array([], dtype=np.int64)
-        return {"rid": z, "x0": z, "y0": z, "x1": z, "y1": z}
-    return {
-        "rid": np.concatenate(out_r),
-        "x0": np.concatenate(out_x0), "y0": np.concatenate(out_y0),
-        "x1": np.concatenate(out_x1), "y1": np.concatenate(out_y1),
-    }
-
 
 def _seam_edges(borders):
     """Boundary edges along tile seams where the two sides differ in
@@ -704,21 +697,9 @@ def polygonize_polygons(tiles: DataFrame, zoom: int, max_rounds=32):
     rasterize<->polygonize round-trip (SURVEY §7 step 7)."""
     from ..kernels import wkb as W
 
-    regions, labels, borders, _adj = _polygonize_parts(tiles, zoom, max_rounds)
-
-    def edge_gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            frames = []
-            for _, row in pdf.iterrows():
-                d = _tile_boundary_edges(row, zoom)
-                if len(d["rid"]):
-                    frames.append(pd.DataFrame(d))
-            if frames:
-                yield pd.concat(frames)
-
-    in_tile = tiles.mapInPandas(edge_gen, _EDGE_SCHEMA)
+    regions, labels, borders, _adj, in_tile = _polygonize_parts(
+        tiles, zoom, max_rounds, with_edges=True
+    )
     edges = in_tile.unionByName(_seam_edges(borders))
     lab = labels.select("rid", "label")
     edges = edges.join(lab, "rid").select(

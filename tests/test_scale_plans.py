@@ -183,3 +183,37 @@ def test_grid_scatter_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_polygonize_rings_single_labeling_pass(spark):
+    """polygonize_polygons decodes+labels each tile exactly ONCE: the
+    ring edges come from the same cached piece table as regions/borders
+    (kind 'e'), so the optimized plan contains NO second Python scan of
+    the tile table — every MapInPandas in the plan reads the shared
+    InMemoryRelation, and the piece scan itself appears exactly once."""
+    import numpy as np
+
+    from osgeo_gdal_spark.operators import polygonize as PZ
+    from osgeo_gdal_spark.sources.raster import TILE, TILE_SCHEMA
+
+    spark.catalog.clearCache()
+    # 2x2 tile block fixture: constant quadrant values
+    rows = []
+    for gx in range(2):
+        for gy in range(2):
+            grid = np.full((TILE, TILE), float(gx * 2 + gy), dtype=np.float64)
+            rows.append((
+                "t", 1, gx, gy, 1, TILE, TILE, "float64", None,
+                "EPSG:3857", bytearray(grid.tobytes()), 0,
+            ))
+    tiles = spark.createDataFrame(rows, TILE_SCHEMA)
+    out = PZ.polygonize_polygons(tiles, zoom=1)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    # the only tile-decoding Python stage is the cached piece pass: the
+    # optimized plan references it through InMemoryRelation, and there is
+    # no MapInPandas LEFT OUTSIDE the cache (ring edges need no rescan)
+    assert "InMemoryRelation" in opt
+    n_map = opt.count("MapInPandas")
+    n_cached = opt.count("InMemoryRelation")
+    assert n_map <= n_cached, (n_map, n_cached, opt[:2000])
+    assert out.count() == 4  # four constant quadrant regions

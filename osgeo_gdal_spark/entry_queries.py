@@ -1693,6 +1693,65 @@ FROM contrib GROUP BY gpx, gpy
 """
 
 
+def q_warp_downscale_med(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregating MEDIAN warp resampler (GRA_Med,
+    alg/gdalwarper.h:54; selection rule gdalwarpkernel.cpp:8338: sort
+    the footprint values ascending, take index ceil(0.5·n − 1)). The
+    quantile is order-exact so the oracle reconstructs it with a window
+    rank over the same footprint boxes — no float tolerance needed."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    a, b = WARP_AGG["a"], WARP_AGG["b"]
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = RO.warp_tiles(tiles, RASTER_ZOOM, ("affine", a, b, a, b),
+                        method="amed", nodata=-1.0)
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = WARP_AGG_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", "value")
+
+
+def sql_warp_downscale_med() -> str:
+    a, b = WARP_AGG["a"], WARP_AGG["b"]
+    world = (1 << RASTER_ZOOM) * 256
+    x0, x1, y0, y1 = WARP_AGG_WIN
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+),
+boxes AS (
+  SELECT gpx, gpy,
+    GREATEST(CAST(FLOOR({G.D(a)} * gpx + {G.D(b)} + CAST(1e-10 AS DOUBLE)) AS BIGINT), 0) AS ix0,
+    LEAST(CAST(CEILING({G.D(a)} * (gpx + 1) + {G.D(b)} - CAST(1e-10 AS DOUBLE)) AS BIGINT), {world}) AS ix1,
+    GREATEST(CAST(FLOOR({G.D(a)} * gpy + {G.D(b)} + CAST(1e-10 AS DOUBLE)) AS BIGINT), 0) AS iy0,
+    LEAST(CAST(CEILING({G.D(a)} * (gpy + 1) + {G.D(b)} - CAST(1e-10 AS DOUBLE)) AS BIGINT), {world}) AS iy1
+  FROM dst
+),
+contrib AS (
+  SELECT b.gpx, b.gpy,
+         ((b.ix0 + kx.i) * 7 + (b.iy0 + ky.i) * 11 + {RASTER_ZOOM}) % 255 AS v
+  FROM boxes b
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS i) kx
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS i) ky
+  WHERE b.ix0 + kx.i < b.ix1 AND b.iy0 + ky.i < b.iy1
+),
+ranked AS (
+  SELECT gpx, gpy, v,
+         ROW_NUMBER() OVER (PARTITION BY gpx, gpy ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY gpx, gpy) AS n
+  FROM contrib
+)
+SELECT gpx, gpy, CAST(v AS DOUBLE) AS value
+FROM ranked
+WHERE rn = CAST(CEILING(CAST(0.5 AS DOUBLE) * n - CAST(1.0 AS DOUBLE)) AS BIGINT) + 1
+"""
+
+
 WARP_GEO_WIN = (200, 232, 128, 160)  # x0, x1, y0, y1 probe (interior, off-edge)
 
 
@@ -2580,6 +2639,7 @@ QUERIES = {
     "overlay_erase": q_overlay_erase,
     "dissolve_regions": q_dissolve_regions,
     "zonal_frac": q_zonal_frac,
+    "warp_downscale_med": q_warp_downscale_med,
     # -- round-1 flagship operators ---------------------------------------
     "geocode_tiles": q_geocode_tiles,
     "spatial_join_pairs": q_spatial_join_pairs,
@@ -2699,6 +2759,7 @@ ORACLES = {
     "overlay_erase": sql_overlay_erase(),
     "dissolve_regions": sql_dissolve_regions(),
     "zonal_frac": sql_zonal_frac(),
+    "warp_downscale_med": sql_warp_downscale_med(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -276,6 +276,40 @@ def _cover_sql(transform, world):
     return sx, sy
 
 
+def _amode_rows(Vs: np.ndarray) -> np.ndarray:
+    """Per-row mode of a (rows × K) scan-order value stack with the
+    GWKAverageOrMode/ModeT tie rule (alg/gdalwarpkernel.cpp GWKModeT /
+    generic-T path): max final count, ties → the value whose LAST
+    scan-order occurrence comes first. Sorted-run formulation — memory
+    is O(rows · K), never the old O(rows · K²) equality tensor:
+
+    sort each row (stable, NaNs last; NaN != NaN makes every NaN its own
+    run), take contiguous equal-value runs; a run's count is its length
+    and its last scan occurrence is the max original index inside it.
+    Score = count·(K+1) + (K − last) is unique per row (distinct last
+    occurrences), so one np.maximum.at picks the winner."""
+    n, K = Vs.shape
+    order = np.argsort(Vs, axis=-1, kind="stable")
+    S = np.take_along_axis(Vs, order, -1)
+    newrun = np.ones((n, K), dtype=bool)
+    newrun[:, 1:] = S[:, 1:] != S[:, :-1]
+    starts = np.nonzero(newrun.ravel())[0]
+    run_counts = np.diff(np.append(starts, n * K)).astype(np.int64)
+    run_vals = S.ravel()[starts]
+    run_last = np.maximum.reduceat(order.ravel(), starts)
+    run_row = starts // K
+    valid = ~np.isnan(run_vals)
+    score = np.where(
+        valid, run_counts * np.int64(K + 1) + (K - run_last), np.int64(-1)
+    )
+    best = np.full(n, -1, dtype=np.int64)
+    np.maximum.at(best, run_row, score)
+    out = np.full(n, np.nan)
+    sel = valid & (score == best[run_row])
+    out[run_row[sel]] = run_vals[sel]
+    return out
+
+
 def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
                nodata=0.0, dataset_id="warp") -> DataFrame:
     """The gdalwarp core: dst global pixel (X, Y) samples src at
@@ -295,7 +329,8 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
 
     n = 1 << zoom
     world = n * TILE
-    if method in ("near", "average", "amin", "amax", "asum", "amode"):
+    if method in ("near", "average", "amin", "amax", "asum", "amode",
+                  "amed", "aq1", "aq3"):
         radius = 0
     else:
         radius = _KERNELS[method][1]
@@ -357,7 +392,8 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
             iy = np.clip(np.floor(sy + 0.5).astype(np.int64), 0, mh - 1)
             IY, IX = np.broadcast_arrays(iy, ix)
             out = mosaic[IY, IX]
-        elif method in ("average", "amin", "amax", "asum", "amode"):
+        elif method in ("average", "amin", "amax", "asum", "amode",
+                        "amed", "aq1", "aq3"):
             # aggregating resamplers (GWKAverageOrMode,
             # alg/gdalwarpkernel.cpp:7573): the dst pixel's source
             # FOOTPRINT is the box between the transforms of (X, Y) and
@@ -405,7 +441,7 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
                     cnt += m
                     amin_ = np.where(m & (v < amin_), v, amin_)
                     amax_ = np.where(m & (v > amax_), v, amax_)
-                    if method == "amode":
+                    if method in ("amode", "amed", "aq1", "aq3"):
                         gathered.append(np.where(m, v, np.nan))
             with np.errstate(invalid="ignore", divide="ignore"):
                 if method == "average":
@@ -417,21 +453,39 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
                 elif method == "amax":
                     out = np.where(cnt > 0, amax_, np.nan)
                 else:
-                    # mode with the GWKAverageOrMode/ModeT tie rule: max
-                    # final count, ties -> the value whose LAST scan-order
-                    # occurrence comes first (== first to reach the final
-                    # max count). Vectorized over the (pixels x K) stack.
+                    # amode / amed / aq1 / aq3 from the gathered
+                    # scan-order value stack, processed in ROW SLABS so
+                    # memory stays O(slab · K) — the old amode built an
+                    # O(pixels · K²) equality tensor (≈4 GB at a 16×
+                    # MODE downscale).
                     V = np.stack(gathered, axis=-1) if gathered else \
                         np.full(IX0.shape + (1,), np.nan)
-                    K = V.shape[-1]
-                    eq = (V[..., :, None] == V[..., None, :])
-                    cnts = eq.sum(axis=-1)                      # per position
-                    idx = np.arange(K)
-                    last = (np.where(eq, idx[None, :], -1)).max(axis=-1)
-                    score = cnts * (K + 1) + (K - last)         # lexicographic
-                    score = np.where(np.isnan(V), -1, score)
-                    best = np.argmax(score, axis=-1)
-                    out = np.take_along_axis(V, best[..., None], axis=-1)[..., 0]
+                    n1, n2, K = V.shape
+                    Vf = V.reshape(-1, K)
+                    cf = cnt.reshape(-1)
+                    outf = np.full(n1 * n2, np.nan)
+                    slab = max(1, (1 << 22) // max(K, 1))  # ~32 MB slabs
+                    for s0 in range(0, Vf.shape[0], slab):
+                        sl = slice(s0, min(s0 + slab, Vf.shape[0]))
+                        if method == "amode":
+                            outf[sl] = _amode_rows(Vf[sl])
+                        else:
+                            # GRA_Med/Q1/Q3 selection rule
+                            # (gdalwarpkernel.cpp:8338): sort ascending,
+                            # take index ceil(quant·n − 1)
+                            quant = {"amed": 0.5, "aq1": 0.25,
+                                     "aq3": 0.75}[method]
+                            S = np.sort(Vf[sl], axis=-1)  # NaNs last
+                            cs = cf[sl]
+                            qi = np.clip(
+                                np.ceil(quant * cs - 1).astype(np.int64),
+                                0, K - 1,
+                            )
+                            rows_ = np.arange(S.shape[0])
+                            outf[sl] = np.where(
+                                cs > 0, S[rows_, qi], np.nan
+                            )
+                    out = outf.reshape(n1, n2)
             oob_override = ~VAL | (cnt == 0)
         else:
             fn, rad = _KERNELS[method]

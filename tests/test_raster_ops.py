@@ -428,3 +428,61 @@ def test_zonal_100_zones_burned_tiles(spark):
     zt = RO.zone_tiles(spark, zones, zoom).collect()
     keys = [(r["gx"], r["gy"]) for r in zt]
     assert len(keys) == len(set(keys))
+
+
+def test_amode_rows_matches_bruteforce():
+    """Sorted-run mode == brute-force GWKModeT tie rule on random stacks
+    (incl. NaN gaps) — the memory-linear replacement for the old K^2
+    equality tensor, exercised at K=64 (an 8x8 footprint, i.e. an 8x
+    MODE downscale)."""
+    rng = np.random.default_rng(7)
+    K = 64
+    V = rng.integers(0, 6, size=(500, K)).astype(np.float64)
+    V[rng.random(V.shape) < 0.15] = np.nan
+
+    def brute(row):
+        best = None  # (count, last_scan) preferring count max then last min
+        for v in np.unique(row[~np.isnan(row)]):
+            idx = np.nonzero(row == v)[0]
+            key = (len(idx), -idx.max())
+            if best is None or key > best[0]:
+                best = (key, v)
+        return np.nan if best is None else best[1]
+
+    got = RO._amode_rows(V)
+    want = np.array([brute(V[i]) for i in range(V.shape[0])])
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    m = ~np.isnan(want)
+    assert np.array_equal(got[m], want[m])
+
+
+def test_warp_quantile_selection_rule(spark, tiles):
+    """amed/aq1/aq3 follow gdalwarpkernel.cpp:8338 exactly: sorted
+    footprint values, index ceil(quant*n - 1)."""
+    import math
+
+    a, b = 3.0, 64.0   # 3x downscale: 3x3=9-pixel footprints
+    out = {}
+    for meth in ("amed", "aq1", "aq3"):
+        df = RO.warp_tiles(tiles, 1, ("affine", a, b, a, b), method=meth,
+                           nodata=-1.0)
+        px = RO.explode_pixels(df).filter(
+            (F.col("gpx") >= 100) & (F.col("gpx") < 108)
+            & (F.col("gpy") >= 100) & (F.col("gpy") < 108))
+        out[meth] = {(r["gpx"], r["gpy"]): r["value"] for r in px.collect()}
+
+    world = 512
+    for (gpx, gpy) in out["amed"]:
+        eps = 1e-10
+        ix0 = max(int(math.floor(a * gpx + b + eps)), 0)
+        ix1 = min(int(math.ceil(a * (gpx + 1) + b - eps)), world)
+        iy0 = max(int(math.floor(a * gpy + b + eps)), 0)
+        iy1 = min(int(math.ceil(a * (gpy + 1) + b - eps)), world)
+        vals = sorted(
+            float((x * 7 + y * 11 + 1) % 255)
+            for x in range(ix0, ix1) for y in range(iy0, iy1)
+        )
+        n = len(vals)
+        for meth, q in (("amed", 0.5), ("aq1", 0.25), ("aq3", 0.75)):
+            qi = max(0, math.ceil(q * n - 1))
+            assert out[meth][(gpx, gpy)] == vals[qi], (meth, gpx, gpy)

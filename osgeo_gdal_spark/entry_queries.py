@@ -2159,6 +2159,64 @@ def q_contour_polylines(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CONTOUR_BANDS = [64.0, 128.0, 192.0]
+
+
+def q_contour_polygons(spark: SparkSession, sf: str) -> DataFrame:
+    """Contour POLYGON mode (gdal_contour -p, alg/contour.cpp polygon
+    appender): iso-bands polygonized. The digest verifies the assembled
+    ring GEOMETRY: per band, the shoelace area of the emitted rings must
+    equal the band's pixel count, and the ring perimeter must equal the
+    band's boundary-edge count — both closed-form in SQL over the pixel
+    generator."""
+    from .operators import contour as CT
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    cp = CT.contour_polygons(tiles, RASTER_ZOOM, CONTOUR_BANDS)
+    return cp.groupBy("band").agg(
+        F.round(F.sum("area"), 4).alias("area"),
+        F.round(F.sum("perimeter"), 4).alias("perimeter"),
+    )
+
+
+def sql_contour_polygons() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+
+    def band_of(x: str, y: str) -> str:
+        v = f"((({x}) * 7 + ({y}) * 11 + {RASTER_ZOOM}) % 255)"
+        return "(" + " + ".join(
+            f"CASE WHEN CAST({v} AS DOUBLE) >= {G.D(l)} THEN 1 ELSE 0 END"
+            for l in CONTOUR_BANDS
+        ) + ")"
+
+    b_c = band_of("gpx", "gpy")
+    b_e = band_of("gpx + 1", "gpy")
+    b_w = band_of("gpx - 1", "gpy")
+    b_s = band_of("gpx", "gpy + 1")
+    b_n = band_of("gpx", "gpy - 1")
+    return f"""
+WITH px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+sides AS (
+  SELECT {b_c} AS band,
+         (CASE WHEN gpx + 1 >= {world} OR {b_e} <> {b_c} THEN 1 ELSE 0 END
+        + CASE WHEN gpx - 1 < 0        OR {b_w} <> {b_c} THEN 1 ELSE 0 END
+        + CASE WHEN gpy + 1 >= {world} OR {b_s} <> {b_c} THEN 1 ELSE 0 END
+        + CASE WHEN gpy - 1 < 0        OR {b_n} <> {b_c} THEN 1 ELSE 0 END)
+           AS n_boundary
+  FROM px
+)
+SELECT band,
+       ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS area,
+       ROUND(CAST(SUM(n_boundary) AS DOUBLE), 4) AS perimeter
+FROM sides GROUP BY band
+"""
+
+
 def q_sieve(spark: SparkSession, sf: str) -> DataFrame:
     """Sieve small-region removal (rows-only; brute-force reference in
     pytest)."""
@@ -2640,6 +2698,7 @@ QUERIES = {
     "dissolve_regions": q_dissolve_regions,
     "zonal_frac": q_zonal_frac,
     "warp_downscale_med": q_warp_downscale_med,
+    "contour_polygons": q_contour_polygons,
     # -- round-1 flagship operators ---------------------------------------
     "geocode_tiles": q_geocode_tiles,
     "spatial_join_pairs": q_spatial_join_pairs,
@@ -2760,6 +2819,7 @@ ORACLES = {
     "dissolve_regions": sql_dissolve_regions(),
     "zonal_frac": sql_zonal_frac(),
     "warp_downscale_med": sql_warp_downscale_med(),
+    "contour_polygons": sql_contour_polygons(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

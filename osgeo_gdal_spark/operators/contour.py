@@ -341,3 +341,107 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
         .groupBy("polyline_id").applyInPandas(assemble_wkb, wkb_schema)
     )
     return digest.join(wkbs, "polyline_id")
+
+
+# --- contour POLYGON mode: fill between consecutive levels ---------------
+
+def band_classify(tiles: DataFrame, levels) -> DataFrame:
+    """Pixel classification into level bands: band = number of levels
+    <= value (np.digitize). Band 0 is (-inf, L0), band i is [L_{i-1},
+    L_i), band n is [L_{n-1}, inf) — the interval semantics of contour
+    polygon mode (alg/contour.cpp polygon appender's ELEV_MIN/ELEV_MAX
+    intervals). Emits a category tile table polygonize can consume."""
+    lv = [float(x) for x in levels]
+
+    def classify(batches):
+        import pandas as pd
+
+        from ..kernels import checksum as CK
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                grid = parse_tile(row).astype(np.float64)
+                band = np.digitize(grid, lv).astype(np.float64)
+                rows.append({
+                    "dataset_id": row["dataset_id"], "zoom": int(row["zoom"]),
+                    "gx": int(row["gx"]), "gy": int(row["gy"]),
+                    "band": int(row["band"]),
+                    "width": grid.shape[1], "height": grid.shape[0],
+                    "dtype": "float64", "nodata": None, "crs": row["crs"],
+                    "pixels": band.tobytes(),
+                    "checksum": CK.checksum_image(band),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    from ..sources.raster import TILE_SCHEMA
+
+    return tiles.mapInPandas(classify, TILE_SCHEMA)
+
+
+_CPOLY_SCHEMA = T.StructType(
+    [
+        T.StructField("region_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("n_rings", T.IntegerType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("perimeter", T.DoubleType()),
+        T.StructField("wkb", T.BinaryType()),
+    ]
+)
+
+
+def contour_polygons(tiles: DataFrame, zoom: int, levels) -> DataFrame:
+    """Contour POLYGON mode (``gdal_contour -p``; alg/contour.cpp polygon
+    appender + marching_squares/polygon_ring.h): iso-BANDS as polygons.
+    This is the pixel-classified variant — each pixel joins the band of
+    its value and band regions polygonize on the integer lattice (the
+    reference interpolates fractional crossings; band membership and
+    total band area differ by at most the boundary-cell fringe, and the
+    lattice variant is exactly verifiable: ring-assembled shoelace area
+    == band pixel count, perimeter == band boundary-edge count).
+
+    Plan: band_classify (map-only) -> polygonize_polygons (single
+    labeling pass + ring assembly) -> per-region area/perimeter from the
+    assembled WKB rings themselves, so the driver oracle checks the ring
+    GEOMETRY, not just region bookkeeping."""
+    from ..kernels import wkb as W
+    from . import polygonize as PZ
+
+    polys = PZ.polygonize_polygons(band_classify(tiles, levels), zoom)
+
+    def measure(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                g = W.parse_wkb(bytes(row["wkb"]))
+                area = 0.0
+                perim = 0.0
+                ring_i = 0
+                for nrings in g.part_rings:
+                    for _j in range(int(nrings)):
+                        s, e = (g.ring_offsets[ring_i],
+                                g.ring_offsets[ring_i + 1])
+                        xs, ys = g.xs[s:e], g.ys[s:e]
+                        ring_i += 1
+                        # y-down lattice shoelace: exterior positive
+                        area += float(
+                            np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)
+                        ) / 2.0
+                        perim += float(
+                            np.sum(np.abs(np.diff(xs)) + np.abs(np.diff(ys)))
+                        ) + abs(float(xs[0] - xs[-1])) + abs(float(ys[0] - ys[-1]))
+                rows.append({
+                    "region_id": int(row["region_id"]),
+                    "band": int(row["value"]),
+                    "n_rings": int(row["n_rings"]),
+                    "area": area, "perimeter": perim,
+                    "wkb": bytes(row["wkb"]),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return polys.mapInPandas(measure, _CPOLY_SCHEMA)

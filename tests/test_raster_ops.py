@@ -486,3 +486,26 @@ def test_warp_quantile_selection_rule(spark, tiles):
         for meth, q in (("amed", 0.5), ("aq1", 0.25), ("aq3", 0.75)):
             qi = max(0, math.ceil(q * n - 1))
             assert out[meth][(gpx, gpy)] == vals[qi], (meth, gpx, gpy)
+
+
+def test_contour_polygons_bands_and_holes(spark):
+    """Contour polygon mode: a blob inside a flat tile makes the outer
+    band a polygon WITH A HOLE; ring-assembled area equals the band's
+    pixel count and perimeters are the boundary edge counts."""
+    from osgeo_gdal_spark.operators import contour as CT
+
+    grid = np.full((RS.TILE, RS.TILE), 10.0)
+    grid[40:80, 60:110] = 200.0   # 40x50 blob in band 1 (level 100)
+    rows = [(
+        "t", 0, 0, 0, 1, RS.TILE, RS.TILE, "float64", None, "EPSG:3857",
+        bytearray(grid.tobytes()), 0,
+    )]
+    tiles = spark.createDataFrame(rows, RS.TILE_SCHEMA)
+    got = {r["band"]: r for r in
+           CT.contour_polygons(tiles, 0, [100.0]).collect()}
+    blob_px = 40 * 50
+    assert got[1]["area"] == blob_px
+    assert got[1]["perimeter"] == 2 * (40 + 50)
+    assert got[0]["area"] == RS.TILE * RS.TILE - blob_px
+    assert got[0]["n_rings"] == 2   # outer shell + hole around the blob
+    assert got[0]["perimeter"] == 4 * RS.TILE + 2 * (40 + 50)

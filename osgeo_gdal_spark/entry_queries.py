@@ -1530,6 +1530,85 @@ LEFT JOIN s3 ON np.gid = s3.gid
 """
 
 
+# planted rect pairs exercising every boundary relation (coordinates
+# DELIBERATELY shared — exact-touch cases are the point here)
+def pred_pairs():
+    out = []
+    for i in range(36):
+        bx = -170.5 + (i % 6) * 55.0
+        by = -58.5 + (i // 6) * 22.0
+        a = (bx, by, bx + 10.0, by + 8.0)
+        pat = i % 6
+        if pat == 0:    # disjoint
+            b = (bx + 14.0, by, bx + 24.0, by + 8.0)
+        elif pat == 1:  # edge touch
+            b = (bx + 10.0, by, bx + 20.0, by + 8.0)
+        elif pat == 2:  # corner touch
+            b = (bx + 10.0, by + 8.0, bx + 16.0, by + 14.0)
+        elif pat == 3:  # proper overlap
+            b = (bx + 5.0, by + 4.0, bx + 15.0, by + 12.0)
+        elif pat == 4:  # contained (strict)
+            b = (bx + 2.0, by + 2.0, bx + 6.0, by + 6.0)
+        else:           # equal
+            b = a
+        out.append((i, a, b))
+    return out
+
+
+def q_spatial_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """Boundary-exact spatial predicates (OGC Touches/Overlaps/Equals/
+    Disjoint — ogrgeometry.cpp:6082/:6409/:1239 with GEOS replaced by
+    kernels/polypoly.py's face-witness arrangement tests), evaluated
+    through the registered ST_* SQL functions over planted rect pairs
+    that SHARE exact coordinates. Oracle: closed- vs open-interval box
+    algebra per pair."""
+    from .functions import st as ST
+    from .kernels import wkb as W
+
+    ST.register_all(spark)
+    rows = [
+        (i, bytearray(W.polygon_wkb(
+            [[(a[0], a[1]), (a[2], a[1]), (a[2], a[3]), (a[0], a[3])]])),
+         bytearray(W.polygon_wkb(
+            [[(b[0], b[1]), (b[2], b[1]), (b[2], b[3]), (b[0], b[3])]])))
+        for i, a, b in pred_pairs()
+    ]
+    df = spark.createDataFrame(rows, "pair_id LONG, ga BINARY, gb BINARY")
+    df.createOrReplaceTempView("pred_pairs")
+    return spark.sql("""
+        SELECT pair_id,
+               ST_Touches(ga, gb) AS touches,
+               ST_Overlaps(ga, gb) AS overlaps,
+               ST_Equals(ga, gb) AS equals,
+               ST_Covers(ga, gb) AS covers,
+               ST_Disjoint(ga, gb) AS disjoint
+        FROM pred_pairs
+    """)
+
+
+def sql_spatial_predicates() -> str:
+    vals = ", ".join(
+        f"({i}, {a[0]!r}, {a[1]!r}, {a[2]!r}, {a[3]!r}, "
+        f"{b[0]!r}, {b[1]!r}, {b[2]!r}, {b[3]!r})"
+        for i, a, b in pred_pairs()
+    )
+    closed = ("(ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1)")
+    open_ = ("(ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1)")
+    covers_ab = "(bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1)"
+    covers_ba = "(ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1)"
+    eq = ("(ax0 = bx0 AND ax1 = bx1 AND ay0 = by0 AND ay1 = by1)")
+    return f"""
+WITH p(pair_id, ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) AS (VALUES {vals})
+SELECT pair_id,
+       ({closed} AND NOT {open_}) AS touches,
+       ({open_} AND NOT {covers_ab} AND NOT {covers_ba}) AS overlaps,
+       {eq} AS equals,
+       {covers_ab} AS covers,
+       (NOT {closed}) AS disjoint
+FROM p
+"""
+
+
 WARP = {"a": 0.5, "b": 100.25, "c": 0.5, "d": 50.25}
 WARP_WIN = (256, 384, 256, 384)  # dst probe window x0,x1,y0,y1
 
@@ -2699,6 +2778,7 @@ QUERIES = {
     "zonal_frac": q_zonal_frac,
     "warp_downscale_med": q_warp_downscale_med,
     "contour_polygons": q_contour_polygons,
+    "spatial_predicates": q_spatial_predicates,
     # -- round-1 flagship operators ---------------------------------------
     "geocode_tiles": q_geocode_tiles,
     "spatial_join_pairs": q_spatial_join_pairs,
@@ -2820,6 +2900,7 @@ ORACLES = {
     "zonal_frac": sql_zonal_frac(),
     "warp_downscale_med": sql_warp_downscale_med(),
     "contour_polygons": sql_contour_polygons(),
+    "spatial_predicates": sql_spatial_predicates(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

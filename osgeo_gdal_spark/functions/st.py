@@ -166,6 +166,37 @@ st_union = _binary_overlay("union")
 st_intersection = _binary_overlay("intersection")
 st_difference = _binary_overlay("difference")
 
+
+def _binary_predicate(fn_name):
+    """Two-geometry boundary-exact predicate from kernels/polypoly.py —
+    the closed-form replacements for the GEOS delegation in
+    ``ogrgeometry.cpp:6082`` (Touches), ``:6409`` (Overlaps), ``:1239``
+    (Equals) and the disjoint complement."""
+
+    @F.pandas_udf(T.BooleanType())
+    def udf(ga, gb):
+        import pandas as pd
+
+        from ..kernels import polypoly as PP
+
+        fn = getattr(PP, fn_name)
+        out = []
+        for a, b in zip(ga, gb):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            out.append(bool(fn(W.parse_wkb(bytes(a)), W.parse_wkb(bytes(b)))))
+        return pd.Series(out)
+
+    return udf
+
+
+st_touches = _binary_predicate("polygons_touch")
+st_overlaps = _binary_predicate("polygons_overlap")
+st_equals = _binary_predicate("polygons_equal")
+st_covers = _binary_predicate("polygons_covers")
+st_disjoint = _binary_predicate("polygons_disjoint")
+
 # GEOS-delegating ops with no closed-form equivalent: explicit stubs
 # (shapely not in this container; arc-offset buffering and validity
 # repair genuinely need a GEOS-class engine)
@@ -189,6 +220,11 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_Union", st_union)
     spark.udf.register("ST_Intersection", st_intersection)
     spark.udf.register("ST_Difference", st_difference)
+    spark.udf.register("ST_Touches", st_touches)
+    spark.udf.register("ST_Overlaps", st_overlaps)
+    spark.udf.register("ST_Equals", st_equals)
+    spark.udf.register("ST_Covers", st_covers)
+    spark.udf.register("ST_Disjoint", st_disjoint)
 
 
 @F.pandas_udf(T.BinaryType())

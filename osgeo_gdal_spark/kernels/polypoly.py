@@ -120,3 +120,173 @@ def convex_hull(xs, ys):
     lower = half(pts)
     upper = half(pts[::-1])
     return lower[:-1] + upper[:-1]
+
+
+# --- boundary-exact predicate tier (OGC Touches/Overlaps/Equals/Covers,
+#     ogrgeometry.cpp:6082 Touches / :6409 Overlaps / :1239 Equals /
+#     GEOS covers — composed from the primitives above; the fixtures for
+#     these predicates DELIBERATELY share coordinates, so unlike the
+#     strict-interior tier every test here is boundary-aware) ------------
+
+def _pts_on_edges(px, py, ex0, ey0, ex1, ey1):
+    """Mask: which points lie ON any closed segment (collinear + within
+    the segment bbox). Exact float arithmetic — fixtures share exact
+    coordinates, so == is the right test."""
+    PX = np.asarray(px, dtype=np.float64)[:, None]
+    PY = np.asarray(py, dtype=np.float64)[:, None]
+    X0 = ex0[None, :]; Y0 = ey0[None, :]
+    X1 = ex1[None, :]; Y1 = ey1[None, :]
+    cross = (X1 - X0) * (PY - Y0) - (Y1 - Y0) * (PX - X0)
+    on = (
+        (cross == 0)
+        & (PX >= np.minimum(X0, X1)) & (PX <= np.maximum(X0, X1))
+        & (PY >= np.minimum(Y0, Y1)) & (PY <= np.maximum(Y0, Y1))
+    )
+    return on.any(axis=1)
+
+
+def points_on_boundary(px, py, g) -> np.ndarray:
+    """Mask: points exactly on the polygon's boundary (any ring edge)."""
+    return _pts_on_edges(px, py, *_edges(g))
+
+
+def _probe_points(e):
+    """Vertices + edge midpoints of an edge set — the boundary sample
+    used for closed (inside-or-on) membership tests."""
+    xs = np.concatenate([e[0], (e[0] + e[2]) / 2.0])
+    ys = np.concatenate([e[1], (e[1] + e[3]) / 2.0])
+    return xs, ys
+
+
+def _face_witnesses(ga, gb, max_halve=48):
+    """Interior-face witness points of the two-polygon arrangement when
+    NO edges properly cross: at every ring vertex v (of either polygon),
+    the two wedge points v ± t·((prev+next)/2 − v) with t halved until
+    the point is off BOTH boundaries. With no crossings every face of
+    the arrangement is bounded by complete rings, and each ring's
+    vertices contribute a witness on each side — so classifying the
+    witnesses by strict PIP classifies every face that any boundary
+    touches. Yields (x, y) points (off both boundaries)."""
+    ea, eb = _edges(ga), _edges(gb)
+    for g in (ga, gb):
+        for xs, ys in _rings(g):
+            if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+                xs, ys = xs[:-1], ys[:-1]   # open the ring: real wedges at
+                # every vertex (the closing duplicate makes i=0 degenerate)
+            n = len(xs)
+            if n < 3:
+                continue
+            for i in range(n):
+                vx, vy = float(xs[i]), float(ys[i])
+                mx = (float(xs[i - 1]) + float(xs[(i + 1) % n])) / 2.0
+                my = (float(ys[i - 1]) + float(ys[(i + 1) % n])) / 2.0
+                if mx == vx and my == vy:
+                    continue
+                for sgn in (1.0, -1.0):
+                    t = 0.25
+                    for _ in range(max_halve):
+                        px = vx + sgn * t * (mx - vx)
+                        py = vy + sgn * t * (my - vy)
+                        p = np.array([px]), np.array([py])
+                        if (not _pts_on_edges(*p, *ea).any()
+                                and not _pts_on_edges(*p, *eb).any()):
+                            yield px, py
+                            break
+                        t /= 2.0
+
+
+def interiors_intersect(ga, gb) -> bool:
+    """True iff the OPEN interiors meet — the boundary-exact refinement
+    of polygons_intersect (whose ray-cast counts some on-boundary points
+    as inside). A proper edge crossing settles it; otherwise the face
+    witnesses (off both boundaries, where strict PIP is reliable) are
+    classified against both polygons."""
+    ax0, ay0, ax1, ay1 = ga.envelope()
+    bx0, by0, bx1, by1 = gb.envelope()
+    if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+        return False
+    ea, eb = _edges(ga), _edges(gb)
+    if segments_cross(*ea, *eb):
+        return True
+    for px, py in _face_witnesses(ga, gb):
+        p = np.array([px]), np.array([py])
+        if PIP.points_in_polygon(*p, ga)[0] and PIP.points_in_polygon(*p, gb)[0]:
+            return True
+    return False
+
+
+def boundaries_touch(ga, gb) -> bool:
+    """Any boundary contact: a vertex of one lies on the other's
+    boundary (covers crossing-at-vertex, shared edges, corner touches —
+    collinear overlapping segments always put some endpoint on the other
+    segment unless identical, and identical segments share endpoints)."""
+    ea, eb = _edges(ga), _edges(gb)
+    if _pts_on_edges(ea[0], ea[1], *eb).any():
+        return True
+    return bool(_pts_on_edges(eb[0], eb[1], *ea).any())
+
+
+def polygons_touch(ga, gb) -> bool:
+    """OGC Touches: boundaries meet, open interiors do not."""
+    return boundaries_touch(ga, gb) and not interiors_intersect(ga, gb)
+
+
+def polygons_covers(ga, gb) -> bool:
+    """A covers B (closed containment; boundary contact allowed): no
+    proper crossings, every boundary probe of B is inside-or-on A, and
+    every interior face witness lying in B's interior also lies in A's
+    (catches a hole of A poking into B even when all of B's own probes
+    sit on shared boundary)."""
+    ea, eb = _edges(ga), _edges(gb)
+    if segments_cross(*ea, *eb):
+        return False
+    xs, ys = _probe_points(eb)
+    inside = PIP.points_in_polygon(xs, ys, ga)
+    on = _pts_on_edges(xs, ys, *ea)
+    if not bool((inside | on).all()):
+        return False
+    for px, py in _face_witnesses(ga, gb):
+        p = np.array([px]), np.array([py])
+        if PIP.points_in_polygon(*p, gb)[0] and not PIP.points_in_polygon(*p, ga)[0]:
+            return False
+    return True
+
+
+def polygons_equal(ga, gb) -> bool:
+    """OGC Equals as exact ring-set equality: each ring canonicalized to
+    its lexicographically-smallest rotation of the orientation-normalized
+    open vertex list (the fixture layers carry exact coordinates; a
+    tolerance tier would need snapping first)."""
+
+    def canon(g):
+        rings = set()
+        for xs, ys in _rings(g):
+            pts = list(zip(xs.tolist(), ys.tolist()))
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            rev = pts[::-1]
+            best = None
+            for cand in (pts, rev):
+                for r in range(len(cand)):
+                    rot = tuple(cand[r:] + cand[:r])
+                    if best is None or rot < best:
+                        best = rot
+            rings.add(best)
+        return rings
+
+    return canon(ga) == canon(gb)
+
+
+def polygons_overlap(ga, gb) -> bool:
+    """OGC Overlaps (same dimension): open interiors intersect and
+    neither covers the other."""
+    return (
+        interiors_intersect(ga, gb)
+        and not polygons_covers(ga, gb)
+        and not polygons_covers(gb, ga)
+    )
+
+
+def polygons_disjoint(ga, gb) -> bool:
+    """OGC Disjoint: no boundary contact and no interior intersection."""
+    return not boundaries_touch(ga, gb) and not interiors_intersect(ga, gb)

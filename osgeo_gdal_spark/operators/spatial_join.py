@@ -265,10 +265,15 @@ def spatial_join_polygons(spark, feats: DataFrame, polys,
     ).withColumn("cell_key", F.col("_cx") * n + F.col("_cy")).drop("_cx", "_cys", "_cy")
 
     cand = keyed.join(F.broadcast(cover), "cell_key")
-    # strict envelope-overlap prefilter, fully native
+    # envelope-overlap prefilter, fully native. Boundary-aware predicates
+    # (touches/equals/covers/disjoint-complement) must keep edge-aligned
+    # envelopes -> closed comparison; the strict-interior tier uses the
+    # strict one (a shared envelope edge can't make interiors intersect).
+    closed_pred = predicate in ("touches", "overlaps", "equals", "covers")
+    lt = (lambda a, b: a <= b) if closed_pred else (lambda a, b: a < b)
     cand = cand.filter(
-        (F.col("bbox.xmin") < F.col("p_xmax")) & (F.col("bbox.xmax") > F.col("p_xmin"))
-        & (F.col("bbox.ymin") < F.col("p_ymax")) & (F.col("bbox.ymax") > F.col("p_ymin"))
+        lt(F.col("bbox.xmin"), F.col("p_xmax")) & lt(F.col("p_xmin"), F.col("bbox.xmax"))
+        & lt(F.col("bbox.ymin"), F.col("p_ymax")) & lt(F.col("p_ymin"), F.col("bbox.ymax"))
     ).dropDuplicates(["fid", "poly_fid"])
 
     payload = [(pf.fid, pf.wkb()) for pf in polys]
@@ -293,6 +298,14 @@ def spatial_join_polygons(spark, feats: DataFrame, polys,
                 out.append(_PP.polygon_contains_polygon(gb, ga))
             elif pred == "contains":
                 out.append(_PP.polygon_contains_polygon(ga, gb))
+            elif pred == "touches":
+                out.append(_PP.polygons_touch(ga, gb))
+            elif pred == "overlaps":
+                out.append(_PP.polygons_overlap(ga, gb))
+            elif pred == "equals":
+                out.append(_PP.polygons_equal(ga, gb))
+            elif pred == "covers":
+                out.append(_PP.polygons_covers(gb, ga))  # polygon covers feat
             else:
                 raise ValueError(pred)
         return pd.Series(out)

@@ -176,3 +176,44 @@ def test_round_to_dtype():
     arr = np.array([1.4, 1.5, 255.6, -0.4])
     out = resample.round_to_dtype(arr, np.uint8)
     assert out.tolist() == [1, 2, 255, 0]
+
+
+def test_boundary_exact_predicates():
+    """OGC Touches/Overlaps/Equals/Covers/Disjoint on exact-shared
+    coordinates (the boundary-aware tier, incl. hole arrangements)."""
+    from osgeo_gdal_spark.kernels import polypoly as PP, wkb as W
+
+    def rect(x0, y0, x1, y1):
+        return W.parse_wkb(
+            W.polygon_wkb([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]))
+
+    A = rect(0, 0, 10, 10)
+    # (B, touches, overlaps, equals, interiors_intersect)
+    cases = [
+        (rect(10, 0, 20, 10), True, False, False, False),    # edge touch
+        (rect(10, 10, 20, 20), True, False, False, False),   # corner touch
+        (rect(5, 5, 15, 15), False, True, False, True),      # overlap
+        (rect(2, 2, 8, 8), False, False, False, True),       # contained
+        (rect(0, 2, 5, 8), False, False, False, True),       # contained, shared edge
+        (rect(0, 0, 10, 10), False, False, True, True),      # equal
+        (rect(20, 20, 30, 30), False, False, False, False),  # disjoint
+        (rect(10, 2, 20, 8), True, False, False, False),     # partial shared edge
+        (rect(3, -5, 7, 15), False, True, False, True),      # plus-sign cross
+    ]
+    for B, t, o, e, ii in cases:
+        assert PP.polygons_touch(A, B) is t
+        assert PP.polygons_overlap(A, B) is o
+        assert PP.polygons_equal(A, B) is e
+        assert PP.interiors_intersect(A, B) is ii
+        assert PP.polygons_disjoint(A, B) is (
+            not ii and not PP.boundaries_touch(A, B))
+
+    H = W.parse_wkb(W.polygon_wkb(
+        [[(0, 0), (10, 0), (10, 10), (0, 10)],
+         [(3, 3), (7, 3), (7, 7), (3, 7)]]))
+    assert not PP.interiors_intersect(H, rect(4, 4, 6, 6))   # inside the hole
+    assert PP.polygons_disjoint(H, rect(4, 4, 6, 6))
+    assert PP.polygons_touch(H, rect(3, 3, 7, 7))            # exactly the hole
+    assert not PP.polygons_covers(H, rect(2, 2, 8, 8))       # swallows the hole
+    assert PP.interiors_intersect(H, rect(2, 2, 8, 8))
+    assert PP.polygons_covers(H, rect(1, 1, 2, 2))

@@ -201,3 +201,50 @@ def test_spatial_join_polygons_vs_bruteforce(spark):
                 want.add((af.eas_id, p.eas_id))
     assert got == want
     assert len(want) > 10  # the layers genuinely overlap
+
+
+def test_spatial_join_polygons_boundary_predicates(spark):
+    """predicate='touches'/'overlaps'/'equals' on the polygon join: an
+    edge-aligned probe layer must survive the (now closed) envelope
+    prefilter and match only under the right predicate."""
+    from pyspark.sql import types as T
+
+    from osgeo_gdal_spark.kernels import wkb as W
+    from osgeo_gdal_spark.operators import spatial_join as SJ
+    from osgeo_gdal_spark.sources import polygons as PL
+
+    base = PL.POLYGONS[0]          # rect (-10.0005, 20.0005, 10.0005, 40.0005)
+    x0, y0, x1, y1 = base.params["bounds"]
+    feats = [
+        (0, (x1, y0, x1 + 5.0, y1)),          # edge touch
+        (1, (x1, y1, x1 + 4.0, y1 + 4.0)),    # corner touch
+        (2, (x0 + 5.0, y0 + 5.0, x1 + 5.0, y1 + 5.0)),  # overlap
+        (3, (x0, y0, x1, y1)),                # equal
+        (4, (x1 + 20.0, y0, x1 + 25.0, y1)),  # disjoint
+    ]
+    rows = []
+    for fid, (a, b, c, d) in feats:
+        rows.append((
+            fid, bytearray(W.polygon_wkb([[(a, b), (c, b), (c, d), (a, d)]])),
+            {"xmin": a, "ymin": b, "xmax": c, "ymax": d},
+        ))
+    schema = T.StructType([
+        T.StructField("fid", T.LongType()),
+        T.StructField("geometry", T.BinaryType()),
+        T.StructField("bbox", T.StructType([
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ])),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    polys = [base]
+
+    def fids(predicate):
+        got = SJ.spatial_join_polygons(spark, df, polys, predicate=predicate)
+        return sorted(r["fid"] for r in got.collect())
+
+    assert fids("touches") == [0, 1]
+    assert fids("overlaps") == [2]
+    assert fids("equals") == [3]

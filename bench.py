@@ -47,6 +47,12 @@ HEADLINE = [
     "polygonize_regions",
     "spatial_join_polygons",
     "raster_zonal_full",
+    # round-3 operators
+    "overlay_intersection",
+    "dissolve_regions",
+    "zonal_frac",
+    "contour_polygons",
+    "warp_downscale_med",
 ]
 
 

@@ -2296,6 +2296,46 @@ FROM sides GROUP BY band
 """
 
 
+def q_raster_pyramid_gauss(spark: SparkSession, sf: str) -> DataFrame:
+    """GAUSS overview level (GDALResampleChunk_Gauss,
+    gcore/overview.cpp:1996): 3x3 binomial window anchored at src
+    (2X, 2Y) — reaches one pixel past each 2x2 block, so the operator
+    runs a focal halo exchange before reducing. Oracle: the same window
+    sum over the pixel generator, weights clamped at the world edge."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = RO.pyramid_gauss(tiles)
+    return RO.explode_pixels(out).select("gpx", "gpy", "value")
+
+
+def sql_raster_pyramid_gauss() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    half = world // 2
+    return f"""
+WITH dst AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {half})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {half})) AS i) ys
+),
+contrib AS (
+  SELECT d.gpx, d.gpy,
+         ((2 * d.gpx + kx.i) * 7 + (2 * d.gpy + ky.i) * 11
+          + {RASTER_ZOOM}) % 255 AS v,
+         (CASE kx.i WHEN 1 THEN 2 ELSE 1 END)
+         * (CASE ky.i WHEN 1 THEN 2 ELSE 1 END) AS w
+  FROM dst d
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 3)) AS i) kx
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 3)) AS i) ky
+  WHERE 2 * d.gpx + kx.i < {world} AND 2 * d.gpy + ky.i < {world}
+)
+SELECT gpx, gpy,
+       CAST(SUM(v * w) AS BIGINT) / CAST(SUM(w) AS DOUBLE) AS value
+FROM contrib GROUP BY gpx, gpy
+"""
+
+
 def q_sieve(spark: SparkSession, sf: str) -> DataFrame:
     """Sieve small-region removal (rows-only; brute-force reference in
     pytest)."""
@@ -2831,6 +2871,7 @@ QUERIES = {
     "array_explode": q_array_explode,
     "focal_hillshade": q_focal_hillshade,
     "contour_stats": q_contour,
+    "raster_pyramid_gauss": q_raster_pyramid_gauss,
 }
 
 ORACLES = {
@@ -2901,6 +2942,7 @@ ORACLES = {
     "warp_downscale_med": sql_warp_downscale_med(),
     "contour_polygons": sql_contour_polygons(),
     "spatial_predicates": sql_spatial_predicates(),
+    "raster_pyramid_gauss": sql_raster_pyramid_gauss(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -182,3 +182,31 @@ def reduce_2x2(src: np.ndarray, mode: str) -> np.ndarray:
             default=c0,
         )
     raise ValueError(mode)
+
+
+GAUSS_3X3 = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
+
+
+def gauss_2x(pad: np.ndarray) -> np.ndarray:
+    """GAUSS overview 2x reduction (``GDALResampleChunk_Gauss``,
+    ``/root/reference/gcore/overview.cpp:1996``): for dst pixel (X, Y)
+    the 3x3 binomial window {1,2,1; 2,4,2; 1,2,1} anchors at src
+    (2X, 2Y) — one pixel past the 2x2 block on the right and bottom
+    (the reference's nSrcOff = off + size/2 - dim/2 arithmetic at
+    ratio 2). ``pad`` is the (T+1, T+1) tile-plus-east/south-halo
+    array; NaN pad cells mean "beyond the raster" and their weights are
+    dropped, exactly the reference's chunk clamp, with the result
+    normalized by the weights actually used."""
+    t = pad.shape[0] - 1
+    h = t // 2
+    acc = np.zeros((h, h))
+    cnt = np.zeros((h, h))
+    for dy in range(3):
+        for dx in range(3):
+            v = pad[dy:dy + t:2, :][:h][:, dx:dx + t:2][:, :h]
+            m = ~np.isnan(v)
+            w = GAUSS_3X3[dy, dx]
+            acc += np.where(m, v, 0.0) * w
+            cnt += m * w
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(cnt > 0, acc / cnt, 0.0)

@@ -1180,3 +1180,82 @@ def raster_zonal_frac(tiles: DataFrame, polys, zoom: int) -> DataFrame:
         F.sum("wsum").alias("zn_wsum"),
         (F.sum("wsum") / F.sum("cov")).alias("zn_wmean"),
     )
+
+
+def pyramid_gauss(tiles: DataFrame) -> DataFrame:
+    """One GAUSS overview level (GDALResampleChunk_Gauss,
+    gcore/overview.cpp:1996). Unlike the block-local modes in
+    pyramid_reduce, the 3x3 binomial window reaches ONE SOURCE PIXEL
+    past each 2x2 block — a cross-tile dependency, handled with the
+    focal halo exchange: each src tile gathers its east/south/SE 1-px
+    strips, reduces to its 128x128 quadrant (kernels/resample.gauss_2x),
+    and the quadrants assemble into parent tiles. Two skinny shuffles
+    (strips, then quadrants); pixels never shuffle twice."""
+    import pandas as pd
+
+    from ..kernels import resample as RK2
+    from .focal import _strips
+
+    # infer zoom natively (single-level tile tables carry one zoom)
+    zoom = int(tiles.select(F.min("zoom")).first()[0])
+    meta = tiles.select(
+        "dataset_id", "band", "nodata", "crs"
+    ).first()
+
+    strips = _strips(tiles, zoom, width=1)
+
+    quad_schema = T.StructType(
+        [
+            T.StructField("pgx", T.LongType()),
+            T.StructField("pgy", T.LongType()),
+            T.StructField("qx", T.IntegerType()),
+            T.StructField("qy", T.IntegerType()),
+            T.StructField("quad", T.BinaryType()),
+        ]
+    )
+
+    def reduce_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        tgx, tgy = int(pdf["tgx"].iloc[0]), int(pdf["tgy"].iloc[0])
+        pad = np.full((TILE + 1, TILE + 1), np.nan)
+        for _, row in pdf.iterrows():
+            arr = np.frombuffer(bytes(row["strip"]), dtype=np.float64).reshape(
+                row["sh"], row["sw"]
+            )
+            dx, dy = int(row["dx"]), int(row["dy"])
+            if (dx, dy) == (0, 0):
+                pad[:TILE, :TILE] = arr
+            elif (dx, dy) == (-1, 0):     # east neighbor's west col
+                pad[:TILE, TILE:] = arr
+            elif (dx, dy) == (0, -1):     # south neighbor's north row
+                pad[TILE:, :TILE] = arr
+            elif (dx, dy) == (-1, -1):    # SE neighbor's NW corner
+                pad[TILE:, TILE:] = arr
+        quad = RK2.gauss_2x(pad)
+        return pd.DataFrame(
+            [{"pgx": tgx // 2, "pgy": tgy // 2,
+              "qx": tgx % 2, "qy": tgy % 2, "quad": quad.tobytes()}]
+        )
+
+    quads = strips.groupBy("tgx", "tgy").applyInPandas(reduce_tile, quad_schema)
+
+    ds, band, nodata, crs = (meta["dataset_id"], int(meta["band"]),
+                             meta["nodata"], meta["crs"])
+    half = TILE // 2
+
+    def assemble(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pgx, pgy = int(pdf["pgx"].iloc[0]), int(pdf["pgy"].iloc[0])
+        grid = np.zeros((TILE, TILE), dtype=np.float64)
+        for _, row in pdf.iterrows():
+            q = np.frombuffer(bytes(row["quad"]), dtype=np.float64).reshape(
+                half, half
+            )
+            grid[int(row["qy"]) * half:(int(row["qy"]) + 1) * half,
+                 int(row["qx"]) * half:(int(row["qx"]) + 1) * half] = q
+        return pd.DataFrame(
+            [{"dataset_id": ds, "zoom": zoom - 1, "gx": pgx, "gy": pgy,
+              "band": band, "width": TILE, "height": TILE,
+              "dtype": "float64", "nodata": nodata, "crs": crs,
+              "pixels": grid.tobytes(), "checksum": CK.checksum_image(grid)}]
+        )
+
+    return quads.groupBy("pgx", "pgy").applyInPandas(assemble, TILE_SCHEMA)

@@ -509,3 +509,31 @@ def test_contour_polygons_bands_and_holes(spark):
     assert got[0]["area"] == RS.TILE * RS.TILE - blob_px
     assert got[0]["n_rings"] == 2   # outer shell + hole around the blob
     assert got[0]["perimeter"] == 4 * RS.TILE + 2 * (40 + 50)
+
+
+def test_pyramid_gauss_matches_fullgrid_reference(spark, tiles):
+    """GAUSS overview equals the brute-force full-raster reference —
+    including tile-seam windows (the halo exchange) and the world-edge
+    weight clamp."""
+    out = {(r["gx"], r["gy"]): RS.parse_tile(r)
+           for r in RO.pyramid_gauss(tiles).collect()}
+    assert set(out) == {(0, 0)}
+    got = out[(0, 0)]
+
+    world = 512
+    gpx = np.arange(world)
+    full = ((gpx[None, :] * 7 + gpx[:, None] * 11 + 1) % 255).astype(np.float64)
+    w1d = np.array([1.0, 2.0, 1.0])
+    want = np.zeros((256, 256))
+    for Y in range(256):
+        for X in range(256):
+            acc = cnt = 0.0
+            for dy in range(3):
+                for dx in range(3):
+                    sx, sy = 2 * X + dx, 2 * Y + dy
+                    if sx < world and sy < world:
+                        w = w1d[dx] * w1d[dy]
+                        acc += full[sy, sx] * w
+                        cnt += w
+            want[Y, X] = acc / cnt
+    assert np.array_equal(got, want)

@@ -2712,20 +2712,61 @@ inr AS (
 )"""
 
 
-def _q_grid(spark: SparkSession, sf: str, method: str) -> DataFrame:
+def _q_grid(spark: SparkSession, sf: str, method: str, **kw) -> DataFrame:
     from .operators import grid as GR, raster_ops as RO
 
     pages = PG.pages_df(spark, sf).select("lon", "lat",
                                           F.col("doc_id").alias("z"))
     pts = GR.points_to_px(pages, GRID_ZOOM, value="z", projection="equirect")
     tiles = GR.grid_interpolate(spark, pts, GRID_ZOOM, method, GRID_RADIUS,
-                                window=GRID_WIN)
+                                window=GRID_WIN, **kw)
     px = RO.explode_pixels(tiles)
     x0, y0, w, h = GRID_WIN
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h)
     ).select("gpx", "gpy", "value")
+
+
+GRID_NN_MAX = 8
+
+
+def q_grid_invdistnn(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-N inverse-distance gridding
+    (GDALGridInverseDistanceToAPowerNearestNeighbor,
+    alg/gdalgrid.cpp:242): only the 8 nearest in-radius points weigh in,
+    sorted by r^2 with (px, py, z) tie order. Bit-exact oracle: window
+    rank <= 8 by (d2, px, py, z), then the same sequential list_reduce
+    fold as grid_invdist."""
+    return _q_grid(spark, sf, "invdistnn", max_points=GRID_NN_MAX)
+
+
+def sql_grid_invdistnn() -> str:
+    term_w = "(CAST(1.0 AS DOUBLE) / (d2 + CAST(0.0 AS DOUBLE)))"
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+{_grid_pts_sql()},
+ranked AS (
+  SELECT gpx, gpy, px, py, z, d2,
+         ROW_NUMBER() OVER (PARTITION BY gpx, gpy
+                            ORDER BY d2, px, py, z) AS rk
+  FROM inr
+),
+g AS (
+  SELECT gpx, gpy,
+         list_reduce(list({term_w} * z ORDER BY d2, px, py, z)
+                     FILTER (rk <= {GRID_NN_MAX}), (a, b) -> a + b) AS num,
+         list_reduce(list({term_w} ORDER BY d2, px, py, z)
+                     FILTER (rk <= {GRID_NN_MAX}), (a, b) -> a + b) AS den,
+         list(z ORDER BY px, py, z)
+             FILTER (d2 + CAST(0.0 AS DOUBLE) < CAST(1e-13 AS DOUBLE)) AS coin
+  FROM ranked GROUP BY gpx, gpy
+)
+SELECT c.gpx, c.gpy,
+       COALESCE(CASE WHEN len(g.coin) > 0 THEN g.coin[1]
+                     ELSE g.num / g.den END, CAST(0.0 AS DOUBLE)) AS value
+FROM cells c LEFT JOIN g USING (gpx, gpy)
+"""
 
 
 def q_grid_invdist(spark: SparkSession, sf: str) -> DataFrame:
@@ -2872,6 +2913,7 @@ QUERIES = {
     "focal_hillshade": q_focal_hillshade,
     "contour_stats": q_contour,
     "raster_pyramid_gauss": q_raster_pyramid_gauss,
+    "grid_invdistnn": q_grid_invdistnn,
 }
 
 ORACLES = {
@@ -2943,6 +2985,7 @@ ORACLES = {
     "contour_polygons": sql_contour_polygons(),
     "spatial_predicates": sql_spatial_predicates(),
     "raster_pyramid_gauss": sql_raster_pyramid_gauss(),
+    "grid_invdistnn": sql_grid_invdistnn(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

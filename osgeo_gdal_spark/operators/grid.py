@@ -62,14 +62,19 @@ def points_to_px(points: DataFrame, zoom: int, lon="lon", lat="lat",
 
 def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
                      method: str, radius: float, power=2.0, smoothing=0.0,
-                     nodata=0.0, window=None) -> DataFrame:
+                     nodata=0.0, window=None, max_points=12,
+                     min_points=0) -> DataFrame:
     """points (px, py, z) -> tile table at ``zoom`` over ``window`` =
     (gpx0, gpy0, w, h) global-pixel rect (default: full world).
 
     method: 'invdist' (w = 1/r^p, r^2 includes smoothing^2, coincident
-    point short-circuits), 'average' (mean in radius), 'nearest'
-    (min-distance value, ties -> smallest (px, py, z)). Pixels with no
-    point in radius get ``nodata``.
+    point short-circuits), 'invdistnn'
+    (GDALGridInverseDistanceToAPowerNearestNeighbor,
+    alg/gdalgrid.cpp:242: only the ``max_points`` NEAREST in-radius
+    points contribute, ordered by smoothed r^2 — ties by (px, py, z);
+    fewer than ``min_points`` -> nodata), 'average' (mean in radius),
+    'nearest' (min-distance value, ties -> smallest (px, py, z)).
+    Pixels with no point in radius get ``nodata``.
     """
     n = 1 << zoom
     world = n * TILE
@@ -120,6 +125,8 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
     pw = float(power)
     sm = float(smoothing)
     nd = float(nodata)
+    maxp = int(max_points)
+    minp = int(min_points)
 
     def kernel(pdf):
         import pandas as pd
@@ -169,6 +176,42 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
                         val = np.where(den != 0.0, num / den, nd)
                     # coincident-point short-circuit (first such point in
                     # accumulation order wins, gdalgrid.cpp:163-168)
+                    coin = in_r & (r2s < _COINCIDENT_EPS)
+                    has = coin.any(axis=2)
+                    first = np.argmax(coin, axis=2)
+                    val = np.where(has, tz[first], val)
+                elif meth == "invdistnn":
+                    # nearest-N IDW (gdalgrid.cpp:242): candidates sorted
+                    # by SMOOTHED r^2 (the reference's multimap key); the
+                    # stable argsort keeps the (px, py, z) pre-sort as the
+                    # tie rule; only the first max_points accumulate,
+                    # sequentially in that order
+                    r2s = d2 + sm * sm
+                    key = np.where(in_r, r2s, np.inf)
+                    order = np.argsort(key, axis=2, kind="stable")
+                    S = np.take_along_axis(key, order, axis=2)
+                    Z = np.take_along_axis(
+                        np.broadcast_to(tz[None, None, :], key.shape),
+                        order, axis=2)
+                    if maxp > 0:
+                        S = S[..., :maxp]
+                        Z = Z[..., :maxp]
+                    sel = np.isfinite(S)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        if pw == 2.0:
+                            wgt = np.where(sel, 1.0 / S, 0.0)
+                        else:
+                            wgt = np.where(
+                                sel, 1.0 / np.power(S, pw / 2.0), 0.0)
+                    num = np.cumsum(wgt * np.where(sel, Z, 0.0),
+                                    axis=2)[..., -1]
+                    den = np.cumsum(wgt, axis=2)[..., -1]
+                    nsel = sel.sum(axis=2)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        val = np.where((nsel >= max(minp, 1))
+                                       & (den != 0.0), num / den, nd)
+                    # coincident short-circuit runs BEFORE the nn loop
+                    # (gdalgrid.cpp:340): first such point in order wins
                     coin = in_r & (r2s < _COINCIDENT_EPS)
                     has = coin.any(axis=2)
                     first = np.argmax(coin, axis=2)

@@ -119,3 +119,57 @@ def test_grid_partition_invariance(spark, pts_df):
          for r in GR.grid_interpolate(spark, pts_df.repartition(13), ZOOM,
                                       "invdist", R, window=win).collect()}
     assert a == b
+
+
+def test_invdistnn_selects_nearest_n(spark):
+    """invdistnn equals brute-force nearest-N IDW, and differs from plain
+    invdist where more than max_points fall in the radius."""
+    import pandas as pd
+
+    from osgeo_gdal_spark.operators import grid as GR, raster_ops as RO
+
+    rng = np.random.default_rng(11)
+    n = 60
+    pdf = pd.DataFrame({
+        "px": rng.uniform(100, 140, n),
+        "py": rng.uniform(100, 140, n),
+        "z": rng.integers(0, 100, n).astype(float),
+    })
+    pts = spark.createDataFrame(pdf)
+    win = (110, 110, 16, 16)
+    tiles = GR.grid_interpolate(spark, pts, 1, "invdistnn", 20.0,
+                                window=win, max_points=5)
+    px = RO.explode_pixels(tiles)
+    got = {(r["gpx"], r["gpy"]): r["value"] for r in px.collect()
+           if win[0] <= r["gpx"] < win[0] + win[2]
+           and win[1] <= r["gpy"] < win[1] + win[3]}
+
+    order = np.lexsort((pdf["z"], pdf["py"], pdf["px"]))
+    sx = pdf["px"].to_numpy()[order]
+    sy = pdf["py"].to_numpy()[order]
+    sz = pdf["z"].to_numpy()[order]
+    differs = 0
+    for (gx, gy), v in got.items():
+        cx, cy = gx + 0.5, gy + 0.5
+        d2 = (sx - cx) ** 2 + (sy - cy) ** 2
+        inr = d2 <= 400.0
+        idx = np.nonzero(inr)[0]
+        if len(idx) == 0:
+            assert v == 0.0
+            continue
+        sel = idx[np.argsort(d2[idx], kind="stable")[:5]]
+        num = den = 0.0
+        for i in sel:                 # sequential, sorted order
+            w = 1.0 / d2[i]
+            num += w * sz[i]
+            den += w
+        assert v == num / den, (gx, gy)
+        if len(idx) > 5:
+            allnum = allden = 0.0
+            for i in idx:
+                w = 1.0 / d2[i]
+                allnum += w * sz[i]
+                allden += w
+            if allnum / allden != v:
+                differs += 1
+    assert differs > 0   # the cap actually changed some pixels

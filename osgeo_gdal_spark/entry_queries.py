@@ -2728,6 +2728,56 @@ def _q_grid(spark: SparkSession, sf: str, method: str, **kw) -> DataFrame:
     ).select("gpx", "gpy", "value")
 
 
+# grid 'linear' fixture: 6x6 lattice with jittered INTERIOR points (the
+# hull stays the exact rect [60,100]^2) and z an AFFINE field of the
+# final coords — a TIN reproduces any affine field exactly, whatever the
+# Delaunay diagonal choices, which is what makes an oracle possible
+def _grid_linear_pts():
+    pts = []
+    for i in range(6):
+        for j in range(6):
+            px, py = 60.0 + i * 8.0, 60.0 + j * 8.0
+            if 0 < i < 5 and 0 < j < 5:
+                px += ((i * 7 + j * 13) % 5) * 0.25 - 0.5
+                py += ((i * 11 + j * 3) % 5) * 0.25 - 0.5
+            pts.append((px, py, 3.0 * px - 1.5 * py + 7.0))
+    return pts
+
+
+def q_grid_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal_grid 'linear' (GDALGridLinear + alg/delaunay.c): Delaunay TIN
+    barycentric interpolation (self-contained Bowyer-Watson,
+    kernels/delaunay.py). Oracle: the planted z is affine in (px, py),
+    which every valid triangulation reproduces exactly — pixel centers
+    strictly inside the rect hull evaluate to the closed form."""
+    from .operators import grid as GR, raster_ops as RO
+
+    pts = spark.createDataFrame(_grid_linear_pts(),
+                                "px DOUBLE, py DOUBLE, z DOUBLE")
+    tiles = GR.grid_linear(spark, pts, 1, nodata=-1.0,
+                           window=(56, 56, 48, 48))
+    px = RO.explode_pixels(tiles)
+    return px.filter(
+        (F.col("gpx") >= 60) & (F.col("gpx") <= 99)
+        & (F.col("gpy") >= 60) & (F.col("gpy") <= 99)
+    ).select("gpx", "gpy", F.round("value", 6).alias("value"))
+
+
+def sql_grid_linear() -> str:
+    return """
+WITH cells AS (
+  SELECT (60 + xs.i) AS gpx, (60 + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, 40)) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 40)) AS i) ys
+)
+SELECT gpx, gpy,
+       ROUND(CAST(3.0 AS DOUBLE) * (gpx + CAST(0.5 AS DOUBLE))
+             - CAST(1.5 AS DOUBLE) * (gpy + CAST(0.5 AS DOUBLE))
+             + CAST(7.0 AS DOUBLE), 6) AS value
+FROM cells
+"""
+
+
 GRID_NN_MAX = 8
 
 
@@ -2914,6 +2964,7 @@ QUERIES = {
     "contour_stats": q_contour,
     "raster_pyramid_gauss": q_raster_pyramid_gauss,
     "grid_invdistnn": q_grid_invdistnn,
+    "grid_linear": q_grid_linear,
 }
 
 ORACLES = {
@@ -2986,6 +3037,7 @@ ORACLES = {
     "spatial_predicates": sql_spatial_predicates(),
     "raster_pyramid_gauss": sql_raster_pyramid_gauss(),
     "grid_invdistnn": sql_grid_invdistnn(),
+    "grid_linear": sql_grid_linear(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -247,3 +247,79 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
         )
 
     return joined.groupBy("gx", "gy").applyInPandas(kernel, TILE_SCHEMA)
+
+
+def grid_linear(spark: SparkSession, points: DataFrame, zoom: int,
+                nodata=0.0, window=None) -> DataFrame:
+    """gdal_grid 'linear' (GDALGridLinear, alg/gdalgrid.cpp + the
+    vendored qhull in alg/delaunay.c): Delaunay-TIN barycentric
+    interpolation; pixels outside the convex hull get nodata.
+
+    Distributed shape: the triangulation is the reference's global
+    point index (its qhull build is also one single-process pass) —
+    built ONCE driver-side from the collected point layer and broadcast
+    as plane coefficients; every dst tile then evaluates its pixels
+    against the broadcast TIN in one vectorized pass (map-only, no
+    shuffle). Appropriate while the POINT layer is vector-sized; a
+    billion-point TIN would need a distributed triangulation, which
+    neither the reference nor v1 attempts.
+    """
+    from ..kernels import delaunay as DL
+
+    n = 1 << zoom
+    world = n * TILE
+    if window is None:
+        window = (0, 0, world, world)
+    x0, y0, w, h = window
+    tx0, tx1 = x0 // TILE, (x0 + w - 1) // TILE
+    ty0, ty1 = y0 // TILE, (y0 + h - 1) // TILE
+
+    pdf = points.select("px", "py", "z").toPandas()
+    tris = DL.delaunay(pdf["px"].to_numpy(), pdf["py"].to_numpy())
+    planes = DL.tin_planes(pdf["px"].to_numpy(), pdf["py"].to_numpy(),
+                           pdf["z"].to_numpy(), tris)
+    bc = spark.sparkContext.broadcast({k: v for k, v in planes.items()})
+    nd = float(nodata)
+
+    nx = tx1 - tx0 + 1
+    dst = spark.range(nx * (ty1 - ty0 + 1)).select(
+        (F.col("id") % nx + tx0).alias("gx"),
+        (F.col("id") / nx).cast("long").alias("_r"),
+    ).select("gx", (F.col("_r") + ty0).alias("gy"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        planes_ = bc.value
+        for pdf_ in batches:
+            rows = []
+            for _, row in pdf_.iterrows():
+                gx, gy = int(row["gx"]), int(row["gy"])
+                out = np.full((TILE, TILE), nd)
+                wy0 = max(0, y0 - gy * TILE)
+                wy1 = min(TILE, y0 + h - gy * TILE)
+                wx0 = max(0, x0 - gx * TILE)
+                wx1 = min(TILE, x0 + w - gx * TILE)
+                if wy1 > wy0 and wx1 > wx0:
+                    xs = (gx * TILE + np.arange(wx0, wx1) + 0.5)
+                    ys = (gy * TILE + np.arange(wy0, wy1) + 0.5)
+                    QX = np.broadcast_to(xs[None, :],
+                                         (len(ys), len(xs))).ravel()
+                    QY = np.broadcast_to(ys[:, None],
+                                         (len(ys), len(xs))).ravel()
+                    from ..kernels import delaunay as DL2
+
+                    vals = DL2.tin_interpolate(planes_, QX, QY, nd)
+                    out[wy0:wy1, wx0:wx1] = vals.reshape(len(ys), len(xs))
+                rows.append({
+                    "dataset_id": "grid_linear", "zoom": zoom,
+                    "gx": gx, "gy": gy, "band": 1,
+                    "width": TILE, "height": TILE, "dtype": "float64",
+                    "nodata": nd, "crs": "EPSG:3857",
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return dst.mapInPandas(kernel, TILE_SCHEMA)

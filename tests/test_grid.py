@@ -173,3 +173,27 @@ def test_invdistnn_selects_nearest_n(spark):
             if allnum / allden != v:
                 differs += 1
     assert differs > 0   # the cap actually changed some pixels
+
+
+def test_delaunay_euler_and_affine_reproduction():
+    from osgeo_gdal_spark.kernels import delaunay as D
+    from osgeo_gdal_spark.kernels.polypoly import convex_hull
+
+    rng = np.random.default_rng(5)
+    px = rng.uniform(0, 100, 80)
+    py = rng.uniform(0, 100, 80)
+    tris = D.delaunay(px, py)
+    h = len(convex_hull(px, py))
+    assert len(tris) == 2 * 80 - h - 2     # Euler: T = 2n - h - 2
+    pz = 3.0 * px + 7.0 * py + 1.0
+    planes = D.tin_planes(px, py, pz, tris)
+    qx = rng.uniform(10, 90, 400)
+    qy = rng.uniform(10, 90, 400)
+    got = D.tin_interpolate(planes, qx, qy, nodata=np.nan)
+    m = ~np.isnan(got)
+    assert m.mean() > 0.9
+    assert np.allclose(got[m], (3.0 * qx + 7.0 * qy + 1.0)[m], atol=1e-9)
+    # regular lattice (maximally cocircular): still a full triangulation
+    gx, gy = np.meshgrid(np.arange(6) * 10.0, np.arange(5) * 10.0)
+    lt = D.delaunay(gx.ravel(), gy.ravel())
+    assert len(lt) == 2 * 30 - 18 - 2

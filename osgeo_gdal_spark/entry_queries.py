@@ -2336,6 +2336,50 @@ FROM contrib GROUP BY gpx, gpy
 """
 
 
+CALC_WIN = (100, 164, 300, 364)  # gpx0, gpx1, gpy0, gpy1 probe
+
+
+def q_raster_calc(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster algebra with an infix expression (gdal_calc.py / VRT
+    derived-band pixel functions, frmts/vrt/vrtderivedrasterband.cpp):
+    B = 2A+3 via translate, then where(A > 128, A - B/4, A + sqrt(B)).
+    Every op in the expression is IEEE-exact cross-engine (+,-,*,/,
+    sqrt), so the oracle is the closed form over the pixel generator
+    with no rounding."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    a = RS.synth_tiles(spark, RASTER_ZOOM)
+    b = RO.translate_tiles(a, scale=2.0, offset=3.0, out_dtype="float64") \
+        .drop("_ox0", "_oy0")
+    out = RO.raster_calc({"A": a, "B": b},
+                         "where(A > 128, A - B / 4, A + sqrt(B))")
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = CALC_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", "value")
+
+
+def sql_raster_calc() -> str:
+    x0, x1, y0, y1 = CALC_WIN
+    v = f"CAST(((gpx * 7 + gpy * 11 + {RASTER_ZOOM}) % 255) AS DOUBLE)"
+    b = f"(CAST(2.0 AS DOUBLE) * {v} + CAST(3.0 AS DOUBLE))"
+    return f"""
+WITH cells AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+)
+SELECT gpx, gpy,
+       CASE WHEN {v} > CAST(128.0 AS DOUBLE)
+            THEN {v} - {b} / CAST(4.0 AS DOUBLE)
+            ELSE {v} + SQRT({b}) END AS value
+FROM cells
+"""
+
+
 def q_sieve(spark: SparkSession, sf: str) -> DataFrame:
     """Sieve small-region removal (rows-only; brute-force reference in
     pytest)."""
@@ -2965,6 +3009,7 @@ QUERIES = {
     "raster_pyramid_gauss": q_raster_pyramid_gauss,
     "grid_invdistnn": q_grid_invdistnn,
     "grid_linear": q_grid_linear,
+    "raster_calc": q_raster_calc,
 }
 
 ORACLES = {
@@ -3038,6 +3083,7 @@ ORACLES = {
     "raster_pyramid_gauss": sql_raster_pyramid_gauss(),
     "grid_invdistnn": sql_grid_invdistnn(),
     "grid_linear": sql_grid_linear(),
+    "raster_calc": sql_raster_calc(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -1259,3 +1259,67 @@ def pyramid_gauss(tiles: DataFrame) -> DataFrame:
         )
 
     return quads.groupBy("pgx", "pgy").applyInPandas(assemble, TILE_SCHEMA)
+
+
+def raster_calc(bands: dict, expr: str, nodata=None) -> DataFrame:
+    """gdal_calc.py / VRT derived-band pixel functions
+    (frmts/vrt/vrtderivedrasterband.cpp; builtin set
+    frmts/vrt/pixelfunctions.cpp): an infix numpy expression over named
+    aligned tile tables. The expression compiles ONCE driver-side
+    (kernels/calc.py — whitelisted ast, no eval) so bad input fails
+    before any task launches; tile tables equi-join on (zoom, gx, gy)
+    and each task evaluates one tile.
+
+    bands: {"A": tiles_df, "B": tiles_df, ...} — same zoom/tiling.
+    """
+    from ..kernels import calc as CALC
+
+    names = sorted(bands)
+    CALC.compile_expr(expr, names)  # fail fast on the driver
+    expr_s = str(expr)
+
+    base = None
+    for nm in names:
+        df = bands[nm].select(
+            "zoom", "gx", "gy",
+            F.col("pixels").alias(f"_px_{nm}"),
+            F.col("dtype").alias(f"_dt_{nm}"),
+            *([
+                "dataset_id", "band", "width", "height", "crs",
+            ] if base is None else []),
+        )
+        base = df if base is None else base.join(df, ["zoom", "gx", "gy"])
+
+    nd = nodata
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..kernels import calc as CALC2
+
+        fn = CALC2.compile_expr(expr_s, names)
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arrs = {}
+                for nm in names:
+                    w, h = int(row["width"]), int(row["height"])
+                    arrs[nm] = np.frombuffer(
+                        bytes(row[f"_px_{nm}"]),
+                        dtype=np.dtype(row[f"_dt_{nm}"]),
+                    ).reshape(h, w).astype(np.float64)
+                out = np.asarray(fn(arrs), dtype=np.float64)
+                rows.append({
+                    "dataset_id": f"calc({row['dataset_id']})",
+                    "zoom": int(row["zoom"]), "gx": int(row["gx"]),
+                    "gy": int(row["gy"]), "band": int(row["band"]),
+                    "width": out.shape[1], "height": out.shape[0],
+                    "dtype": "float64",
+                    "nodata": nd, "crs": row["crs"],
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.mapInPandas(kernel, TILE_SCHEMA)

@@ -537,3 +537,23 @@ def test_pyramid_gauss_matches_fullgrid_reference(spark, tiles):
                         cnt += w
             want[Y, X] = acc / cnt
     assert np.array_equal(got, want)
+
+
+def test_calc_expr_compiler_safety_and_semantics():
+    from osgeo_gdal_spark.kernels import calc as C
+
+    a = np.array([[1.0, 4.0], [9.0, 16.0]])
+    b = np.array([[2.0, 2.0], [2.0, 2.0]])
+    fn = C.compile_expr("sqrt(A) * 2 + where(A > 5, B, -B)", ["A", "B"])
+    want = np.sqrt(a) * 2 + np.where(a > 5, b, -b)
+    assert np.array_equal(fn({"A": a, "B": b}), want)
+    fn2 = C.compile_expr("clip(A - B, 0, 5) % 3 + (A >= 9)", ["A", "B"])
+    want2 = np.clip(a - b, 0, 5) % 3 + (a >= 9).astype(float)
+    assert np.array_equal(fn2({"A": a, "B": b}), want2)
+    # rejected at compile time: unknown name, attribute escape, call escape
+    import pytest as _pt
+
+    for bad in ("C + 1", "A.__class__", "__import__('os')",
+                "eval('1')", "(lambda: 1)()", "A if B else A"):
+        with _pt.raises(Exception):
+            C.compile_expr(bad, ["A", "B"])

@@ -1609,6 +1609,95 @@ FROM p
 """
 
 
+def line_pairs():
+    """Planted (line, rect) pairs with relations fixed by construction:
+    pattern 0 = straight through (crosses), 1 = fully within,
+    2 = runs along an edge (touches), 3 = disjoint,
+    4 = one end inside (crosses), 5 = endpoint at a corner (touches)."""
+    out = []
+    for i in range(24):
+        bx = -170.25 + (i % 6) * 55.0
+        by = -58.25 + (i // 6) * 30.0
+        rect = (bx, by, bx + 10.0, by + 8.0)
+        pat = i % 6
+        if pat == 0:
+            line = [(bx - 4.0, by + 4.0), (bx + 14.0, by + 4.0)]
+        elif pat == 1:
+            line = [(bx + 2.0, by + 2.0), (bx + 8.0, by + 6.0)]
+        elif pat == 2:
+            line = [(bx, by + 2.0), (bx, by + 6.0)]
+        elif pat == 3:
+            line = [(bx + 20.0, by), (bx + 30.0, by + 8.0)]
+        elif pat == 4:
+            line = [(bx - 4.0, by + 4.0), (bx + 5.0, by + 4.0)]
+        else:
+            line = [(bx - 4.0, by - 4.0), (bx, by)]
+        expected = {
+            0: (True, False, False),
+            1: (False, True, False),
+            2: (False, False, True),
+            3: (False, False, False),
+            4: (True, False, False),
+            5: (False, False, True),
+        }[pat]
+        out.append((i, line, rect, expected))
+    return out
+
+
+def q_line_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """LineString x polygon predicates (OGC Crosses — the mixed-dimension
+    case, ogrgeometry.cpp:6155 — plus line-Within and line-Touches) via
+    the sub-segment classification kernel (polypoly.line_polygon_relate).
+    Oracle: relation booleans fixed by the fixture construction
+    (through / within / along-edge / disjoint / end-inside / corner)."""
+    from .kernels import polypoly as PP, wkb as W
+    from pyspark.sql import types as T
+
+    rows = [
+        (i,
+         bytearray(W.linestring_wkb(line)),
+         bytearray(W.polygon_wkb(
+             [[(r[0], r[1]), (r[2], r[1]), (r[2], r[3]), (r[0], r[3])]])))
+        for i, line, r, _exp in line_pairs()
+    ]
+    df = spark.createDataFrame(rows, "pair_id LONG, gl BINARY, gp BINARY")
+
+    out_schema = T.StructType([
+        T.StructField("pair_id", T.LongType()),
+        T.StructField("crosses", T.BooleanType()),
+        T.StructField("within", T.BooleanType()),
+        T.StructField("touches", T.BooleanType()),
+    ])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows_ = []
+            for _, row in pdf.iterrows():
+                gl = W.parse_wkb(bytes(row["gl"]))
+                gp = W.parse_wkb(bytes(row["gp"]))
+                has_in, has_out, contact = PP.line_polygon_relate(gl, gp)
+                rows_.append({
+                    "pair_id": int(row["pair_id"]),
+                    "crosses": has_in and has_out,
+                    "within": has_in and not has_out,
+                    "touches": contact and not has_in,
+                })
+            yield pd.DataFrame(rows_)
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def sql_line_predicates() -> str:
+    vals = ", ".join(
+        f"({i}, {c}, {w}, {t})"
+        for i, _line, _rect, (c, w, t) in line_pairs()
+    )
+    return (f"SELECT pair_id, crosses, within, touches "
+            f"FROM (VALUES {vals}) AS lp(pair_id, crosses, within, touches)")
+
+
 WARP = {"a": 0.5, "b": 100.25, "c": 0.5, "d": 50.25}
 WARP_WIN = (256, 384, 256, 384)  # dst probe window x0,x1,y0,y1
 
@@ -3010,6 +3099,7 @@ QUERIES = {
     "grid_invdistnn": q_grid_invdistnn,
     "grid_linear": q_grid_linear,
     "raster_calc": q_raster_calc,
+    "line_predicates": q_line_predicates,
 }
 
 ORACLES = {
@@ -3084,6 +3174,7 @@ ORACLES = {
     "grid_invdistnn": sql_grid_invdistnn(),
     "grid_linear": sql_grid_linear(),
     "raster_calc": sql_raster_calc(),
+    "line_predicates": sql_line_predicates(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -191,6 +191,31 @@ def _binary_predicate(fn_name):
     return udf
 
 
+@F.pandas_udf(T.BooleanType())
+def st_crosses(ga, gb):
+    """OGC Crosses (ogrgeometry.cpp:6155): defined for mixed dimensions —
+    a LineString crosses a polygon when its interior has points both
+    inside and outside; equal-dimension area pairs never Cross."""
+    import pandas as pd
+
+    from ..kernels import polypoly as PP
+
+    poly_types = ("Polygon", "MultiPolygon")
+    out = []
+    for a, b in zip(ga, gb):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        A, B = W.parse_wkb(bytes(a)), W.parse_wkb(bytes(b))
+        if A.geom_type == "LineString" and B.geom_type in poly_types:
+            out.append(bool(PP.line_crosses_polygon(A, B)))
+        elif B.geom_type == "LineString" and A.geom_type in poly_types:
+            out.append(bool(PP.line_crosses_polygon(B, A)))
+        else:
+            out.append(False)
+    return pd.Series(out)
+
+
 st_touches = _binary_predicate("polygons_touch")
 st_overlaps = _binary_predicate("polygons_overlap")
 st_equals = _binary_predicate("polygons_equal")
@@ -225,6 +250,7 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_Equals", st_equals)
     spark.udf.register("ST_Covers", st_covers)
     spark.udf.register("ST_Disjoint", st_disjoint)
+    spark.udf.register("ST_Crosses", st_crosses)
 
 
 @F.pandas_udf(T.BinaryType())

@@ -290,3 +290,62 @@ def polygons_overlap(ga, gb) -> bool:
 def polygons_disjoint(ga, gb) -> bool:
     """OGC Disjoint: no boundary contact and no interior intersection."""
     return not boundaries_touch(ga, gb) and not interiors_intersect(ga, gb)
+
+
+def line_polygon_relate(gl, gp):
+    """(has_interior_inside, has_interior_outside, boundary_contact) of a
+    LineString against a polygon: line segments split at their proper
+    crossings with the polygon's edges; each sub-segment midpoint (off
+    the boundary by construction — a midpoint ON the boundary means the
+    sub-segment runs along it and is excluded) classifies strictly
+    inside or outside. The OGC line/area predicates compose from the
+    triple: Crosses = in ∧ out; Within = in ∧ ¬out; Touches = contact ∧
+    ¬in (ogrgeometry.cpp:6155 Crosses — GEOS replaced)."""
+    lx = np.asarray(gl.xs, dtype=np.float64)
+    ly = np.asarray(gl.ys, dtype=np.float64)
+    a0x, a0y, a1x, a1y = lx[:-1], ly[:-1], lx[1:], ly[1:]
+    ep = _edges(gp)
+
+    rx = (a1x - a0x)[:, None]
+    ry = (a1y - a0y)[:, None]
+    sx = (ep[2] - ep[0])[None, :]
+    sy = (ep[3] - ep[1])[None, :]
+    qpx = ep[0][None, :] - a0x[:, None]
+    qpy = ep[1][None, :] - a0y[:, None]
+    rxs = rx * sy - ry * sx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qpx * sy - qpy * sx) / rxs
+        u = (qpx * ry - qpy * rx) / rxs
+    cross = (rxs != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+
+    px_, py_ = [], []
+    for i in range(len(a0x)):
+        ts = sorted({0.0, 1.0} | {float(v) for v in t[i][cross[i]]})
+        for ta, tb in zip(ts, ts[1:]):
+            tm = (ta + tb) / 2.0
+            px_.append(float(a0x[i]) + tm * float(a1x[i] - a0x[i]))
+            py_.append(float(a0y[i]) + tm * float(a1y[i] - a0y[i]))
+    P = np.array(px_), np.array(py_)
+    onb = _pts_on_edges(*P, *ep)
+    pin = PIP.points_in_polygon(*P, gp)
+    has_in = bool((pin & ~onb).any())
+    has_out = bool((~pin & ~onb).any())
+    contact = bool(cross.any() or _pts_on_edges(lx, ly, *ep).any())
+    return has_in, has_out, contact
+
+
+def line_crosses_polygon(gl, gp) -> bool:
+    """OGC Crosses (dim 1 vs dim 2): the line has interior points both
+    inside and outside the polygon."""
+    has_in, has_out, _ = line_polygon_relate(gl, gp)
+    return has_in and has_out
+
+
+def line_within_polygon(gl, gp) -> bool:
+    has_in, has_out, _ = line_polygon_relate(gl, gp)
+    return has_in and not has_out
+
+
+def line_touches_polygon(gl, gp) -> bool:
+    has_in, _out, contact = line_polygon_relate(gl, gp)
+    return contact and not has_in

@@ -202,3 +202,13 @@ def centroid(geom: PackedGeometry):
     if a_acc == 0:
         return float(np.mean(geom.xs)), float(np.mean(geom.ys))
     return cx_acc / a_acc, cy_acc / a_acc
+
+
+def linestring_wkb(pts) -> bytes:
+    """[(x, y), ...] -> little-endian WKB LineString."""
+    import struct
+
+    out = struct.pack("<BII", 1, WKB_LINESTRING, len(pts))
+    for x, y in pts:
+        out += struct.pack("<dd", float(x), float(y))
+    return out

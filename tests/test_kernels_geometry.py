@@ -217,3 +217,43 @@ def test_boundary_exact_predicates():
     assert not PP.polygons_covers(H, rect(2, 2, 8, 8))       # swallows the hole
     assert PP.interiors_intersect(H, rect(2, 2, 8, 8))
     assert PP.polygons_covers(H, rect(1, 1, 2, 2))
+
+
+def test_line_polygon_relate_and_crosses():
+    from osgeo_gdal_spark.kernels import polypoly as PP, wkb as W
+
+    rect = W.parse_wkb(
+        W.polygon_wkb([[(0, 0), (10, 0), (10, 10), (0, 10)]]))
+    L = lambda pts: W.parse_wkb(W.linestring_wkb(pts))  # noqa: E731
+    assert PP.line_crosses_polygon(L([(-5, 5), (15, 5)]), rect)
+    assert PP.line_within_polygon(L([(2, 2), (8, 8)]), rect)
+    assert PP.line_touches_polygon(L([(0, 2), (0, 8)]), rect)
+    assert PP.line_touches_polygon(L([(-5, 0), (0, 0)]), rect)
+    assert not PP.line_crosses_polygon(L([(20, 20), (30, 30)]), rect)
+    assert PP.line_crosses_polygon(L([(-5, 5), (5, 5)]), rect)
+    # holes: a segment entirely inside the hole is DISJOINT; a segment
+    # spanning meat-hole-meat crosses
+    H = W.parse_wkb(W.polygon_wkb(
+        [[(0, 0), (10, 0), (10, 10), (0, 10)],
+         [(3, 3), (7, 3), (7, 7), (3, 7)]]))
+    assert PP.line_polygon_relate(L([(4, 5), (6, 5)]), H) == (False, True, False)
+    assert PP.line_crosses_polygon(L([(1, 5), (9, 5)]), H)
+
+
+def test_st_crosses_dispatch(spark):
+    from osgeo_gdal_spark.functions import st as ST
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    ST.register_all(spark)
+    line = W.linestring_wkb([(-5.0, 5.0), (15.0, 5.0)])
+    poly = W.polygon_wkb([[(0, 0), (10, 0), (10, 10), (0, 10)]])
+    poly2 = W.polygon_wkb([[(5, 5), (15, 5), (15, 15), (5, 15)]])
+    df = spark.createDataFrame(
+        [(bytearray(line), bytearray(poly), bytearray(poly2))],
+        "gl binary, gp binary, gq binary")
+    df.createOrReplaceTempView("xpairs")
+    row = spark.sql("""SELECT ST_Crosses(gl, gp) AS lc,
+                              ST_Crosses(gp, gl) AS cl,
+                              ST_Crosses(gp, gq) AS pp
+                       FROM xpairs""").collect()[0]
+    assert row["lc"] is True and row["cl"] is True and row["pp"] is False

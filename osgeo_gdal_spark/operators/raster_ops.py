@@ -660,26 +660,15 @@ def interpolate_at_points(tiles: DataFrame, points: DataFrame, zoom: int,
 ZONE_NODATA = -1
 
 
-def zone_tiles(spark, polys, zoom: int) -> DataFrame:
-    """Burned zone-id raster: one int64 grid per covered tile, eas_id at
-    every pixel whose CENTER (in lon/lat — zonal.cpp's 'default'
-    pixel-inclusion rule, exact strict-interior ray cast) lies inside
-    the zone; ZONE_NODATA elsewhere. Zones burn in ascending fid order
-    (REPLACE semantics — last feature wins on overlap, matching
-    gdal_rasterize; the fixture zones are disjoint so order never
-    matters there).
-
-    Plan shape mirrors operators/rasterize.py: per-PART tile ranges
-    explode natively to the (feature × touched-tile) cover, the geometry
-    payload broadcasts, and groupBy(gx, gy).applyInPandas burns each
-    tile ONCE. This is the SURVEY §2.F plan — zonal stats become a
-    native tile-to-tile join + one vectorized pass, with per-tile work
-    driven by the zones actually covering that tile rather than a PIP
-    loop over the whole layer per tile, and one burned zone raster
-    serves every stat family (basic, histogram, categorical).
-    """
-    from ..kernels import pip as PIP, wkb as W
+def _zone_setup(spark, polys, zoom: int):
+    """Shared zonal machinery: broadcast geometry payload + the per-tile
+    covering-fid LIST table (one skinny row per covered tile — built
+    from the per-PART tile-range explode, then collect_set so VALUE
+    tiles are never replicated per zone; the list table broadcasts,
+    the same small-layer constraint as the spatial-join machinery)."""
+    from ..kernels import wkb as W
     from .rasterize import lonlat_to_px
+    from .spatial_join import payload_key
 
     world = (1 << zoom) * TILE
     maxt = (1 << zoom) - 1
@@ -703,15 +692,58 @@ def zone_tiles(spark, polys, zoom: int) -> DataFrame:
                  max(0, int(py.min() // TILE)), min(maxt, int(py.max() // TILE)))
             )
     bc = spark.sparkContext.broadcast(payload)
+    pkey = payload_key([(fid, buf) for fid, _eas, buf in payload])
 
     env = spark.createDataFrame(
         env_rows, "fid LONG, tx0 LONG, tx1 LONG, ty0 LONG, ty1 LONG"
     )
-    cover = env.select(
-        "fid",
-        F.explode(F.expr("sequence(tx0, tx1)")).alias("gx"),
-        "ty0", "ty1",
-    ).select("fid", "gx", F.explode(F.expr("sequence(ty0, ty1)")).alias("gy"))
+    cover_lists = (
+        env.select(
+            "fid",
+            F.explode(F.expr("sequence(tx0, tx1)")).alias("gx"),
+            "ty0", "ty1",
+        )
+        .select("fid", "gx", F.explode(F.expr("sequence(ty0, ty1)")).alias("gy"))
+        .groupBy("gx", "gy")
+        .agg(F.sort_array(F.collect_set("fid")).alias("_zfids"))
+    )
+    return bc, pkey, cover_lists, world
+
+
+def _burn_zone_grid(gx, gy, fids, geoms, eas_of, world):
+    """Burn one tile's int64 zone grid: eas_id at every pixel whose
+    CENTER (lon/lat, zonal.cpp 'default' rule, exact strict ray cast —
+    with the InstallFilter rectangle shortcut ogrlayer.cpp:3887 for
+    axis-rect zones) is inside the zone, ascending-fid REPLACE order."""
+    from ..kernels import pip as PIP
+    from .spatial_join import is_axis_rect
+
+    ox, oy = gx * TILE, gy * TILE
+    lon = (ox + np.arange(TILE) + 0.5) / world * 360.0 - 180.0
+    yfrac = (oy + np.arange(TILE) + 0.5) / world
+    merc = (1.0 - 2.0 * yfrac) * np.pi
+    lat = np.degrees(2.0 * np.arctan(np.exp(merc)) - np.pi / 2.0)
+    zones = np.full((TILE, TILE), ZONE_NODATA, dtype=np.int64)
+    for fid in sorted(int(f) for f in fids):
+        g = geoms[fid]
+        if is_axis_rect(g):
+            x0, y0, x1, y1 = g.envelope()
+            m = ((lon > x0) & (lon < x1))[None, :] \
+                & ((lat > y0) & (lat < y1))[:, None]
+        else:
+            LON = np.broadcast_to(lon[None, :], (TILE, TILE)).ravel()
+            LAT = np.broadcast_to(lat[:, None], (TILE, TILE)).ravel()
+            m = PIP.points_in_polygon(LON, LAT, g).reshape(TILE, TILE)
+        zones[m] = eas_of[fid]
+    return zones
+
+
+def zone_tiles(spark, polys, zoom: int) -> DataFrame:
+    """Materialized zone-id raster (one int64 grid per covered tile) —
+    the reusable artifact when several value rasters share one zone
+    layer. The inline zonal paths below FUSE the burn into the stat
+    pass instead (no extra stage)."""
+    bc, pkey, cover_lists, world = _zone_setup(spark, polys, zoom)
 
     out_schema = T.StructType(
         [
@@ -721,30 +753,63 @@ def zone_tiles(spark, polys, zoom: int) -> DataFrame:
         ]
     )
 
-    def burn(pdf):
+    def burn(batches):
         import pandas as pd
 
-        gx, gy = int(pdf["gx"].iloc[0]), int(pdf["gy"].iloc[0])
-        ox, oy = gx * TILE, gy * TILE
-        lon = (ox + np.arange(TILE) + 0.5) / world * 360.0 - 180.0
-        yfrac = (oy + np.arange(TILE) + 0.5) / world
-        merc = (1.0 - 2.0 * yfrac) * np.pi
-        lat = np.degrees(2.0 * np.arctan(np.exp(merc)) - np.pi / 2.0)
-        LON = np.broadcast_to(lon[None, :], (TILE, TILE)).ravel()
-        LAT = np.broadcast_to(lat[:, None], (TILE, TILE)).ravel()
-        zones = np.full(TILE * TILE, ZONE_NODATA, dtype=np.int64)
-        want = set(int(f) for f in pdf["fid"])
-        for fid, eas, buf in bc.value:  # ascending fid = burn order
-            if fid not in want:
-                continue
-            g = W.parse_wkb(bytes(buf))
-            m = PIP.points_in_polygon(LON, LAT, g)
-            zones[m] = eas
-        return pd.DataFrame(
-            [{"gx": gx, "gy": gy, "zones": zones.tobytes()}]
-        )
+        from .spatial_join import _prepared
 
-    return cover.groupBy("gx", "gy").applyInPandas(burn, out_schema)
+        for pdf in batches:
+            geoms = _prepared([(f, b) for f, _e, b in bc.value], pkey)
+            eas_of = {f: e for f, e, _b in bc.value}
+            rows = []
+            for _, row in pdf.iterrows():
+                gx, gy = int(row["gx"]), int(row["gy"])
+                zones = _burn_zone_grid(
+                    gx, gy, row["_zfids"], geoms, eas_of, world)
+                rows.append(
+                    {"gx": gx, "gy": gy, "zones": zones.ravel().tobytes()}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return cover_lists.mapInPandas(burn, out_schema)
+
+
+def _zonal_partials(tiles, polys, zoom, reducer, out_schema):
+    """Fused zonal pass: value tiles join the broadcast covering-fid
+    list on (gx, gy) — value tiles NEVER shuffle and are never
+    replicated per zone — then one task burns the tile's zone grid and
+    reduces (zone, value) partials in a single vectorized pass. Per-tile
+    work scales with the zones covering that tile, not the layer size;
+    the shuffle carries partial rows, never pixels."""
+    spark = tiles.sparkSession
+    bc, pkey, cover_lists, world = _zone_setup(spark, polys, zoom)
+    joined = tiles.join(F.broadcast(cover_lists), ["gx", "gy"])
+
+    def partials(batches):
+        import pandas as pd
+
+        from .spatial_join import _prepared
+
+        for pdf in batches:
+            geoms = _prepared([(f, b) for f, _e, b in bc.value], pkey)
+            eas_of = {f: e for f, e, _b in bc.value}
+            rows = []
+            for _, row in pdf.iterrows():
+                vals = parse_tile(row).astype(np.float64).ravel()
+                zones = _burn_zone_grid(
+                    int(row["gx"]), int(row["gy"]),
+                    row["_zfids"], geoms, eas_of, world).ravel()
+                m = zones != ZONE_NODATA
+                if not m.any():
+                    continue
+                rows += reducer(zones[m], vals[m])
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in out_schema.fields]
+                )
+
+    return joined.mapInPandas(partials, out_schema)
 
 
 def raster_zonal_stats(tiles: DataFrame, polys, zoom: int) -> DataFrame:
@@ -753,18 +818,11 @@ def raster_zonal_stats(tiles: DataFrame, polys, zoom: int) -> DataFrame:
     pixel-inclusion rule = pixel CENTER inside zone): zones are the
     polygon layer, values are the tile pixels.
 
-    Distributed shape: the zone layer is BURNED once into zone-id tiles
-    (zone_tiles — the raster-sequential strategy of zonal.cpp with the
-    per-tile zone loop replaced by a burned grid), value tiles join zone
-    tiles natively on (gx, gy), and one vectorized sort+reduceat pass
-    per tile emits per-zone partials. The shuffle carries (tile × zone)
-    partial rows, never pixels, and per-tile stat time is independent of
-    the layer's polygon count.
-    """
-    spark = tiles.sparkSession
-    zt = zone_tiles(spark, polys, zoom)
-    joined = tiles.join(zt, ["gx", "gy"])
-
+    Distributed shape: the fused burned-zone pass (_zonal_partials) —
+    the raster-sequential strategy of zonal.cpp with the per-tile
+    all-zones PIP loop replaced by a per-tile burn over only the
+    COVERING zones, one sort+reduceat partial pass, and a tiny
+    groupBy(zone) merge."""
     out_schema = T.StructType(
         [
             T.StructField("eas_id", T.LongType()),
@@ -775,33 +833,19 @@ def raster_zonal_stats(tiles: DataFrame, polys, zoom: int) -> DataFrame:
         ]
     )
 
-    def partials(batches):
-        import pandas as pd
+    def reducer(z, v):
+        order = np.argsort(z, kind="stable")
+        z, v = z[order], v[order]
+        uz, starts = np.unique(z, return_index=True)
+        cnts = np.diff(np.append(starts, len(z)))
+        return list(zip(
+            uz.tolist(), cnts.tolist(),
+            np.add.reduceat(v, starts).tolist(),
+            np.minimum.reduceat(v, starts).tolist(),
+            np.maximum.reduceat(v, starts).tolist(),
+        ))
 
-        for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                vals = parse_tile(row).astype(np.float64).ravel()
-                zones = np.frombuffer(bytes(row["zones"]), dtype=np.int64)
-                m = zones != ZONE_NODATA
-                if not m.any():
-                    continue
-                z, v = zones[m], vals[m]
-                order = np.argsort(z, kind="stable")
-                z, v = z[order], v[order]
-                uz, starts = np.unique(z, return_index=True)
-                cnts = np.diff(np.append(starts, len(z)))
-                sums = np.add.reduceat(v, starts)
-                mins = np.minimum.reduceat(v, starts)
-                maxs = np.maximum.reduceat(v, starts)
-                rows += list(zip(uz.tolist(), cnts.tolist(), sums.tolist(),
-                                 mins.tolist(), maxs.tolist()))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["eas_id", "cnt", "vsum", "vmin", "vmax"]
-                )
-
-    part = joined.mapInPandas(partials, out_schema)
+    part = _zonal_partials(tiles, polys, zoom, reducer, out_schema)
     return part.groupBy("eas_id").agg(
         F.sum("cnt").alias("zn_count"),
         F.sum("vsum").alias("zn_sum"),
@@ -963,15 +1007,10 @@ def pansharpen(pan_tiles: DataFrame, rgb_tiles: DataFrame,
 def raster_zonal_hist(tiles: DataFrame, polys, zoom: int) -> DataFrame:
     """Per-(zone, value) pixel counts — the decomposable carrier for the
     categorical zonal statistics (majority/minority/variety/median).
-    Same burned-zone-tile shape as raster_zonal_stats: join value tiles
-    to zone_tiles on (gx, gy), one vectorized np.unique per tile over
-    the (zone, value) pairs. Shuffle carries (zone, value) partials,
-    never pixels; for integer rasters the histogram is small and every
-    downstream stat is exact."""
-    spark = tiles.sparkSession
-    zt = zone_tiles(spark, polys, zoom)
-    joined = tiles.join(zt, ["gx", "gy"])
-
+    Same fused burned-zone pass as raster_zonal_stats; one vectorized
+    np.unique per tile over the (zone, value) pairs. Shuffle carries
+    (zone, value) partials, never pixels; for integer rasters the
+    histogram is small and every downstream stat is exact."""
     out_schema = T.StructType(
         [
             T.StructField("eas_id", T.LongType()),
@@ -980,27 +1019,15 @@ def raster_zonal_hist(tiles: DataFrame, polys, zoom: int) -> DataFrame:
         ]
     )
 
-    def partials(batches):
-        import pandas as pd
+    def reducer(z, v):
+        pairs = np.stack([z.astype(np.float64), v], axis=1)
+        u, c = np.unique(pairs, axis=0, return_counts=True)
+        return [
+            (int(zz), float(vv), int(n))
+            for (zz, vv), n in zip(u.tolist(), c.tolist())
+        ]
 
-        for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                vals = parse_tile(row).astype(np.float64).ravel()
-                zones = np.frombuffer(bytes(row["zones"]), dtype=np.int64)
-                m = zones != ZONE_NODATA
-                if not m.any():
-                    continue
-                pairs = np.stack([zones[m].astype(np.float64), vals[m]], axis=1)
-                u, c = np.unique(pairs, axis=0, return_counts=True)
-                rows += [
-                    (int(z), float(v), int(n))
-                    for (z, v), n in zip(u.tolist(), c.tolist())
-                ]
-            if rows:
-                yield pd.DataFrame(rows, columns=["eas_id", "value", "cnt"])
-
-    part = joined.mapInPandas(partials, out_schema)
+    part = _zonal_partials(tiles, polys, zoom, reducer, out_schema)
     return part.groupBy("eas_id", "value").agg(F.sum("cnt").alias("cnt"))
 
 

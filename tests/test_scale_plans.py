@@ -217,3 +217,39 @@ def test_polygonize_rings_single_labeling_pass(spark):
     n_cached = opt.count("InMemoryRelation")
     assert n_map <= n_cached, (n_map, n_cached, opt[:2000])
     assert out.count() == 4  # four constant quadrant regions
+
+
+def test_overlay_features_plan_is_broadcast(spark):
+    """The overlay pairwise kernel rides the broadcast cell-cover join:
+    no SortMergeJoin anywhere, features never shuffle for the join."""
+    from osgeo_gdal_spark.operators import overlay as OV
+
+    ov = OV.overlay_features(spark, PL.tindex_df(spark), PL.POLYGONS,
+                             "intersection")
+    plan = plan_of(ov)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zonal_fused_plan_no_tile_shuffle(spark):
+    """Fused zonal: value tiles join the broadcast covering-fid list —
+    a BroadcastHashJoin, never a SortMergeJoin that would shuffle pixel
+    payloads."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, 1)
+    out = RO.raster_zonal_stats(tiles, PL.POLYGONS, 1)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dissolve_plan_two_level_tree(spark):
+    """Dissolve is the map-side-combine shape: exactly two grouped-map
+    Python stages (partial per (group, salt), final per group)."""
+    from osgeo_gdal_spark.operators import overlay as OV
+
+    d = OV.dissolve(spark, PL.dissolve_df(spark), "gid")
+    plan = plan_of(d)
+    assert plan.count("FlatMapGroupsInPandas") == 2

@@ -222,10 +222,33 @@ st_equals = _binary_predicate("polygons_equal")
 st_covers = _binary_predicate("polygons_covers")
 st_disjoint = _binary_predicate("polygons_disjoint")
 
-# GEOS-delegating ops with no closed-form equivalent: explicit stubs
-# (shapely not in this container; arc-offset buffering and validity
-# repair genuinely need a GEOS-class engine)
-st_buffer = _not_implemented("ST_Buffer", "shapely.buffer in a pandas UDF")
+@F.pandas_udf(T.BinaryType())
+def st_buffer_1(geoms):
+    """ST_Buffer with distance 1.0, quadsegs 30 (the OGRGeometry::Buffer
+    defaults, ogrgeometry.cpp:4949) — REAL for convex single-ring
+    polygons (round-join Minkowski offset, kernels/polypoly.
+    buffer_convex); non-convex / negative-distance input raises the
+    documented GEOS extension error. Fixed distance because pandas UDFs
+    take columns; parametrize via partial registration when needed."""
+    import pandas as pd
+
+    from ..kernels import polypoly as PP
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        xs, ys = PP.buffer_convex(W.parse_wkb(bytes(g)), 1.0, quadsegs=30)
+        out.append(W.polygon_wkb([list(zip(xs.tolist(), ys.tolist()))]))
+    return pd.Series(out)
+
+
+st_buffer = st_buffer_1
+
+# GEOS-delegating ops with no closed-form equivalent: explicit stub
+# (shapely not in this container; validity repair genuinely needs a
+# GEOS-class engine)
 st_makevalid = _not_implemented("ST_MakeValid", "shapely.make_valid")
 
 

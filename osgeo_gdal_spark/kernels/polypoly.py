@@ -349,3 +349,70 @@ def line_within_polygon(gl, gp) -> bool:
 def line_touches_polygon(gl, gp) -> bool:
     has_in, _out, contact = line_polygon_relate(gl, gp)
     return contact and not has_in
+
+
+def buffer_convex(g, dist: float, quadsegs: int = 30):
+    """Positive round-join buffer of a CONVEX single-ring polygon — the
+    Minkowski sum with a disc (OGRGeometry::Buffer,
+    ogrgeometry.cpp:4949, delegates to GEOS; GEOS likewise discretizes
+    arcs with ``quadsegs`` segments per quarter circle, which is the
+    same contract here). Returns (xs, ys) of the buffered ring (open,
+    CCW in y-up). For convex input this construction is exact up to the
+    arc discretization: every edge offsets along its exterior normal
+    and every vertex grows a circular arc spanning the exterior turn
+    angle. Non-convex or negative-distance input raises (that tier
+    genuinely needs a GEOS-class engine)."""
+    import math
+
+    if dist <= 0:
+        raise NotImplementedError("negative/zero buffer needs GEOS-tier erosion")
+    rings = list(_rings(g))
+    if len(rings) != 1:
+        raise NotImplementedError("buffer of multi-ring geometry needs GEOS")
+    xs, ys = rings[0]
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    # orient CCW (positive y-up shoelace)
+    area2 = float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+    if area2 < 0:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    n = len(xs)
+    # convexity check: all turns left (cross > 0); collinear allowed
+    for i in range(n):
+        ax, ay = xs[i - 1], ys[i - 1]
+        bx, by = xs[i], ys[i]
+        cx, cy = xs[(i + 1) % n], ys[(i + 1) % n]
+        if (bx - ax) * (cy - by) - (by - ay) * (cx - bx) < 0:
+            raise NotImplementedError("non-convex buffer needs GEOS")
+
+    step = (math.pi / 2.0) / max(1, int(quadsegs))
+    out_x, out_y = [], []
+    for i in range(n):
+        bx, by = float(xs[i]), float(ys[i])
+        cxn, cyn = float(xs[(i + 1) % n]), float(ys[(i + 1) % n])
+        axp, ayp = float(xs[i - 1]), float(ys[i - 1])
+        # exterior normals of incoming and outgoing edges (CCW y-up:
+        # interior on the left -> exterior normal = (dy, -dx)/|e|)
+        for (ex0, ey0, ex1, ey1, which) in (
+            (axp, ayp, bx, by, "in"),
+            (bx, by, cxn, cyn, "out"),
+        ):
+            dx, dy = ex1 - ex0, ey1 - ey0
+            ln = math.hypot(dx, dy)
+            if ln == 0:
+                continue
+            if which == "in":
+                nin = (dy / ln, -dx / ln)
+            else:
+                nout = (dy / ln, -dx / ln)
+        a0 = math.atan2(nin[1], nin[0])
+        a1 = math.atan2(nout[1], nout[0])
+        turn = a1 - a0
+        while turn < 0:
+            turn += 2.0 * math.pi
+        k = max(1, int(math.ceil(turn / step)))
+        for j in range(k + 1):
+            a = a0 + turn * j / k
+            out_x.append(bx + dist * math.cos(a))
+            out_y.append(by + dist * math.sin(a))
+    return np.array(out_x), np.array(out_y)

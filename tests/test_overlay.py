@@ -307,3 +307,56 @@ def test_st_set_op_functions(spark):
     assert abs(row["i"] - 4.5 * 4.5) < 1e-12
     assert abs(row["u"] - (200.0 - row["i"])) < 1e-12
     assert abs(row["d"] - (100.0 - row["i"])) < 1e-12
+
+
+def test_overlay_property_random_convex_pairs():
+    """Property sweep: 60 random convex-polygon pairs (deterministic
+    seeds). Identities checked per pair: |A| = |A∩B| + |A−B|,
+    |B| = |A∩B| + |B−A|, |A∪B| = |A| + |B| − |A∩B|; and when B is an
+    axis rect, |A∩B| equals the independent Sutherland-Hodgman clip."""
+    import numpy as np
+
+    from osgeo_gdal_spark.kernels import clip as CLK, overlay_kernel as OK
+    from osgeo_gdal_spark.kernels.polypoly import convex_hull
+
+    rng = np.random.default_rng(23)
+    for trial in range(60):
+        pts = rng.uniform(0, 100, (12, 2))
+        hull = convex_hull(pts[:, 0], pts[:, 1])
+        if len(hull) < 3:
+            continue
+        a = [(np.array([p[0] for p in hull]),
+              np.array([p[1] for p in hull]))]
+        # orient CCW (convex_hull returns CCW in y-up already; assert)
+        if OK.rings_area(a) < 0:
+            a = [(a[0][0][::-1].copy(), a[0][1][::-1].copy())]
+        if trial % 2 == 0:
+            x0, y0 = rng.uniform(0, 80, 2)
+            w, h = rng.uniform(10, 40, 2)
+            rect = (x0, y0, x0 + w, y0 + h)
+            b = [(np.array([x0, x0 + w, x0 + w, x0]),
+                  np.array([y0, y0, y0 + h, y0 + h]))]
+        else:
+            pts2 = rng.uniform(20, 120, (10, 2))
+            hull2 = convex_hull(pts2[:, 0], pts2[:, 1])
+            if len(hull2) < 3:
+                continue
+            b = [(np.array([p[0] for p in hull2]),
+                  np.array([p[1] for p in hull2]))]
+            if OK.rings_area(b) < 0:
+                b = [(b[0][0][::-1].copy(), b[0][1][::-1].copy())]
+            rect = None
+        A = OK.rings_area(a)
+        B = OK.rings_area(b)
+        ia = OK.rings_area(OK.overlay_rings(a, b, "intersection"))
+        da = OK.rings_area(OK.overlay_rings(a, b, "difference"))
+        db = OK.rings_area(OK.overlay_rings(b, a, "difference"))
+        ua = OK.rings_area(OK.overlay_rings(a, b, "union"))
+        tol = 1e-7 * max(A, B, 1.0)
+        assert abs(A - (ia + da)) < tol, trial
+        assert abs(B - (ia + db)) < tol, trial
+        assert abs(ua - (A + B - ia)) < tol, trial
+        if rect is not None:
+            cx, cy = CLK.sh_clip_ring(a[0][0], a[0][1], *rect)
+            want = abs(CLK.ring_area(cx, cy)) if len(cx) >= 3 else 0.0
+            assert abs(ia - want) < tol, (trial, ia, want)

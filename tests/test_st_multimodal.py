@@ -38,9 +38,30 @@ def test_st_contains_point(spark):
 
 
 def test_st_geos_stubs_raise(spark):
-    df = PL.polygons_df(spark).select(ST.st_buffer("geometry").alias("b"))
+    # MakeValid stays a GEOS-tier stub; buffer raises only for the
+    # non-convex / multi-ring tier (the fixture layer includes both)
+    df = PL.polygons_df(spark).select(ST.st_makevalid("geometry").alias("b"))
     with pytest.raises(Exception, match="GEOS|NotImplemented"):
         df.collect()
+    df2 = PL.polygons_df(spark).select(ST.st_buffer("geometry").alias("b"))
+    with pytest.raises(Exception, match="GEOS|NotImplemented"):
+        df2.collect()   # rect_hole / dateline rows hit the GEOS tier
+
+
+def test_st_buffer_convex_real(spark):
+    import math
+
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    rect = W.polygon_wkb([[(0, 0), (10, 0), (10, 8), (0, 8)]])
+    df = spark.createDataFrame([(bytearray(rect),)], "g binary")
+    out = df.select(ST.st_buffer("g").alias("b")).collect()[0]["b"]
+    g = W.parse_wkb(bytes(out))
+    area = W.polygon_area(g)
+    nseg = 30
+    arc = 4 * (0.5 * math.sin((math.pi / 2) / nseg) * nseg)  # r=1 chords
+    want = 80.0 + 2 * (10 + 8) * 1.0 + arc
+    assert abs(area - want) < 1e-9
 
 
 def test_st_makepoint_roundtrip(spark):

@@ -1609,6 +1609,104 @@ FROM p
 """
 
 
+# --- corpus curation tier (Gopher repetition / decontamination /
+#     stratified sampling) ------------------------------------------------
+
+DECON_SEEDS = (3, 77, 123)
+SAMPLE_RATES = {"en": 50, "de": 25, "fr": 10}
+
+
+def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-level repetition quality metrics (the Gopher rules' word
+    tier): n_words, most-frequent-bigram count, top-2-gram fraction,
+    distinct-word fraction per document — the filter inputs a curation
+    run thresholds on. Fractions are single divisions of identical
+    integers on both engines, so no rounding is needed."""
+    from .operators import corpus as CP
+
+    docs = read_table(spark, sf, "documents")
+    return CP.repetition_stats(docs)
+
+
+def sql_gopher_repetition() -> str:
+    return """
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+base AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq FROM d
+),
+bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM d
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top2_cnt
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n_words AS INT) AS n_words,
+       COALESCE(t.top2_cnt, 0) AS top2_cnt,
+       CASE WHEN b.n_words > 1
+            THEN COALESCE(t.top2_cnt, 0) / CAST(b.n_words - 1 AS DOUBLE)
+       END AS rep_frac,
+       b.n_uniq / CAST(b.n_words AS DOUBLE) AS uniq_frac
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination by contiguous word n-gram overlap (the
+    GPT-3/PaLM 13-gram recipe at n=3, where the synthetic corpus has
+    real cross-document collisions): the 'benchmark' is the first 3
+    words of three seed documents (derived from the data by BOTH
+    engines), and any document containing a benchmark phrase as a word
+    run is flagged with its hit count."""
+    from .operators import corpus as CP
+
+    docs = read_table(spark, sf, "documents")
+    phrases = CP.benchmark_phrases(docs, DECON_SEEDS, n=3)
+    return CP.decontaminate(docs, phrases, n=3)
+
+
+def sql_decontaminate() -> str:
+    seeds = ", ".join(str(s) for s in DECON_SEEDS)
+    return f"""
+WITH bench AS (
+  SELECT array_to_string(list_slice(str_split(text, ' '), 1, 3), ' ')
+           AS phrase
+  FROM documents WHERE doc_id IN ({seeds})
+)
+SELECT d.doc_id, COUNT(*) AS n_hits
+FROM documents d JOIN bench b
+  ON (' ' || d.text || ' ') LIKE ('% ' || b.phrase || ' %')
+GROUP BY d.doc_id
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling (doc_id % 100 < per-stratum
+    rate — RNG-free, so a resumed 100 TB curation run keeps exactly the
+    same sample): per-language totals and kept counts."""
+    from .operators import corpus as CP
+
+    docs = read_table(spark, sf, "documents")
+    return CP.stratified_sample(docs, SAMPLE_RATES, default_pct=20)
+
+
+def sql_sample_stratified() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT lang AS stratum, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN doc_id % 100 < (CASE {whens} ELSE 20 END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY lang
+"""
+
+
 def line_pairs():
     """Planted (line, rect) pairs with relations fixed by construction:
     pattern 0 = straight through (crosses), 1 = fully within,
@@ -3043,16 +3141,16 @@ QUERIES = {
     "warp_downscale_med": q_warp_downscale_med,
     "contour_polygons": q_contour_polygons,
     "spatial_predicates": q_spatial_predicates,
+    "raster_pyramid_gauss": q_raster_pyramid_gauss,
+    "grid_invdistnn": q_grid_invdistnn,
+    "grid_linear": q_grid_linear,
+    "raster_calc": q_raster_calc,
+    "line_predicates": q_line_predicates,
+    "gopher_repetition": q_gopher_repetition,
+    "decontaminate": q_decontaminate,
+    "sample_stratified": q_sample_stratified,
     # -- round-1 flagship operators ---------------------------------------
-    "geocode_tiles": q_geocode_tiles,
-    "spatial_join_pairs": q_spatial_join_pairs,
-    "spatial_join_counts": q_spatial_join_counts,
     "spatial_semi_anti": q_spatial_semi_anti,
-    "knn_topk": q_knn,
-    "tile_density": q_tile_density,
-    "tile_pyramid": q_tile_pyramid,
-    "pixel_density": q_pixel_density,
-    "tile_checksum": q_tile_checksum,
     "zonal_stats": q_zonal_stats,
     "raster_translate": q_raster_translate,
     "raster_pyramid": q_raster_pyramid,
@@ -3069,6 +3167,14 @@ QUERIES = {
     "sieve_regions": q_sieve,
     "embedding_topk": q_embedding_topk,
     # -- past the 50-entry window: green in r1+r2, pytest-swept -----------
+    "geocode_tiles": q_geocode_tiles,
+    "spatial_join_pairs": q_spatial_join_pairs,
+    "spatial_join_counts": q_spatial_join_counts,
+    "knn_topk": q_knn,
+    "tile_density": q_tile_density,
+    "tile_pyramid": q_tile_pyramid,
+    "pixel_density": q_pixel_density,
+    "tile_checksum": q_tile_checksum,
     "filter_project": q_filter_project,
     "agg_summary": q_agg_summary,
     "groupby_pricing": q_groupby_pricing,
@@ -3095,11 +3201,6 @@ QUERIES = {
     "array_explode": q_array_explode,
     "focal_hillshade": q_focal_hillshade,
     "contour_stats": q_contour,
-    "raster_pyramid_gauss": q_raster_pyramid_gauss,
-    "grid_invdistnn": q_grid_invdistnn,
-    "grid_linear": q_grid_linear,
-    "raster_calc": q_raster_calc,
-    "line_predicates": q_line_predicates,
 }
 
 ORACLES = {
@@ -3175,6 +3276,9 @@ ORACLES = {
     "grid_linear": sql_grid_linear(),
     "raster_calc": sql_raster_calc(),
     "line_predicates": sql_line_predicates(),
+    "gopher_repetition": sql_gopher_repetition(),
+    "decontaminate": sql_decontaminate(),
+    "sample_stratified": sql_sample_stratified(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -60,8 +60,11 @@ def shingles(docs: DataFrame, n=3, text_col="text", id_col="doc_id") -> DataFram
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ts")
     )
-    # n-gram via transform over token indices (native, no UDF)
-    ng = toks.select(
+    # n-gram via transform over token indices (native, no UDF). Docs
+    # shorter than n have no shingles — and MUST be filtered first:
+    # sequence(0, size-n) DESCENDS when size < n (Spark trap), which
+    # would emit bogus sub-n-grams / negative slice starts.
+    ng = toks.filter(F.size("ts") >= n).select(
         "doc_id",
         F.explode(
             F.expr(

@@ -1707,6 +1707,63 @@ FROM documents GROUP BY lang
 """
 
 
+def q_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS):
+    char-level rolling hash per word -> k-gram rolling hash -> distinct
+    w-window minima. Map-only; the hash is exact mod-2^31-1 integer
+    arithmetic so DuckDB reproduces it bit-for-bit (unlike xxhash64)."""
+    from .operators import corpus as CP
+
+    docs = read_table(spark, sf, "documents")
+    return CP.winnow_fingerprints(docs, k=3, w=4)
+
+
+def sql_fingerprint_winnow() -> str:
+    from .operators.corpus import FP_GRAM_BASE, FP_MOD, FP_WORD_BASE
+
+    g = (
+        f"((hs[i] * {FP_GRAM_BASE} + hs[i + 1]) % {FP_MOD}"
+        f" * {FP_GRAM_BASE} + hs[i + 2]) % {FP_MOD}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(str_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(ws, x -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(str_split(x, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * {FP_WORD_BASE} + c) % {FP_MOD})) AS hs
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 3 THEN
+           list_transform(generate_series(1, len(hs) - 2), i -> {g})
+         ELSE CAST([] AS BIGINT[]) END AS gs
+  FROM h
+),
+f AS (
+  SELECT doc_id, gs,
+         CASE WHEN len(gs) >= 4 THEN
+           list_distinct(list_transform(generate_series(1, len(gs) - 3),
+                         i -> list_min(list_slice(gs, i, i + 3))))
+         ELSE list_distinct(gs) END AS fps
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(gs) AS INT) AS n_grams,
+       CAST(len(fps) AS INT) AS n_fp,
+       list_min(fps) AS min_fp,
+       CAST(list_sum(fps) AS BIGINT) AS fp_digest
+FROM f
+"""
+
+
 def line_pairs():
     """Planted (line, rect) pairs with relations fixed by construction:
     pattern 0 = straight through (crosses), 1 = fully within,
@@ -3149,6 +3206,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
+    "fingerprint_winnow": q_fingerprint_winnow,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3279,6 +3337,7 @@ ORACLES = {
     "gopher_repetition": sql_gopher_repetition(),
     "decontaminate": sql_decontaminate(),
     "sample_stratified": sql_sample_stratified(),
+    "fingerprint_winnow": sql_fingerprint_winnow(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -133,3 +133,106 @@ def stratified_sample(docs: DataFrame, rates: dict, default_pct=20,
             F.sum(keep.cast("long")).alias("n_kept"),
         )
     )
+
+
+# --- document fingerprinting (winnowing over a rolling hash) ------------
+
+FP_MOD = 2147483647        # 2^31 - 1 (Mersenne); every step fits a long
+FP_WORD_BASE = 31          # char-level fold base (K&R polynomial hash)
+FP_GRAM_BASE = 65599       # word-gram fold base (SDBM)
+
+
+def _fp_arrays(docs: DataFrame, k: int, w: int, text_col, id_col):
+    """(doc_id, gs, fps): rolling-hash k-gram array and winnowed
+    fingerprint array per doc — shared by the stats and pair paths.
+
+    All arithmetic is exact 64-bit integer mod 2^31-1 with mod applied
+    at every fold step (max intermediate ~2^48), so Spark and DuckDB
+    produce bit-identical values — unlike xxhash64/md5, this hash is
+    engine-portable, which is what makes the oracle exact.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("ws"),
+    )
+    # per-word polynomial char hash: fold (acc*31 + codepoint) % M
+    hs = toks.withColumn(
+        "hs",
+        F.expr(
+            f"transform(ws, x -> aggregate(split(x, ''), 0L, "
+            f"(acc, c) -> (acc * {FP_WORD_BASE} + ascii(c)) % {FP_MOD}))"
+        ),
+    )
+    # k-gram rolling hash over word hashes (k fixed at call sites so the
+    # fold is unrolled; guard: sequence() DESCENDS for docs shorter
+    # than k)
+    expr = "hs[i]"
+    for j in range(1, k):
+        expr = f"(({expr}) * {FP_GRAM_BASE} + hs[i + {j}]) % {FP_MOD}"
+    gs = hs.withColumn(
+        "gs",
+        F.when(
+            F.size("hs") >= k,
+            F.expr(f"transform(sequence(0, size(hs) - {k}), i -> {expr})"),
+        ).otherwise(F.expr("array()").cast("array<bigint>")),
+    )
+    # winnowing (Schleimer/Wilkerson/Aiken MOSS): fingerprints = the
+    # DISTINCT minima of every w-window over the gram sequence — any two
+    # docs sharing a run of >= w+k-1 words share a fingerprint.
+    return gs.withColumn(
+        "fps",
+        F.when(
+            F.size("gs") >= w,
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(gs) - {w}), "
+                f"i -> array_min(slice(gs, i + 1, {w}))))"
+            ),
+        ).otherwise(F.expr("array_distinct(gs)")),
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, k=3, w=4, text_col="text",
+                        id_col="doc_id") -> DataFrame:
+    """Per-doc winnowing fingerprint summary: gram count, fingerprint
+    count, min fingerprint, and an order-insensitive additive digest.
+    Map-only (no shuffle at all): every column derives from the doc's
+    own text."""
+    fp = _fp_arrays(docs, k, w, text_col, id_col)
+    return fp.select(
+        "doc_id",
+        F.size("gs").alias("n_grams"),
+        F.size("fps").alias("n_fp"),
+        F.expr("array_min(fps)").alias("min_fp"),
+        F.expr("aggregate(fps, 0L, (a, x) -> a + x)").alias("fp_digest"),
+    )
+
+
+def fingerprint_candidates(docs: DataFrame, k=3, w=4, min_shared=2,
+                           max_bucket=200, text_col="text",
+                           id_col="doc_id") -> DataFrame:
+    """Near-dup candidate pairs: docs sharing >= min_shared winnowed
+    fingerprints. The same bucketed equi-join shape as LSH banding —
+    explode (fp, doc), self-join on fp, never all-pairs — with the
+    standard hot-bucket cap (a boilerplate fingerprint shared by
+    thousands of docs is dropped, not O(bucket^2)-joined)."""
+    from pyspark.sql import Window
+
+    fp = _fp_arrays(docs, k, w, text_col, id_col).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    n = F.count("*").over(Window.partitionBy("fp"))
+    fp = fp.withColumn("bucket_n", n).filter(
+        F.col("bucket_n") <= max_bucket
+    ).drop("bucket_n")
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs

@@ -92,3 +92,89 @@ def test_stratified_default_rate_applies_to_unlisted_stratum(spark):
     docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
     out = CP.stratified_sample(docs, {"en": 50}, default_pct=20).collect()[0]
     assert out["stratum"] == "fr" and out["n_kept"] == 20
+
+
+# --- winnowing fingerprints ---------------------------------------------
+
+
+def _py_fingerprints(text, k=3, w=4):
+    """Pure-python reference of the exact same hash, for parity."""
+    M, WB, GB = 2147483647, 31, 65599
+    ws = [x for x in text.split(" ") if x != ""]
+    hs = []
+    for word in ws:
+        acc = 0
+        for c in word:
+            acc = (acc * WB + ord(c)) % M
+        hs.append(acc)
+    gs = []
+    for i in range(len(hs) - k + 1):
+        g = hs[i]
+        for j in range(1, k):
+            g = (g * GB + hs[i + j]) % M
+        gs.append(g)
+    if len(gs) >= w:
+        sel = []
+        for i in range(len(gs) - w + 1):
+            m = min(gs[i:i + w])
+            if m not in sel:
+                sel.append(m)
+        return gs, sel
+    out = []
+    for g in gs:
+        if g not in out:
+            out.append(g)
+    return gs, out
+
+
+def test_winnow_matches_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short doc",
+        "a b c d e f g h i j",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    out = {r["doc_id"]: r for r in CP.winnow_fingerprints(docs).collect()}
+    for i, t in enumerate(texts):
+        gs, fps = _py_fingerprints(t)
+        assert out[i]["n_grams"] == len(gs)
+        assert out[i]["n_fp"] == len(fps)
+        if fps:
+            assert out[i]["min_fp"] == min(fps)
+            assert out[i]["fp_digest"] == sum(fps)
+        else:
+            assert out[i]["min_fp"] is None and out[i]["fp_digest"] == 0
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: two docs sharing a contiguous run of
+    >= w+k-1 words (6 at k=3,w=4) share at least one fingerprint;
+    unrelated docs share none."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7-word run
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + shared + " tail one", "en"),
+            (2, "completely different prefix " + shared, "en"),
+            (3, "nothing in common here at all whatsoever today", "en"),
+        ],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in CP.fingerprint_candidates(docs, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_fingerprint_candidates_hot_bucket_cap(spark):
+    """A fingerprint shared by > max_bucket docs is dropped, not
+    O(bucket^2)-joined."""
+    same = [(i, "boilerplate header text repeated verbatim everywhere", "en")
+            for i in range(30)]
+    docs = spark.createDataFrame(same, "doc_id LONG, text STRING, lang STRING")
+    capped = CP.fingerprint_candidates(docs, min_shared=1, max_bucket=10)
+    assert capped.count() == 0
+    uncapped = CP.fingerprint_candidates(docs, min_shared=1, max_bucket=1000)
+    assert uncapped.count() == 30 * 29 // 2

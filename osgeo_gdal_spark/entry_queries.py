@@ -2580,6 +2580,73 @@ FROM contrib GROUP BY gpx, gpy
 """
 
 
+def _q_pyramid_conv(spark, method):
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = RO.pyramid_conv(tiles, method=method)
+    return RO.explode_pixels(out).select("gpx", "gpy", "value")
+
+
+def q_raster_pyramid_cubic(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBIC convolution overview (GDALResampleChunk_Convolution,
+    gcore/overview.cpp:2593, Catmull-Rom at ratio 2): 8-tap separable
+    window with dyadic weights [-3,-9,29,111,111,29,-9,-3]/256, edge
+    taps clamped + renormalized. Full-halo exchange before reducing."""
+    return _q_pyramid_conv(spark, "cubic")
+
+
+def q_raster_pyramid_bilinear(spark: SparkSession, sf: str) -> DataFrame:
+    """BILINEAR convolution overview at ratio 2: 4-tap separable window
+    [1,3,3,1]/8 (overview.cpp:2593 with the triangle kernel)."""
+    return _q_pyramid_conv(spark, "bilinear")
+
+
+def _sql_pyramid_conv(offset, wts) -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    half = world // 2
+    ncase = " ".join(
+        f"WHEN {i} THEN {int(w)}" for i, w in enumerate(wts)
+    )
+    n = len(wts)
+    return f"""
+WITH dst AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {half})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {half})) AS i) ys
+),
+contrib AS (
+  SELECT d.gpx, d.gpy,
+         ((2 * d.gpx + {offset} + kx.i) * 7
+          + (2 * d.gpy + {offset} + ky.i) * 11 + {RASTER_ZOOM}) % 255 AS v,
+         (CASE kx.i {ncase} END) * (CASE ky.i {ncase} END) AS w
+  FROM dst d
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {n})) AS i) kx
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {n})) AS i) ky
+  WHERE 2 * d.gpx + {offset} + kx.i BETWEEN 0 AND {world - 1}
+    AND 2 * d.gpy + {offset} + ky.i BETWEEN 0 AND {world - 1}
+)
+SELECT gpx, gpy,
+       CAST(SUM(v * w) AS BIGINT) / CAST(SUM(w) AS DOUBLE) AS value
+FROM contrib GROUP BY gpx, gpy
+"""
+
+
+def sql_raster_pyramid_cubic() -> str:
+    from .kernels.resample import CONV_2X
+
+    o, wts = CONV_2X["cubic"]
+    return _sql_pyramid_conv(o, wts)
+
+
+def sql_raster_pyramid_bilinear() -> str:
+    from .kernels.resample import CONV_2X
+
+    o, wts = CONV_2X["bilinear"]
+    return _sql_pyramid_conv(o, wts)
+
+
 CALC_WIN = (100, 164, 300, 364)  # gpx0, gpx1, gpy0, gpy1 probe
 
 
@@ -3207,6 +3274,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "fingerprint_winnow": q_fingerprint_winnow,
+    "raster_pyramid_cubic": q_raster_pyramid_cubic,
+    "raster_pyramid_bilinear": q_raster_pyramid_bilinear,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3338,6 +3407,8 @@ ORACLES = {
     "decontaminate": sql_decontaminate(),
     "sample_stratified": sql_sample_stratified(),
     "fingerprint_winnow": sql_fingerprint_winnow(),
+    "raster_pyramid_cubic": sql_raster_pyramid_cubic(),
+    "raster_pyramid_bilinear": sql_raster_pyramid_bilinear(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

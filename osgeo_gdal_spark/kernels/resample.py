@@ -210,3 +210,42 @@ def gauss_2x(pad: np.ndarray) -> np.ndarray:
             cnt += m * w
     with np.errstate(invalid="ignore", divide="ignore"):
         return np.where(cnt > 0, acc / cnt, 0.0)
+
+
+# 2x convolution-overview tap weights as small integers (dyadic scale;
+# conv_2x normalizes by their sum, so only the ratios matter — every
+# product v*w is an exact small integer, so sums are order-independent).
+# Taps t are src offsets j = 2X + t; weight = k((t - 0.5) / 2) where k
+# is the kernel at radius*2 support (GDALResampleChunk_Convolution,
+# /root/reference/gcore/overview.cpp:2593 with dfXRatio = 2).
+CONV_2X = {
+    # bilinear radius 1 -> taps t in [-1, 2]: [1,3,3,1]/8
+    "bilinear": (-1, np.array([64.0, 192.0, 192.0, 64.0])),
+    # cubic (Catmull-Rom a=-0.5) radius 2 -> taps t in [-3, 4]
+    "cubic": (-3, np.array([-3.0, -9.0, 29.0, 111.0,
+                            111.0, 29.0, -9.0, -3.0])),
+}
+
+
+def conv_2x(pad: np.ndarray, method: str) -> np.ndarray:
+    """BILINEAR/CUBIC overview 2x reduction over a (T+8, T+8) halo pad
+    (tile body at [4:4+T, 4:4+T]; NaN = beyond the raster). Separable
+    product weights with edge renormalization by the weights actually
+    in range — since clipped taps form full rows/columns, the joint
+    renorm equals GDAL's per-axis renorm exactly."""
+    o, wts = CONV_2X[method]
+    t = pad.shape[0] - 8
+    h = t // 2
+    acc = np.zeros((h, h))
+    cnt = np.zeros((h, h))
+    for iy, wy in enumerate(wts):
+        for ix, wx in enumerate(wts):
+            # src j = 2Y + (o + iy); pad row index = 4 + j
+            r0, c0 = 4 + o + iy, 4 + o + ix
+            v = pad[r0:r0 + t:2, :][:h][:, c0:c0 + t:2][:, :h]
+            m = ~np.isnan(v)
+            w = wy * wx
+            acc += np.where(m, v, 0.0) * w
+            cnt += m * w
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(cnt != 0, acc / cnt, 0.0)

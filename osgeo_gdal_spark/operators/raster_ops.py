@@ -1350,3 +1350,79 @@ def raster_calc(bands: dict, expr: str, nodata=None) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return base.mapInPandas(kernel, TILE_SCHEMA)
+
+
+def pyramid_conv(tiles: DataFrame, method: str = "cubic") -> DataFrame:
+    """One BILINEAR or CUBIC convolution overview level
+    (GDALResampleChunk_Convolution, gcore/overview.cpp:2593, at ratio
+    2). The scaled kernel reaches past the 2x2 block on every side
+    (bilinear: 1 left/top + 2 right/bottom; cubic: 3 + 4), so each src
+    tile gathers 4-px strips from all 8 neighbors, reduces to its
+    quadrant (kernels/resample.conv_2x, exact dyadic weights), and the
+    quadrants assemble into parent tiles — the same two skinny shuffles
+    as pyramid_gauss; full pixel payloads never shuffle twice."""
+    import pandas as pd
+
+    from ..kernels import resample as RK2
+    from .focal import _strips
+
+    if method not in RK2.CONV_2X:
+        raise ValueError(f"unknown conv overview method {method!r}")
+
+    zoom = int(tiles.select(F.min("zoom")).first()[0])
+    meta = tiles.select("dataset_id", "band", "nodata", "crs").first()
+
+    strips = _strips(tiles, zoom, width=4)
+
+    quad_schema = T.StructType(
+        [
+            T.StructField("pgx", T.LongType()),
+            T.StructField("pgy", T.LongType()),
+            T.StructField("qx", T.IntegerType()),
+            T.StructField("qy", T.IntegerType()),
+            T.StructField("quad", T.BinaryType()),
+        ]
+    )
+
+    def reduce_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        tgx, tgy = int(pdf["tgx"].iloc[0]), int(pdf["tgy"].iloc[0])
+        pad = np.full((TILE + 8, TILE + 8), np.nan)
+        for _, row in pdf.iterrows():
+            arr = np.frombuffer(bytes(row["strip"]), dtype=np.float64).reshape(
+                row["sh"], row["sw"]
+            )
+            dx, dy = int(row["dx"]), int(row["dy"])
+            # sender sits at (tgx - dx, tgy - dy); its strip lands on
+            # the matching side of the pad (body at [4:4+T, 4:4+T])
+            rows = {0: slice(4, 4 + TILE), 1: slice(0, 4),
+                    -1: slice(4 + TILE, 8 + TILE)}
+            pad[rows[dy], rows[dx]] = arr
+        quad = RK2.conv_2x(pad, method)
+        return pd.DataFrame(
+            [{"pgx": tgx // 2, "pgy": tgy // 2,
+              "qx": tgx % 2, "qy": tgy % 2, "quad": quad.tobytes()}]
+        )
+
+    quads = strips.groupBy("tgx", "tgy").applyInPandas(reduce_tile, quad_schema)
+
+    ds, band, nodata, crs = (meta["dataset_id"], int(meta["band"]),
+                             meta["nodata"], meta["crs"])
+    half = TILE // 2
+
+    def assemble(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pgx, pgy = int(pdf["pgx"].iloc[0]), int(pdf["pgy"].iloc[0])
+        grid = np.zeros((TILE, TILE), dtype=np.float64)
+        for _, row in pdf.iterrows():
+            q = np.frombuffer(bytes(row["quad"]), dtype=np.float64).reshape(
+                half, half
+            )
+            grid[int(row["qy"]) * half:(int(row["qy"]) + 1) * half,
+                 int(row["qx"]) * half:(int(row["qx"]) + 1) * half] = q
+        return pd.DataFrame(
+            [{"dataset_id": ds, "zoom": zoom - 1, "gx": pgx, "gy": pgy,
+              "band": band, "width": TILE, "height": TILE,
+              "dtype": "float64", "nodata": nodata, "crs": crs,
+              "pixels": grid.tobytes(), "checksum": CK.checksum_image(grid)}]
+        )
+
+    return quads.groupBy("pgx", "pgy").applyInPandas(assemble, TILE_SCHEMA)

@@ -557,3 +557,35 @@ def test_calc_expr_compiler_safety_and_semantics():
                 "eval('1')", "(lambda: 1)()", "A if B else A"):
         with _pt.raises(Exception):
             C.compile_expr(bad, ["A", "B"])
+
+
+def test_pyramid_conv_matches_fullgrid_reference(spark, tiles):
+    """BILINEAR/CUBIC convolution overviews equal the brute-force
+    full-raster reference — tile seams (4-px 8-neighbor halo) and the
+    world-edge tap clamp + renormalization included."""
+    from osgeo_gdal_spark.kernels.resample import CONV_2X
+
+    world = 512
+    gpx = np.arange(world)
+    full = ((gpx[None, :] * 7 + gpx[:, None] * 11 + 1) % 255).astype(np.float64)
+
+    for method in ("bilinear", "cubic"):
+        out = {(r["gx"], r["gy"]): RS.parse_tile(r)
+               for r in RO.pyramid_conv(tiles, method=method).collect()}
+        assert set(out) == {(0, 0)}
+        got = out[(0, 0)]
+
+        o, wts = CONV_2X[method]
+        want = np.zeros((256, 256))
+        for Y in range(256):
+            for X in range(256):
+                acc = cnt = 0.0
+                for iy, wy in enumerate(wts):
+                    for ix, wx in enumerate(wts):
+                        sx, sy = 2 * X + o + ix, 2 * Y + o + iy
+                        if 0 <= sx < world and 0 <= sy < world:
+                            w = wx * wy
+                            acc += full[sy, sx] * w
+                            cnt += w
+                want[Y, X] = acc / cnt
+        assert np.array_equal(got, want), method

@@ -2647,6 +2647,83 @@ def sql_raster_pyramid_bilinear() -> str:
     return _sql_pyramid_conv(o, wts)
 
 
+# general-polygon fractional zonal fixtures, GLOBAL px coords (world =
+# 512 at RASTER_ZOOM): legs integer-aligned, hypotenuses 45-degree with
+# power-of-2 leg length -> every Sutherland-Hodgman clip vertex is
+# dyadic, sums exact in any order (diagonal cells weigh exactly 1/2).
+FRAC_POLY_ZONES = [
+    # eas 1: right triangle x>=100, y>=150, x+y<=378 (L=128)
+    (1, [([100.0, 228.0, 100.0], [150.0, 150.0, 278.0])]),
+    # eas 2: opposite-corner triangle x<=420, y<=400, x+y>=756 (L=64)
+    (2, [([420.0, 356.0, 420.0], [400.0, 400.0, 336.0])]),
+    # eas 3: triangle (L=64) with an integer-aligned square hole
+    (3, [([60.0, 124.0, 60.0], [320.0, 320.0, 384.0]),
+         ([70.0, 78.0, 78.0, 70.0], [330.0, 330.0, 338.0, 338.0])]),
+    # eas 4: dyadic axis rect driven through the GENERAL kernel
+    (4, [([200.25, 260.75, 260.75, 200.25],
+          [50.5, 50.5, 100.25, 100.25])]),
+]
+
+
+def q_zonal_frac_poly(spark: SparkSession, sf: str) -> DataFrame:
+    """General-polygon fractional-coverage zonal stats (the coverage /
+    weighted_* tier of apps/gdalalg_raster_zonal_stats.cpp:63-82 beyond
+    axis rects): boundary-crossed pixels get the exact Sutherland-
+    Hodgman clip area, interior pixels the center rule, holes subtract.
+    The fixture geometry keeps every clip vertex dyadic, so the closed-
+    form oracle matches with no rounding."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    return RO.raster_zonal_frac_poly(tiles, FRAC_POLY_ZONES, RASTER_ZOOM)
+
+
+def sql_zonal_frac_poly() -> str:
+    # per-zone closed forms: a 45-degree hypotenuse cuts pixel (px, py)
+    # with t = c - px - py; area under the diagonal is 0 / 1/2 / 1 for
+    # t <= 0 / = 1 / >= 2 (t is integer by construction)
+    f1 = "CASE WHEN 378 - gpx - gpy <= 0 THEN CAST(0.0 AS DOUBLE) " \
+         "WHEN 378 - gpx - gpy = 1 THEN CAST(0.5 AS DOUBLE) " \
+         "ELSE CAST(1.0 AS DOUBLE) END"
+    f2 = "CASE WHEN 756 - gpx - gpy <= 0 THEN CAST(1.0 AS DOUBLE) " \
+         "WHEN 756 - gpx - gpy = 1 THEN CAST(0.5 AS DOUBLE) " \
+         "ELSE CAST(0.0 AS DOUBLE) END"
+    f3 = "CASE WHEN gpx >= 70 AND gpx < 78 AND gpy >= 330 AND gpy < 338 " \
+         "THEN CAST(0.0 AS DOUBLE) " \
+         "WHEN 444 - gpx - gpy <= 0 THEN CAST(0.0 AS DOUBLE) " \
+         "WHEN 444 - gpx - gpy = 1 THEN CAST(0.5 AS DOUBLE) " \
+         "ELSE CAST(1.0 AS DOUBLE) END"
+    f4 = (
+        "GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST(260.75 AS DOUBLE), "
+        "gpx + CAST(1.0 AS DOUBLE)) - GREATEST(CAST(200.25 AS DOUBLE), "
+        "CAST(gpx AS DOUBLE))) * GREATEST(CAST(0.0 AS DOUBLE), "
+        "LEAST(CAST(100.25 AS DOUBLE), gpy + CAST(1.0 AS DOUBLE)) "
+        "- GREATEST(CAST(50.5 AS DOUBLE), CAST(gpy AS DOUBLE)))"
+    )
+    zones = [
+        (1, 100, 278, 150, 278, f1),
+        (2, 356, 420, 336, 400, f2),
+        (3, 60, 124, 320, 384, f3),
+        (4, 200, 261, 50, 101, f4),
+    ]
+    parts = []
+    for eas, x0, x1, y0, y1, wf in zones:
+        parts.append(f"""
+  SELECT {eas} AS eas_id, ({wf}) AS w,
+         CAST((gpx * 7 + gpy * 11 + {RASTER_ZOOM}) % 255 AS DOUBLE) AS v
+  FROM (SELECT xs.i AS gpx, ys.i AS gpy
+        FROM (SELECT UNNEST(RANGE({x0}, {x1})) AS i) xs
+        CROSS JOIN (SELECT UNNEST(RANGE({y0}, {y1})) AS i) ys)""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH contrib AS ({union})
+SELECT eas_id, SUM(w) AS zn_cov, SUM(w * v) AS zn_wsum,
+       SUM(w * v) / SUM(w) AS zn_wmean
+FROM contrib GROUP BY eas_id
+"""
+
+
 CALC_WIN = (100, 164, 300, 364)  # gpx0, gpx1, gpy0, gpy1 probe
 
 
@@ -3276,6 +3353,7 @@ QUERIES = {
     "fingerprint_winnow": q_fingerprint_winnow,
     "raster_pyramid_cubic": q_raster_pyramid_cubic,
     "raster_pyramid_bilinear": q_raster_pyramid_bilinear,
+    "zonal_frac_poly": q_zonal_frac_poly,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3409,6 +3487,7 @@ ORACLES = {
     "fingerprint_winnow": sql_fingerprint_winnow(),
     "raster_pyramid_cubic": sql_raster_pyramid_cubic(),
     "raster_pyramid_bilinear": sql_raster_pyramid_bilinear(),
+    "zonal_frac_poly": sql_zonal_frac_poly(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

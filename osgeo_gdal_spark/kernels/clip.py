@@ -71,3 +71,74 @@ def ring_area(xs, ys) -> float:
     x = np.asarray(xs, dtype=np.float64)
     y = np.asarray(ys, dtype=np.float64)
     return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) / 2.0)
+
+
+def supercover_cells(xa, ya, xb, yb):
+    """Integer cells whose INTERIOR the open segment passes through
+    (crossing-parameter walk: split [0,1] at every gridline crossing,
+    classify each sub-interval by its midpoint). Cells merely touched at
+    a corner or along an edge get zero-length intervals and are skipped —
+    harmless either way, since band cells are always exactly clipped."""
+    ts = [0.0, 1.0]
+    dx, dy = xb - xa, yb - ya
+    if dx != 0.0:
+        lo, hi = sorted((xa, xb))
+        k = np.ceil(lo)
+        while k <= hi:
+            ts.append((k - xa) / dx)
+            k += 1.0
+    if dy != 0.0:
+        lo, hi = sorted((ya, yb))
+        k = np.ceil(lo)
+        while k <= hi:
+            ts.append((k - ya) / dy)
+            k += 1.0
+    ts = sorted(t for t in ts if 0.0 <= t <= 1.0)
+    cells = set()
+    for t0, t1 in zip(ts, ts[1:]):
+        if t1 - t0 <= 0.0:
+            continue
+        tm = 0.5 * (t0 + t1)
+        cells.add((int(np.floor(xa + tm * dx)), int(np.floor(ya + tm * dy))))
+    return cells
+
+
+def ring_cov_weights(xs, ys, ox: int, oy: int, size: int) -> np.ndarray:
+    """(size, size) fractional coverage of each pixel box
+    [cx,cx+1]x[cy,cy+1] (cx = ox..ox+size-1 global px) by the simple
+    ring's interior: cells the boundary passes through get the exact
+    Sutherland-Hodgman clip area; all others get the 0/1 center rule
+    (a center exactly ON the boundary only occurs in a crossed cell,
+    where PIP is never consulted). Row index is y - oy."""
+    from .pip import points_in_ring
+
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if xs[0] != xs[-1] or ys[0] != ys[-1]:
+        xs = np.append(xs, xs[0])
+        ys = np.append(ys, ys[0])
+
+    cx = ox + np.arange(size) + 0.5
+    cy = oy + np.arange(size) + 0.5
+    CX, CY = np.meshgrid(cx, cy)
+    w = points_in_ring(CX.ravel(), CY.ravel(), xs, ys) \
+        .reshape(size, size).astype(np.float64)
+
+    band = set()
+    for i in range(len(xs) - 1):
+        band |= supercover_cells(xs[i], ys[i], xs[i + 1], ys[i + 1])
+    for gx, gy in band:
+        ix, iy = gx - ox, gy - oy
+        if 0 <= ix < size and 0 <= iy < size:
+            qx, qy = sh_clip_ring(xs, ys, gx, gy, gx + 1, gy + 1)
+            w[iy, ix] = abs(ring_area(qx, qy))
+    return w
+
+
+def polygon_cov_weights(rings, ox: int, oy: int, size: int) -> np.ndarray:
+    """Coverage weights for a polygon given as [outer, hole, hole, ...]
+    rings (each an (xs, ys) pair): outer coverage minus hole coverage."""
+    w = ring_cov_weights(rings[0][0], rings[0][1], ox, oy, size)
+    for hx, hy in rings[1:]:
+        w -= ring_cov_weights(hx, hy, ox, oy, size)
+    return w

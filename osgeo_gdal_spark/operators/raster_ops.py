@@ -1120,10 +1120,8 @@ def raster_zonal_frac(tiles: DataFrame, polys, zoom: int) -> DataFrame:
     product per (tile, zone) cover row. Bounds are quantized to 1/64 px
     (see _zone_px_bounds) making every weight and weighted term exact.
     General polygons: interior pixels weigh 1 (center rule), boundary
-    pixels need the per-pixel clip weight (kernels/clip.sh_clip_ring
-    against the pixel box over the ring-touched band) — the named
-    extension; zonal_frac_poly_weights in tests exercises the kernel
-    identity on a triangle.
+    pixels need the per-pixel clip weight — implemented in
+    raster_zonal_frac_poly below (kernels/clip.polygon_cov_weights).
 
     Returns (eas_id, zn_cov, zn_wsum, zn_wmean): Σw, Σw·v, Σw·v / Σw.
     Overlapping zones each receive their own coverage (per-zone weights,
@@ -1426,3 +1424,98 @@ def pyramid_conv(tiles: DataFrame, method: str = "cubic") -> DataFrame:
         )
 
     return quads.groupBy("pgx", "pgy").applyInPandas(assemble, TILE_SCHEMA)
+
+
+def raster_zonal_frac_poly(tiles: DataFrame, zones, zoom: int) -> DataFrame:
+    """General-polygon fractional-coverage zonal statistics — completes
+    the ``coverage``/``weighted_*`` tier of
+    apps/gdalalg_raster_zonal_stats.cpp:63-82 beyond axis rects.
+
+    ``zones``: list of (eas_id, rings) with rings = [outer, hole, ...]
+    and each ring an (xs, ys) vertex pair in GLOBAL pixel coordinates
+    (the raster grid CRS — GDAL's same-CRS contract for zonal stats;
+    reproject the vector side first otherwise).
+
+    Per (tile, zone) cover pair the kernel classifies pixels in three
+    tiers (kernels/clip.polygon_cov_weights): cells the boundary passes
+    through get the exact Sutherland-Hodgman clip area, all others the
+    0/1 center rule, holes subtract. Work is O(interior + perimeter)
+    per tile — never O(pixels x vertices).
+
+    Exactness contract: with dyadic vertices whose edges are axis-
+    parallel or 45-degree with power-of-2 leg length, every clip vertex
+    is dyadic and all sums are exact in any order (the zonal_frac
+    oracle discipline extended to general polygons). Arbitrary
+    float vertices still work; exactness then degrades to ~1-ulp.
+
+    Plan shape: zone metadata broadcasts; tiles equi-join the exploded
+    (zone, tile) cover list; one skinny (eas_id, cov, wsum) shuffle.
+    """
+    spark = tiles.sparkSession
+    maxt = (1 << zoom) - 1
+
+    zmeta = []
+    for eas, rings in zones:
+        ox0 = min(float(np.min(r[0])) for r in rings[:1])
+        ox1 = max(float(np.max(r[0])) for r in rings[:1])
+        oy0 = min(float(np.min(r[1])) for r in rings[:1])
+        oy1 = max(float(np.max(r[1])) for r in rings[:1])
+        zmeta.append((int(eas), ox0, oy0, ox1, oy1))
+    bc = spark.sparkContext.broadcast(
+        {int(eas): [(np.asarray(r[0], dtype=np.float64),
+                     np.asarray(r[1], dtype=np.float64)) for r in rings]
+         for eas, rings in zones}
+    )
+
+    env = spark.createDataFrame(
+        [
+            (eas,
+             max(0, int(x0 // TILE)), min(maxt, int(x1 // TILE)),
+             max(0, int(y0 // TILE)), min(maxt, int(y1 // TILE)))
+            for eas, x0, y0, x1, y1 in zmeta
+        ],
+        "eas_id LONG, tx0 LONG, tx1 LONG, ty0 LONG, ty1 LONG",
+    )
+    cover = env.select(
+        "eas_id",
+        F.explode(F.expr("sequence(tx0, tx1)")).alias("gx"),
+        "ty0", "ty1",
+    ).select("eas_id", "gx",
+             F.explode(F.expr("sequence(ty0, ty1)")).alias("gy"))
+
+    joined = tiles.join(cover, ["gx", "gy"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("eas_id", T.LongType()),
+            T.StructField("cov", T.DoubleType()),
+            T.StructField("wsum", T.DoubleType()),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        from ..kernels import clip as CL
+
+        for pdf in batches:
+            rows = []
+            for (gx, gy), idx in pdf.groupby(["gx", "gy"]).groups.items():
+                row = pdf.loc[idx[0]]
+                vals = parse_tile(row).astype(np.float64)
+                ox, oy = int(gx) * TILE, int(gy) * TILE
+                for eas in pdf.loc[idx, "eas_id"]:
+                    w = CL.polygon_cov_weights(bc.value[int(eas)], ox, oy, TILE)
+                    cov = float(w.sum())
+                    if cov == 0.0:
+                        continue
+                    rows.append((int(eas), cov, float((w * vals).sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=["eas_id", "cov", "wsum"])
+
+    part = joined.mapInPandas(partials, out_schema)
+    return part.groupBy("eas_id").agg(
+        F.sum("cov").alias("zn_cov"),
+        F.sum("wsum").alias("zn_wsum"),
+        (F.sum("wsum") / F.sum("cov")).alias("zn_wmean"),
+    )

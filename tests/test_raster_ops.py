@@ -589,3 +589,44 @@ def test_pyramid_conv_matches_fullgrid_reference(spark, tiles):
                             cnt += w
                 want[Y, X] = acc / cnt
         assert np.array_equal(got, want), method
+
+
+def test_polygon_cov_weights_exact_and_conserving():
+    from osgeo_gdal_spark.kernels import clip as CL
+
+    # dyadic triangle: every weight exact; diagonal cells exactly 1/2
+    tri = ([2.0, 6.0, 2.0], [2.0, 2.0, 6.0])
+    w = CL.polygon_cov_weights([tri], 0, 0, 12)
+    assert w.sum() == 8.0 and w[2, 2] == 1.0
+    assert w[2, 5] == 0.5 and w[5, 2] == 0.5 and w[3, 4] == 0.5
+    # hole subtracts exactly
+    hole = ([3.0, 4.0, 4.0, 3.0], [3.0, 3.0, 4.0, 4.0])
+    w2 = CL.polygon_cov_weights([tri, hole], 0, 0, 12)
+    assert w2.sum() == 7.0 and w2[3, 3] == 0.0
+    # arbitrary float polygon: area conservation to fp tolerance
+    pent = ([1.3, 7.8, 9.1, 5.0, 1.7], [1.1, 0.9, 5.6, 8.9, 6.2])
+    xs, ys = np.array(pent[0]), np.array(pent[1])
+    shoe = 0.5 * abs(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+    w3 = CL.polygon_cov_weights([pent], 0, 0, 12)
+    assert abs(w3.sum() - shoe) < 1e-9
+    assert (w3 >= -1e-12).all() and (w3 <= 1.0 + 1e-12).all()
+
+
+def test_zonal_frac_poly_spans_tile_seams(spark, tiles):
+    """A triangle crossing the tile boundary at zoom 1 (world 512,
+    tiles 256): total coverage equals the analytic area exactly, and
+    the weighted mean equals the brute-force full-grid reference."""
+    from osgeo_gdal_spark.kernels import clip as CL
+
+    # x>=200, y>=200, x+y<=656 (L=256): spans all four tiles
+    rings = [([200.0, 456.0, 200.0], [200.0, 200.0, 456.0])]
+    out = {r["eas_id"]: r
+           for r in RO.raster_zonal_frac_poly(tiles, [(9, rings)], 1).collect()}
+    r = out[9]
+    assert r["zn_cov"] == 256.0 * 256.0 / 2.0
+
+    w = CL.polygon_cov_weights(rings, 0, 0, 512)
+    gpx = np.arange(512)
+    full = ((gpx[None, :] * 7 + gpx[:, None] * 11 + 1) % 255).astype(np.float64)
+    assert r["zn_wsum"] == (w * full).sum()
+    assert r["zn_wmean"] == (w * full).sum() / w.sum()

@@ -53,6 +53,13 @@ HEADLINE = [
     "zonal_frac",
     "contour_polygons",
     "warp_downscale_med",
+    # round-3 late additions: corpus curation + conv overview + general
+    # fractional zonal
+    "gopher_repetition",
+    "decontaminate",
+    "fingerprint_winnow",
+    "raster_pyramid_cubic",
+    "zonal_frac_poly",
 ]
 
 

@@ -2647,6 +2647,54 @@ def sql_raster_pyramid_bilinear() -> str:
     return _sql_pyramid_conv(o, wts)
 
 
+def q_make_valid(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_MakeValid on self-crossing bowtie quads (OGRGeometry::
+    MakeValid, ogrgeometry.cpp:4183 / GEOS linework method): one bowtie
+    per supplier, sized by dyadic functions of s_suppkey, noded and
+    split into two triangles. Total repaired area is the closed form
+    h*w (all coordinates dyadic, the symmetric crossing solves exactly
+    at t=1/2), so the oracle is pure arithmetic on the supplier key."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .functions import st as ST
+
+    @F.pandas_udf(T.BinaryType())
+    def bowtie_wkb(keys):
+        from .kernels import wkb as W
+
+        out = []
+        for k in keys:
+            k = int(k)
+            x, y = float(k % 100), float(k // 100 % 100)
+            w, h = 1.0 + (k % 7) / 4.0, 1.0 + (k % 5) / 8.0
+            # self-crossing vertex order: the two diagonals swap
+            out.append(W.polygon_wkb(
+                [[(x, y), (x + 2 * w, y + h), (x + 2 * w, y), (x, y + h)]]
+            ))
+        return pd.Series(out)
+
+    sup = read_table(spark, sf, "supplier").select("s_suppkey")
+    fixed = sup.withColumn(
+        "valid", ST.st_makevalid(bowtie_wkb(F.col("s_suppkey")))
+    )
+    return fixed.select(
+        "s_suppkey",
+        ST.st_geometry_type(F.col("valid")).alias("gtype"),
+        ST.st_area(F.col("valid")).alias("area"),
+    )
+
+
+def sql_make_valid() -> str:
+    return """
+SELECT s_suppkey, 'MultiPolygon' AS gtype,
+       (CAST(1.0 AS DOUBLE) + (s_suppkey % 7) / CAST(4.0 AS DOUBLE))
+       * (CAST(1.0 AS DOUBLE) + (s_suppkey % 5) / CAST(8.0 AS DOUBLE))
+         AS area
+FROM supplier
+"""
+
+
 # general-polygon fractional zonal fixtures, GLOBAL px coords (world =
 # 512 at RASTER_ZOOM): legs integer-aligned, hypotenuses 45-degree with
 # power-of-2 leg length -> every Sutherland-Hodgman clip vertex is
@@ -3354,6 +3402,7 @@ QUERIES = {
     "raster_pyramid_cubic": q_raster_pyramid_cubic,
     "raster_pyramid_bilinear": q_raster_pyramid_bilinear,
     "zonal_frac_poly": q_zonal_frac_poly,
+    "make_valid": q_make_valid,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3488,6 +3537,7 @@ ORACLES = {
     "raster_pyramid_cubic": sql_raster_pyramid_cubic(),
     "raster_pyramid_bilinear": sql_raster_pyramid_bilinear(),
     "zonal_frac_poly": sql_zonal_frac_poly(),
+    "make_valid": sql_make_valid(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -7,9 +7,11 @@ GeomFromText/GeomFromWKB, ST_Union + unary/binary predicates; SURVEY
 §2.C/§2.D). Implementation: Arrow-batched pandas UDFs over the packed-
 array kernels in ``kernels/wkb.py`` / ``kernels/pip.py`` — the slow path
 by design; anything expressible natively (bbox predicates, makepoint)
-stays a plain column expression. GEOS-delegating ops the kernels don't
-cover (Buffer, Union, MakeValid — SURVEY §2.D marked ○) raise
-NotImplementedError with the shapely-backed extension point named.
+stays a plain column expression. The formerly-GEOS-delegating tier is
+now real within named bounds: Union/Intersection/Difference via the
+overlay kernel, Buffer for convex rings, MakeValid for proper-crossing
+rings (kernels/makevalid.py); the general-position remainder of each
+names its shapely extension point.
 
 ``register_all(spark)`` exposes them to SQL: ``SELECT ST_Area(geometry)``.
 """
@@ -246,10 +248,35 @@ def st_buffer_1(geoms):
 
 st_buffer = st_buffer_1
 
-# GEOS-delegating ops with no closed-form equivalent: explicit stub
-# (shapely not in this container; validity repair genuinely needs a
-# GEOS-class engine)
-st_makevalid = _not_implemented("ST_MakeValid", "shapely.make_valid")
+@F.pandas_udf(T.BinaryType())
+def st_makevalid(geoms):
+    """ST_MakeValid (OGRGeometry::MakeValid, ogrgeometry.cpp:4183;
+    GEOS linework/structure method) — REAL for polygons whose self-
+    contacts are proper segment crossings: the ring is noded at every
+    crossing and split into simple CCW loops (bowtie -> two triangles,
+    figure-eight chains -> one loop per lobe). Inputs whose noded faces
+    OVERLAP (pentagram-style interleaved crossings), collinear-overlap
+    contacts, and nested self-touching loops raise the named shapely
+    extension error (kernels/makevalid.py header).
+    Valid input passes through unchanged-as-polygon; fully degenerate
+    input yields NULL."""
+    import pandas as pd
+
+    from ..kernels import makevalid as MV
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        loops = MV.make_valid(W.parse_wkb(bytes(g)))
+        if not loops:
+            out.append(None)
+        elif len(loops) == 1:
+            out.append(W.polygon_wkb([loops[0]]))
+        else:
+            out.append(W.multipolygon_wkb([[loop] for loop in loops]))
+    return pd.Series(out)
 
 
 def register_all(spark: SparkSession) -> None:
@@ -274,6 +301,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_Covers", st_covers)
     spark.udf.register("ST_Disjoint", st_disjoint)
     spark.udf.register("ST_Crosses", st_crosses)
+    spark.udf.register("ST_MakeValid", st_makevalid)
+    spark.udf.register("ST_Buffer", st_buffer)
 
 
 @F.pandas_udf(T.BinaryType())

@@ -257,3 +257,57 @@ def test_st_crosses_dispatch(spark):
                               ST_Crosses(gp, gq) AS pp
                        FROM xpairs""").collect()[0]
     assert row["lc"] is True and row["cl"] is True and row["pp"] is False
+
+
+def test_make_valid_bowtie_and_repairs():
+    from osgeo_gdal_spark.kernels import makevalid as MV
+
+    # bowtie quad -> two CCW triangles, total area h*w (here 1*2... the
+    # crossing splits (0,0)(2,1)(2,0)(0,1) into two area-0.5 triangles)
+    loops = MV.make_valid_rings([0, 2, 2, 0], [0, 1, 0, 1])
+    assert len(loops) == 2
+    assert sorted(MV._loop_area(l) for l in loops) == [0.5, 0.5]
+    # valid ring passes through as one loop, CCW, same area
+    loops = MV.make_valid_rings([0, 1, 1, 0], [0, 0, 1, 1])
+    assert len(loops) == 1 and MV._loop_area(loops[0]) == 1.0
+    # CW input comes back CCW
+    loops = MV.make_valid_rings([0, 0, 1, 1], [0, 1, 1, 0])
+    assert MV._loop_area(loops[0]) == 1.0
+    # duplicate consecutive vertices + unclosed input repaired
+    loops = MV.make_valid_rings([0, 0, 1, 1, 0], [0, 0, 0, 1, 1])
+    assert len(loops) == 1 and MV._loop_area(loops[0]) == 1.0
+    # degenerate: too few points / zero area
+    assert MV.make_valid_rings([0, 1], [0, 0]) == []
+    assert MV.make_valid_rings([0, 1, 2], [0, 0, 0]) == []
+
+
+def test_make_valid_figure_eight_and_pentagram_scope():
+    """Figure-eight (two crossings, disjoint lobes): two simple CCW
+    loops, exact areas. Pentagram (interleaved crossings, overlapping
+    faces): the polygon-level entry raises the documented extension
+    error instead of emitting an overlapping MultiPolygon."""
+    import math
+
+    import pytest
+
+    from osgeo_gdal_spark.kernels import makevalid as MV
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    # figure-eight: two unit-ish squares joined by a crossing waist
+    # ring (0,0)(2,1)(4,0)(4,2)(2,1)... use the classic hourglass pair:
+    # (0,0)(1,1)(0,1)(1,0) crosses once at (.5,.5) -> two triangles
+    loops = MV.make_valid_rings([0, 1, 0, 1], [0, 1, 1, 0])
+    assert len(loops) == 2
+    assert sorted(MV._loop_area(l) for l in loops) == [0.25, 0.25]
+    assert all(not MV._has_proper_crossing(l) for l in loops)
+    assert not MV._loops_overlap(loops)
+
+    # pentagram: loops overlap on the core face -> scope error
+    ang = [math.pi / 2 + 4 * math.pi * k / 5 for k in range(5)]
+    xs = [math.cos(a) for a in ang]
+    ys = [math.sin(a) for a in ang]
+    star = MV.make_valid_rings(xs, ys)
+    assert MV._loops_overlap(star)
+    pg = W.parse_wkb(W.polygon_wkb([list(zip(xs, ys))]))
+    with pytest.raises(NotImplementedError):
+        MV.make_valid(pg)

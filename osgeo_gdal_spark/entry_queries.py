@@ -1707,6 +1707,76 @@ FROM documents GROUP BY lang
 """
 
 
+PACK_BUDGET, PACK_SHARD = 512, 100
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): docs concatenate
+    in doc_id order within a shard and chunk into fixed token budgets.
+    Pure integer window arithmetic — the layout is deterministic and
+    resumable, and shards pack in parallel (no global sort)."""
+    from .operators import corpus as CP
+
+    docs = read_table(spark, sf, "documents")
+    return CP.pack_sequences(docs, PACK_BUDGET, shard_size=PACK_SHARD)
+
+
+def sql_pack_sequences() -> str:
+    b, s = PACK_BUDGET, PACK_SHARD
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id // {s} AS shard,
+         len(list_filter(str_split(text, ' '), x -> x != '')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tok AS INT) AS n_tok,
+       CAST((cum - n_tok) // {b} AS BIGINT) AS seq_id,
+       CAST((cum - n_tok) % {b} AS BIGINT) AS seq_off,
+       CAST((cum - 1) // {b} - (cum - n_tok) // {b} + 1 AS BIGINT) AS n_seqs
+FROM c
+"""
+
+
+def q_top_term(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword extraction: the most significant term per doc — max term
+    frequency, ties to the LOWEST document frequency (the tf-idf
+    ordering without the engine-variant log), then lexicographic."""
+    from .operators import corpus as CP
+
+    docs = read_table(spark, sf, "documents")
+    return CP.top_term(docs, min_len=4)
+
+
+def sql_top_term() -> str:
+    return """
+WITH words AS (
+  SELECT doc_id, UNNEST(list_filter(str_split(text, ' '),
+                                    x -> length(x) >= 4)) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rn
+  FROM tf t JOIN df d USING (term)
+)
+SELECT doc_id, term, tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS):
     char-level rolling hash per word -> k-gram rolling hash -> distinct
@@ -3399,6 +3469,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "fingerprint_winnow": q_fingerprint_winnow,
+    "pack_sequences": q_pack_sequences,
+    "top_term": q_top_term,
     "raster_pyramid_cubic": q_raster_pyramid_cubic,
     "raster_pyramid_bilinear": q_raster_pyramid_bilinear,
     "zonal_frac_poly": q_zonal_frac_poly,
@@ -3534,6 +3606,8 @@ ORACLES = {
     "decontaminate": sql_decontaminate(),
     "sample_stratified": sql_sample_stratified(),
     "fingerprint_winnow": sql_fingerprint_winnow(),
+    "pack_sequences": sql_pack_sequences(),
+    "top_term": sql_top_term(),
     "raster_pyramid_cubic": sql_raster_pyramid_cubic(),
     "raster_pyramid_bilinear": sql_raster_pyramid_bilinear(),
     "zonal_frac_poly": sql_zonal_frac_poly(),

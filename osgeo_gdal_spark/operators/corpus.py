@@ -236,3 +236,76 @@ def fingerprint_candidates(docs: DataFrame, k=3, w=4, min_shared=2,
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+def pack_sequences(docs: DataFrame, budget: int, shard_size: int = 1000,
+                   text_col="text", id_col="doc_id") -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): documents are
+    concatenated in doc_id order and chunked into fixed token budgets;
+    a document may straddle chunk boundaries. Returns per doc:
+
+      shard      doc_id // shard_size (the packing unit),
+      n_tok      whitespace token count,
+      seq_id     chunk index its FIRST token lands in,
+      seq_off    offset of its first token within that chunk,
+      n_seqs     chunks the document spans.
+
+    Scale shape: packing is per-shard (the window partitions by shard),
+    so the cumsum never needs a global sort — shards pack in parallel
+    and the layout is deterministic/resumable (no RNG, doc_id order).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"{id_col} div {int(shard_size)}").alias("shard"),
+        F.size(F.expr(
+            f"filter(split({text_col}, ' '), x -> x != '')"
+        )).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = int(budget)
+    cum = toks.withColumn("cum", F.sum("n_tok").over(w))
+    return cum.select(
+        "doc_id", "shard", "n_tok",
+        F.expr(f"(cum - n_tok) div {b}").alias("seq_id"),
+        F.expr(f"(cum - n_tok) % {b}").alias("seq_off"),
+        F.expr(
+            f"(cum - 1) div {b} - (cum - n_tok) div {b} + 1"
+        ).alias("n_seqs"),
+    )
+
+
+def top_term(docs: DataFrame, min_len: int = 4, text_col="text",
+             id_col="doc_id") -> DataFrame:
+    """Keyword extraction: per document, the single most significant
+    term — max term frequency, ties broken by LOWEST document frequency
+    (rarer wins, the tf-idf ordering without the engine-variant log),
+    then lexicographically. Words shorter than min_len are skipped
+    (stopword proxy). Returns (doc_id, term, tf, df).
+
+    Plan: one word explode; df via a groupBy reused through a broadcast
+    join (vocabulary << corpus); per-doc winner via one min_by struct
+    aggregation — two shuffles total, both on skinny keys.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(
+            f"filter(split({text_col}, ' '), x -> length(x) >= {min_len})"
+        )).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = words.select("doc_id", "term").distinct() \
+        .groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "term")
+    # single winner per doc: order by (-tf, df, term)
+    pick = scored.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct("term", "tf", "df"),
+            F.struct((-F.col("tf")).alias("ntf"), "df", "term"),
+        ).alias("w")
+    )
+    return pick.select("doc_id", "w.term", "w.tf", "w.df")

@@ -178,3 +178,51 @@ def test_fingerprint_candidates_hot_bucket_cap(spark):
     assert capped.count() == 0
     uncapped = CP.fingerprint_candidates(docs, min_shared=1, max_bucket=1000)
     assert uncapped.count() == 30 * 29 // 2
+
+
+# --- sequence packing + keyword extraction ------------------------------
+
+
+def test_pack_sequences_hand_computed(spark):
+    # budget 10, one shard: docs of 4, 8, 3, 12 tokens
+    # cum:        4, 12, 15, 27
+    # starts:     0,  4, 12, 15
+    rows = [
+        (0, " ".join(["a"] * 4), "en"),
+        (1, " ".join(["b"] * 8), "en"),
+        (2, " ".join(["c"] * 3), "en"),
+        (3, " ".join(["d"] * 12), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = {r["doc_id"]: r
+           for r in CP.pack_sequences(docs, 10, shard_size=100).collect()}
+    assert (out[0]["seq_id"], out[0]["seq_off"], out[0]["n_seqs"]) == (0, 0, 1)
+    # doc 1 starts at 4, ends at 11 -> straddles chunks 0 and 1
+    assert (out[1]["seq_id"], out[1]["seq_off"], out[1]["n_seqs"]) == (0, 4, 2)
+    assert (out[2]["seq_id"], out[2]["seq_off"], out[2]["n_seqs"]) == (1, 2, 1)
+    # doc 3 starts at 15 (chunk 1, off 5), ends at 26 (chunk 2) -> 2 chunks
+    assert (out[3]["seq_id"], out[3]["seq_off"], out[3]["n_seqs"]) == (1, 5, 2)
+    # different shards pack independently
+    rows2 = [(i * 100, " ".join(["x"] * 7), "en") for i in range(3)]
+    docs2 = spark.createDataFrame(rows2, "doc_id LONG, text STRING, lang STRING")
+    out2 = CP.pack_sequences(docs2, 10, shard_size=100).collect()
+    assert all(r["seq_id"] == 0 and r["seq_off"] == 0 for r in out2)
+
+
+def test_top_term_tf_then_df_tiebreak(spark):
+    rows = [
+        # doc 0: 'alpha' tf=2 wins outright
+        (0, "alpha beta alpha gamma", "en"),
+        # doc 1: 'beta' and 'delta' tie at tf=2; 'delta' has lower df
+        (1, "beta delta beta delta", "en"),
+        # doc 2: gives 'beta' df=3, 'delta' df=2
+        (2, "beta only here", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = {r["doc_id"]: r for r in CP.top_term(docs, min_len=4).collect()}
+    assert out[0]["term"] == "alpha" and out[0]["tf"] == 2
+    assert out[1]["term"] == "delta"          # df tie-break: 1 < 3
+    assert out[1]["tf"] == 2 and out[1]["df"] == 1
+    # doc 2: beta/only/here all tf=1; lowest df wins (here=only=1 beat
+    # beta=3), then lexical: 'here' < 'only'
+    assert out[2]["term"] == "here" and out[2]["df"] == 1

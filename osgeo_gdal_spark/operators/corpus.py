@@ -135,6 +135,48 @@ def stratified_sample(docs: DataFrame, rates: dict, default_pct=20,
     )
 
 
+def repetition_stats_rowwise(docs: DataFrame, text_col="text",
+                             id_col="doc_id") -> DataFrame:
+    """The SAME metrics as repetition_stats, computed entirely per row:
+    the top-bigram count is the longest equal-run in the doc's SORTED
+    bigram array (one named_struct fold, no groupBy). Zero shuffle —
+    this is both the streaming-safe form (no aggregation state, append
+    mode works) and the preferred 100 TB batch form when the downstream
+    doesn't already shuffle: the groupBy variant moves (doc, bigram)
+    pairs, this one moves nothing. Equality with the groupBy variant is
+    pytest-pinned."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("ts"),
+    )
+    bgs = (
+        "CASE WHEN size(ts) >= 2 THEN "
+        "transform(sequence(0, size(ts) - 2), "
+        "i -> concat(ts[i], ' ', ts[i + 1])) "
+        "ELSE array() END"
+    )
+    top = (
+        f"aggregate(array_sort({bgs}), "
+        "named_struct('prev', '', 'run', 0L, 'best', 0L), "
+        "(s, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(x = s.prev, s.run + 1, 1L), "
+        "  'best', GREATEST(s.best, IF(x = s.prev, s.run + 1, 1L))), "
+        "s -> s.best)"
+    )
+    return toks.select(
+        "doc_id",
+        F.size("ts").alias("n_words"),
+        F.expr(top).alias("top2_cnt"),
+        F.when(
+            F.size("ts") > 1,
+            F.expr(top) / (F.size("ts") - F.lit(1)).cast("double"),
+        ).alias("rep_frac"),
+        (F.size(F.array_distinct("ts"))
+         / F.size("ts").cast("double")).alias("uniq_frac"),
+    )
+
+
 # --- document fingerprinting (winnowing over a rolling hash) ------------
 
 FP_MOD = 2147483647        # 2^31 - 1 (Mersenne); every step fits a long

@@ -144,3 +144,24 @@ def streaming_dedup_first_seen(docs_stream: DataFrame,
     return keyed.applyInPandasWithState(
         dedup_fn, out_schema, state_schema, "update", timeout
     )
+
+
+def streaming_quality_gate(docs_stream: DataFrame,
+                           max_rep_frac: float = 0.18,
+                           min_uniq_frac: float = 0.2) -> DataFrame:
+    """Streaming corpus quality gate: the Gopher repetition metrics
+    (operators/corpus.repetition_stats) computed on a document stream,
+    with the pass/drop verdict attached, via the PER-ROW metric form
+    (corpus.repetition_stats_rowwise: the top-bigram count is a fold
+    over the doc's own sorted bigram array) — no aggregation state at
+    all, so append mode works and each document is gated the moment it
+    arrives: the ingest-time filter a live crawl pipeline applies
+    before documents ever land in the corpus."""
+    from ..operators.corpus import repetition_stats_rowwise
+
+    stats = repetition_stats_rowwise(docs_stream)
+    return stats.withColumn(
+        "keep",
+        (F.coalesce(F.col("rep_frac"), F.lit(0.0)) <= max_rep_frac)
+        & (F.col("uniq_frac") >= min_uniq_frac),
+    )

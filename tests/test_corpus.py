@@ -226,3 +226,20 @@ def test_top_term_tf_then_df_tiebreak(spark):
     # doc 2: beta/only/here all tf=1; lowest df wins (here=only=1 beat
     # beta=3), then lexical: 'here' < 'only'
     assert out[2]["term"] == "here" and out[2]["df"] == 1
+
+
+def test_repetition_rowwise_equals_groupby(spark, tiny_docs):
+    """The shuffle-free per-row metric form equals the groupBy form on
+    every column, including the 1-word-doc NULL guard."""
+    extra = spark.createDataFrame(
+        [(7, "alone", "en"), (8, "x y x y x y zz", "en")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    docs = tiny_docs.unionByName(extra)
+    a = {r["doc_id"]: (r["n_words"], r["top2_cnt"], r["rep_frac"],
+                       r["uniq_frac"])
+         for r in CP.repetition_stats(docs).collect()}
+    b = {r["doc_id"]: (r["n_words"], r["top2_cnt"], r["rep_frac"],
+                       r["uniq_frac"])
+         for r in CP.repetition_stats_rowwise(docs).collect()}
+    assert a == b and len(a) == 5

@@ -164,3 +164,32 @@ def test_streaming_stateful_dedup_first_seen(spark, tmpdir):
     got = {r["text_hash"]: r["doc_id"] for r in rows}
     assert len(rows) == 3          # alpha, beta, gamma — each ONCE
     assert sorted(got.values()) in ([1, 2, 5],)  # first-seen doc ids
+
+
+def test_streaming_quality_gate_equal_batch(spark):
+    """The corpus quality gate is stateless per document, so the SAME
+    operator code on a bounded stream (availableNow drain) equals the
+    batch metrics row-for-row, verdict included."""
+    from osgeo_gdal_spark.operators.corpus import repetition_stats
+
+    sdf = ST.streaming_quality_gate(
+        ST.read_table_stream(spark, SF_DIR, "documents")
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("qgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: (r["n_words"], r["top2_cnt"], r["keep"])
+           for r in spark.sql("SELECT * FROM qgate").collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stats = repetition_stats(docs)
+    want = {r["doc_id"]: (r["n_words"], r["top2_cnt"],
+                          bool((r["rep_frac"] or 0.0) <= 0.18
+                               and r["uniq_frac"] >= 0.2))
+            for r in stats.collect()}
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -253,3 +253,36 @@ def test_dissolve_plan_two_level_tree(spark):
     d = OV.dissolve(spark, PL.dissolve_df(spark), "gid")
     plan = plan_of(d)
     assert plan.count("FlatMapGroupsInPandas") == 2
+
+
+def test_fingerprint_winnow_is_map_only(spark):
+    """Winnowing fingerprints derive entirely from each doc's own text:
+    the plan must contain NO Exchange (shuffle) at all."""
+    from osgeo_gdal_spark.operators import corpus as CP
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(CP.winnow_fingerprints(docs))
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_joins_broadcast_phrases(spark):
+    """The benchmark phrase table broadcasts; the corpus side is never
+    shuffled for the join (shingle explode feeds a BroadcastHashJoin)."""
+    from osgeo_gdal_spark.operators import corpus as CP
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = CP.decontaminate(docs, ["the quick brown"], n=3)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_window_partitions_by_shard(spark):
+    """Packing must parallelize across shards: the window exchange
+    hash-partitions by shard (never a single-partition global sort)."""
+    from osgeo_gdal_spark.operators import corpus as CP
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(CP.pack_sequences(docs, 512, shard_size=100))
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan

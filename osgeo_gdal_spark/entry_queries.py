@@ -383,6 +383,33 @@ FROM tiled
 """
 
 
+HEX_SIZE = 3.0
+
+
+def q_hex_density(spark: SparkSession, sf: str) -> DataFrame:
+    """Hexagonal cell density (H3-style axial index over the lon/lat
+    plane, cube-rounded): the hex formulas are emitted once by sqlgen
+    and shared verbatim with the oracle — bit-identical doubles, no
+    query-time transcendentals."""
+    pages = PG.pages_df(spark, sf)
+    return TL.hex_counts(pages, HEX_SIZE)
+
+
+def sql_hex_density() -> str:
+    qf = G.hex_qf_sql("lon", "lat", HEX_SIZE)
+    rf = G.hex_rf_sql("lat", HEX_SIZE)
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+axial AS (
+  SELECT {qf} AS qf, {rf} AS rf FROM pages
+)
+SELECT {G.hex_q_sql('qf', 'rf')} AS hq,
+       {G.hex_r_sql('qf', 'rf')} AS hr,
+       COUNT(*) AS cnt
+FROM axial GROUP BY 1, 2
+"""
+
+
 def q_spatial_join_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """THE core operator: cell-cover broadcast join + exact ray-cast PIP
     refine (ogrlayer.cpp:4004-4076 filter-and-refine; ogrpolygon.cpp:780)."""
@@ -3475,6 +3502,7 @@ QUERIES = {
     "raster_pyramid_bilinear": q_raster_pyramid_bilinear,
     "zonal_frac_poly": q_zonal_frac_poly,
     "make_valid": q_make_valid,
+    "hex_density": q_hex_density,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3612,6 +3640,7 @@ ORACLES = {
     "raster_pyramid_bilinear": sql_raster_pyramid_bilinear(),
     "zonal_frac_poly": sql_zonal_frac_poly(),
     "make_valid": sql_make_valid(),
+    "hex_density": sql_hex_density(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -176,3 +176,55 @@ def substring_count_sql(text: str, needle: str) -> str:
     esc = needle.replace("'", "''")
     diff = f"(LENGTH({text}) - LENGTH(REPLACE({text}, '{esc}', '')))"
     return f"CAST(FLOOR({diff} / {D(float(len(needle)))}) AS BIGINT)"
+
+
+# --- hexagonal cell binning (H3-style axial index, pointy-top) -----------
+#
+# Axial hex coords over the (lon, lat) plane with circumradius `size`
+# degrees, cube-rounded to the nearest cell center (the standard
+# cube-round: round all three cube coords, then repair the one with the
+# largest rounding error so x+y+z == 0 holds). Every formula is emitted
+# ONCE here and embedded verbatim in BOTH engines, so the doubles are
+# bit-identical and FLOOR never straddles — the same discipline as the
+# tile math above. sqrt(3)/3 is a fixed double literal; no
+# transcendentals are evaluated at query time.
+
+_HEX_SQRT3_3 = "0.5773502691896258"
+
+
+def hex_qf_sql(lon: str, lat: str, size: float) -> str:
+    return (
+        f"((CAST({_HEX_SQRT3_3} AS DOUBLE) * {lon} - {lat} / {D(3.0)})"
+        f" / {D(size)})"
+    )
+
+
+def hex_rf_sql(lat: str, size: float) -> str:
+    return f"(({lat} * {D(2.0)} / {D(3.0)}) / {D(size)})"
+
+
+def _hex_rounds(qf: str, rf: str):
+    rx = f"FLOOR({qf} + {D(0.5)})"
+    ry = f"FLOOR(- {qf} - {rf} + {D(0.5)})"
+    rz = f"FLOOR({rf} + {D(0.5)})"
+    dx = f"ABS({rx} - {qf})"
+    dy = f"ABS({ry} - (- {qf} - {rf}))"
+    dz = f"ABS({rz} - {rf})"
+    return rx, ry, rz, dx, dy, dz
+
+
+def hex_q_sql(qf: str, rf: str) -> str:
+    rx, ry, rz, dx, dy, dz = _hex_rounds(qf, rf)
+    return (
+        f"CAST(CASE WHEN {dx} > {dy} AND {dx} > {dz} "
+        f"THEN - {ry} - {rz} ELSE {rx} END AS BIGINT)"
+    )
+
+
+def hex_r_sql(qf: str, rf: str) -> str:
+    rx, ry, rz, dx, dy, dz = _hex_rounds(qf, rf)
+    return (
+        f"CAST(CASE WHEN NOT ({dx} > {dy} AND {dx} > {dz}) "
+        f"AND NOT ({dy} > {dz}) "
+        f"THEN - {rx} - {ry} ELSE {rz} END AS BIGINT)"
+    )

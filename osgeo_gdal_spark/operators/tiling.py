@@ -232,3 +232,25 @@ def explode_tile_pixels(tiles: DataFrame, nonzero_only=True) -> DataFrame:
                 yield pd.concat(outs)
 
     return tiles.mapInPandas(gen, out_schema)
+
+
+def hex_counts(pages: DataFrame, size: float = 3.0) -> DataFrame:
+    """Hexagonal cell density (the H3-style index of the north star,
+    over the lon/lat plane): axial pointy-top hex binning with exact
+    cube-rounding, one partial-aggregated groupBy on the skinny
+    (hq, hr) key. The hex math is generated once in functions/sqlgen
+    and shared verbatim with the DuckDB oracle — bit-identical doubles,
+    no transcendentals."""
+    from ..functions import sqlgen as G
+
+    qf = pages.withColumn(
+        "qf", F.expr(G.hex_qf_sql("lon", "lat", size))
+    ).withColumn("rf", F.expr(G.hex_rf_sql("lat", size)))
+    return (
+        qf.select(
+            F.expr(G.hex_q_sql("qf", "rf")).alias("hq"),
+            F.expr(G.hex_r_sql("qf", "rf")).alias("hr"),
+        )
+        .groupBy("hq", "hr")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -100,3 +100,57 @@ def test_pyramid_average_reduction(spark, pages):
     # AVERAGE preserves mean mass: parent sum * 4 == child sums (zero-fill)
     grid = np.frombuffer(row["pixels"], dtype=np.float64).reshape(256, 256)
     assert grid.sum() * 4 == pytest.approx(row["n_points"], rel=1e-9)
+
+
+def test_hex_binning_matches_python_cube_round(spark):
+    """Hex cell assignment equals an independent python cube-round, and
+    each point's cell center is the NEAREST hex center (the defining
+    property of cube rounding)."""
+    import math
+
+    from osgeo_gdal_spark.operators import tiling as TL
+    from osgeo_gdal_spark.sources import pages as PG
+    from tests.conftest import SF_DIR
+
+    size = 3.0
+    pages = PG.pages_df(spark, SF_DIR)
+    pts = pages.select("lon", "lat").limit(300).collect()
+
+    def cube_round(lon, lat):
+        qf = (math.sqrt(3.0) / 3.0 * lon - lat / 3.0) / size
+        rf = (lat * 2.0 / 3.0) / size
+        x, z = qf, rf
+        y = -x - z
+        rx, ry, rz = round(x), round(y), round(z)
+        dx, dy, dz = abs(rx - x), abs(ry - y), abs(rz - z)
+        if dx > dy and dx > dz:
+            rx = -ry - rz
+        elif dy > dz:
+            ry = -rx - rz
+        else:
+            rz = -rx - ry
+        return int(rx), int(rz)
+
+    got = {(r["hq"], r["hr"]): r["cnt"]
+           for r in TL.hex_counts(pages, size).collect()}
+    want = {}
+    all_pts = pages.select("lon", "lat").collect()
+    for r in all_pts:
+        c = cube_round(r["lon"], r["lat"])
+        want[c] = want.get(c, 0) + 1
+    assert got == want
+
+    # nearest-center property on a sample: axial -> cartesian center
+    def center(hq, hr):
+        y = hr * 1.5 * size
+        x = math.sqrt(3.0) * size * (hq + hr / 2.0)
+        return x, y
+
+    for r in pts[:50]:
+        hq, hr = cube_round(r["lon"], r["lat"])
+        cx, cy = center(hq, hr)
+        d0 = (r["lon"] - cx) ** 2 + (r["lat"] - cy) ** 2
+        for dq, dr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            nx, ny = center(hq + dq, hr + dr)
+            dn = (r["lon"] - nx) ** 2 + (r["lat"] - ny) ** 2
+            assert d0 <= dn + 1e-9

@@ -383,6 +383,54 @@ FROM tiled
 """
 
 
+EMB_DIM = 64
+
+
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar int8 embedding quantization (per-dimension min/max scale,
+    mid-rise dequant) — the 4x ANN memory compression. Per-vector code
+    digests + the deterministic sequential reconstruction-error fold."""
+    from .operators import similarity as SIM
+
+    emb = read_table(spark, sf, "embeddings")
+    return SIM.quantize_int8(emb)
+
+
+def sql_embedding_quantize() -> str:
+    d = EMB_DIM
+    code = (
+        "CASE WHEN maxs[j] = mins[j] THEN CAST(0 AS BIGINT) ELSE "
+        "LEAST(CAST(255 AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
+        "CAST(FLOOR((CAST(embedding[j] AS DOUBLE) - mins[j])"
+        " / (maxs[j] - mins[j]) * CAST(256.0 AS DOUBLE)) AS BIGINT))) END"
+    )
+    deq = (
+        f"(mins[j] + ({code} + CAST(0.5 AS DOUBLE))"
+        " * (maxs[j] - mins[j]) / CAST(256.0 AS DOUBLE))"
+    )
+    js = f"generate_series(1, {d})"
+    return f"""
+WITH pos AS (
+  SELECT u.j AS pos, CAST(embedding[u.j] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, {d + 1})) AS j) u
+),
+dims AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM pos GROUP BY pos),
+arrs AS (SELECT list(mn ORDER BY pos) AS mins,
+                list(mx ORDER BY pos) AS maxs FROM dims)
+SELECT vec_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform({js}, j -> {code})), (a, x) -> a + x) AS code_sum,
+  list_reduce(list_prepend(CAST(255 AS BIGINT),
+    list_transform({js}, j -> {code})), (a, x) -> LEAST(a, x)) AS code_min,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform({js}, j -> {code})), (a, x) -> GREATEST(a, x)) AS code_max,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform({js}, j ->
+      ABS(CAST(embedding[j] AS DOUBLE) - {deq}))), (a, x) -> a + x) AS err
+FROM embeddings CROSS JOIN arrs
+"""
+
+
 HEX_SIZE = 3.0
 
 
@@ -3503,6 +3551,7 @@ QUERIES = {
     "zonal_frac_poly": q_zonal_frac_poly,
     "make_valid": q_make_valid,
     "hex_density": q_hex_density,
+    "embedding_quantize": q_embedding_quantize,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3641,6 +3690,7 @@ ORACLES = {
     "zonal_frac_poly": sql_zonal_frac_poly(),
     "make_valid": sql_make_valid(),
     "hex_density": sql_hex_density(),
+    "embedding_quantize": sql_embedding_quantize(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

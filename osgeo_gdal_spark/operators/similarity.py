@@ -344,3 +344,99 @@ def embedding_bucket_stats(emb: DataFrame, planes, vec_col="embedding",
         F.sum(F.when(dropped, 1).otherwise(0)).alias("buckets_dropped"),
         F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias("vecs_dropped"),
     )
+
+
+def quantize_int8(emb: DataFrame, vec_col="embedding",
+                  id_col="vec_id") -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the standard
+    4x memory compression applied before ANN at 100 TB (per-dimension
+    min/max scale, mid-rise dequantization):
+
+      code_d = clamp(floor((v_d - min_d) / (max_d - min_d) * 256), 0, 255)
+      v'_d   = min_d + (code_d + 0.5) * (max_d - min_d) / 256
+
+    Plan: per-dimension min/max via posexplode + partially-aggregated
+    groupBy(pos) (the shuffle carries D rows per partition, never
+    vectors), assembled into two D-length arrays and broadcast; codes
+    and the reconstruction error are then a map-only transform. The
+    error fold is sequential (aggregate), so its value is deterministic
+    and cross-engine exact. Constant dimensions (max == min) code to 0.
+
+    Returns (vec_id, code_sum, code_min, code_max, err).
+    """
+    pos = emb.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    stats = pos.groupBy("pos").agg(
+        F.min(F.col("v").cast("double")).alias("mn"),
+        F.max(F.col("v").cast("double")).alias("mx"),
+    )
+    row = stats.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+        ).alias("mins"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("maxs"),
+    )
+    code = (
+        "IF(maxs[i] = mins[i], 0L, "
+        "LEAST(255L, GREATEST(0L, CAST(FLOOR("
+        f"(CAST({vec_col}[i] AS DOUBLE) - mins[i])"
+        " / (maxs[i] - mins[i]) * CAST(256.0 AS DOUBLE)) AS BIGINT))))"
+    )
+    deq = (
+        f"(mins[i] + ({code} + CAST(0.5 AS DOUBLE))"
+        " * (maxs[i] - mins[i]) / CAST(256.0 AS DOUBLE))"
+    )
+    n = f"size({vec_col})"
+    return emb.crossJoin(F.broadcast(row)).select(
+        F.col(id_col),
+        F.expr(
+            f"aggregate(sequence(0, {n} - 1), 0L, (acc, i) -> acc + {code})"
+        ).alias("code_sum"),
+        F.expr(
+            f"aggregate(sequence(0, {n} - 1), 255L, "
+            f"(acc, i) -> least(acc, {code}))"
+        ).alias("code_min"),
+        F.expr(
+            f"aggregate(sequence(0, {n} - 1), 0L, "
+            f"(acc, i) -> greatest(acc, {code}))"
+        ).alias("code_max"),
+        F.expr(
+            f"aggregate(sequence(0, {n} - 1), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + ABS(CAST({vec_col}[i] AS DOUBLE) - {deq}))"
+        ).alias("err"),
+    )
+
+
+def quantized_codes(emb: DataFrame, vec_col="embedding",
+                    id_col="vec_id") -> DataFrame:
+    """(vec_id, codes array<bigint>) — the actual code arrays, for the
+    quantized-ANN path (same scale computation as quantize_int8)."""
+    pos = emb.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    stats = pos.groupBy("pos").agg(
+        F.min(F.col("v").cast("double")).alias("mn"),
+        F.max(F.col("v").cast("double")).alias("mx"),
+    )
+    row = stats.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+        ).alias("mins"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("maxs"),
+    )
+    code = (
+        "IF(maxs[i] = mins[i], 0L, "
+        "LEAST(255L, GREATEST(0L, CAST(FLOOR("
+        f"(CAST({vec_col}[i] AS DOUBLE) - mins[i])"
+        " / (maxs[i] - mins[i]) * CAST(256.0 AS DOUBLE)) AS BIGINT))))"
+    )
+    return emb.crossJoin(F.broadcast(row)).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, size({vec_col}) - 1), i -> {code})"
+        ).alias("codes"),
+        F.col("mins"), F.col("maxs"),
+    )

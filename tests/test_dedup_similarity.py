@@ -254,3 +254,44 @@ def test_embedding_near_dup_hot_bucket_cap(spark, emb):
     stats = SIM.embedding_bucket_stats(base, tables, max_bucket=20).collect()
     assert all(r["buckets_dropped"] >= 1 for r in stats)
     assert all(r["vecs_dropped"] >= 30 for r in stats)
+
+
+def test_quantize_int8_roundtrip_and_recall(spark, emb):
+    """Codes are in [0,255] with near-saturated range, reconstruction
+    error per dim is bounded by half a quantization step, and top-1
+    cosine neighbors over DEQUANTIZED vectors agree with exact float
+    cosine for most queries (the scalar-quantized ANN contract)."""
+    import numpy as np
+
+    from osgeo_gdal_spark.operators import similarity as SIM
+
+    q = SIM.quantize_int8(emb)
+    rows = q.collect()
+    assert all(0 <= r["code_min"] <= r["code_max"] <= 255 for r in rows)
+    # mid-rise max error per dim = step/2 = (mx-mn)/512; err sums 64 dims
+    # -> bound err by 64 * max_range/512
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    mat = np.stack(list(base.values()))
+    ranges = mat.max(axis=0) - mat.min(axis=0)
+    bound = float((ranges / 512.0).sum()) + 1e-9
+    assert all(r["err"] <= bound for r in rows)
+
+    # recall: dequantize via codes, top-1 neighbor by cosine vs exact
+    codes = {r["vec_id"]: (np.array(r["codes"], dtype=np.float64),
+                           np.array(r["mins"]), np.array(r["maxs"]))
+             for r in SIM.quantized_codes(emb).collect()}
+    ids = sorted(base)
+    X = np.stack([base[i] for i in ids])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    DQ = np.stack([
+        codes[i][1] + (codes[i][0] + 0.5) * (codes[i][2] - codes[i][1]) / 256.0
+        for i in ids
+    ])
+    DQn = DQ / np.linalg.norm(DQ, axis=1, keepdims=True)
+    exact = (Xn @ Xn.T)
+    approx = (DQn @ DQn.T)
+    np.fill_diagonal(exact, -2)
+    np.fill_diagonal(approx, -2)
+    agree = (exact.argmax(axis=1) == approx.argmax(axis=1)).mean()
+    assert agree >= 0.8

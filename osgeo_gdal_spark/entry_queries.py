@@ -948,6 +948,70 @@ def q_dedup_near_groups(spark: SparkSession, sf: str) -> DataFrame:
     return DD.near_dup_groups(docs, jaccard_threshold=0.7)
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Event sessionization (gaps-and-islands): per user, a new session
+    starts after a >30-min silence; sessions summarize to count,
+    start/end epoch-micros and distinct event types. Pure window
+    arithmetic partitioned by user — parallel across users, no global
+    sort; (ts, event_id) ordering makes ties deterministic."""
+    ev = read_table(spark, sf, "events")
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.expr(us).alias("us"),
+    )
+    flagged = base.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def sql_sessionize() -> str:
+    g = SESSION_GAP_US
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+              OR us - LAG(us) OVER w > {g} THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def q_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 1h window aggregation over the events stream table (the
     batch twin of the Structured Streaming wrapper, SURVEY §2.N)."""
@@ -3552,6 +3616,7 @@ QUERIES = {
     "make_valid": q_make_valid,
     "hex_density": q_hex_density,
     "embedding_quantize": q_embedding_quantize,
+    "sessionize": q_sessionize,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3691,6 +3756,7 @@ ORACLES = {
     "make_valid": sql_make_valid(),
     "hex_density": sql_hex_density(),
     "embedding_quantize": sql_embedding_quantize(),
+    "sessionize": sql_sessionize(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -243,3 +243,35 @@ def test_repetition_rowwise_equals_groupby(spark, tiny_docs):
                        r["uniq_frac"])
          for r in CP.repetition_stats_rowwise(docs).collect()}
     assert a == b and len(a) == 5
+
+
+def test_sessionize_gap_semantics(spark):
+    """Hand-built event stream: sessions split exactly at >30-min gaps;
+    a gap of exactly 30 min does NOT split."""
+    from osgeo_gdal_spark.entry_queries import q_sessionize
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, user, minutes, typ="view"):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 40),      # gap 30 exactly: same
+        ev(4, 7, 71), ev(5, 7, 75, "click"),           # gap 31 -> new session
+        ev(6, 8, 0),                                   # other user
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {(r["user_id"], r["session_id"]): r
+           for r in q_sessionize(spark, d).collect()}
+    assert set(out) == {(7, 1), (7, 2), (8, 1)}
+    assert out[(7, 1)]["n_events"] == 3
+    assert out[(7, 2)]["n_events"] == 2 and out[(7, 2)]["n_types"] == 2
+    assert out[(8, 1)]["n_events"] == 1

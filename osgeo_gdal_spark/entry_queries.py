@@ -383,6 +383,42 @@ FROM tiled
 """
 
 
+def q_hex_raster_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster -> hex-cell rollup (raster↔vector aggregation on the
+    H3-style index): pixel centers map through the inverse mercator to
+    lon/lat, cube-round into hex cells, and aggregate count/sum/mean.
+    All formulas shared verbatim with the oracle via sqlgen."""
+    from .operators import tiling as TLO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    return TLO.hex_raster_rollup(tiles, RASTER_ZOOM, HEX_SIZE)
+
+
+def sql_hex_raster_rollup() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    lon = G.px_lon_sql("gpx", RASTER_ZOOM)
+    lat = G.px_lat_sql("gpy", RASTER_ZOOM)
+    qf = G.hex_qf_sql("lon", "lat", HEX_SIZE)
+    rf = G.hex_rf_sql("lat", HEX_SIZE)
+    return f"""
+WITH px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy,
+         CAST((xs.i * 7 + ys.i * 11 + {RASTER_ZOOM}) % 255 AS DOUBLE) AS value
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+ll AS (SELECT value, {lon} AS lon, {lat} AS lat FROM px),
+axial AS (SELECT value, {qf} AS qf, {rf} AS rf FROM ll)
+SELECT {G.hex_q_sql('qf', 'rf')} AS hq,
+       {G.hex_r_sql('qf', 'rf')} AS hr,
+       COUNT(*) AS n_px,
+       SUM(value) AS val_sum,
+       SUM(value) / COUNT(*) AS val_mean
+FROM axial GROUP BY 1, 2
+"""
+
+
 EMB_DIM = 64
 
 
@@ -3617,6 +3653,7 @@ QUERIES = {
     "hex_density": q_hex_density,
     "embedding_quantize": q_embedding_quantize,
     "sessionize": q_sessionize,
+    "hex_raster_rollup": q_hex_raster_rollup,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3757,6 +3794,7 @@ ORACLES = {
     "hex_density": sql_hex_density(),
     "embedding_quantize": sql_embedding_quantize(),
     "sessionize": sql_sessionize(),
+    "hex_raster_rollup": sql_hex_raster_rollup(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -228,3 +228,24 @@ def hex_r_sql(qf: str, rf: str) -> str:
         f"AND NOT ({dy} > {dz}) "
         f"THEN - {rx} - {ry} ELSE {rz} END AS BIGINT)"
     )
+
+
+def px_lon_sql(gpx: str, zoom: int) -> str:
+    """Global pixel center -> longitude (linear, exact)."""
+    world = (1 << zoom) * 256
+    return (
+        f"({D(-180.0)} + {D(360.0)} * ({gpx} + {D(0.5)}) / {D(float(world))})"
+    )
+
+
+def px_lat_sql(gpy: str, zoom: int) -> str:
+    """Global pixel center -> latitude: inverse XYZ mercator
+    degrees(atan(sinh(m))), m = pi*(1 - 2*(gpy+0.5)/world). sinh is
+    spelled (EXP(m) - EXP(-m))/2 because DuckDB has no SINH — the SAME
+    spelling goes to both engines (merc_y_sql discipline)."""
+    world = (1 << zoom) * 256
+    m = (
+        f"(PI() * ({D(1.0)} - {D(2.0)} * ({gpy} + {D(0.5)})"
+        f" / {D(float(world))}))"
+    )
+    return f"DEGREES(ATAN((EXP({m}) - EXP(- {m})) / {D(2.0)}))"

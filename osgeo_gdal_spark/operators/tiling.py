@@ -254,3 +254,37 @@ def hex_counts(pages: DataFrame, size: float = 3.0) -> DataFrame:
         .groupBy("hq", "hr")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def hex_raster_rollup(tiles: DataFrame, zoom: int,
+                      size: float = 3.0) -> DataFrame:
+    """Raster -> hex-cell aggregation (the raster↔vector rollup on the
+    H3-style index): every pixel center maps to lon/lat (linear x,
+    inverse-mercator y) and cube-rounds into its hex cell; per cell the
+    pixel count and value sum/mean. Pixel values here are integral, so
+    the sums are exact in any shuffle order. One partial-aggregated
+    groupBy on (hq, hr); pixels never shuffle raw — only per-partition
+    (cell, partial) rows do."""
+    from ..functions import sqlgen as G
+    from .raster_ops import explode_pixels
+
+    px = explode_pixels(tiles)
+    ll = px.withColumn(
+        "lon", F.expr(G.px_lon_sql("gpx", zoom))
+    ).withColumn("lat", F.expr(G.px_lat_sql("gpy", zoom)))
+    ax = ll.withColumn(
+        "qf", F.expr(G.hex_qf_sql("lon", "lat", size))
+    ).withColumn("rf", F.expr(G.hex_rf_sql("lat", size)))
+    return (
+        ax.select(
+            F.expr(G.hex_q_sql("qf", "rf")).alias("hq"),
+            F.expr(G.hex_r_sql("qf", "rf")).alias("hr"),
+            "value",
+        )
+        .groupBy("hq", "hr")
+        .agg(
+            F.count("*").alias("n_px"),
+            F.sum("value").alias("val_sum"),
+            (F.sum("value") / F.count("*")).alias("val_mean"),
+        )
+    )

@@ -1629,6 +1629,28 @@ def sql_overlay_union() -> str:
             f"FROM ({_overlay_pairs_cte()})")
 
 
+def q_overlay_symdiff(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise SymDifference emitting geometries (ogrlayer.cpp:6528 /
+    ogrgeometry.cpp:5874): the two interior-disjoint differences
+    assembled into one even-odd piece; oracle area is
+    |A| + |B| − 2|A∩B| — again a different arithmetic path from the
+    engine's assembled-ring shoelace."""
+    from .operators import overlay as OV
+
+    ov = OV.overlay_features(
+        spark, PL.tindex_df(spark), PL.POLYGONS, "symdifference"
+    )
+    return ov.select(
+        "a_id", "eas_id", F.round("piece_area", 4).alias("sd_area")
+    )
+
+
+def sql_overlay_symdiff() -> str:
+    return (f"SELECT a_id, eas_id, "
+            f"ROUND(a_area + b_area - CAST(2.0 AS DOUBLE) * i_area, 4) "
+            f"AS sd_area FROM ({_overlay_pairs_cte()})")
+
+
 def q_overlay_erase(spark: SparkSession, sf: str) -> DataFrame:
     """Layer algebra Erase (ogrlayer.cpp:6158): each tile-index rect
     minus the union of every polygon it intersects (difference fold in
@@ -3654,6 +3676,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "sessionize": q_sessionize,
     "hex_raster_rollup": q_hex_raster_rollup,
+    "overlay_symdiff": q_overlay_symdiff,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3795,6 +3818,7 @@ ORACLES = {
     "embedding_quantize": sql_embedding_quantize(),
     "sessionize": sql_sessionize(),
     "hex_raster_rollup": sql_hex_raster_rollup(),
+    "overlay_symdiff": sql_overlay_symdiff(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -164,9 +164,30 @@ def _binary_overlay(op):
     return udf
 
 
+@F.pandas_udf(T.BinaryType())
+def st_pointonsurface(geoms):
+    """ST_PointOnSurface (ogrgeometry.cpp:6730; GEOS InteriorPointArea):
+    the widest-interval midpoint of the envelope's horizontal bisector
+    crossings — guaranteed inside the polygon (holes respected),
+    unlike the centroid of a concave shape. Returns a WKB Point."""
+    import pandas as pd
+
+    from ..kernels import polypoly as PP
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        x, y = PP.interior_point(W.parse_wkb(bytes(g)))
+        out.append(W.point_wkb(float(x), float(y)))
+    return pd.Series(out)
+
+
 st_union = _binary_overlay("union")
 st_intersection = _binary_overlay("intersection")
 st_difference = _binary_overlay("difference")
+st_symdifference = _binary_overlay("symdifference")
 
 
 def _binary_predicate(fn_name):
@@ -303,6 +324,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_Crosses", st_crosses)
     spark.udf.register("ST_MakeValid", st_makevalid)
     spark.udf.register("ST_Buffer", st_buffer)
+    spark.udf.register("ST_SymDifference", st_symdifference)
+    spark.udf.register("ST_PointOnSurface", st_pointonsurface)
 
 
 @F.pandas_udf(T.BinaryType())

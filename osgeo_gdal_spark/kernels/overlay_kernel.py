@@ -169,9 +169,14 @@ def _assemble(starts_x, starts_y, ends_x, ends_y):
 def overlay_rings(rings_a, rings_b, op: str):
     """Boolean overlay of two ring soups -> result ring soup.
 
-    op ∈ {intersection, union, difference}. ``difference`` is A − B.
-    Symmetric difference composes as union of the two differences.
+    op ∈ {intersection, union, difference, symdifference}.
+    ``difference`` is A − B; ``symdifference`` composes the two
+    interior-disjoint differences into one even-odd ring soup
+    (OGRGeometry::SymDifference, ogrgeometry.cpp:5874).
     """
+    if op == "symdifference":
+        return (overlay_rings(rings_a, rings_b, "difference")
+                + overlay_rings(rings_b, rings_a, "difference"))
     if not rings_a or not rings_b:
         if op == "intersection":
             return []

@@ -416,3 +416,45 @@ def buffer_convex(g, dist: float, quadsegs: int = 30):
             out_x.append(bx + dist * math.cos(a))
             out_y.append(by + dist * math.sin(a))
     return np.array(out_x), np.array(out_y)
+
+
+def interior_point(pg) -> tuple:
+    """A point guaranteed inside the polygon — OGRGeometry::PointOnSurface
+    (ogrgeometry.cpp:6730, GEOS InteriorPointArea): scan the horizontal
+    bisector of the envelope, collect even-odd boundary crossings, and
+    take the midpoint of the WIDEST interior interval. If the bisector
+    passes exactly through a vertex (degenerate crossing set), nudge it
+    by successive fractions of the height, exactly GEOS's retry."""
+    ys = pg.ys
+    y0, y1 = float(np.min(ys)), float(np.max(ys))
+    h = y1 - y0
+    for k in range(1, 32):
+        c = y0 + h * (0.5 + (0.0 if k == 1 else (0.5 / (1 << k)) * (-1) ** k))
+        xs_cross = []
+        bad = False
+        for r in range(len(pg.ring_offsets) - 1):
+            s, e = pg.ring_offsets[r], pg.ring_offsets[r + 1]
+            rx, ry = pg.xs[s:e], pg.ys[s:e]
+            n = len(rx)
+            for i in range(n - 1):
+                ya, yb = ry[i], ry[i + 1]
+                if ya == c or yb == c:
+                    bad = True
+                    break
+                if (ya < c) != (yb < c):
+                    xs_cross.append(
+                        float(rx[i] + (c - ya) * (rx[i + 1] - rx[i])
+                              / (yb - ya))
+                    )
+            if bad:
+                break
+        if bad or len(xs_cross) < 2 or len(xs_cross) % 2 == 1:
+            continue
+        xs_cross.sort()
+        best = max(
+            range(0, len(xs_cross), 2),
+            key=lambda i: xs_cross[i + 1] - xs_cross[i],
+        )
+        return (0.5 * (xs_cross[best] + xs_cross[best + 1]), c)
+    # pathological flat polygon: fall back to the first vertex
+    return (float(pg.xs[0]), float(pg.ys[0]))

@@ -311,3 +311,39 @@ def test_make_valid_figure_eight_and_pentagram_scope():
     pg = W.parse_wkb(W.polygon_wkb([list(zip(xs, ys))]))
     with pytest.raises(NotImplementedError):
         MV.make_valid(pg)
+
+
+def test_interior_point_concave_hole_and_symdiff():
+    import numpy as np
+
+    from osgeo_gdal_spark.kernels import overlay_kernel as OVK
+    from osgeo_gdal_spark.kernels import pip as P, polypoly as PP, wkb as W
+
+    # C-shape whose centroid sits in the notch: point must be inside
+    c = W.parse_wkb(W.polygon_wkb(
+        [[(0, 0), (10, 0), (10, 2), (2, 2), (2, 8), (10, 8), (10, 10),
+          (0, 10)]]
+    ))
+    x, y = PP.interior_point(c)
+    assert bool(P.points_in_polygon(np.array([x]), np.array([y]), c)[0])
+    # donut: lands in the annulus, never the hole
+    dn = W.parse_wkb(W.polygon_wkb(
+        [[(0, 0), (10, 0), (10, 10), (0, 10)],
+         [(3, 3), (7, 3), (7, 7), (3, 7)]]
+    ))
+    x3, y3 = PP.interior_point(dn)
+    assert bool(P.points_in_polygon(np.array([x3]), np.array([y3]), dn)[0])
+    # square: exact center
+    sq = W.parse_wkb(W.polygon_wkb([[(0, 0), (4, 0), (4, 4), (0, 4)]]))
+    assert PP.interior_point(sq) == (2.0, 2.0)
+
+    # symdifference area identity on overlapping unit-offset squares:
+    # |A △ B| = |A| + |B| - 2|A∩B| = 16 + 16 - 2*9 = 14
+    a = OVK.geometry_rings(W.parse_wkb(
+        W.polygon_wkb([[(0, 0), (4, 0), (4, 4), (0, 4)]])
+    ))
+    b = OVK.geometry_rings(W.parse_wkb(
+        W.polygon_wkb([[(1, 1), (5, 1), (5, 5), (1, 5)]])
+    ))
+    sd = OVK.overlay_rings(a, b, "symdifference")
+    assert abs(OVK.rings_area(sd) - 14.0) < 1e-9

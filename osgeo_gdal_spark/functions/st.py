@@ -164,6 +164,109 @@ def _binary_overlay(op):
     return udf
 
 
+def _ring_lengths(pg):
+    total = 0.0
+    for r in range(len(pg.ring_offsets) - 1):
+        s, e = pg.ring_offsets[r], pg.ring_offsets[r + 1]
+        dx = np.diff(pg.xs[s:e])
+        dy = np.diff(pg.ys[s:e])
+        total += float(np.sum(np.sqrt(dx * dx + dy * dy)))
+    return total
+
+
+def _lengths(geoms):
+    """OGR_G_Length semantics (ogrsqlitesqlfunctions.cpp ST_Length /
+    ogrcurve.cpp get_Length): LineString -> polyline length; polygons ->
+    boundary (perimeter) length; points -> 0."""
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(float("nan"))
+            continue
+        pg = W.parse_wkb(bytes(g))
+        out.append(0.0 if pg.geom_type == "Point" else _ring_lengths(pg))
+    return out
+
+
+def _geodesic_lengths(geoms):
+    """ST_GeodesicLength (ogrsqlitesqlfunctions.cpp; the reference uses
+    the Karney ellipsoidal geodesic via PROJ) — v1 is the SPHERICAL
+    great-circle sum (haversine, kernels/distance discipline, WGS84
+    mean radius): within ~0.5% of the ellipsoid, named difference."""
+    R = 6371008.8
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(float("nan"))
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type == "Point":
+            out.append(0.0)
+            continue
+        total = 0.0
+        for r in range(len(pg.ring_offsets) - 1):
+            s, e = pg.ring_offsets[r], pg.ring_offsets[r + 1]
+            lon = np.radians(pg.xs[s:e])
+            lat = np.radians(pg.ys[s:e])
+            dlat = np.diff(lat)
+            dlon = np.diff(lon)
+            a = (np.sin(dlat / 2) ** 2
+                 + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2) ** 2)
+            total += float(np.sum(2 * R * np.arcsin(np.sqrt(a))))
+        out.append(total)
+    return out
+
+
+def _from_text(wkts):
+    """ST_GeomFromText: WKT -> WKB for POINT / LINESTRING / POLYGON /
+    MULTIPOLYGON (the geometry types of this engine's data model)."""
+    import re
+
+    def ring_of(body):
+        return [tuple(float(v) for v in pt.split())
+                for pt in body.split(",")]
+
+    out = []
+    for s in wkts:
+        if s is None:
+            out.append(None)
+            continue
+        s = s.strip()
+        m = re.match(r"^(\w+)\s*\((.*)\)$", s, re.S)
+        if not m:
+            out.append(None)
+            continue
+        kind, body = m.group(1).upper(), m.group(2).strip()
+        if kind == "POINT":
+            x, y = (float(v) for v in body.split())
+            out.append(W.point_wkb(x, y))
+        elif kind == "LINESTRING":
+            out.append(W.linestring_wkb(ring_of(body)))
+        elif kind == "POLYGON":
+            rings = re.findall(r"\(([^()]*)\)", body)
+            out.append(W.polygon_wkb([ring_of(r) for r in rings]))
+        elif kind == "MULTIPOLYGON":
+            polys = []
+            for pm in re.findall(r"\(((?:\([^()]*\),?\s*)+)\)", body):
+                polys.append([ring_of(r)
+                              for r in re.findall(r"\(([^()]*)\)", pm)])
+            out.append(W.multipolygon_wkb(polys))
+        else:
+            out.append(None)
+    return out
+
+
+st_length = _series_udf(_lengths, T.DoubleType())
+st_geodesic_length = _series_udf(_geodesic_lengths, T.DoubleType())
+st_geomfromtext = _series_udf(_from_text, T.BinaryType())
+# ST_AsBinary / ST_GeomFromWKB are identities in a WKB-native engine;
+# ST_SRID is the constant data-model CRS (EPSG:4326 lon/lat).
+st_asbinary = _series_udf(lambda g: [None if x is None else bytes(x)
+                                     for x in g], T.BinaryType())
+st_srid = _series_udf(lambda g: [None if x is None else 4326 for x in g],
+                      T.IntegerType())
+
+
 @F.pandas_udf(T.BinaryType())
 def st_pointonsurface(geoms):
     """ST_PointOnSurface (ogrgeometry.cpp:6730; GEOS InteriorPointArea):
@@ -326,6 +429,12 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_Buffer", st_buffer)
     spark.udf.register("ST_SymDifference", st_symdifference)
     spark.udf.register("ST_PointOnSurface", st_pointonsurface)
+    spark.udf.register("ST_Length", st_length)
+    spark.udf.register("ST_GeodesicLength", st_geodesic_length)
+    spark.udf.register("ST_GeomFromText", st_geomfromtext)
+    spark.udf.register("ST_GeomFromWKB", st_asbinary)
+    spark.udf.register("ST_AsBinary", st_asbinary)
+    spark.udf.register("ST_SRID", st_srid)
 
 
 @F.pandas_udf(T.BinaryType())

@@ -157,3 +157,53 @@ def test_pipeline_round2_steps(spark):
     cat = RS.synth_category_tiles(spark, 1, block=96)
     polys = Pipeline(spark, cat).polygonize(1).df()
     assert polys.count() == 36
+
+
+def test_st_length_geodesic_fromtext_srid(spark):
+    """The remaining reference-SQLite ST functions
+    (ogrsqlitesqlfunctions.cpp registry): Length (perimeter for
+    polygons), GeodesicLength (spherical haversine v1), GeomFromText
+    round-trip, AsBinary identity, SRID constant."""
+    import math
+
+    from osgeo_gdal_spark.functions import st as ST
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    sq = W.polygon_wkb([[(0.0, 0.0), (3.0, 0.0), (3.0, 4.0), (0.0, 4.0)]])
+    ln = W.linestring_wkb([(0.0, 0.0), (3.0, 4.0)])
+    df = spark.createDataFrame([(1, bytearray(sq)), (2, bytearray(ln))],
+                               "id LONG, g BINARY")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        ST.st_length(F.col("g")).alias("len"),
+        ST.st_geodesic_length(F.col("g")).alias("geo"),
+        ST.st_srid(F.col("g")).alias("srid"),
+        ST.st_asbinary(F.col("g")).alias("bin"),
+    ).collect()}
+    assert out[1]["len"] == 14.0          # perimeter 2*(3+4)
+    assert out[2]["len"] == 5.0           # 3-4-5
+    assert out[1]["srid"] == 4326
+    assert bytes(out[2]["bin"]) == ln
+    # geodesic: 1 degree of longitude at the equator ~= 111.2 km
+    eq = W.linestring_wkb([(0.0, 0.0), (1.0, 0.0)])
+    df2 = spark.createDataFrame([(1, bytearray(eq))], "id LONG, g BINARY")
+    geo = df2.select(ST.st_geodesic_length(F.col("g")).alias("m")).first()["m"]
+    assert abs(geo - 2 * math.pi * 6371008.8 / 360.0) < 1.0
+
+    # WKT round-trips through the parser for all four types
+    spark.udf.register("_noop", lambda: None)  # ensure session alive
+    wkts = [
+        "POINT (3.5 -7.25)",
+        "LINESTRING (0 0, 3 4, 10 10)",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))",
+    ]
+    df3 = spark.createDataFrame([(i, w) for i, w in enumerate(wkts)],
+                                "id LONG, wkt STRING")
+    back = df3.select("id", ST.st_geomfromtext(F.col("wkt")).alias("g")) \
+        .collect()
+    types = {r["id"]: W.parse_wkb(bytes(r["g"])).geom_type for r in back}
+    assert types == {0: "Point", 1: "LineString", 2: "Polygon",
+                     3: "MultiPolygon"}
+    pg = W.parse_wkb(bytes([r for r in back if r["id"] == 2][0]["g"]))
+    assert W.polygon_area(pg) == 96.0     # 100 - 4 hole

@@ -3621,6 +3621,48 @@ LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r USING (gpx, gpy)
 """
 
 
+def q_grid_metric_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid data metric RANGE (GDALGridDataMetricRange,
+    alg/gdalgrid.cpp:1110): max z - min z of in-radius points per node;
+    min/max are order-free so the oracle is exact with no sequencing."""
+    return _q_grid(spark, sf, "range")
+
+
+def sql_grid_metric_range() -> str:
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+{_grid_pts_sql()},
+g AS (
+  SELECT gpx, gpy, MAX(z) - MIN(z) AS rng FROM inr GROUP BY gpx, gpy
+)
+SELECT c.gpx, c.gpy, COALESCE(g.rng, CAST(0.0 AS DOUBLE)) AS value
+FROM cells c LEFT JOIN g USING (gpx, gpy)
+"""
+
+
+def q_grid_avg_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid data metric AVERAGE_DISTANCE (GDALGridDataMetricAverage-
+    Distance, alg/gdalgrid.cpp:1232): mean node-to-point distance of
+    in-radius points. SQRT is IEEE-exact cross-engine; the sum runs
+    sequentially in (px, py, z) order on both sides."""
+    return _q_grid(spark, sf, "average_distance")
+
+
+def sql_grid_avg_distance() -> str:
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+{_grid_pts_sql()},
+g AS (
+  SELECT gpx, gpy,
+         list_reduce(list(SQRT(d2) ORDER BY px, py, z), (a, b) -> a + b)
+           / COUNT(*) AS ad
+  FROM inr GROUP BY gpx, gpy
+)
+SELECT c.gpx, c.gpy, COALESCE(g.ad, CAST(0.0 AS DOUBLE)) AS value
+FROM cells c LEFT JOIN g USING (gpx, gpy)
+"""
+
+
 # The driver's correctness gate records the FIRST 50 entries of queries()
 # (CORRECTNESS_r01/r02 each contain exactly the first 50 keys).  Order is
 # therefore a signal budget: the 18 round-2 operators that had no driver
@@ -3677,6 +3719,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "hex_raster_rollup": q_hex_raster_rollup,
     "overlay_symdiff": q_overlay_symdiff,
+    "grid_metric_range": q_grid_metric_range,
+    "grid_avg_distance": q_grid_avg_distance,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3819,6 +3863,8 @@ ORACLES = {
     "sessionize": sql_sessionize(),
     "hex_raster_rollup": sql_hex_raster_rollup(),
     "overlay_symdiff": sql_overlay_symdiff(),
+    "grid_metric_range": sql_grid_metric_range(),
+    "grid_avg_distance": sql_grid_avg_distance(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

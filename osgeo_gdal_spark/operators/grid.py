@@ -222,6 +222,34 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
                                      axis=2)[..., -1]
                     with np.errstate(invalid="ignore", divide="ignore"):
                         val = np.where(cnt > 0, ssum / cnt, nd)
+                elif meth in ("minimum", "maximum", "range", "count",
+                              "average_distance"):
+                    # data metrics (GDALGridDataMetricMinimum/:976,
+                    # Maximum/:1043, Range/:1110, Count/:1177,
+                    # AverageDistance/:1232): min/max/count are order-free;
+                    # average node->point distance accumulates
+                    # SEQUENTIALLY like every other metric here
+                    has = in_r.any(axis=2)
+                    if meth == "count":
+                        val = np.where(has, in_r.sum(axis=2).astype(
+                            np.float64), nd)
+                    elif meth == "average_distance":
+                        dist = np.where(in_r, np.sqrt(d2), 0.0)
+                        ssum = np.cumsum(dist, axis=2)[..., -1]
+                        cnt = in_r.sum(axis=2)
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            val = np.where(has, ssum / cnt, nd)
+                    else:
+                        mnv = np.where(in_r, tz[None, None, :],
+                                       np.inf).min(axis=2)
+                        mxv = np.where(in_r, tz[None, None, :],
+                                       -np.inf).max(axis=2)
+                        if meth == "minimum":
+                            val = np.where(has, mnv, nd)
+                        elif meth == "maximum":
+                            val = np.where(has, mxv, nd)
+                        else:
+                            val = np.where(has, mxv - mnv, nd)
                 else:  # nearest: min distance, ties by sort order (first)
                     d2m = np.where(in_r, d2, np.inf)
                     best = np.argmin(d2m, axis=2)

@@ -197,3 +197,42 @@ def test_delaunay_euler_and_affine_reproduction():
     gx, gy = np.meshgrid(np.arange(6) * 10.0, np.arange(5) * 10.0)
     lt = D.delaunay(gx.ravel(), gy.ravel())
     assert len(lt) == 2 * 30 - 18 - 2
+
+
+def test_grid_data_metrics_brute_force(spark):
+    """minimum/maximum/count vs a brute-force python reference over the
+    probe window (range/average_distance are driver-gated)."""
+    import numpy as np
+
+    from osgeo_gdal_spark.operators import grid as GR, raster_ops as RO
+    from osgeo_gdal_spark.sources import pages as PG
+    from tests.conftest import SF_DIR
+
+    zoom, radius = 1, 3.0
+    win = (100, 100, 16, 16)
+    pages = PG.pages_df(spark, SF_DIR).select(
+        "lon", "lat", F.col("doc_id").alias("z"))
+    pts = GR.points_to_px(pages, zoom, value="z", projection="equirect")
+    P = np.array([(r["px"], r["py"], r["z"]) for r in pts.collect()])
+
+    for meth in ("minimum", "maximum", "count"):
+        tiles = GR.grid_interpolate(spark, pts, zoom, meth, radius,
+                                    window=win, nodata=-1.0)
+        px = RO.explode_pixels(tiles)
+        got = {(r["gpx"], r["gpy"]): r["value"] for r in px.filter(
+            (F.col("gpx") >= win[0]) & (F.col("gpx") < win[0] + win[2])
+            & (F.col("gpy") >= win[1]) & (F.col("gpy") < win[1] + win[3])
+        ).collect()}
+        for gy in range(win[1], win[1] + win[3]):
+            for gx in range(win[0], win[0] + win[2]):
+                d2 = (P[:, 0] - (gx + 0.5)) ** 2 + (P[:, 1] - (gy + 0.5)) ** 2
+                sel = P[d2 <= radius * radius, 2]
+                if len(sel) == 0:
+                    want = -1.0
+                elif meth == "minimum":
+                    want = sel.min()
+                elif meth == "maximum":
+                    want = sel.max()
+                else:
+                    want = float(len(sel))
+                assert got[(gx, gy)] == want, (meth, gx, gy)

@@ -256,6 +256,89 @@ def _from_text(wkts):
     return out
 
 
+def _geodesic_areas(geoms):
+    """ST_GeodesicArea (ogrsqlitesqlfunctions.cpp; reference uses the
+    Karney ellipsoid via PROJ) — v1 is the SPHERICAL excess on the
+    WGS84 mean radius: signed l'Huilier fan from the first vertex (the
+    spherical shoelace), exact for great-circle-edged polygons; holes
+    subtract. Within ~0.5% of the ellipsoid, named difference."""
+    R = 6371008.8
+
+    def tri_excess(v0, v1, v2):
+        # central angles via the numerically-stable chord formula
+        def ang(a, b):
+            return 2.0 * np.arcsin(
+                min(1.0, 0.5 * float(np.linalg.norm(a - b))))
+        a, b, c = ang(v1, v2), ang(v0, v2), ang(v0, v1)
+        s = 0.5 * (a + b + c)
+        t = (np.tan(s / 2) * np.tan((s - a) / 2)
+             * np.tan((s - b) / 2) * np.tan((s - c) / 2))
+        e = 4.0 * np.arctan(np.sqrt(max(0.0, t)))
+        sign = np.sign(float(np.dot(v0, np.cross(v1, v2))))
+        return sign * e
+
+    def unit(lon, lat):
+        lo, la = np.radians(lon), np.radians(lat)
+        return np.stack(
+            [np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo),
+             np.sin(la)], axis=-1)
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(float("nan"))
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type not in ("Polygon", "MultiPolygon"):
+            out.append(0.0)
+            continue
+        total = 0.0
+        ring_idx = 0
+        for part in pg.part_rings:
+            for r in range(part):
+                s, e = (pg.ring_offsets[ring_idx],
+                        pg.ring_offsets[ring_idx + 1])
+                v = unit(pg.xs[s:e], pg.ys[s:e])
+                if v[0] is not None and np.allclose(v[0], v[-1]):
+                    v = v[:-1]
+                exc = 0.0
+                for i in range(1, len(v) - 1):
+                    exc += tri_excess(v[0], v[i], v[i + 1])
+                a = abs(exc) * R * R
+                total += a if r == 0 else -a
+                ring_idx += 1
+        out.append(total)
+    return out
+
+
+@F.pandas_udf(T.BinaryType())
+def st_concavehull_a2(geoms):
+    """ST_ConcaveHull (ogrgeometry.cpp:4569; GEOS ConcaveHull) — the
+    Edelsbrunner alpha-shape over the self-contained Bowyer-Watson
+    Delaunay (kernels/delaunay.concave_hull), alpha fixed at 2.0
+    coordinate units (pandas UDFs take columns; re-register a partial
+    for other alphas). alpha -> inf reproduces ConvexHull; pytest pins
+    the notch-excluding property."""
+    import pandas as pd
+
+    from ..kernels import delaunay as DL
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        hx, hy = DL.concave_hull(pg.xs, pg.ys, alpha=2.0)
+        if len(hx) < 3:
+            out.append(None)
+            continue
+        out.append(W.polygon_wkb([list(zip(hx.tolist(), hy.tolist()))]))
+    return pd.Series(out)
+
+
+st_geodesic_area = _series_udf(_geodesic_areas, T.DoubleType())
+st_concavehull = st_concavehull_a2
 st_length = _series_udf(_lengths, T.DoubleType())
 st_geodesic_length = _series_udf(_geodesic_lengths, T.DoubleType())
 st_geomfromtext = _series_udf(_from_text, T.BinaryType())
@@ -435,6 +518,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_GeomFromWKB", st_asbinary)
     spark.udf.register("ST_AsBinary", st_asbinary)
     spark.udf.register("ST_SRID", st_srid)
+    spark.udf.register("ST_GeodesicArea", st_geodesic_area)
+    spark.udf.register("ST_ConcaveHull", st_concavehull)
 
 
 @F.pandas_udf(T.BinaryType())

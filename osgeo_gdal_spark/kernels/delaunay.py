@@ -133,3 +133,62 @@ def tin_interpolate(planes, qx, qy, nodata=0.0):
                            + planes["B"][t] * qy[inside] + planes["C"][t])
             done |= inside
     return out
+
+
+def concave_hull(px, py, alpha: float):
+    """Alpha-shape concave hull (OGRGeometry::ConcaveHull,
+    ogrgeometry.cpp:4569 delegates to GEOS ConcaveHull; this is the
+    classic Edelsbrunner alpha-shape over the Bowyer-Watson
+    triangulation): keep triangles whose circumradius <= alpha, then
+    the boundary = edges used by exactly ONE kept triangle, chained
+    into a ring. Returns (xs, ys) of the boundary ring (open), or the
+    convex-hull degenerate cases as-is. alpha = inf reproduces the
+    convex hull exactly."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    tris = delaunay(px, py)
+    kept = []
+    for (i, j, k) in tris:
+        ax, ay, bx, by, cx, cy = px[i], py[i], px[j], py[j], px[k], py[k]
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0.0:
+            continue
+        a2 = ax * ax + ay * ay
+        b2 = bx * bx + by * by
+        c2 = cx * cx + cy * cy
+        ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+        uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+        r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+        if r2 <= alpha * alpha:
+            kept.append((i, j, k))
+    # boundary edges: used by exactly one kept triangle
+    from collections import Counter
+
+    cnt = Counter()
+    for (i, j, k) in kept:
+        for e in ((i, j), (j, k), (k, i)):
+            cnt[tuple(sorted(e))] += 1
+    boundary = [e for e, c in cnt.items() if c == 1]
+    if not boundary:
+        return np.array([]), np.array([])
+    # chain edges into a ring (the alpha shape of a connected point set
+    # with one component; multi-component shapes return the component
+    # containing the first edge)
+    adj = {}
+    for a, b in boundary:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    start = boundary[0][0]
+    ring = [start]
+    prev, node = None, start
+    while True:
+        nbrs = [n for n in adj[node] if n != prev]
+        if not nbrs:
+            break
+        prev, node = node, nbrs[0]
+        if node == start:
+            break
+        ring.append(node)
+    return px[ring], py[ring]

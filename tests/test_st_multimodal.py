@@ -207,3 +207,34 @@ def test_st_length_geodesic_fromtext_srid(spark):
                      3: "MultiPolygon"}
     pg = W.parse_wkb(bytes([r for r in back if r["id"] == 2][0]["g"]))
     assert W.polygon_area(pg) == 96.0     # 100 - 4 hole
+
+
+def test_st_geodesic_area_and_concave_hull(spark):
+    import math
+
+    from osgeo_gdal_spark.functions import st as ST
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    R = 6371008.8
+    # octant triangle (0,0) (90,0) (0,90): exactly 1/8 of the sphere
+    octant = W.polygon_wkb([[(0.0, 0.0), (90.0, 0.0), (0.0, 90.0)]])
+    # small 1x1-degree square at the equator ~= (111.2 km)^2
+    sq = W.polygon_wkb([[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]])
+    df = spark.createDataFrame(
+        [(1, bytearray(octant)), (2, bytearray(sq))], "id LONG, g BINARY")
+    out = {r["id"]: r["a"] for r in df.select(
+        "id", ST.st_geodesic_area(F.col("g")).alias("a")).collect()}
+    assert abs(out[1] - 4 * math.pi * R * R / 8) / (R * R) < 1e-9
+    deg = 2 * math.pi * R / 360.0
+    assert abs(out[2] - deg * deg) / (deg * deg) < 0.01
+
+    # concave hull: C-shaped cloud -> notch excluded; area between the
+    # true concave area and the convex hull area
+    pts = [(float(x), float(y)) for x in range(11) for y in range(11)
+           if not (x > 3 and 3 <= y <= 7)]
+    # encode as a polygon ring purely as a point carrier
+    cloud = W.polygon_wkb([pts])
+    df2 = spark.createDataFrame([(1, bytearray(cloud))], "id LONG, g BINARY")
+    hull = df2.select(ST.st_concavehull(F.col("g")).alias("h")).first()["h"]
+    area = W.polygon_area(W.parse_wkb(bytes(hull)))
+    assert 50.0 <= area < 95.0   # convex hull would be 100

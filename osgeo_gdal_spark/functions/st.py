@@ -337,6 +337,103 @@ def st_concavehull_a2(geoms):
     return pd.Series(out)
 
 
+@F.pandas_udf(T.DoubleType())
+def st_distance(ga, gb):
+    """ST_Distance (OGRGeometry::Distance, ogrgeometry.cpp:3892):
+    planar min distance — 0 for touching/crossing/containing pairs,
+    else min vertex-to-segment both ways (kernels/polypoly.
+    geometry_distance). Point/LineString/Polygon/MultiPolygon."""
+    import pandas as pd
+
+    from ..kernels import polypoly as PP
+
+    out = []
+    for a, b in zip(ga, gb):
+        if a is None or b is None:
+            out.append(float("nan"))
+            continue
+        out.append(PP.geometry_distance(
+            W.parse_wkb(bytes(a)), W.parse_wkb(bytes(b))))
+    return pd.Series(out)
+
+
+def _normalized(geoms):
+    """ST_Normalize (OGRGeometry::Normalize, ogrgeometry.cpp:4369):
+    canonical form — each ring rotated to start at its lexicographically
+    smallest (x, y) vertex, exterior rings CCW, holes CW."""
+    from .. import kernels
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type not in ("Polygon", "MultiPolygon"):
+            out.append(bytes(g))
+            continue
+        polys = []
+        ring_idx = 0
+        for part in pg.part_rings:
+            rings = []
+            for r in range(part):
+                s, e = (pg.ring_offsets[ring_idx],
+                        pg.ring_offsets[ring_idx + 1])
+                pts = list(zip(pg.xs[s:e].tolist(), pg.ys[s:e].tolist()))
+                if pts[0] == pts[-1]:
+                    pts = pts[:-1]
+                area = sum(
+                    pts[i][0] * pts[(i + 1) % len(pts)][1]
+                    - pts[(i + 1) % len(pts)][0] * pts[i][1]
+                    for i in range(len(pts))
+                )
+                want_ccw = (r == 0)
+                if (area > 0) != want_ccw:
+                    pts = pts[::-1]
+                k = min(range(len(pts)), key=lambda i: pts[i])
+                rings.append(pts[k:] + pts[:k])
+                ring_idx += 1
+            polys.append(rings)
+        if pg.geom_type == "Polygon":
+            out.append(W.polygon_wkb(polys[0]))
+        else:
+            out.append(W.multipolygon_wkb(polys))
+    return out
+
+
+def _set_precision_grid1(geoms):
+    """ST_SetPrecision (ogrgeometry.cpp:7024; GEOS Precision Model) at
+    grid size 1.0: snap every coordinate to the grid, then run the
+    MakeValid repairs (duplicate collapse, degenerate-ring drop,
+    crossing split) that snapping can introduce."""
+    from ..kernels import makevalid as MV
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type not in ("Polygon", "MultiPolygon"):
+            out.append(bytes(g))
+            continue
+        loops = []
+        for r in range(len(pg.ring_offsets) - 1):
+            s, e = pg.ring_offsets[r], pg.ring_offsets[r + 1]
+            xs = np.round(pg.xs[s:e])
+            ys = np.round(pg.ys[s:e])
+            loops.extend(MV.make_valid_rings(xs, ys))
+        if not loops:
+            out.append(None)
+        elif len(loops) == 1:
+            out.append(W.polygon_wkb([loops[0]]))
+        else:
+            out.append(W.multipolygon_wkb([[lp] for lp in loops]))
+    return out
+
+
+st_normalize = _series_udf(_normalized, T.BinaryType())
+st_setprecision = _series_udf(_set_precision_grid1, T.BinaryType())
 st_geodesic_area = _series_udf(_geodesic_areas, T.DoubleType())
 st_concavehull = st_concavehull_a2
 st_length = _series_udf(_lengths, T.DoubleType())
@@ -520,6 +617,9 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_SRID", st_srid)
     spark.udf.register("ST_GeodesicArea", st_geodesic_area)
     spark.udf.register("ST_ConcaveHull", st_concavehull)
+    spark.udf.register("ST_Distance", st_distance)
+    spark.udf.register("ST_Normalize", st_normalize)
+    spark.udf.register("ST_SetPrecision", st_setprecision)
 
 
 @F.pandas_udf(T.BinaryType())

@@ -458,3 +458,82 @@ def interior_point(pg) -> tuple:
         return (0.5 * (xs_cross[best] + xs_cross[best + 1]), c)
     # pathological flat polygon: fall back to the first vertex
     return (float(pg.xs[0]), float(pg.ys[0]))
+
+
+def _seg_point_d2(px, py, ax, ay, bx, by):
+    """Vectorized min squared distance from points (px, py) to segment
+    (a, b): clamp the projection parameter to [0, 1]."""
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0.0:
+        qx, qy = ax, ay
+        return (px - qx) ** 2 + (py - qy) ** 2
+    t = np.clip(((px - ax) * dx + (py - ay) * dy) / L2, 0.0, 1.0)
+    qx, qy = ax + t * dx, ay + t * dy
+    return (px - qx) ** 2 + (py - qy) ** 2
+
+
+def geometry_distance(A, B) -> float:
+    """Planar minimum distance between two geometries
+    (OGRGeometry::Distance, ogrgeometry.cpp:3892): 0 when boundaries
+    cross or one contains the other's representative point; else the
+    min vertex-to-segment distance both ways. Points/LineStrings/
+    Polygons/MultiPolygons all reduce to their packed vertex/segment
+    soup."""
+    from .pip import points_in_polygon
+
+    def segs(pg):
+        out = []
+        if pg.geom_type == "Point":
+            return out
+        for r in range(len(pg.ring_offsets) - 1):
+            s, e = pg.ring_offsets[r], pg.ring_offsets[r + 1]
+            xs, ys = pg.xs[s:e], pg.ys[s:e]
+            if pg.geom_type == "LineString":
+                pts = list(zip(xs, ys))
+            else:
+                pts = list(zip(xs, ys))
+                if pts[0] != pts[-1]:
+                    pts.append(pts[0])
+            out.extend(
+                (pts[i][0], pts[i][1], pts[i + 1][0], pts[i + 1][1])
+                for i in range(len(pts) - 1)
+            )
+        return out
+
+    poly_types = ("Polygon", "MultiPolygon")
+    # containment short-circuit (distance 0)
+    if A.geom_type in poly_types and len(B.xs):
+        if bool(points_in_polygon(B.xs[:1], B.ys[:1], A).any()):
+            return 0.0
+    if B.geom_type in poly_types and len(A.xs):
+        if bool(points_in_polygon(A.xs[:1], A.ys[:1], B).any()):
+            return 0.0
+
+    sa, sb = segs(A), segs(B)
+    best = np.inf
+    # vertex-of-A vs segments-of-B and vice versa covers the min for
+    # non-crossing geometries; crossing pairs hit the containment /
+    # zero tests below
+    if sb:
+        for x, y in zip(A.xs, A.ys):
+            for (ax, ay, bx, by) in sb:
+                best = min(best, float(_seg_point_d2(x, y, ax, ay, bx, by)))
+    if sa:
+        for x, y in zip(B.xs, B.ys):
+            for (ax, ay, bx, by) in sa:
+                best = min(best, float(_seg_point_d2(x, y, ax, ay, bx, by)))
+    if not sa and not sb:   # point vs point
+        best = float((A.xs[0] - B.xs[0]) ** 2 + (A.ys[0] - B.ys[0]) ** 2)
+    # proper segment crossing -> 0
+    if best > 0.0 and sa and sb:
+        for (ax, ay, bx, by) in sa:
+            for (cx, cy, dx, dy) in sb:
+                d = (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
+                if d == 0.0:
+                    continue
+                t = ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx)) / d
+                u = ((cx - ax) * (by - ay) - (cy - ay) * (bx - ax)) / d
+                if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                    return 0.0
+    return float(np.sqrt(best))

@@ -238,3 +238,41 @@ def test_st_geodesic_area_and_concave_hull(spark):
     hull = df2.select(ST.st_concavehull(F.col("g")).alias("h")).first()["h"]
     area = W.polygon_area(W.parse_wkb(bytes(hull)))
     assert 50.0 <= area < 95.0   # convex hull would be 100
+
+
+def test_st_distance_normalize_setprecision(spark):
+    from osgeo_gdal_spark.functions import st as ST
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    sq = W.polygon_wkb([[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]])
+    far = W.polygon_wkb([[(5.0, 0.0), (7.0, 0.0), (7.0, 2.0), (5.0, 2.0)]])
+    df = spark.createDataFrame(
+        [(1, bytearray(sq), bytearray(far))], "id LONG, a BINARY, b BINARY")
+    d = df.select(ST.st_distance(F.col("a"), F.col("b")).alias("d")) \
+        .first()["d"]
+    assert d == 3.0
+
+    # normalize: CW ring starting mid-sequence -> CCW from min vertex;
+    # idempotent
+    cw = W.polygon_wkb([[(2.0, 2.0), (2.0, 0.0), (0.0, 0.0), (0.0, 2.0)]])
+    df2 = spark.createDataFrame([(1, bytearray(cw))], "id LONG, g BINARY")
+    n1 = bytes(df2.select(ST.st_normalize(F.col("g")).alias("n"))
+               .first()["n"])
+    pg = W.parse_wkb(n1)
+    assert (pg.xs[0], pg.ys[0]) == (0.0, 0.0)
+    assert W.shoelace_area(pg.xs, pg.ys) > 0    # CCW
+    df3 = spark.createDataFrame([(1, bytearray(n1))], "id LONG, g BINARY")
+    n2 = bytes(df3.select(ST.st_normalize(F.col("g")).alias("n"))
+               .first()["n"])
+    assert n2 == n1
+
+    # set precision: snapping collapses the sliver vertex; area snaps to
+    # the unit-grid polygon's
+    sliver = W.polygon_wkb(
+        [[(0.1, -0.2), (4.2, 0.3), (3.9, 3.8), (3.95, 3.85), (0.0, 4.1)]])
+    df4 = spark.createDataFrame([(1, bytearray(sliver))], "id LONG, g BINARY")
+    snapped = bytes(df4.select(ST.st_setprecision(F.col("g")).alias("s"))
+                    .first()["s"])
+    spg = W.parse_wkb(snapped)
+    assert all(float(v) == round(float(v)) for v in spg.xs)
+    assert W.polygon_area(spg) == 16.0

@@ -1,0 +1,111 @@
+"""Hypothesis property tests for the late round-3 kernels (pure-python/
+numpy — no Spark session, so they run in milliseconds)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from osgeo_gdal_spark.kernels import makevalid as MV
+
+
+@st.composite
+def bowtie(draw):
+    """Random bowtie quad: two corners swapped so diagonals cross."""
+    x = draw(st.floats(-50, 50, allow_nan=False))
+    y = draw(st.floats(-50, 50, allow_nan=False))
+    w = draw(st.floats(0.5, 20, allow_nan=False))
+    h = draw(st.floats(0.5, 20, allow_nan=False))
+    return [x, x + w, x + w, x], [y, y + h, y, y + h]
+
+
+@settings(max_examples=200, deadline=None)
+@given(bowtie())
+def test_makevalid_bowtie_area_conservation(bt):
+    """Every bowtie splits into exactly two simple CCW loops whose
+    total area equals the analytic w*h/2 (each lobe is a triangle
+    of base h and height w/2)."""
+    xs, ys = bt
+    loops = MV.make_valid_rings(xs, ys)
+    assert len(loops) == 2
+    areas = [MV._loop_area(l) for l in loops]
+    assert all(a > 0 for a in areas)
+    w = xs[1] - xs[0]
+    h = ys[1] - ys[0]
+    assert abs(sum(areas) - w * h / 2) <= 1e-9 * max(1.0, w * h)
+    assert not MV._loops_overlap(loops)
+
+
+def _no_degenerate_contacts(pts):
+    """Exact integer check for the documented scope: no vertex lies ON
+    a non-incident edge (collinear contacts are the named out-of-scope
+    case — kernels/makevalid.py header)."""
+    n = len(pts)
+    for vi, (px, py) in enumerate(pts):
+        for i in range(n):
+            j = (i + 1) % n
+            if vi in (i, j):
+                continue
+            ax, ay = pts[i]
+            bx, by = pts[j]
+            cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            if cross != 0:
+                continue
+            if min(ax, bx) <= px <= max(ax, bx) \
+                    and min(ay, by) <= py <= max(ay, by):
+                return False
+    return True
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(-15, 15), st.integers(-15, 15)),
+                min_size=3, max_size=9, unique=True))
+def test_makevalid_never_emits_crossing_loops(pts):
+    """Within the documented scope (proper crossings only, no vertex-
+    on-edge contacts): every loop that comes out is simple and
+    positively oriented — or the input's noded faces overlap and the
+    polygon entry raises (checked via _loops_overlap)."""
+    from hypothesis import assume
+
+    assume(_no_degenerate_contacts(pts))
+    xs = [float(p[0]) for p in pts]
+    ys = [float(p[1]) for p in pts]
+    loops = MV.make_valid_rings(xs, ys)
+    for l in loops:
+        assert MV._loop_area(l) > 0
+        assert not MV._has_proper_crossing(l)
+
+
+def _py_winnow(words, k=3, w=4):
+    M, WB, GB = 2147483647, 31, 65599
+    hs = []
+    for word in words:
+        acc = 0
+        for c in word:
+            acc = (acc * WB + ord(c)) % M
+        hs.append(acc)
+    gs = []
+    for i in range(len(hs) - k + 1):
+        g = hs[i]
+        for j in range(1, k):
+            g = (g * GB + hs[i + j]) % M
+        gs.append(g)
+    if len(gs) >= w:
+        return {min(gs[i:i + w]) for i in range(len(gs) - w + 1)}
+    return set(gs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=5),
+                min_size=0, max_size=30),
+       st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=5),
+                min_size=6, max_size=10),
+       st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=5),
+                min_size=0, max_size=30))
+def test_winnowing_shared_run_guarantee(prefix_a, shared, prefix_b):
+    """The MOSS guarantee, property-tested: two word sequences sharing
+    a contiguous run of >= w + k - 1 words (6 here) ALWAYS share at
+    least one fingerprint."""
+    doc_a = prefix_a + shared
+    doc_b = prefix_b + shared
+    fa = _py_winnow(doc_a)
+    fb = _py_winnow(doc_b)
+    assert fa & fb

@@ -1369,6 +1369,58 @@ FROM base
 """
 
 
+def q_interpolate_cubic(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster->vector point sampling with 4x4 Catmull-Rom cubic
+    interpolation (GDALInterpolateAtPoint cubic path,
+    alg/gdal_interpolateatpoint.cpp): 16 taps join to owning tiles;
+    the weight polynomial is generated once in sqlgen and embedded
+    identically in the oracle; round(9) absorbs the groupBy sum
+    order."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    pts = spark.createDataFrame(
+        [(int(p), float(lon), float(lat)) for p, lon, lat in INTERP_POINTS],
+        "pid BIGINT, lon DOUBLE, lat DOUBLE",
+    )
+    out = RO.interpolate_at_points(tiles, pts, RASTER_ZOOM, "cubic")
+    return out.select("pid", F.round("value", 9).alias("value"))
+
+
+def sql_interpolate_cubic() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    vals = ", ".join(
+        f"({p}, {G.D(lon)}, {G.D(lat)})" for p, lon, lat in INTERP_POINTS
+    )
+    qx = f"((lon + {G.D(180.0)}) / {G.D(360.0)} * {world})"
+    qy = f"(({G.D(1.0)} - {G.merc_y_sql('lat')} / PI()) / {G.D(2.0)} * {world})"
+    gen = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    clamp = f"LEAST({world - 1}, GREATEST(0, %s))"
+    terms = []
+    for j in range(4):
+        for i in range(4):
+            wx = G.cubic_w_sql(f"(ax - CAST({i - 1} AS DOUBLE))")
+            wy = G.cubic_w_sql(f"(ay - CAST({j - 1} AS DOUBLE))")
+            xi = clamp % f"(x0 + {i - 1})"
+            yj = clamp % f"(y0 + {j - 1})"
+            terms.append(f"({wx}) * ({wy}) * {gen % (xi, yj)}")
+    total = "\n  + ".join(terms)
+    return f"""
+WITH pts(pid, lon, lat) AS (VALUES {vals}),
+fr AS (
+  SELECT pid, {qx} - 0.5 AS fx, {qy} - 0.5 AS fy FROM pts
+),
+base AS (
+  SELECT pid, CAST(FLOOR(fx) AS BIGINT) AS x0, CAST(FLOOR(fy) AS BIGINT) AS y0,
+         fx - FLOOR(fx) AS ax, fy - FLOOR(fy) AS ay
+  FROM fr
+)
+SELECT pid, ROUND({total}, 9) AS value
+FROM base
+"""
+
+
 def q_polygonize(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed polygonize (alg/polygonize.cpp semantics): per-tile CC
     labeling + cross-tile union-find merge over a block-categorical raster
@@ -3721,6 +3773,7 @@ QUERIES = {
     "overlay_symdiff": q_overlay_symdiff,
     "grid_metric_range": q_grid_metric_range,
     "grid_avg_distance": q_grid_avg_distance,
+    "interpolate_cubic": q_interpolate_cubic,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3865,6 +3918,7 @@ ORACLES = {
     "overlay_symdiff": sql_overlay_symdiff(),
     "grid_metric_range": sql_grid_metric_range(),
     "grid_avg_distance": sql_grid_avg_distance(),
+    "interpolate_cubic": sql_interpolate_cubic(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -249,3 +249,18 @@ def px_lat_sql(gpy: str, zoom: int) -> str:
         f" / {D(float(world))}))"
     )
     return f"DEGREES(ATAN((EXP({m}) - EXP(- {m})) / {D(2.0)}))"
+
+
+def cubic_w_sql(t: str) -> str:
+    """Catmull-Rom (a=-0.5) cubic kernel weight at offset ``t``
+    (|t| < 2), the InterpolateAtPoint / warp cubic polynomial — only
+    *,+,- on doubles, so Spark and DuckDB agree bit-for-bit when the
+    SAME text is embedded on both sides."""
+    a = f"ABS({t})"
+    return (
+        f"(CASE WHEN {a} <= {D(1.0)} THEN "
+        f"(({D(1.5)} * {a} - {D(2.5)}) * {a} * {a} + {D(1.0)}) "
+        f"WHEN {a} < {D(2.0)} THEN "
+        f"((({D(-0.5)} * {a} + {D(2.5)}) * {a} - {D(4.0)}) * {a} "
+        f"+ {D(2.0)}) ELSE {D(0.0)} END)"
+    )

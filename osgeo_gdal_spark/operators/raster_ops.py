@@ -619,6 +619,37 @@ def interpolate_at_points(tiles: DataFrame, points: DataFrame, zoom: int,
             F.expr(f"LEAST({world - 1}, GREATEST(0, gpy))").alias("gpy"),
             "w",
         )
+    elif method == "cubic":
+        # 4x4 Catmull-Rom (gdal_interpolateatpoint.cpp cubic path):
+        # taps at x0-1..x0+2, weight = k(ax - (i-1)) * k(ay - (j-1));
+        # the weight polynomial comes from sqlgen so an oracle can embed
+        # the identical text
+        from ..functions.sqlgen import cubic_w_sql
+
+        base = pts.select(
+            "pid",
+            F.expr("CAST(FLOOR(fx) AS BIGINT)").alias("x0"),
+            F.expr("CAST(FLOOR(fy) AS BIGINT)").alias("y0"),
+            (F.col("fx") - F.expr("FLOOR(fx)")).alias("ax"),
+            (F.col("fy") - F.expr("FLOOR(fy)")).alias("ay"),
+        )
+        wx = cubic_w_sql("(ax - CAST(i - 1 AS DOUBLE))")
+        wy = cubic_w_sql("(ay - CAST(j - 1 AS DOUBLE))")
+        corners = base.select(
+            "pid",
+            F.explode(F.expr(
+                "flatten(transform(sequence(0, 3), j -> "
+                "transform(sequence(0, 3), i -> named_struct("
+                "'gpx', x0 + i - 1, 'gpy', y0 + j - 1, "
+                f"'w', ({wx}) * ({wy})))))"
+            )).alias("t"),
+        ).select("pid", "t.gpx", "t.gpy", "t.w")
+        taps = corners.select(
+            "pid",
+            F.expr(f"LEAST({world - 1}, GREATEST(0, gpx))").alias("gpx"),
+            F.expr(f"LEAST({world - 1}, GREATEST(0, gpy))").alias("gpy"),
+            "w",
+        )
     else:
         raise ValueError(method)
 

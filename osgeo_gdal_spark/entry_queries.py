@@ -2026,6 +2026,35 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-level curation statistics (the RefinedWeb/C4 per-source
+    tier: crawl curation decides keep/drop per DOMAIN before per-doc
+    filters): per source — doc count, char volume, mean doc length,
+    language diversity, and the exact-dup rate within the domain
+    (1 - distinct(md5)/n). All order-insensitive aggregates."""
+    docs = read_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count("*")).alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.lit(1.0) - F.countDistinct(F.md5(F.col("text")))
+         / F.count("*")).alias("dup_rate"),
+    )
+
+
+def sql_domain_stats() -> str:
+    return """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       SUM(n_chars) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(1.0 AS DOUBLE) - COUNT(DISTINCT md5(text))
+         / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS):
     char-level rolling hash per word -> k-gram rolling hash -> distinct
@@ -3774,6 +3803,7 @@ QUERIES = {
     "grid_metric_range": q_grid_metric_range,
     "grid_avg_distance": q_grid_avg_distance,
     "interpolate_cubic": q_interpolate_cubic,
+    "domain_stats": q_domain_stats,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3919,6 +3949,7 @@ ORACLES = {
     "grid_metric_range": sql_grid_metric_range(),
     "grid_avg_distance": sql_grid_avg_distance(),
     "interpolate_cubic": sql_interpolate_cubic(),
+    "domain_stats": sql_domain_stats(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -60,6 +60,11 @@ HEADLINE = [
     "fingerprint_winnow",
     "raster_pyramid_cubic",
     "zonal_frac_poly",
+    "hex_density",
+    "sessionize",
+    "pack_sequences",
+    "embedding_quantize",
+    "domain_stats",
 ]
 
 

@@ -2112,6 +2112,77 @@ FROM f
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup screening: docs with doc_id % 10 == 0 play
+    the NEW batch, the rest the existing corpus index; flag new docs
+    sharing winnowed fingerprints with the index (corpus.
+    dedup_incremental — hash equi-join on fingerprint, hot-fingerprint
+    cap on the index side)."""
+    from .operators import corpus as CP
+
+    docs = read_table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = docs.filter(F.col("doc_id") % 10 != 0)
+    return CP.dedup_incremental(idx, new)
+
+
+def sql_dedup_incremental() -> str:
+    from .operators.corpus import FP_GRAM_BASE, FP_MOD, FP_WORD_BASE
+
+    g = (
+        f"((hs[i] * {FP_GRAM_BASE} + hs[i + 1]) % {FP_MOD}"
+        f" * {FP_GRAM_BASE} + hs[i + 2]) % {FP_MOD}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(str_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(ws, x -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(str_split(x, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * {FP_WORD_BASE} + c) % {FP_MOD})) AS hs
+  FROM d
+),
+gg AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 3 THEN
+           list_transform(generate_series(1, len(hs) - 2), i -> {g})
+         ELSE CAST([] AS BIGINT[]) END AS gs
+  FROM h
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(gs) >= 4 THEN
+           list_distinct(list_transform(generate_series(1, len(gs) - 3),
+                         i -> list_min(list_slice(gs, i, i + 3))))
+         ELSE list_distinct(gs) END AS fps
+  FROM gg
+),
+e AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
+idx AS (
+  SELECT doc_id AS idx_id, fp FROM e WHERE doc_id % 10 <> 0
+),
+idxc AS (
+  SELECT * FROM idx
+  WHERE fp IN (SELECT fp FROM idx GROUP BY fp HAVING COUNT(*) <= 1000)
+),
+newd AS (SELECT doc_id, fp FROM e WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT n.doc_id, i.idx_id, COUNT(*) AS n_pair
+  FROM newd n JOIN idxc i USING (fp) GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(n_pair) AS BIGINT) AS n_hits,
+       arg_max(idx_id, n_pair * 100000000 - idx_id) AS best_match
+FROM hits GROUP BY doc_id
+HAVING SUM(n_pair) >= 1
+"""
+
+
 def line_pairs():
     """Planted (line, rect) pairs with relations fixed by construction:
     pattern 0 = straight through (crosses), 1 = fully within,
@@ -3804,6 +3875,7 @@ QUERIES = {
     "grid_avg_distance": q_grid_avg_distance,
     "interpolate_cubic": q_interpolate_cubic,
     "domain_stats": q_domain_stats,
+    "dedup_incremental": q_dedup_incremental,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -3950,6 +4022,7 @@ ORACLES = {
     "grid_avg_distance": sql_grid_avg_distance(),
     "interpolate_cubic": sql_interpolate_cubic(),
     "domain_stats": sql_domain_stats(),
+    "dedup_incremental": sql_dedup_incremental(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -233,6 +233,20 @@ def _fp_arrays(docs: DataFrame, k: int, w: int, text_col, id_col):
     )
 
 
+def _fp_exploded(docs: DataFrame, k: int, w: int, text_col, id_col):
+    """(doc_id, fp) exploded fingerprint rows, with the lineage CUT
+    (localCheckpoint) before the explode. Mandatory, not cosmetic:
+    Catalyst inlines the fps expression into the Generate operator, and
+    inside a higher-order-function lambda the inlined gs/hs subtrees
+    re-evaluate PER ELEMENT — turning an O(words) column into
+    O(grams x words x chars) per document (hours at sf0.01). The
+    checkpoint materializes the arrays once; at scale this is the same
+    lineage-truncation move polygonize uses."""
+    fp = _fp_arrays(docs, k, w, text_col, id_col) \
+        .select("doc_id", "fps").localCheckpoint()
+    return fp.select("doc_id", F.explode("fps").alias("fp"))
+
+
 def winnow_fingerprints(docs: DataFrame, k=3, w=4, text_col="text",
                         id_col="doc_id") -> DataFrame:
     """Per-doc winnowing fingerprint summary: gram count, fingerprint
@@ -259,9 +273,7 @@ def fingerprint_candidates(docs: DataFrame, k=3, w=4, min_shared=2,
     thousands of docs is dropped, not O(bucket^2)-joined)."""
     from pyspark.sql import Window
 
-    fp = _fp_arrays(docs, k, w, text_col, id_col).select(
-        "doc_id", F.explode("fps").alias("fp")
-    )
+    fp = _fp_exploded(docs, k, w, text_col, id_col)
     n = F.count("*").over(Window.partitionBy("fp"))
     fp = fp.withColumn("bucket_n", n).filter(
         F.col("bucket_n") <= max_bucket
@@ -351,3 +363,42 @@ def top_term(docs: DataFrame, min_len: int = 4, text_col="text",
         ).alias("w")
     )
     return pick.select("doc_id", "w.term", "w.tf", "w.df")
+
+
+def dedup_incremental(index_docs: DataFrame, new_docs: DataFrame,
+                      k=3, w=4, min_shared=1, max_bucket=1000,
+                      text_col="text", id_col="doc_id") -> DataFrame:
+    """Incremental near-dup screening: flag NEW documents that share
+    >= min_shared winnowed fingerprints with the existing corpus — the
+    ingest-time gate of a growing 100 TB corpus (the index side's
+    fingerprints are a precomputed, incrementally-appended table in
+    production; here they derive from index_docs directly).
+
+    Returns (doc_id, n_hits, best_match): per flagged new doc, the
+    number of shared fingerprints and the index doc sharing the most.
+
+    Plan: both sides explode to (fp, doc); hot fingerprints above
+    max_bucket on the INDEX side are dropped (boilerplate guard);
+    the join is a plain hash equi-join on fp — never all-pairs.
+    """
+    from pyspark.sql import Window
+
+    idx = _fp_exploded(index_docs, k, w, text_col, id_col) \
+        .withColumnRenamed("doc_id", "idx_id")
+    n = F.count("*").over(Window.partitionBy("fp"))
+    idx = idx.withColumn("bn", n).filter(F.col("bn") <= max_bucket).drop("bn")
+    new = _fp_exploded(new_docs, k, w, text_col, id_col)
+    hits = (
+        new.join(idx, "fp")
+        .groupBy("doc_id", "idx_id").agg(F.count("*").alias("n_pair"))
+    )
+    # arg-max key: most shared fingerprints, ties to the SMALLEST index
+    # id (single scalar so the oracle's arg_max matches exactly)
+    best = hits.groupBy("doc_id").agg(
+        F.sum("n_pair").alias("n_hits"),
+        F.max_by(
+            "idx_id",
+            F.col("n_pair") * F.lit(100000000) - F.col("idx_id"),
+        ).alias("best_match"),
+    )
+    return best.filter(F.col("n_hits") >= min_shared)

@@ -275,3 +275,26 @@ def test_sessionize_gap_semantics(spark):
     assert out[(7, 1)]["n_events"] == 3
     assert out[(7, 2)]["n_events"] == 2 and out[(7, 2)]["n_types"] == 2
     assert out[(8, 1)]["n_events"] == 1
+
+
+def test_dedup_incremental_flags_planted_newcomer(spark):
+    """A new doc sharing a long run with an index doc is flagged with
+    that doc as best_match; an unrelated new doc passes clean."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    idx = spark.createDataFrame(
+        [
+            (11, "corpus filler one " + shared, "en"),
+            (12, "totally different corpus text entirely here", "en"),
+        ],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "new page with " + shared + " inside", "en"),
+            (101, "fresh unrelated words nobody wrote before now", "en"),
+        ],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    out = {r["doc_id"]: r for r in CP.dedup_incremental(idx, new).collect()}
+    assert 100 in out and out[100]["best_match"] == 11
+    assert 101 not in out

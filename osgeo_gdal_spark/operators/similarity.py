@@ -440,3 +440,75 @@ def quantized_codes(emb: DataFrame, vec_col="embedding",
         ).alias("codes"),
         F.col("mins"), F.col("maxs"),
     )
+
+
+def ann_topk_quantized(emb: DataFrame, queries, k=3, candidates=16,
+                       vec_col="embedding", id_col="vec_id") -> DataFrame:
+    """ANN over int8-quantized embeddings with exact re-rank — the
+    memory-compressed search the quantizer exists for: the coarse pass
+    scores DEQUANTIZED int8 codes (at 100 TB the float vectors stay in
+    cold storage; only the 4x-smaller code table is scanned), keeps
+    ``candidates`` per (query, partition), and the final exact cosine
+    re-ranks just the gathered candidate rows.
+
+    Plan: one map-only scan of the code table (Arrow matmul) -> a
+    candidates-per-query shuffle -> a broadcast-keyed exact re-rank of
+    O(candidates) rows. Returns (qid, vec_id, cos_sim, rank) like
+    cosine_topk."""
+    spark = emb.sparkSession
+    codes = quantized_codes(emb, vec_col=vec_col, id_col=id_col)
+
+    qids = [int(q[0]) for q in queries]
+    qmat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+    cand = int(candidates)
+
+    out_schema = T.StructType(
+        [T.StructField("qid", T.LongType()),
+         T.StructField("vec_id", T.LongType())]
+    )
+
+    def coarse(batches):
+        import pandas as pd
+
+        qids_, qmat_, qnorm_ = bc.value
+        for pdf in batches:
+            C = np.stack([np.asarray(c, dtype=np.float64)
+                          for c in pdf["codes"]])
+            mins = np.asarray(pdf["mins"].iloc[0], dtype=np.float64)
+            maxs = np.asarray(pdf["maxs"].iloc[0], dtype=np.float64)
+            V = mins + (C + 0.5) * (maxs - mins) / 256.0
+            vids = pdf["doc_id" if "doc_id" in pdf else "vec_id"] \
+                .to_numpy(np.int64)
+            vnorm = np.linalg.norm(V, axis=1)
+            sims = (V @ qmat_.T) / (vnorm[:, None] * qnorm_[None, :])
+            rows_q, rows_v = [], []
+            for j in range(len(qids_)):
+                s = sims[:, j]
+                mask = vids != qids_[j]
+                idx = np.nonzero(mask)[0]
+                top = idx[np.argsort(-s[idx], kind="stable")[:cand]]
+                rows_q += [qids_[j]] * len(top)
+                rows_v += vids[top].tolist()
+            if rows_q:
+                yield pd.DataFrame({"qid": rows_q, "vec_id": rows_v})
+
+    cands = codes.mapInPandas(coarse, out_schema)
+    # exact re-rank: join candidates back to the float vectors
+    joined = cands.join(emb.select(F.col(id_col).alias("vec_id"),
+                                   F.col(vec_col).alias("v")), "vec_id")
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "qid LONG, qv ARRAY<DOUBLE>",
+    )
+    scored = joined.join(F.broadcast(qdf), "qid").select(
+        "qid", "vec_id",
+        F.expr(
+            f"{_dot_expr('v', 'qv')} / ({_norm_expr('v')} * {_norm_expr('qv')})"
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)

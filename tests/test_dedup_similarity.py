@@ -295,3 +295,28 @@ def test_quantize_int8_roundtrip_and_recall(spark, emb):
     np.fill_diagonal(approx, -2)
     agree = (exact.argmax(axis=1) == approx.argmax(axis=1)).mean()
     assert agree >= 0.8
+
+
+def test_ann_topk_quantized_recall(spark, emb):
+    """Quantized coarse + exact re-rank: top-1 agrees with full exact
+    cosine for most queries, and every returned cos_sim is the EXACT
+    float-vector similarity (re-rank runs on the original vectors)."""
+    from osgeo_gdal_spark.operators import similarity as SIM
+
+    qrows = emb.limit(5).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    got = SIM.ann_topk_quantized(emb, queries, k=3, candidates=16)
+    exact = SIM.cosine_topk(
+        emb, spark.createDataFrame(
+            [(q, [float(x) for x in v]) for q, v in queries],
+            "qid LONG, qvec ARRAY<FLOAT>"),
+        k=3)
+    g1 = {r["qid"]: r["vec_id"] for r in got.collect() if r["rank"] == 1}
+    e1 = {r["qid"]: r["vec_id"] for r in exact.collect() if r["rank"] == 1}
+    agree = sum(g1[q] == e1[q] for q in e1) / len(e1)
+    assert agree >= 0.8
+    # sims must be exact (within the association noise of the JVM fold)
+    ge = {(r["qid"], r["vec_id"]): r["cos_sim"] for r in got.collect()}
+    ee = {(r["qid"], r["vec_id"]): r["cos_sim"] for r in exact.collect()}
+    shared = set(ge) & set(ee)
+    assert shared and all(abs(ge[kk] - ee[kk]) < 1e-12 for kk in shared)

@@ -157,6 +157,62 @@ class Pipeline:
         self._df = OV.clip_features_rect(self._df, rect, keep_cols=keep_cols)
         return self
 
+    # --- corpus-curation steps (training-data pipeline tier) ---------------
+    def quality_gate(self, max_rep_frac=0.18, min_uniq_frac=0.2):
+        """Gopher repetition gate via the zero-shuffle per-row metric
+        form; keeps passing documents (columns preserved)."""
+        from ..operators import corpus as CP
+
+        stats = CP.repetition_stats_rowwise(self._df).select(
+            "doc_id", "rep_frac", "uniq_frac"
+        )
+        self._df = (
+            self._df.join(stats, "doc_id")
+            .filter(
+                (F.coalesce(F.col("rep_frac"), F.lit(0.0)) <= max_rep_frac)
+                & (F.col("uniq_frac") >= min_uniq_frac)
+            )
+            .drop("rep_frac", "uniq_frac")
+        )
+        return self
+
+    def dedup_exact(self, text_col="text"):
+        """Exact dedup: keep the smallest doc_id per md5(text)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+        self._df = (
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        return self
+
+    def sample_stratified(self, rates: dict, default_pct=20,
+                          strat_col="lang"):
+        """Deterministic doc_id-mod sampling (resumable, RNG-free)."""
+        pct = F.lit(int(default_pct))
+        for k, v in sorted(rates.items()):
+            pct = F.when(F.col(strat_col) == k, F.lit(int(v))).otherwise(pct)
+        self._df = self._df.filter((F.col("doc_id") % 100) < pct)
+        return self
+
+    def pack(self, budget: int, shard_size: int = 1000):
+        """GPT-style sequence packing annotation (seq_id/seq_off/n_seqs
+        joined back onto the surviving documents)."""
+        from ..operators import corpus as CP
+
+        plan = CP.pack_sequences(self._df, budget, shard_size=shard_size) \
+            .select("doc_id", "seq_id", "seq_off", "n_seqs")
+        self._df = self._df.join(plan, "doc_id")
+        return self
+
+    def hex_cells(self, size: float = 3.0):
+        """Hex-cell density of the current (lon, lat) rows."""
+        from ..operators import tiling as TL
+
+        self._df = TL.hex_counts(self._df, size)
+        return self
+
     # --- plumbing ----------------------------------------------------------
     def tee(self):                                    # `tee` ≙ cache + fork
         self._df = self._df.cache()

@@ -193,3 +193,36 @@ def test_streaming_quality_gate_equal_batch(spark):
             for r in stats.collect()}
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_pipeline_corpus_chain(spark):
+    """The curation pipeline as one DSL chain: read -> quality gate ->
+    exact dedup -> stratified sample -> pack. Each stage's effect is
+    cross-checked against the standalone operators."""
+    from osgeo_gdal_spark.operators import corpus as CP
+    from osgeo_gdal_spark.plans.pipeline import Pipeline
+
+    p = (
+        Pipeline(spark).read_table(SF_DIR, "documents")
+        .quality_gate()
+        .dedup_exact()
+        .sample_stratified({"en": 80}, default_pct=50)
+        .pack(budget=512, shard_size=100)
+    )
+    out = p.df()
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"seq_id", "seq_off", "n_seqs"} <= set(out.columns)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stats = {r["doc_id"]: r for r in
+             CP.repetition_stats_rowwise(docs).collect()}
+    ids = {r["doc_id"] for r in rows}
+    for i in ids:
+        s = stats[i]
+        assert (s["rep_frac"] or 0.0) <= 0.18 and s["uniq_frac"] >= 0.2
+    # sample rule respected
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    for i in ids:
+        pct = 80 if langs[i] == "en" else 50
+        assert i % 100 < pct

@@ -2055,6 +2055,50 @@ FROM documents GROUP BY source
 """
 
 
+def q_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling schedule (the decode-free half of the
+    multimodal video pipeline): deterministic per-video duration/fps
+    derive from doc_id, the plan samples every second capped at 32
+    frames with uniform re-striding - all exact integer arithmetic, so
+    the oracle hash-matches including the frame-index digest."""
+    from .sources import multimodal as MM
+
+    docs = read_table(spark, sf, "documents")
+    vids = MM.synth_video_meta(docs)
+    return MM.frame_sample_plan(vids, every_ms=1000, max_frames=32)
+
+
+def sql_frame_plan() -> str:
+    return """
+WITH v AS (
+  SELECT doc_id AS video_id,
+         CAST(2000 + (doc_id * 37) % 58000 AS INT) AS duration_ms,
+         CAST(24 + (doc_id % 3) * 3 AS INT) AS fps
+  FROM documents
+),
+plan AS (
+  SELECT video_id, duration_ms, fps,
+         CAST(duration_ms AS BIGINT) * fps // 1000 AS n_frames,
+         duration_ms // 1000 + 1 AS want
+  FROM v
+),
+p2 AS (
+  SELECT video_id, n_frames,
+         CAST(LEAST(want, 32) AS BIGINT) AS n_samples,
+         CAST(CASE WHEN want <= 32 THEN 1000
+                   ELSE duration_ms // 31 END AS BIGINT) AS stride_ms,
+         fps
+  FROM plan
+)
+SELECT video_id, n_frames, n_samples, stride_ms,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(generate_series(0, CAST(n_samples - 1 AS BIGINT)),
+                        k -> (k * stride_ms * fps) // 1000)),
+         (a, x) -> a + x) AS frame_digest
+FROM p2
+"""
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS):
     char-level rolling hash per word -> k-gram rolling hash -> distinct
@@ -3876,6 +3920,7 @@ QUERIES = {
     "interpolate_cubic": q_interpolate_cubic,
     "domain_stats": q_domain_stats,
     "dedup_incremental": q_dedup_incremental,
+    "frame_plan": q_frame_plan,
     # -- round-1 flagship operators ---------------------------------------
     "spatial_semi_anti": q_spatial_semi_anti,
     "zonal_stats": q_zonal_stats,
@@ -4023,6 +4068,7 @@ ORACLES = {
     "interpolate_cubic": sql_interpolate_cubic(),
     "domain_stats": sql_domain_stats(),
     "dedup_incremental": sql_dedup_incremental(),
+    "frame_plan": sql_frame_plan(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

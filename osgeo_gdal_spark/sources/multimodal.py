@@ -125,3 +125,55 @@ def decode_resize_features(media: DataFrame, out=(16, 16), fake=False) -> DataFr
                 yield pd.DataFrame(rows)
 
     return media.mapInPandas(stage, FEATURE_SCHEMA)
+
+
+def synth_video_meta(docs: DataFrame) -> DataFrame:
+    """Deterministic VIDEO metadata derived from documents (the same
+    derivation pattern as the geocode): duration and fps are integer
+    functions of doc_id, so every frame-plan quantity is exact integer
+    arithmetic on both engines."""
+    return docs.select(
+        F.col("doc_id").alias("video_id"),
+        (F.lit(2000) + (F.col("doc_id") * 37) % 58000)
+        .cast("int").alias("duration_ms"),
+        (F.lit(24) + (F.col("doc_id") % 3) * 3).cast("int").alias("fps"),
+    )
+
+
+def frame_sample_plan(videos: DataFrame, every_ms: int = 1000,
+                      max_frames: int = 32) -> DataFrame:
+    """Frame-sampling schedule for video ingest — the decode-free half
+    of the video pipeline (the ffmpeg decode stays behind the stub; the
+    SCHEDULE is what the distributed planner owns): sample one frame
+    every ``every_ms`` capped at ``max_frames``, evenly re-strided when
+    the cap binds (the standard uniform-k fallback).
+
+    Per video: n_frames (total decoded frames available), n_samples,
+    stride_ms (actual spacing used), and an order-insensitive digest of
+    the sampled frame INDICES (sum) — all exact integers.
+    """
+    e = int(every_ms)
+    m = int(max_frames)
+    base = videos.select(
+        "video_id", "duration_ms", "fps",
+        F.expr("CAST(duration_ms AS BIGINT) * fps div 1000")
+        .alias("n_frames"),
+        F.expr(f"duration_ms div {e} + 1").alias("want"),
+    )
+    plan = base.select(
+        "video_id", "n_frames",
+        F.least(F.col("want"), F.lit(m)).alias("n_samples"),
+        F.when(F.col("want") <= m, F.lit(e)).otherwise(
+            F.expr(f"duration_ms div {m - 1}")
+        ).alias("stride_ms"),
+    )
+    # sampled frame index i = (k * stride_ms) * fps div 1000, k in
+    # [0, n_samples); digest = sum of indices
+    return plan.join(videos.select("video_id", "fps", "duration_ms"),
+                     "video_id").select(
+        "video_id", "n_frames", "n_samples", "stride_ms",
+        F.expr(
+            "aggregate(sequence(0, n_samples - 1), 0L, "
+            "(acc, k) -> acc + (k * stride_ms * fps) div 1000)"
+        ).alias("frame_digest"),
+    )

@@ -276,3 +276,27 @@ def test_st_distance_normalize_setprecision(spark):
     spg = W.parse_wkb(snapped)
     assert all(float(v) == round(float(v)) for v in spg.xs)
     assert W.polygon_area(spg) == 16.0
+
+
+def test_frame_sample_plan_semantics(spark):
+    """Hand-checked schedules: short video -> one frame per second;
+    long video -> capped at max_frames with uniform re-stride."""
+    from osgeo_gdal_spark.sources import multimodal as MM
+
+    vids = spark.createDataFrame(
+        [(1, 5000, 30),      # 5s @ 30fps -> 6 samples at 1000ms
+         (2, 120000, 24)],   # 120s -> capped at 32, stride 120000//31
+        "video_id LONG, duration_ms INT, fps INT",
+    )
+    out = {r["video_id"]: r
+           for r in MM.frame_sample_plan(vids, 1000, 32).collect()}
+    r1 = out[1]
+    assert r1["n_frames"] == 150 and r1["n_samples"] == 6
+    assert r1["stride_ms"] == 1000
+    # digest = sum of (k*1000*30)//1000 = 30 * (0+..+5)
+    assert r1["frame_digest"] == 30 * 15
+    r2 = out[2]
+    assert r2["n_samples"] == 32 and r2["stride_ms"] == 120000 // 31
+    assert r2["n_frames"] == 120000 * 24 // 1000
+    want = sum((k * r2["stride_ms"] * 24) // 1000 for k in range(32))
+    assert r2["frame_digest"] == want

@@ -3158,6 +3158,67 @@ FROM supplier
 """
 
 
+VIEWSHED_OBS = [(1, 150, 200), (2, 400, 100)]
+VIEWSHED_R = 60
+VIEWSHED_H = 50.0
+
+
+def q_viewshed(spark: SparkSession, sf: str) -> DataFrame:
+    """Viewshed (alg/viewshed/, exact per-ray profile variant): two
+    observers 50 px-units above the synthetic DEM, radius 60. Every
+    float op in the kernel mirrors the oracle's expression order
+    (left-associated bilinear, (k*dx)/n parameterization), so even
+    exact-tie pixels compare identically — full hash oracle over all
+    29k visibility booleans."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    return RO.viewshed(tiles, RASTER_ZOOM, VIEWSHED_OBS,
+                       VIEWSHED_R, VIEWSHED_H)
+
+
+def sql_viewshed() -> str:
+    z = RASTER_ZOOM
+
+    def v(x, y):
+        return f"CAST((({x}) * 7 + ({y}) * 11 + {z}) % 255 AS DOUBLE)"
+
+    fx = "(ox + (k * dx) / n)"
+    fy = "(oy + (k * dy) / n)"
+    x0 = f"CAST(FLOOR({fx}) AS BIGINT)"
+    y0 = f"CAST(FLOOR({fy}) AS BIGINT)"
+    ax = f"({fx} - FLOOR({fx}))"
+    ay = f"({fy} - FLOOR({fy}))"
+    bil = (
+        f"((CAST(1.0 AS DOUBLE) - {ax}) * (CAST(1.0 AS DOUBLE) - {ay})"
+        f" * {v(x0, y0)}"
+        f" + {ax} * (CAST(1.0 AS DOUBLE) - {ay}) * {v(f'{x0} + 1', y0)}"
+        f" + (CAST(1.0 AS DOUBLE) - {ax}) * {ay} * {v(x0, f'{y0} + 1')}"
+        f" + {ax} * {ay} * {v(f'{x0} + 1', f'{y0} + 1')})"
+    )
+    obs = ", ".join(f"({o}, {px}, {py})" for o, px, py in VIEWSHED_OBS)
+    r = VIEWSHED_R
+    return f"""
+WITH obs(obs_id, ox, oy) AS (VALUES {obs}),
+cells AS (
+  SELECT o.obs_id, o.ox, o.oy, dxs.i AS dx, dys.i AS dy,
+         GREATEST(ABS(dxs.i), ABS(dys.i)) AS n,
+         {v('o.ox', 'o.oy')} + CAST({VIEWSHED_H!r} AS DOUBLE) AS hobs
+  FROM obs o
+  CROSS JOIN (SELECT UNNEST(RANGE(-{r}, {r + 1})) AS i) dxs
+  CROSS JOIN (SELECT UNNEST(RANGE(-{r}, {r + 1})) AS i) dys
+)
+SELECT obs_id, ox + dx AS gpx, oy + dy AS gpy,
+       CASE WHEN n <= 1 THEN TRUE ELSE
+         ({v('ox + dx', 'oy + dy')} - hobs) / n >=
+         list_max(list_transform(generate_series(1, n - 1),
+                                 k -> ({bil} - hobs) / k))
+       END AS visible
+FROM cells
+"""
+
+
 # general-polygon fractional zonal fixtures, GLOBAL px coords (world =
 # 512 at RASTER_ZOOM): legs integer-aligned, hypotenuses 45-degree with
 # power-of-2 leg length -> every Sutherland-Hodgman clip vertex is
@@ -3919,6 +3980,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "dedup_incremental": q_dedup_incremental,
     "frame_plan": q_frame_plan,
+    "viewshed": q_viewshed,
     # rows-only by nature (stitch digest / recall-bounded): rotated
     # just past the window so the oracle-backed newcomers get hard
     # hash rows; both remain pytest-pinned and sweep-run
@@ -4072,6 +4134,7 @@ ORACLES = {
     "domain_stats": sql_domain_stats(),
     "dedup_incremental": sql_dedup_incremental(),
     "frame_plan": sql_frame_plan(),
+    "viewshed": sql_viewshed(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

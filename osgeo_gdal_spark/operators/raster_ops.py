@@ -1550,3 +1550,84 @@ def raster_zonal_frac_poly(tiles: DataFrame, zones, zoom: int) -> DataFrame:
         F.sum("wsum").alias("zn_wsum"),
         (F.sum("wsum") / F.sum("cov")).alias("zn_wmean"),
     )
+
+
+def viewshed(tiles: DataFrame, zoom: int, observers, radius: int,
+             obs_height: float) -> DataFrame:
+    """Viewshed over the tiled DEM (the reference's alg/viewshed/, here
+    with the EXACT per-ray profile — kernels/viewshed.py documents the
+    model and why it cross-reproduces bit-for-bit).
+
+    ``observers``: [(obs_id, px, py)] in global pixel coords. Each
+    observer gathers the tiles its (radius+1) chebyshev box overlaps
+    (the zonal cover-join shape), assembles its private window in ONE
+    task, and runs the ring-vectorized kernel — GDAL's viewshed is also
+    single-threaded per observer; the distributed win is parallelism
+    ACROSS observers (the many-tower / many-sensor workload), with
+    radius bounding the gather exactly like proximity's MAXDIST.
+
+    Returns (obs_id, gpx, gpy, visible).
+    """
+    spark = tiles.sparkSession
+    r1 = radius + 1
+    maxt = (1 << zoom) - 1
+
+    obs = spark.createDataFrame(
+        [(int(o), int(px), int(py)) for o, px, py in observers],
+        "obs_id LONG, opx LONG, opy LONG",
+    )
+    env = obs.select(
+        "obs_id", "opx", "opy",
+        F.expr(f"GREATEST(0, (opx - {r1}) div {TILE})").alias("tx0"),
+        F.expr(f"LEAST({maxt}, (opx + {r1}) div {TILE})").alias("tx1"),
+        F.expr(f"GREATEST(0, (opy - {r1}) div {TILE})").alias("ty0"),
+        F.expr(f"LEAST({maxt}, (opy + {r1}) div {TILE})").alias("ty1"),
+    )
+    cover = env.select(
+        "obs_id", "opx", "opy",
+        F.explode(F.expr("sequence(tx0, tx1)")).alias("gx"), "ty0", "ty1",
+    ).select("obs_id", "opx", "opy", "gx",
+             F.explode(F.expr("sequence(ty0, ty1)")).alias("gy"))
+
+    joined = cover.join(tiles, ["gx", "gy"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("obs_id", T.LongType()),
+            T.StructField("gpx", T.LongType()),
+            T.StructField("gpy", T.LongType()),
+            T.StructField("visible", T.BooleanType()),
+        ]
+    )
+    rad = int(radius)
+    hgt = float(obs_height)
+
+    def kernel(pdf):
+        import pandas as pd
+
+        from ..kernels import viewshed as VS
+
+        oid = int(pdf["obs_id"].iloc[0])
+        opx, opy = int(pdf["opx"].iloc[0]), int(pdf["opy"].iloc[0])
+        gxs = sorted(pdf["gx"].unique())
+        gys = sorted(pdf["gy"].unique())
+        win = np.zeros((len(gys) * TILE, len(gxs) * TILE))
+        for _, row in pdf.iterrows():
+            arr = parse_tile(row).astype(np.float64)
+            iy = gys.index(row["gy"])
+            ix = gxs.index(row["gx"])
+            win[iy * TILE:(iy + 1) * TILE, ix * TILE:(ix + 1) * TILE] = arr
+        x0, y0 = gxs[0] * TILE, gys[0] * TILE
+        vis = VS.viewshed_window(win, opx - x0, opy - y0, rad, hgt)
+        size = 2 * rad + 1
+        yy, xx = np.mgrid[0:size, 0:size]
+        return pd.DataFrame(
+            {
+                "obs_id": oid,
+                "gpx": (opx - rad + xx.ravel()).astype(np.int64),
+                "gpy": (opy - rad + yy.ravel()).astype(np.int64),
+                "visible": vis.ravel(),
+            }
+        )
+
+    return joined.groupBy("obs_id").applyInPandas(kernel, out_schema)

@@ -630,3 +630,63 @@ def test_zonal_frac_poly_spans_tile_seams(spark, tiles):
     full = ((gpx[None, :] * 7 + gpx[:, None] * 11 + 1) % 255).astype(np.float64)
     assert r["zn_wsum"] == (w * full).sum()
     assert r["zn_wmean"] == (w * full).sum() / w.sum()
+
+
+def test_viewshed_kernel_matches_brute_force():
+    """Ring-vectorized kernel == plain-python brute force of the same
+    model on random rough terrain, plus the wall sanity check."""
+    from osgeo_gdal_spark.kernels import viewshed as VS
+
+    rng = np.random.default_rng(3)
+    dem = rng.uniform(0, 100, (61, 61))
+
+    def brute(dem, ox, oy, R, H):
+        hobs = dem[oy, ox] + H
+        out = np.zeros((2 * R + 1, 2 * R + 1), bool)
+        for dy in range(-R, R + 1):
+            for dx in range(-R, R + 1):
+                n = max(abs(dx), abs(dy))
+                if n <= 1:
+                    out[dy + R, dx + R] = True
+                    continue
+                ta = (dem[oy + dy, ox + dx] - hobs) / n
+                mx = -1e18
+                for k in range(1, n):
+                    fx = ox + (k * dx) / n
+                    fy = oy + (k * dy) / n
+                    x0, y0 = int(np.floor(fx)), int(np.floor(fy))
+                    ax, ay = fx - x0, fy - y0
+                    v = ((1 - ax) * (1 - ay) * dem[y0, x0]
+                         + ax * (1 - ay) * dem[y0, x0 + 1]
+                         + (1 - ax) * ay * dem[y0 + 1, x0]
+                         + ax * ay * dem[y0 + 1, x0 + 1])
+                    mx = max(mx, (v - hobs) / k)
+                out[dy + R, dx + R] = ta >= mx
+        return out
+
+    got = VS.viewshed_window(dem, 30, 30, 20, 10.0)
+    assert np.array_equal(got, brute(dem, 30, 30, 20, 10.0))
+
+    wall = np.zeros((61, 61))
+    wall[:, 40] = 1000.0
+    v2 = VS.viewshed_window(wall, 30, 30, 20, 5.0)
+    assert not v2[20, 35]      # behind the wall (dx=+15 -> col 45)
+    assert v2[20, 5]           # open west side
+
+
+def test_viewshed_operator_cross_tile_seam(spark, tiles):
+    """Operator output across a tile seam equals the kernel run on the
+    assembled full-world DEM."""
+    from osgeo_gdal_spark.kernels import viewshed as VS
+
+    world = 512
+    gpx = np.arange(world)
+    dem = ((gpx[None, :] * 7 + gpx[:, None] * 11 + 1) % 255) \
+        .astype(np.float64)
+    obs, R, H = (7, 250, 250), 20, 30.0   # window spans all 4 tiles
+    out = RO.viewshed(tiles, 1, [obs], R, H)
+    got = {(r["gpx"], r["gpy"]): r["visible"] for r in out.collect()}
+    want = VS.viewshed_window(dem, obs[1], obs[2], R, H)
+    assert len(got) == (2 * R + 1) ** 2
+    for (px, py), g in got.items():
+        assert g == bool(want[py - obs[2] + R, px - obs[1] + R])

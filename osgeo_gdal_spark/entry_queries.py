@@ -3942,7 +3942,6 @@ QUERIES = {
     "spatial_join_polygons": q_spatial_join_polygons,
     "warp_downscale_avg": q_warp_downscale_avg,
     "mosaic_overlay": q_mosaic_overlay,
-    "embedding_ann_ivf": q_embedding_ann_ivf,
     "dedup_near_groups": q_dedup_near_groups,
     "focal_mean5": q_focal_mean5,
     # -- round-3 operators (inserted here as they land) -------------------
@@ -3981,6 +3980,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "frame_plan": q_frame_plan,
     "viewshed": q_viewshed,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
     # rows-only by nature (stitch digest / recall-bounded): rotated
     # just past the window so the oracle-backed newcomers get hard
     # hash rows; both remain pytest-pinned and sweep-run

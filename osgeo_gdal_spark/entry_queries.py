@@ -3158,6 +3158,152 @@ FROM supplier
 """
 
 
+# --- georeferencing transformer tier (gdal_crs / gdal_rpc / TPS) --------
+# Fits run at import over tiny control sets (pure python, deterministic
+# Gaussian elimination); the fitted coefficients embed as repr literals
+# in BOTH engines' apply expressions, so parity holds by construction.
+
+def _gcp_fixture():
+    def fu(x, y):
+        return 12.5 + 0.75 * x - 0.5 * y + 0.02 * x * y \
+            + 0.001 * x * x - 0.002 * y * y
+
+    def fv(x, y):
+        return -3.0 + 0.25 * x + 1.5 * y - 0.01 * x * y + 0.0005 * y * y
+
+    pts = [(x, y) for x in (-150.0, -60.0, 10.0, 90.0, 170.0)
+           for y in (-70.0, -20.0, 30.0, 75.0)]
+    return [(x, y, fu(x, y), fv(x, y)) for x, y in pts]
+
+
+def _tps_fixture():
+    return [
+        (-120.0, -40.0, 10.0, 5.0), (-40.0, 60.0, -8.0, 12.0),
+        (0.0, 0.0, 1.0, -1.0), (60.0, -60.0, 14.0, 3.0),
+        (130.0, 30.0, -5.0, -9.0), (170.0, 80.0, 2.0, 6.0),
+    ]
+
+
+from .kernels import georef as _GEOREF  # noqa: E402
+
+GCP_COEFFS = _GEOREF.fit_gcp_polynomial(_gcp_fixture(), order=2)
+TPS_CONTROLS = _tps_fixture()
+TPS_PARAMS = _GEOREF.fit_tps(TPS_CONTROLS)
+
+RPC = {
+    "LONG_OFF": 0.0, "LONG_SCALE": 180.0,
+    "LAT_OFF": 0.0, "LAT_SCALE": 90.0,
+    "HEIGHT_OFF": 0.0, "HEIGHT_SCALE": 1000.0,
+    "SAMP_OFF": 2048.0, "SAMP_SCALE": 2048.0,
+    "LINE_OFF": 1024.0, "LINE_SCALE": 1024.0,
+    "SAMP_NUM": [0.01, 1.002, -0.003, 0.0005, 0.0002, -0.0001, 0.0003,
+                 0.00005, -0.00002, 0.0] + [0.0] * 10,
+    "SAMP_DEN": [1.0, 0.0001, -0.0002, 0.00005] + [0.0] * 16,
+    "LINE_NUM": [-0.02, 0.004, 0.998, -0.0004, -0.0001, 0.0002, -0.0003,
+                 0.00003, 0.00006, 0.0] + [0.0] * 10,
+    "LINE_DEN": [1.0, -0.00015, 0.00025, -0.00004] + [0.0] * 16,
+}
+
+_H_SQL = "CAST((doc_id % 100) - 50 AS DOUBLE)"   # synthetic height (m)
+
+
+def q_gcp_polynomial(spark: SparkSession, sf: str) -> DataFrame:
+    """GCP order-2 polynomial transformer (GDALCreateGCPTransformer,
+    alg/gdal_crs.cpp:327): least-squares fit over 20 control points
+    driver-side (deterministic Gaussian elimination), native-SQL apply
+    to every page coordinate."""
+    pages = PG.pages_df(spark, sf)
+    cu, cv = GCP_COEFFS
+    return pages.select(
+        "doc_id",
+        F.expr(G.poly_apply_sql("lon", "lat", cu, G.SPARK)).alias("u"),
+        F.expr(G.poly_apply_sql("lon", "lat", cv, G.SPARK)).alias("v"),
+    )
+
+
+def sql_gcp_polynomial() -> str:
+    cu, cv = GCP_COEFFS
+    return f"""
+WITH pages AS ({PAGES_CTE})
+SELECT doc_id,
+       {G.poly_apply_sql('lon', 'lat', cu, G.DUCKDB)} AS u,
+       {G.poly_apply_sql('lon', 'lat', cv, G.DUCKDB)} AS v
+FROM pages
+"""
+
+
+def _rpc_exprs(dialect):
+    L = f"((lon - {G.D(RPC['LONG_OFF'])}) / {G.D(RPC['LONG_SCALE'])})"
+    P = f"((lat - {G.D(RPC['LAT_OFF'])}) / {G.D(RPC['LAT_SCALE'])})"
+    H = f"(({_H_SQL} - {G.D(RPC['HEIGHT_OFF'])}) / {G.D(RPC['HEIGHT_SCALE'])})"
+    samp = (
+        f"({G.rpc_poly_sql(L, P, H, RPC['SAMP_NUM'], dialect)}"
+        f" / {G.rpc_poly_sql(L, P, H, RPC['SAMP_DEN'], dialect)})"
+        f" * {G.D(RPC['SAMP_SCALE'])} + {G.D(RPC['SAMP_OFF'])} + {G.D(0.5)}"
+    )
+    line = (
+        f"({G.rpc_poly_sql(L, P, H, RPC['LINE_NUM'], dialect)}"
+        f" / {G.rpc_poly_sql(L, P, H, RPC['LINE_DEN'], dialect)})"
+        f" * {G.D(RPC['LINE_SCALE'])} + {G.D(RPC['LINE_OFF'])} + {G.D(0.5)}"
+    )
+    return samp, line
+
+
+def q_rpc_project(spark: SparkSession, sf: str) -> DataFrame:
+    """RPC transformer apply (GDALCreateRPCTransformer, alg/
+    gdal_rpc.cpp): the RPC00B 20-term cubic rational in the reference's
+    exact term order, offset/scale normalization and the
+    num/den * SCALE + OFF + 0.5 pixel convention (:460-467). Heights
+    derive from doc_id."""
+    pages = PG.pages_df(spark, sf)
+    samp, line = _rpc_exprs(G.SPARK)
+    return pages.select(
+        "doc_id",
+        F.expr(samp).alias("sample"),
+        F.expr(line).alias("line"),
+    )
+
+
+def sql_rpc_project() -> str:
+    samp, line = _rpc_exprs(G.DUCKDB)
+    return f"""
+WITH pages AS ({PAGES_CTE})
+SELECT doc_id, {samp} AS sample, {line} AS line
+FROM pages
+"""
+
+
+def q_tps_warp(spark: SparkSession, sf: str) -> DataFrame:
+    """Thin-plate-spline transformer (GDALCreateTPSTransformer, alg/
+    thinplatespline.cpp): 6 control points fitted driver-side (TPS
+    interpolates them exactly — pytest-pinned), radial
+    r^2 ln(r^2) apply in native SQL. Java Math.log and DuckDB libm
+    differ by 1 ulp on ~4% of inputs, so both sides round(9) — the
+    interpolate_at_point discipline."""
+    pages = PG.pages_df(spark, sf)
+    pu, pv = TPS_PARAMS
+    return pages.select(
+        "doc_id",
+        F.round(F.expr(
+            G.tps_apply_sql("lon", "lat", pu, TPS_CONTROLS, G.SPARK)
+        ), 9).alias("u"),
+        F.round(F.expr(
+            G.tps_apply_sql("lon", "lat", pv, TPS_CONTROLS, G.SPARK)
+        ), 9).alias("v"),
+    )
+
+
+def sql_tps_warp() -> str:
+    pu, pv = TPS_PARAMS
+    return f"""
+WITH pages AS ({PAGES_CTE})
+SELECT doc_id,
+       ROUND({G.tps_apply_sql('lon', 'lat', pu, TPS_CONTROLS, G.DUCKDB)}, 9) AS u,
+       ROUND({G.tps_apply_sql('lon', 'lat', pv, TPS_CONTROLS, G.DUCKDB)}, 9) AS v
+FROM pages
+"""
+
+
 VIEWSHED_OBS = [(1, 150, 200), (2, 400, 100)]
 VIEWSHED_R = 60
 VIEWSHED_H = 50.0
@@ -3980,6 +4126,9 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "frame_plan": q_frame_plan,
     "viewshed": q_viewshed,
+    "gcp_polynomial": q_gcp_polynomial,
+    "rpc_project": q_rpc_project,
+    "tps_warp": q_tps_warp,
     "embedding_ann_ivf": q_embedding_ann_ivf,
     # rows-only by nature (stitch digest / recall-bounded): rotated
     # just past the window so the oracle-backed newcomers get hard
@@ -4135,6 +4284,9 @@ ORACLES = {
     "dedup_incremental": sql_dedup_incremental(),
     "frame_plan": sql_frame_plan(),
     "viewshed": sql_viewshed(),
+    "gcp_polynomial": sql_gcp_polynomial(),
+    "rpc_project": sql_rpc_project(),
+    "tps_warp": sql_tps_warp(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -36,9 +36,13 @@ def cast_str(expr: str, dialect: str) -> str:
 
 
 def D(x) -> str:
-    """Float literal forced to DOUBLE — Spark parses bare float literals as
-    DECIMAL while DuckDB uses DOUBLE; CAST pins both (constant-folded)."""
-    return f"CAST({x!r} AS DOUBLE)"
+    """Float literal forced to DOUBLE via a QUOTED string: bare numeric
+    literals parse as DECIMAL in both engines, and DuckDB's
+    decimal->double conversion loses the last ulp on 17-significant-
+    digit constants (observed on fitted GCP coefficients:
+    12.499999999999973 arrived as ...972). String->double parsing is
+    correctly rounded in both engines; CAST constant-folds either way."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 # --- deterministic geocode (pages are geocoded from doc_id) ---------------
 # Pure int64 arithmetic; 5% of docs (doc_id % 20 = 0) land in a hot cell
@@ -264,3 +268,62 @@ def cubic_w_sql(t: str) -> str:
         f"((({D(-0.5)} * {a} + {D(2.5)}) * {a} - {D(4.0)}) * {a} "
         f"+ {D(2.0)}) ELSE {D(0.0)} END)"
     )
+
+
+# --- georeferencing transform application (kernels/georef.py fits) -------
+#
+# The fit runs driver-side over the (tiny) control set; these fragments
+# apply the fitted transform to the billion-row side natively, with the
+# coefficient DOUBLES embedded as repr literals in BOTH engines so the
+# outputs are bit-identical (left-to-right sum order throughout).
+
+
+def _fold_sum(terms, dialect: str) -> str:
+    """Reassociation-proof left-to-right sum: Spark's
+    ReorderAssociativeOperator regroups plain ``a + b + c`` chains
+    around foldable literals (1-ulp drift vs DuckDB), so the sum is an
+    explicit sequential lambda fold on BOTH engines — the optimizer
+    cannot reorder through a lambda."""
+    body = ", ".join(terms)
+    if dialect == SPARK:
+        return (f"aggregate(array({body}), {D(0.0)}, "
+                f"(acc, t) -> acc + t)")
+    return (f"list_reduce(list_prepend({D(0.0)}, [{body}]), "
+            f"(acc, t) -> acc + t)")
+
+
+def poly_apply_sql(x: str, y: str, coeffs, dialect: str) -> str:
+    """gdal_crs polynomial basis order: 1, x, y [, x*y, x*x, y*y]."""
+    terms = ["1", f"{x}", f"{y}", f"{x} * {y}", f"{x} * {x}", f"{y} * {y}"]
+    parts = [f"{D(float(c))} * ({t})" for c, t in zip(coeffs, terms)]
+    return _fold_sum(parts, dialect)
+
+
+def rpc_poly_sql(L: str, P: str, H: str, coef, dialect: str) -> str:
+    """RPC00B 20-term basis in the reference order
+    (gdal_rpc.cpp:196-219), sequential fold."""
+    t = [
+        "1", L, P, H, f"{L}*{P}", f"{L}*{H}", f"{P}*{H}", f"{L}*{L}",
+        f"{P}*{P}", f"{H}*{H}", f"{L}*{P}*{H}", f"{L}*{L}*{L}",
+        f"{L}*{P}*{P}", f"{L}*{H}*{H}", f"{L}*{L}*{P}", f"{P}*{P}*{P}",
+        f"{P}*{H}*{H}", f"{L}*{L}*{H}", f"{P}*{P}*{H}", f"{H}*{H}*{H}",
+    ]
+    parts = [f"{D(float(c))} * ({ti})" for c, ti in zip(coef, t)
+             if float(c) != 0.0]
+    return _fold_sum(parts or [D(0.0)], dialect)
+
+
+def tps_apply_sql(x: str, y: str, params, controls, dialect: str) -> str:
+    """TPS evaluation: a0 + a1 x + a2 y + sum w_i r2_i ln(r2_i); LN is
+    the same libm-parity class as the mercator fragments."""
+    parts = [f"{D(float(params[0]))}",
+             f"{D(float(params[1]))} * ({x})",
+             f"{D(float(params[2]))} * ({y})"]
+    for (cx, cy, _u, _v), w in zip(controls, params[3:]):
+        r2 = (f"(({x} - {D(float(cx))}) * ({x} - {D(float(cx))})"
+              f" + ({y} - {D(float(cy))}) * ({y} - {D(float(cy))}))")
+        parts.append(
+            f"CASE WHEN {r2} > {D(0.0)} THEN "
+            f"{D(float(w))} * ({r2} * LN({r2})) ELSE {D(0.0)} END"
+        )
+    return _fold_sum(parts, dialect)

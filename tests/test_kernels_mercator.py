@@ -259,3 +259,60 @@ def test_helmert_zero_params_is_identity():
     lo2, la2, _ = TR.datum_shift(lon, lat, (0, 0, 0, 0, 0, 0, 0))
     np.testing.assert_allclose(lo2, lon, atol=1e-11)
     np.testing.assert_allclose(la2, lat, atol=1e-11)
+
+
+def test_gcp_fit_recovers_exact_polynomials():
+    """gdal_crs-style least squares: GCPs sampled from an exact
+    quadratic recover its coefficients; order-1 recovers an affine."""
+    import numpy as np
+
+    from osgeo_gdal_spark.kernels import georef as GR
+
+    def f(x, y):
+        return 2.0 + 0.5 * x - 1.25 * y + 0.125 * x * y \
+            + 0.0625 * x * x - 0.25 * y * y
+
+    def g(x, y):
+        return -1.0 + 0.75 * x + 2.0 * y - 0.0625 * x * y + 0.125 * y * y
+
+    gcps = [(x, y, f(x, y), g(x, y))
+            for x in (0, 3, 7, 10) for y in (1, 4, 9)]
+    cu, cv = GR.fit_gcp_polynomial(gcps, order=2)
+    assert np.allclose(cu, [2.0, 0.5, -1.25, 0.125, 0.0625, -0.25],
+                       atol=1e-9)
+    assert np.allclose(cv, [-1.0, 0.75, 2.0, -0.0625, 0.0, 0.125],
+                       atol=1e-9)
+
+    gc1 = [(x, y, 1 + 2 * x - y, 3 - x + 4 * y)
+           for x, y in [(0, 0), (5, 1), (2, 8), (7, 3)]]
+    au, av = GR.fit_gcp_polynomial(gc1, order=1)
+    assert np.allclose(au, [1, 2, -1]) and np.allclose(av, [3, -1, 4])
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        GR.fit_gcp_polynomial(gc1[:2], order=1)   # too few GCPs
+
+
+def test_tps_interpolates_controls_and_rpc_terms():
+    import numpy as np
+
+    from osgeo_gdal_spark.kernels import georef as GR
+
+    rng = np.random.default_rng(5)
+    ctr = [(float(x), float(y), float(u), float(v))
+           for x, y, u, v in rng.uniform(0, 10, (7, 4))]
+    pu, pv = GR.fit_tps(ctr)
+    for cx, cy, u, v in ctr:
+        assert abs(GR.tps_apply(pu, ctr, cx, cy) - u) < 1e-8
+        assert abs(GR.tps_apply(pv, ctr, cx, cy) - v) < 1e-8
+
+    # RPC basis: unit coefficient picks out exactly its term
+    base = [0.0] * 20
+    L, P, H = 0.5, 0.25, -0.125
+    vals = [1.0, L, P, H, L * P, L * H, P * H, L * L, P * P, H * H,
+            L * P * H, L ** 3, L * P * P, L * H * H, L * L * P, P ** 3,
+            P * H * H, L * L * H, P * P * H, H ** 3]
+    for i, want in enumerate(vals):
+        c = list(base)
+        c[i] = 1.0
+        assert GR.rpc_eval(c, L, P, H) == want

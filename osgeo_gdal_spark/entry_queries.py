@@ -4088,7 +4088,6 @@ QUERIES = {
     "spatial_join_polygons": q_spatial_join_polygons,
     "warp_downscale_avg": q_warp_downscale_avg,
     "mosaic_overlay": q_mosaic_overlay,
-    "dedup_near_groups": q_dedup_near_groups,
     "focal_mean5": q_focal_mean5,
     # -- round-3 operators (inserted here as they land) -------------------
     "overlay_intersection": q_overlay_intersection,
@@ -4111,7 +4110,6 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "top_term": q_top_term,
     "raster_pyramid_cubic": q_raster_pyramid_cubic,
-    "raster_pyramid_bilinear": q_raster_pyramid_bilinear,
     "zonal_frac_poly": q_zonal_frac_poly,
     "make_valid": q_make_valid,
     "hex_density": q_hex_density,
@@ -4120,7 +4118,6 @@ QUERIES = {
     "hex_raster_rollup": q_hex_raster_rollup,
     "overlay_symdiff": q_overlay_symdiff,
     "grid_metric_range": q_grid_metric_range,
-    "grid_avg_distance": q_grid_avg_distance,
     "interpolate_cubic": q_interpolate_cubic,
     "domain_stats": q_domain_stats,
     "dedup_incremental": q_dedup_incremental,
@@ -4129,6 +4126,11 @@ QUERIES = {
     "gcp_polynomial": q_gcp_polynomial,
     "rpc_project": q_rpc_project,
     "tps_warp": q_tps_warp,
+    # displaced family-siblings (machinery still gated via cubic /
+    # metric_range / the near-dup pipeline pytests + full sweep)
+    "dedup_near_groups": q_dedup_near_groups,
+    "raster_pyramid_bilinear": q_raster_pyramid_bilinear,
+    "grid_avg_distance": q_grid_avg_distance,
     "embedding_ann_ivf": q_embedding_ann_ivf,
     # rows-only by nature (stitch digest / recall-bounded): rotated
     # just past the window so the oracle-backed newcomers get hard

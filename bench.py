@@ -65,6 +65,9 @@ HEADLINE = [
     "pack_sequences",
     "embedding_quantize",
     "domain_stats",
+    "viewshed",
+    "gcp_polynomial",
+    "rpc_project",
 ]
 
 

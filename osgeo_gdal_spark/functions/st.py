@@ -432,6 +432,73 @@ def _set_precision_grid1(geoms):
     return out
 
 
+def _segmentize_max1(geoms):
+    """ST_Segmentize with max edge length 1.0 (OGRGeometry::segmentize,
+    ogrgeometry.cpp / ogr2ogr's -segmentize): insert evenly-spaced
+    vertices so no edge exceeds the maximum — geometry unchanged as a
+    point set, denser as a vertex set (the pre-reprojection densify
+    step)."""
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type not in ("Polygon", "LineString"):
+            out.append(bytes(g))
+            continue
+        rings = []
+        for r in range(len(pg.ring_offsets) - 1):
+            s, e = pg.ring_offsets[r], pg.ring_offsets[r + 1]
+            pts = list(zip(pg.xs[s:e].tolist(), pg.ys[s:e].tolist()))
+            dense = []
+            for i in range(len(pts) - 1):
+                (x0, y0), (x1, y1) = pts[i], pts[i + 1]
+                dense.append((x0, y0))
+                d = float(np.hypot(x1 - x0, y1 - y0))
+                n = int(np.ceil(d / 1.0))
+                for k in range(1, n):
+                    t = k / n
+                    dense.append((x0 + t * (x1 - x0), y0 + t * (y1 - y0)))
+            dense.append(pts[-1])
+            rings.append(dense)
+        if pg.geom_type == "LineString":
+            out.append(W.linestring_wkb(rings[0]))
+        else:
+            out.append(W.polygon_wkb(rings))
+    return out
+
+
+def _dump_parts(geoms):
+    """ST_Dump / ogr2ogr -explodecollections: MultiPolygon -> array of
+    its part-polygon WKBs (explode the array for one row per part);
+    single geometries dump to a one-element array."""
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type != "MultiPolygon":
+            out.append([bytes(g)])
+            continue
+        parts = []
+        ring_idx = 0
+        for nr in pg.part_rings:
+            rings = []
+            for _ in range(nr):
+                s, e = (pg.ring_offsets[ring_idx],
+                        pg.ring_offsets[ring_idx + 1])
+                rings.append(list(zip(pg.xs[s:e].tolist(),
+                                      pg.ys[s:e].tolist())))
+                ring_idx += 1
+            parts.append(W.polygon_wkb(rings))
+        out.append(parts)
+    return out
+
+
+st_segmentize = _series_udf(_segmentize_max1, T.BinaryType())
+st_dump = _series_udf(_dump_parts, T.ArrayType(T.BinaryType()))
 st_normalize = _series_udf(_normalized, T.BinaryType())
 st_setprecision = _series_udf(_set_precision_grid1, T.BinaryType())
 st_geodesic_area = _series_udf(_geodesic_areas, T.DoubleType())
@@ -620,6 +687,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_Distance", st_distance)
     spark.udf.register("ST_Normalize", st_normalize)
     spark.udf.register("ST_SetPrecision", st_setprecision)
+    spark.udf.register("ST_Segmentize", st_segmentize)
+    spark.udf.register("ST_Dump", st_dump)
 
 
 @F.pandas_udf(T.BinaryType())

@@ -300,3 +300,38 @@ def test_frame_sample_plan_semantics(spark):
     assert r2["n_frames"] == 120000 * 24 // 1000
     want = sum((k * r2["stride_ms"] * 24) // 1000 for k in range(32))
     assert r2["frame_digest"] == want
+
+
+def test_st_segmentize_and_dump(spark):
+    from osgeo_gdal_spark.functions import st as ST
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    # 3x4 rect, max edge 1.0 -> every edge split into unit steps;
+    # area and perimeter unchanged
+    sq = W.polygon_wkb([[(0.0, 0.0), (3.0, 0.0), (3.0, 4.0), (0.0, 4.0)]])
+    ln = W.linestring_wkb([(0.0, 0.0), (2.5, 0.0)])
+    mp = W.multipolygon_wkb(
+        [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]],
+         [[(5.0, 5.0), (8.0, 5.0), (8.0, 9.0), (5.0, 9.0)]]])
+    df = spark.createDataFrame(
+        [(1, bytearray(sq)), (2, bytearray(ln)), (3, bytearray(mp))],
+        "id LONG, g BINARY")
+    seg = {r["id"]: bytes(r["s"]) for r in df.select(
+        "id", ST.st_segmentize(F.col("g")).alias("s")).collect()}
+    pg = W.parse_wkb(seg[1])
+    # 14-length perimeter at unit spacing -> 14 distinct vertices
+    assert len(pg.xs) == 15           # closed ring repeats the first
+    assert W.polygon_area(pg) == 12.0
+    lg = W.parse_wkb(seg[2])
+    assert len(lg.xs) == 4            # 0, 0.833.., 1.666.., 2.5
+    assert lg.xs[-1] == 2.5
+
+    dumped = df.select(
+        "id", F.explode(ST.st_dump(F.col("g"))).alias("part")).collect()
+    by_id = {}
+    for r in dumped:
+        by_id.setdefault(r["id"], []).append(bytes(r["part"]))
+    assert len(by_id[3]) == 2
+    areas = sorted(W.polygon_area(W.parse_wkb(p)) for p in by_id[3])
+    assert areas == [1.0, 12.0]
+    assert len(by_id[1]) == 1 and by_id[1][0] == sq

@@ -27,11 +27,15 @@ from .wkb import PackedGeometry
 
 
 def _proper_crossing(ax, ay, bx, by, cx, cy, dx, dy):
-    """Strict-interior intersection of segments AB and CD, or None."""
+    """Strict-interior intersection of segments AB and CD, or None.
+    Near-parallel pairs are rejected with a RELATIVE epsilon: noding
+    splits an edge into collinear sub-edges whose cross product is
+    ~1e-16 instead of 0, and dividing by that tiny denominator invents
+    a mid-segment 'crossing' out of rounding noise."""
     rx, ry = bx - ax, by - ay
     sx, sy = dx - cx, dy - cy
     den = rx * sy - ry * sx
-    if den == 0.0:
+    if den * den <= 1.0e-24 * (rx * rx + ry * ry) * (sx * sx + sy * sy):
         return None
     tx, ty = cx - ax, cy - ay
     t = (tx * sy - ty * sx) / den
@@ -175,11 +179,21 @@ def _loops_overlap(loops):
             bxs, bys = closed[b]
             for i in range(len(axs) - 1):
                 for j in range(len(bxs) - 1):
-                    if _proper_crossing(
+                    hit = _proper_crossing(
                         axs[i], ays[i], axs[i + 1], ays[i + 1],
                         bxs[j], bys[j], bxs[j + 1], bys[j + 1],
-                    ) is not None:
-                        return True
+                    )
+                    # margin: loops legitimately SHARE their crossing
+                    # nodes; when a node has non-dyadic coords the
+                    # incident-edge intersection parameters wobble to
+                    # 1 - 1ulp and would read as proper crossings. A
+                    # true overlap this shallow is caught by the
+                    # midpoint probe below instead.
+                    if hit is not None:
+                        _px, _py, t, u = hit
+                        eps = 1e-9
+                        if eps < t < 1 - eps and eps < u < 1 - eps:
+                            return True
             if bool(points_in_ring(amx, amy, bxs, bys).any()):
                 return True
     return False

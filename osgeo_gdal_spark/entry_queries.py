@@ -2778,6 +2778,82 @@ FROM (
 FOCAL_WIN = (200, 312, 200, 312)  # spans the z1 tile border at 256
 
 
+def q_color_relief(spark: SparkSession, sf: str) -> DataFrame:
+    """gdaldem color-relief (GDALColorRelief, apps/gdaldem_lib.cpp):
+    piecewise-linear ramp to (r, g, b), pure native SQL per pixel over
+    the probe window; the channel expressions come from sqlgen so the
+    oracle embeds the identical text."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    rgb = RO.color_relief(tiles)
+    x0, x1, y0, y1 = CALC_WIN
+    return rgb.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    )
+
+
+def sql_color_relief() -> str:
+    from .operators.raster_ops import DEM_RAMP
+
+    x0, x1, y0, y1 = CALC_WIN
+    v = f"CAST(((gpx * 7 + gpy * 11 + {RASTER_ZOOM}) % 255) AS DOUBLE)"
+    return f"""
+WITH cells AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+)
+SELECT gpx, gpy,
+       {G.color_relief_sql(v, DEM_RAMP, 0)} AS r,
+       {G.color_relief_sql(v, DEM_RAMP, 1)} AS g,
+       {G.color_relief_sql(v, DEM_RAMP, 2)} AS b
+FROM cells
+"""
+
+
+def q_slope_pct_zt(spark: SparkSession, sf: str) -> DataFrame:
+    """Slope via the Zevenbergen-Thorne gradient in percent (gdaldem
+    slope -alg ZevenbergenThorne -p, gdaldem_lib.cpp): the 2-point
+    central differences need only +,-,*,/,sqrt — IEEE-exact, so unlike
+    the Horn-degrees form (libm atan) this variant has a full hash
+    oracle; the halo exchange is inside the probe window."""
+    from .operators import focal as FO, raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = FO.focal_dem(tiles, RASTER_ZOOM, "slope_pct_zt")
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = FOCAL_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", "value")
+
+
+def sql_slope_pct_zt() -> str:
+    x0, x1, y0, y1 = FOCAL_WIN
+    g = "CAST((((%s) * 7 + (%s) * 11 + 1) %% 255) AS DOUBLE)"
+    f_ = g % ("(gpx + 1)", "gpy")
+    d = g % ("(gpx - 1)", "gpy")
+    h = g % ("gpx", "(gpy + 1)")
+    b = g % ("gpx", "(gpy - 1)")
+    zx = f"(({f_} - {d}) / {G.D(2.0)})"
+    zy = f"(({h} - {b}) / {G.D(2.0)})"
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+)
+SELECT gpx, gpy,
+       SQRT({zx} * {zx} + {zy} * {zy}) * {G.D(100.0)} AS value
+FROM dst
+"""
+
+
 def q_focal_tpi(spark: SparkSession, sf: str) -> DataFrame:
     """TPI focal stencil (gdaldem TPI: center minus 8-neighbor mean) over
     a probe window that SPANS a tile border — the oracle recomputes the
@@ -4081,14 +4157,12 @@ QUERIES = {
     "grid_nearest": q_grid_nearest,
     "fillnodata_checksums": q_fillnodata,
     "raster_pyramid_mode": q_raster_pyramid_mode,
-    "raster_pyramid_rms": q_raster_pyramid_rms,
     "raster_zonal_full": q_raster_zonal_full,
     "polygonize_rings": q_polygonize_rings,
     "clip_rect": q_clip_rect,
     "spatial_join_polygons": q_spatial_join_polygons,
     "warp_downscale_avg": q_warp_downscale_avg,
     "mosaic_overlay": q_mosaic_overlay,
-    "focal_mean5": q_focal_mean5,
     # -- round-3 operators (inserted here as they land) -------------------
     "overlay_intersection": q_overlay_intersection,
     "overlay_union": q_overlay_union,
@@ -4126,9 +4200,13 @@ QUERIES = {
     "gcp_polynomial": q_gcp_polynomial,
     "rpc_project": q_rpc_project,
     "tps_warp": q_tps_warp,
+    "color_relief": q_color_relief,
+    "slope_pct_zt": q_slope_pct_zt,
     # displaced family-siblings (machinery still gated via cubic /
     # metric_range / the near-dup pipeline pytests + full sweep)
     "dedup_near_groups": q_dedup_near_groups,
+    "raster_pyramid_rms": q_raster_pyramid_rms,
+    "focal_mean5": q_focal_mean5,
     "raster_pyramid_bilinear": q_raster_pyramid_bilinear,
     "grid_avg_distance": q_grid_avg_distance,
     "embedding_ann_ivf": q_embedding_ann_ivf,
@@ -4289,6 +4367,8 @@ ORACLES = {
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),
     "tps_warp": sql_tps_warp(),
+    "color_relief": sql_color_relief(),
+    "slope_pct_zt": sql_slope_pct_zt(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -327,3 +327,25 @@ def tps_apply_sql(x: str, y: str, params, controls, dialect: str) -> str:
             f"{D(float(w))} * ({r2} * LN({r2})) ELSE {D(0.0)} END"
         )
     return _fold_sum(parts, dialect)
+
+
+def color_relief_sql(value: str, ramp, channel: int) -> str:
+    """gdaldem color-relief channel expression (GDALColorRelief,
+    apps/gdaldem_lib.cpp): piecewise-LINEAR interpolation between ramp
+    entries [(elev, (r, g, b)), ...] sorted by elev; values below the
+    first / above the last entry clamp to the end colors. Only
+    +,-,*,/ on doubles — exact cross-engine."""
+    parts = []
+    first_e, first_c = ramp[0]
+    last_e, last_c = ramp[-1]
+    parts.append(f"WHEN {value} <= {D(float(first_e))} "
+                 f"THEN {D(float(first_c[channel]))}")
+    for (e0, c0), (e1, c1) in zip(ramp, ramp[1:]):
+        lo, hi = float(e0), float(e1)
+        a, b = float(c0[channel]), float(c1[channel])
+        parts.append(
+            f"WHEN {value} <= {D(hi)} THEN {D(a)} + ({value} - {D(lo)})"
+            f" * ({D(b)} - {D(a)}) / ({D(hi)} - {D(lo)})"
+        )
+    parts.append(f"ELSE {D(float(last_c[channel]))}")
+    return "(CASE " + " ".join(parts) + " END)"

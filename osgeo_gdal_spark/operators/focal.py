@@ -98,6 +98,15 @@ def _dem_compute(mode, pad, xres, yres, nodata, alt_deg=45.0, az_deg=315.0):
         dzdx = ((c + 2 * f_ + i_) - (a + 2 * d + g_)) / (8.0 * xres)
         dzdy = ((g_ + 2 * h + i_) - (a + 2 * b + c)) / (8.0 * yres)
         out = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+    elif mode == "slope_pct_zt":
+        # Zevenbergen-Thorne gradient (-alg ZevenbergenThorne,
+        # gdaldem_lib.cpp GDALSlopeZevenbergenThorneAlg) in PERCENT
+        # (-p): only +,-,*,/,sqrt — IEEE-exact cross-engine, so this
+        # variant gets a full hash oracle (the Horn-degrees form needs
+        # libm atan)
+        dzdx = (f_ - d) / (2.0 * xres)
+        dzdy = (h - b) / (2.0 * yres)
+        out = np.sqrt(dzdx * dzdx + dzdy * dzdy) * 100.0
     elif mode == "aspect":
         # GDALAspectAlg (gdaldem_lib.cpp:1445-1480), azimuth convention
         dx = (c + 2 * f_ + i_) - (a + 2 * d + g_)

@@ -1631,3 +1631,30 @@ def viewshed(tiles: DataFrame, zoom: int, observers, radius: int,
         )
 
     return joined.groupBy("obs_id").applyInPandas(kernel, out_schema)
+
+
+DEM_RAMP = [
+    (0.0, (0.0, 0.0, 128.0)),
+    (64.0, (0.0, 128.0, 0.0)),
+    (128.0, (255.0, 255.0, 0.0)),
+    (192.0, (255.0, 128.0, 0.0)),
+    (255.0, (255.0, 255.0, 255.0)),
+]
+
+
+def color_relief(tiles: DataFrame, ramp=None) -> DataFrame:
+    """gdaldem color-relief (apps/gdaldem_lib.cpp GDALColorRelief):
+    per-pixel piecewise-linear ramp interpolation to (r, g, b). Pure
+    native SQL over the exploded pixels — no halo, no Python; the
+    channel expressions come from sqlgen so the oracle embeds the
+    identical text. Returns (gpx, gpy, r, g, b)."""
+    from ..functions import sqlgen as G2
+
+    ramp = ramp or DEM_RAMP
+    px = explode_pixels(tiles)
+    return px.select(
+        "gpx", "gpy",
+        F.expr(G2.color_relief_sql("value", ramp, 0)).alias("r"),
+        F.expr(G2.color_relief_sql("value", ramp, 1)).alias("g"),
+        F.expr(G2.color_relief_sql("value", ramp, 2)).alias("b"),
+    )

@@ -3380,6 +3380,64 @@ FROM pages
 """
 
 
+GRID_N = 10  # shortest-path fixture: GRID_N x GRID_N right/down DAG
+
+
+def _grid_edges_rows():
+    """Deterministic grid DAG: node r*N+c, edges right and down with
+    weight (src*7 + dst*11) % 20 + 1 — a DAG so the oracle's recursive
+    CTE enumerates a finite path set, while the ENGINE runs the fully
+    general relaxation loop."""
+    n = GRID_N
+    rows = []
+    for r in range(n):
+        for c in range(n):
+            s = r * n + c
+            for d in ((r, c + 1), (r + 1, c)):
+                if d[0] < n and d[1] < n:
+                    t = d[0] * n + d[1]
+                    rows.append((s, t, float((s * 7 + t * 11) % 20 + 1)))
+    return rows
+
+
+def q_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """GNM single-source shortest paths (GNMGraph::DijkstraShortestPath,
+    gnm/gnmgraph.cpp:185) as distributed Bellman-Ford relaxation
+    (operators/graph.py). Integer-valued weights keep every distance
+    exact; the fixture DAG makes the recursive-CTE oracle finite."""
+    from .operators import graph as GG
+
+    edges = spark.createDataFrame(
+        _grid_edges_rows(), "src LONG, dst LONG, w DOUBLE"
+    )
+    out = GG.shortest_paths(edges, source=0, max_rounds=2 * GRID_N + 2)
+    return out.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def sql_shortest_paths() -> str:
+    n = GRID_N
+    return f"""
+WITH RECURSIVE nodes AS (
+  SELECT UNNEST(RANGE(0, {n * n})) AS s
+),
+edges AS (
+  SELECT s AS src, s + 1 AS dst,
+         (s * 7 + (s + 1) * 11) % 20 + 1 AS w
+  FROM nodes WHERE s % {n} < {n - 1}
+  UNION ALL
+  SELECT s, s + {n}, (s * 7 + (s + {n}) * 11) % 20 + 1
+  FROM nodes WHERE s < {n * (n - 1)}
+),
+walk(node, dist) AS (
+  SELECT 0, 0
+  UNION ALL
+  SELECT e.dst, w.dist + e.w FROM walk w JOIN edges e ON w.node = e.src
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
 VIEWSHED_OBS = [(1, 150, 200), (2, 400, 100)]
 VIEWSHED_R = 60
 VIEWSHED_H = 50.0
@@ -4202,6 +4260,7 @@ QUERIES = {
     "tps_warp": q_tps_warp,
     "color_relief": q_color_relief,
     "slope_pct_zt": q_slope_pct_zt,
+    "shortest_paths": q_shortest_paths,
     # displaced family-siblings (machinery still gated via cubic /
     # metric_range / the near-dup pipeline pytests + full sweep)
     "dedup_near_groups": q_dedup_near_groups,
@@ -4369,6 +4428,7 @@ ORACLES = {
     "tps_warp": sql_tps_warp(),
     "color_relief": sql_color_relief(),
     "slope_pct_zt": sql_slope_pct_zt(),
+    "shortest_paths": sql_shortest_paths(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

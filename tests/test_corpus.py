@@ -298,3 +298,48 @@ def test_dedup_incremental_flags_planted_newcomer(spark):
     out = {r["doc_id"]: r for r in CP.dedup_incremental(idx, new).collect()}
     assert 100 in out and out[100]["best_match"] == 11
     assert 101 not in out
+
+
+def test_shortest_paths_cyclic_graph_vs_dijkstra(spark):
+    """The relaxation loop on a CYCLIC weighted graph (which the DAG
+    oracle can't cover) equals a reference Dijkstra; undirected mode
+    and unreachable nodes behave."""
+    import heapq
+
+    from osgeo_gdal_spark.operators import graph as GG
+
+    edges = [
+        (0, 1, 4.0), (0, 2, 1.0), (2, 1, 2.0), (1, 3, 1.0),
+        (2, 3, 5.0), (3, 0, 1.0),          # cycle back
+        (4, 5, 1.0),                        # disconnected component
+    ]
+
+    def dijkstra(src, es, undirected=False):
+        adj = {}
+        for s, t, w in es:
+            adj.setdefault(s, []).append((t, w))
+            if undirected:
+                adj.setdefault(t, []).append((s, w))
+        dist = {src: 0.0}
+        pq = [(0.0, src)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, []):
+                nd = d + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+    got = {r["node"]: r["dist"]
+           for r in GG.shortest_paths(df, 0, max_rounds=16).collect()}
+    assert got == dijkstra(0, edges)
+    assert 4 not in got and 5 not in got   # unreachable stays absent
+
+    got_u = {r["node"]: r["dist"]
+             for r in GG.shortest_paths(df, 3, max_rounds=16,
+                                        directed=False).collect()}
+    assert got_u == dijkstra(3, edges, undirected=True)

@@ -4219,7 +4219,6 @@ QUERIES = {
     "polygonize_rings": q_polygonize_rings,
     "clip_rect": q_clip_rect,
     "spatial_join_polygons": q_spatial_join_polygons,
-    "warp_downscale_avg": q_warp_downscale_avg,
     "mosaic_overlay": q_mosaic_overlay,
     # -- round-3 operators (inserted here as they land) -------------------
     "overlay_intersection": q_overlay_intersection,
@@ -4264,6 +4263,7 @@ QUERIES = {
     # displaced family-siblings (machinery still gated via cubic /
     # metric_range / the near-dup pipeline pytests + full sweep)
     "dedup_near_groups": q_dedup_near_groups,
+    "warp_downscale_avg": q_warp_downscale_avg,
     "raster_pyramid_rms": q_raster_pyramid_rms,
     "focal_mean5": q_focal_mean5,
     "raster_pyramid_bilinear": q_raster_pyramid_bilinear,

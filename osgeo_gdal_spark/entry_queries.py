@@ -3499,6 +3499,87 @@ FROM cells
 """
 
 
+CUMVS_OBS = [(11, 230, 230), (12, 270, 230), (13, 250, 270)]
+CUMVS_R = 40
+
+
+def q_viewshed_cumulative(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative viewshed (gdal_viewshed -mode cumulative /
+    alg/viewshed/cumulative.cpp): an observer GRID's visibility counts
+    per pixel — here three overlapping observers; the per-observer
+    exact-profile kernels run in parallel and one groupBy sums the
+    booleans. Only pixels inside every contributing window compare
+    (the intersection square), keeping the oracle closed-form."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    vs = RO.viewshed(tiles, RASTER_ZOOM, CUMVS_OBS, CUMVS_R, VIEWSHED_H)
+    # intersection of all three windows
+    x0 = max(px - CUMVS_R for _o, px, _py in CUMVS_OBS)
+    x1 = min(px + CUMVS_R for _o, px, _py in CUMVS_OBS)
+    y0 = max(py - CUMVS_R for _o, _px, py in CUMVS_OBS)
+    y1 = min(py + CUMVS_R for _o, _px, py in CUMVS_OBS)
+    return (
+        vs.filter(
+            (F.col("gpx") >= x0) & (F.col("gpx") <= x1)
+            & (F.col("gpy") >= y0) & (F.col("gpy") <= y1)
+        )
+        .groupBy("gpx", "gpy")
+        .agg(F.sum(F.col("visible").cast("long")).alias("n_visible"))
+    )
+
+
+def sql_viewshed_cumulative() -> str:
+    z = RASTER_ZOOM
+
+    def v(x, y):
+        return f"CAST((({x}) * 7 + ({y}) * 11 + {z}) % 255 AS DOUBLE)"
+
+    fx = "(ox + (k * dx) / n)"
+    fy = "(oy + (k * dy) / n)"
+    x0e = f"CAST(FLOOR({fx}) AS BIGINT)"
+    y0e = f"CAST(FLOOR({fy}) AS BIGINT)"
+    ax = f"({fx} - FLOOR({fx}))"
+    ay = f"({fy} - FLOOR({fy}))"
+    bil = (
+        f"((CAST(1.0 AS DOUBLE) - {ax}) * (CAST(1.0 AS DOUBLE) - {ay})"
+        f" * {v(x0e, y0e)}"
+        f" + {ax} * (CAST(1.0 AS DOUBLE) - {ay}) * {v(f'{x0e} + 1', y0e)}"
+        f" + (CAST(1.0 AS DOUBLE) - {ax}) * {ay} * {v(x0e, f'{y0e} + 1')}"
+        f" + {ax} * {ay} * {v(f'{x0e} + 1', f'{y0e} + 1')})"
+    )
+    obs = ", ".join(f"({o}, {px}, {py})" for o, px, py in CUMVS_OBS)
+    wx0 = max(px - CUMVS_R for _o, px, _py in CUMVS_OBS)
+    wx1 = min(px + CUMVS_R for _o, px, _py in CUMVS_OBS)
+    wy0 = max(py - CUMVS_R for _o, _px, py in CUMVS_OBS)
+    wy1 = min(py + CUMVS_R for _o, _px, py in CUMVS_OBS)
+    return f"""
+WITH obs(obs_id, ox, oy) AS (VALUES {obs}),
+cells AS (
+  SELECT o.obs_id, o.ox, o.oy, xs.i AS gpx, ys.i AS gpy,
+         xs.i - o.ox AS dx, ys.i - o.oy AS dy,
+         GREATEST(ABS(xs.i - o.ox), ABS(ys.i - o.oy)) AS n,
+         {v('o.ox', 'o.oy')} + CAST({VIEWSHED_H!r} AS DOUBLE) AS hobs
+  FROM obs o
+  CROSS JOIN (SELECT UNNEST(RANGE({wx0}, {wx1 + 1})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE({wy0}, {wy1 + 1})) AS i) ys
+),
+vis AS (
+  SELECT gpx, gpy,
+         CASE WHEN n <= 1 THEN TRUE ELSE
+           ({v('gpx', 'gpy')} - hobs) / n >=
+           list_max(list_transform(generate_series(1, n - 1),
+                                   k -> ({bil} - hobs) / k))
+         END AS visible
+  FROM cells
+)
+SELECT gpx, gpy, CAST(SUM(CASE WHEN visible THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_visible
+FROM vis GROUP BY gpx, gpy
+"""
+
+
 # general-polygon fractional zonal fixtures, GLOBAL px coords (world =
 # 512 at RASTER_ZOOM): legs integer-aligned, hypotenuses 45-degree with
 # power-of-2 leg length -> every Sutherland-Hodgman clip vertex is
@@ -4260,6 +4341,7 @@ QUERIES = {
     "color_relief": q_color_relief,
     "slope_pct_zt": q_slope_pct_zt,
     "shortest_paths": q_shortest_paths,
+    "viewshed_cumulative": q_viewshed_cumulative,
     # displaced family-siblings (machinery still gated via cubic /
     # metric_range / the near-dup pipeline pytests + full sweep)
     "dedup_near_groups": q_dedup_near_groups,
@@ -4429,6 +4511,7 @@ ORACLES = {
     "color_relief": sql_color_relief(),
     "slope_pct_zt": sql_slope_pct_zt(),
     "shortest_paths": sql_shortest_paths(),
+    "viewshed_cumulative": sql_viewshed_cumulative(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

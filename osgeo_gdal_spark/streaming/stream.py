@@ -165,3 +165,26 @@ def streaming_quality_gate(docs_stream: DataFrame,
         (F.coalesce(F.col("rep_frac"), F.lit(0.0)) <= max_rep_frac)
         & (F.col("uniq_frac") >= min_uniq_frac),
     )
+
+
+def streaming_hex_counts(pages_stream: DataFrame, size: float = 3.0,
+                         window="1 hour", watermark="2 hours") -> DataFrame:
+    """Hex-cell density under streaming: per-window per-hex page counts
+    — the H3-style index live. The cube-round expressions are the SAME
+    sqlgen fragments as batch, so the windowed stream equals batch
+    aggregation exactly (pytest)."""
+    qf = G.hex_qf_sql("lon", "lat", size)
+    rf = G.hex_rf_sql("lat", size)
+    ax = pages_stream.withColumn("qf", F.expr(qf)).withColumn(
+        "rf", F.expr(rf))
+    return (
+        ax.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("win"),
+            F.expr(G.hex_q_sql("qf", "rf")).alias("hq"),
+            F.expr(G.hex_r_sql("qf", "rf")).alias("hr"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("win.start").alias("win_start"),
+                "hq", "hr", "cnt")
+    )

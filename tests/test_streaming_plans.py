@@ -226,3 +226,38 @@ def test_pipeline_corpus_chain(spark):
     for i in ids:
         pct = 80 if langs[i] == "en" else 50
         assert i % 100 < pct
+
+
+def test_streaming_hex_counts_equal_batch(spark):
+    """Windowed hex density on a bounded stream == batch groupBy with
+    the same sqlgen cube-round fragments."""
+    from osgeo_gdal_spark.functions import sqlgen as G
+    from osgeo_gdal_spark.sources import pages as PG
+
+    docs_stream = ST.read_table_stream(spark, SF_DIR, "documents")
+    sdf = ST.streaming_hex_counts(
+        PG.pages_df_from_documents(docs_stream), window="365 days")
+    q = (
+        sdf.writeStream.format("memory").queryName("hex_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["win_start"], r["hq"], r["hr"]): r["cnt"]
+           for r in spark.sql("SELECT * FROM hex_counts").collect()}
+    pages = PG.pages_df(spark, SF_DIR)
+    qf = G.hex_qf_sql("lon", "lat", 3.0)
+    rf = G.hex_rf_sql("lat", 3.0)
+    want = {
+        (r["win_start"], r["hq"], r["hr"]): r["cnt"]
+        for r in pages.withColumn("qf", F.expr(qf))
+        .withColumn("rf", F.expr(rf))
+        .groupBy(
+            F.window("warc_ts", "365 days").alias("win"),
+            F.expr(G.hex_q_sql("qf", "rf")).alias("hq"),
+            F.expr(G.hex_r_sql("qf", "rf")).alias("hr"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("win.start").alias("win_start"),
+                "hq", "hr", "cnt").collect()
+    }
+    assert got == want and len(got) > 0

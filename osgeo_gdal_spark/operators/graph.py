@@ -61,3 +61,97 @@ def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
         if (a[0], a[1]) == (b[0], b[1]):
             break
     return dist
+
+
+def shortest_path_route(edges: DataFrame, source, target,
+                        max_rounds: int = 64, blocked=()):
+    """One source->target route: run the relaxation with predecessor
+    tracking driver-side reconstruction. ``blocked`` nodes are removed
+    first (GNMGraph::ChangeBlockState semantics — a blocked node drops
+    out of the network). Returns (cost, [node path]) or (inf, [])."""
+    spark = edges.sparkSession
+    if blocked:
+        b = {int(x) for x in blocked}
+        edges = edges.filter(~F.col("src").isin(b) & ~F.col("dst").isin(b))
+    edges = edges.select("src", "dst", "w").localCheckpoint()
+
+    dist = spark.createDataFrame(
+        [(int(source), 0.0, int(source))], "node LONG, dist DOUBLE, prev LONG"
+    )
+    for _ in range(max_rounds):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                    F.col("src").alias("prev"))
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min_by(F.struct("dist", "prev"), "dist").alias("s"))
+            .select("node", "s.dist", "s.prev")
+            .localCheckpoint()
+        )
+        a = dist.agg(F.count("*"), F.sum("dist")).first()
+        b2 = new.agg(F.count("*"), F.sum("dist")).first()
+        dist = new
+        if (a[0], a[1]) == (b2[0], b2[1]):
+            break
+    rows = {r["node"]: (r["dist"], r["prev"]) for r in dist.collect()}
+    if int(target) not in rows:
+        return float("inf"), []
+    path = [int(target)]
+    while path[-1] != int(source):
+        path.append(int(rows[path[-1]][1]))
+    return rows[int(target)][0], path[::-1]
+
+
+def k_shortest_paths(edges: DataFrame, source, target, k=3,
+                     max_rounds: int = 64):
+    """K loopless shortest paths, Yen's algorithm
+    (GNMGraph::GetKShortestPaths, gnm/gnmgraph.cpp) — the reference
+    also runs Yen over repeated Dijkstra calls; here each inner call is
+    the distributed relaxation with spur-node edge bans. K is small by
+    contract, so the outer loop is driver-side by design. Returns
+    [(cost, [nodes]), ...] sorted by cost."""
+    spark = edges.sparkSession
+    base = edges.select("src", "dst", "w").localCheckpoint()
+
+    cost0, p0 = shortest_path_route(base, source, target, max_rounds)
+    if not p0:
+        return []
+    A = [(cost0, p0)]
+    B = []
+    for _ in range(1, k):
+        prev_path = A[-1][1]
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[: i + 1]
+            banned = []
+            for _c, p in A:
+                if p[: i + 1] == root and len(p) > i + 1:
+                    banned.append((p[i], p[i + 1]))
+            cand_edges = base
+            for (bs, bd) in banned:
+                cand_edges = cand_edges.filter(
+                    ~((F.col("src") == bs) & (F.col("dst") == bd))
+                )
+            root_nodes = set(root[:-1])
+            c2, p2 = shortest_path_route(
+                cand_edges, spur, target, max_rounds, blocked=root_nodes
+            )
+            if p2:
+                root_cost = 0.0
+                ew = {(r["src"], r["dst"]): r["w"]
+                      for r in base.collect()}
+                for a, b2 in zip(root, root[1:]):
+                    root_cost += ew[(a, b2)]
+                full = root[:-1] + p2
+                tot = root_cost + c2
+                if all(p != full for _c, p in A + B):
+                    B.append((tot, full))
+        if not B:
+            break
+        B.sort(key=lambda e: (e[0], e[1]))
+        A.append(B.pop(0))
+    return A

@@ -343,3 +343,27 @@ def test_shortest_paths_cyclic_graph_vs_dijkstra(spark):
              for r in GG.shortest_paths(df, 3, max_rounds=16,
                                         directed=False).collect()}
     assert got_u == dijkstra(3, edges, undirected=True)
+
+
+def test_k_shortest_paths_yen(spark):
+    """Yen K-shortest on a diamond graph with known ranking, plus
+    blocked-node semantics (GNMGraph::ChangeBlockState)."""
+    from osgeo_gdal_spark.operators import graph as GG
+
+    edges = [
+        (0, 1, 1.0), (1, 3, 1.0),       # path A: cost 2
+        (0, 2, 1.0), (2, 3, 2.0),       # path B: cost 3
+        (0, 3, 4.0),                    # path C: direct, cost 4
+        (1, 2, 0.5),                    # enables 0-1-2-3: cost 3.5
+    ]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+    got = GG.k_shortest_paths(df, 0, 3, k=4, max_rounds=8)
+    assert [(c, p) for c, p in got] == [
+        (2.0, [0, 1, 3]),
+        (3.0, [0, 2, 3]),
+        (3.5, [0, 1, 2, 3]),
+        (4.0, [0, 3]),
+    ]
+    # blocking node 1 forces the 0-2-3 route
+    c, p = GG.shortest_path_route(df, 0, 3, max_rounds=8, blocked={1})
+    assert (c, p) == (3.0, [0, 2, 3])

@@ -2156,6 +2156,65 @@ FROM f
 """
 
 
+def q_fingerprint_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-fingerprint candidate pairs across the whole corpus
+    (the MOSS bucketed pair join with the hot-bucket cap engaged):
+    pairs of docs sharing >= 2 fingerprints and their shared count."""
+    from .operators import corpus as CP
+
+    docs = read_table(spark, sf, "documents")
+    return CP.fingerprint_candidates(docs, min_shared=2, max_bucket=1000)
+
+
+def sql_fingerprint_pairs() -> str:
+    from .operators.corpus import FP_GRAM_BASE, FP_MOD, FP_WORD_BASE
+
+    g = (
+        f"((hs[i] * {FP_GRAM_BASE} + hs[i + 1]) % {FP_MOD}"
+        f" * {FP_GRAM_BASE} + hs[i + 2]) % {FP_MOD}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(str_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(ws, x -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(str_split(x, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * {FP_WORD_BASE} + c) % {FP_MOD})) AS hs
+  FROM d
+),
+gg AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 3 THEN
+           list_transform(generate_series(1, len(hs) - 2), i -> {g})
+         ELSE CAST([] AS BIGINT[]) END AS gs
+  FROM h
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(gs) >= 4 THEN
+           list_distinct(list_transform(generate_series(1, len(gs) - 3),
+                         i -> list_min(list_slice(gs, i, i + 3))))
+         ELSE list_distinct(gs) END AS fps
+  FROM gg
+),
+e AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
+capped AS (
+  SELECT * FROM e
+  WHERE fp IN (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 1000)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental near-dup screening: docs with doc_id % 10 == 0 play
     the NEW batch, the rest the existing corpus index; flag new docs
@@ -4342,6 +4401,7 @@ QUERIES = {
     "slope_pct_zt": q_slope_pct_zt,
     "shortest_paths": q_shortest_paths,
     "viewshed_cumulative": q_viewshed_cumulative,
+    "fingerprint_pairs": q_fingerprint_pairs,
     # displaced family-siblings (machinery still gated via cubic /
     # metric_range / the near-dup pipeline pytests + full sweep)
     "dedup_near_groups": q_dedup_near_groups,
@@ -4512,6 +4572,7 @@ ORACLES = {
     "slope_pct_zt": sql_slope_pct_zt(),
     "shortest_paths": sql_shortest_paths(),
     "viewshed_cumulative": sql_viewshed_cumulative(),
+    "fingerprint_pairs": sql_fingerprint_pairs(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

@@ -1572,6 +1572,17 @@ def viewshed(tiles: DataFrame, zoom: int, observers, radius: int,
     r1 = radius + 1
     maxt = (1 << zoom) - 1
 
+    world = (maxt + 1) * TILE
+    for o, px, py in observers:
+        if not (r1 <= int(px) < world - r1 and r1 <= int(py) < world - r1):
+            # the gathered window would leave the raster: local indices
+            # into the assembled array would wrap silently (wrong
+            # visibility), so refuse loudly instead
+            raise ValueError(
+                f"viewshed observer {o} at ({px}, {py}) is within "
+                f"radius+1={r1} px of the raster edge (world {world})"
+            )
+
     obs = spark.createDataFrame(
         [(int(o), int(px), int(py)) for o, px, py in observers],
         "obs_id LONG, opx LONG, opy LONG",

@@ -690,3 +690,10 @@ def test_viewshed_operator_cross_tile_seam(spark, tiles):
     assert len(got) == (2 * R + 1) ** 2
     for (px, py), g in got.items():
         assert g == bool(want[py - obs[2] + R, px - obs[1] + R])
+
+
+def test_viewshed_rejects_edge_observer(spark, tiles):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="raster edge"):
+        RO.viewshed(tiles, 1, [(1, 10, 256)], 20, 10.0).collect()

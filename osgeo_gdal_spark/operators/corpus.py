@@ -393,7 +393,9 @@ def dedup_incremental(index_docs: DataFrame, new_docs: DataFrame,
         .groupBy("doc_id", "idx_id").agg(F.count("*").alias("n_pair"))
     )
     # arg-max key: most shared fingerprints, ties to the SMALLEST index
-    # id (single scalar so the oracle's arg_max matches exactly)
+    # id (single scalar so the oracle's arg_max matches exactly).
+    # Bound: correct while idx ids < 1e8; for larger id spaces switch
+    # both sides to a (n_pair, -idx_id) struct ordering
     best = hits.groupBy("doc_id").agg(
         F.sum("n_pair").alias("n_hits"),
         F.max_by(

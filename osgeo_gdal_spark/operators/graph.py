@@ -120,6 +120,9 @@ def k_shortest_paths(edges: DataFrame, source, target, k=3,
     cost0, p0 = shortest_path_route(base, source, target, max_rounds)
     if not p0:
         return []
+    # edge-weight lookup for root-cost accounting, collected ONCE (the
+    # spur loop previously re-collected the edge table per deviation)
+    ew = {(r["src"], r["dst"]): r["w"] for r in base.collect()}
     A = [(cost0, p0)]
     B = []
     for _ in range(1, k):
@@ -142,8 +145,6 @@ def k_shortest_paths(edges: DataFrame, source, target, k=3,
             )
             if p2:
                 root_cost = 0.0
-                ew = {(r["src"], r["dst"]): r["w"]
-                      for r in base.collect()}
                 for a, b2 in zip(root, root[1:]):
                     root_cost += ew[(a, b2)]
                 full = root[:-1] + p2

@@ -283,7 +283,12 @@ def _fold_sum(terms, dialect: str) -> str:
     ReorderAssociativeOperator regroups plain ``a + b + c`` chains
     around foldable literals (1-ulp drift vs DuckDB), so the sum is an
     explicit sequential lambda fold on BOTH engines — the optimizer
-    cannot reorder through a lambda."""
+    cannot reorder through a lambda.
+
+    Cost note: higher-order functions evaluate interpreted (outside
+    whole-stage codegen). This is the ORACLE-PARITY form; a
+    throughput-critical production apply can use the plain + chain —
+    identical semantics modulo 1-ulp association."""
     body = ", ".join(terms)
     if dialect == SPARK:
         return (f"aggregate(array({body}), {D(0.0)}, "

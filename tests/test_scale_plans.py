@@ -286,3 +286,23 @@ def test_pack_sequences_window_partitions_by_shard(spark):
     plan = plan_of(CP.pack_sequences(docs, 512, shard_size=100))
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan
+
+
+def test_text_byte_identity_through_shuffle(spark):
+    """The north-rule per-row invariant: text extracted from html is
+    BYTE-identical to the source text for every url, and survives a
+    repartition + join (shuffle round-trips) unchanged."""
+    pages = PG.pages_df(spark, SF)
+    ex = pages.withColumn("extracted", PG.extract_text("html"))
+    assert ex.filter(
+        F.encode(F.col("extracted"), "utf-8") != F.encode(F.col("text"), "utf-8")
+    ).count() == 0
+
+    # carry text through a shuffle + self-join keyed on url
+    a = pages.select("url", "text").repartition(16, "url")
+    b = pages.select("url", F.col("text").alias("text2")).repartition(8, "url")
+    j = a.join(b, "url")
+    assert j.count() == pages.count()
+    assert j.filter(
+        F.encode(F.col("text"), "utf-8") != F.encode(F.col("text2"), "utf-8")
+    ).count() == 0

@@ -2913,6 +2913,78 @@ FROM dst
 """
 
 
+def q_hillshade_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Multidirectional hillshade (gdaldem hillshade -multidirectional,
+    USGS OF92-422; GDALHillshadeMultiDirectionalAlg): the four-azimuth
+    weighted shade needs only +,-,*,/,sqrt,max on top of the Horn
+    gradient — so unlike classic hillshade (libm trig) it carries a
+    FULL hash oracle; sin/cos(45 deg) are fixed double literals shared
+    via D()."""
+    from .operators import focal as FO, raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = FO.focal_dem(tiles, RASTER_ZOOM, "hillshade_multi")
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = FOCAL_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", "value")
+
+
+def sql_hillshade_multi() -> str:
+    x0, x1, y0, y1 = FOCAL_WIN
+    g = "CAST((((%s) * 7 + (%s) * 11 + 1) %% 255) AS DOUBLE)"
+    a = g % ("(gpx - 1)", "(gpy - 1)")
+    b = g % ("gpx", "(gpy - 1)")
+    c = g % ("(gpx + 1)", "(gpy - 1)")
+    d = g % ("(gpx - 1)", "gpy")
+    f_ = g % ("(gpx + 1)", "gpy")
+    g_ = g % ("(gpx - 1)", "(gpy + 1)")
+    h = g % ("gpx", "(gpy + 1)")
+    i_ = g % ("(gpx + 1)", "(gpy + 1)")
+    e8 = G.D(8.0)
+    dzdx = f"((({c} + 2 * {f_} + {i_}) - ({a} + 2 * {d} + {g_})) / {e8})"
+    dzdy = f"((({g_} + 2 * {h} + {i_}) - ({a} + 2 * {b} + {c})) / {e8})"
+    sa = G.D(0.7071067811865476)   # sin(45 deg) == cos(45 deg)
+    c225 = G.D(-0.7071067811865476)
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+),
+grad AS (
+  SELECT gpx, gpy, - {dzdx} AS x, {dzdy} AS y FROM dst
+),
+parts AS (
+  SELECT gpx, gpy, x, y, x * x AS xx, y * y AS yy,
+         x * x + y * y AS s2 FROM grad
+),
+vals AS (
+  SELECT gpx, gpy, xx, yy, s2,
+         GREATEST({G.D(0.0)}, {sa} + (x - y) * {c225} * {sa}) AS v225,
+         GREATEST({G.D(0.0)}, {sa} - x * {sa}) AS v270,
+         GREATEST({G.D(0.0)}, {sa} + (x + y) * {c225} * {sa}) AS v315,
+         GREATEST({G.D(0.0)}, {sa} - y * {sa}) AS v360,
+         {G.D(0.5)} * s2 - x * y AS w225,
+         xx AS w270,
+         s2 - ({G.D(0.5)} * s2 - x * y) AS w315,
+         yy AS w360
+  FROM parts
+)
+SELECT gpx, gpy,
+       CASE WHEN s2 = {G.D(0.0)}
+            THEN {G.D(1.0)} + {G.D(127.0)} * ({sa} * {G.D(2.0)})
+            ELSE {G.D(1.0)} + {G.D(127.0)} *
+              (((w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360)
+                / s2) / SQRT({G.D(1.0)} + s2))
+       END AS value
+FROM vals
+"""
+
+
 def q_focal_tpi(spark: SparkSession, sf: str) -> DataFrame:
     """TPI focal stencil (gdaldem TPI: center minus 8-neighbor mean) over
     a probe window that SPANS a tile border — the oracle recomputes the
@@ -4402,6 +4474,7 @@ QUERIES = {
     "shortest_paths": q_shortest_paths,
     "viewshed_cumulative": q_viewshed_cumulative,
     "fingerprint_pairs": q_fingerprint_pairs,
+    "hillshade_multi": q_hillshade_multi,
     # displaced family-siblings (machinery still gated via cubic /
     # metric_range / the near-dup pipeline pytests + full sweep)
     "dedup_near_groups": q_dedup_near_groups,
@@ -4573,6 +4646,7 @@ ORACLES = {
     "shortest_paths": sql_shortest_paths(),
     "viewshed_cumulative": sql_viewshed_cumulative(),
     "fingerprint_pairs": sql_fingerprint_pairs(),
+    "hillshade_multi": sql_hillshade_multi(),
     # no oracle (Spark-specific hashing / libm trig / brute-force-pinned):
     # focal_hillshade, contour_stats, sieve_regions, fillnodata_checksums,
     # minhash_lsh_pairs, simhash, embedding_ann_lsh, raster_resample (Spark-specific hashing / approximate by design) -> the

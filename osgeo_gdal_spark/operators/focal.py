@@ -141,6 +141,53 @@ def _dem_compute(mode, pad, xres, yres, nodata, alt_deg=45.0, az_deg=315.0):
                 + np.cos(alt) * np.sin(slope_r)
                 * np.cos(az - np.pi / 2.0 - aspect_r))
         out = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    elif mode == "hillshade_combined":
+        # gdaldem hillshade -combined (GDALHillshadeCombinedAlg,
+        # gdaldem_lib.cpp:1151): classic shade modulated by slope —
+        # cang = 1 - acos(classic) * slope_rad * 4/pi^2 (float64 here;
+        # the reference computes in float32)
+        dzdx = ((c + 2 * f_ + i_) - (a + 2 * d + g_)) / (8.0 * xres)
+        dzdy = ((g_ + 2 * h + i_) - (a + 2 * b + c)) / (8.0 * yres)
+        slope_r = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        aspect_r = np.arctan2(dzdy, -dzdx)
+        alt, az = np.radians(alt_deg), np.radians(az_deg)
+        classic = (np.sin(alt) * np.cos(slope_r)
+                   + np.cos(alt) * np.sin(slope_r)
+                   * np.cos(az - np.pi / 2.0 - aspect_r))
+        cang = 1.0 - (np.arccos(np.clip(classic, -1.0, 1.0)) * slope_r
+                      * (4.0 / (np.pi * np.pi)))
+        out = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    elif mode == "hillshade_multi":
+        # gdaldem hillshade -multidirectional (USGS OF 92-422;
+        # GDALHillshadeMultiDirectionalAlg): four azimuths 225/270/
+        # 315/360 weighted by sin^2(aspect - az), reference gradient
+        # convention x = -dzdx, y = +dzdy
+        dzdx = ((c + 2 * f_ + i_) - (a + 2 * d + g_)) / (8.0 * xres)
+        dzdy = ((g_ + 2 * h + i_) - (a + 2 * b + c)) / (8.0 * yres)
+        x, y = -dzdx, dzdy
+        xx, yy = x * x, y * y
+        s2 = xx + yy
+        alt = np.radians(alt_deg)
+        sin_a, cos_a = np.sin(alt), np.cos(alt)
+        c225 = -np.sqrt(2.0) / 2.0
+        v225 = np.maximum(0.0, sin_a + (x - y) * c225 * cos_a)
+        v270 = np.maximum(0.0, sin_a - x * cos_a)
+        v315 = np.maximum(0.0, sin_a + (x + y) * c225 * cos_a)
+        v360 = np.maximum(0.0, sin_a - y * cos_a)
+        w225 = 0.5 * s2 - x * y
+        w270 = xx
+        w315 = s2 - w225
+        w360 = yy
+        # the four weights sum to 2*s2, so the /s2 normalization leaves
+        # the reference's factor 2 (flat limit 1 + 254 sin(alt) matches)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cang = np.where(
+                s2 == 0.0,
+                sin_a * 2.0,
+                ((w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360)
+                 / s2) / np.sqrt(1.0 + s2),
+            )
+        out = 1.0 + 127.0 * cang
     else:
         raise ValueError(mode)
     return np.where(np.isnan(out), nodata, out)

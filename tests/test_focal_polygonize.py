@@ -505,3 +505,35 @@ def test_contour_polyline_wkb_emission(spark):
         seg_ref.add(((x0, y0), (x1, y1))); seg_ref.add(((x1, y1), (x0, y0)))
     for a, b in zip(pts[:-1], pts[1:]):
         assert (a, b) in seg_ref
+
+
+def test_hillshade_combined_and_multidirectional_properties():
+    """Reference-formula properties (gdaldem_lib.cpp:1151 combined;
+    USGS OF92-422 multidirectional): flat terrain limits, value range,
+    NW-facing slopes brighter than SE-facing under the default light,
+    and combined <= classic brightness on steep shadowed slopes."""
+    import numpy as np
+
+    from osgeo_gdal_spark.operators.focal import _dem_compute
+
+    # flat: multi = classic = 1 + 254 sin(45deg); combined saturates to
+    # 255 (reference: cang = 1 - acos(.)*atan(0)*4/pi^2 = 1)
+    flat = np.zeros((6, 6))
+    m = _dem_compute("hillshade_multi", flat, 1.0, 1.0, -1.0)
+    c = _dem_compute("hillshade_combined", flat, 1.0, 1.0, -1.0)
+    h = _dem_compute("hillshade", flat, 1.0, 1.0, -1.0)
+    want_flat = 1.0 + 254.0 * np.sin(np.radians(45.0))
+    assert np.allclose(m, want_flat) and np.allclose(h, want_flat)
+    assert np.allclose(c, 255.0)
+
+    # plane rising east / falling south faces the default az=315 light
+    # (screen coords, y = row) -> bright; its negation -> dark
+    xx, yy = np.meshgrid(np.arange(8.0), np.arange(8.0))
+    nw_facing = 0.3 * (xx - yy)
+    se_facing = -nw_facing
+    for mode in ("hillshade", "hillshade_multi", "hillshade_combined"):
+        bright = _dem_compute(mode, nw_facing, 1.0, 1.0, -1.0)[3, 3]
+        dark = _dem_compute(mode, se_facing, 1.0, 1.0, -1.0)[3, 3]
+        assert bright > dark, mode
+        full_m = _dem_compute(mode, nw_facing, 1.0, 1.0, -1.0)
+        assert (full_m >= 1.0 - 1e-9).all() and (full_m <= 255.0 + 1e-9).all()

@@ -42,7 +42,13 @@ def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
     dist = spark.createDataFrame([(int(source), 0)], "node LONG, dist LONG") \
         .withColumn("dist", F.col("dist").cast("double"))
 
-    for _ in range(max_rounds):
+    # convergence is checked every CHECK_EVERY rounds: the (count, sum)
+    # fingerprint costs two extra jobs per check, and dist only ever
+    # shrinks, so checking sparsely trades at most CHECK_EVERY-1 cheap
+    # no-op rounds for ~2x fewer Spark jobs overall
+    check_every = 4
+    prev = None
+    for r in range(max_rounds):
         relaxed = (
             dist.join(edges, dist["node"] == edges["src"])
             .select(F.col("dst").alias("node"),
@@ -53,13 +59,12 @@ def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
             .groupBy("node").agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
-        # converged when no node improved and none was added: compare
-        # the (count, sum) fingerprint — dist only ever shrinks
-        a = dist.agg(F.count("*"), F.sum("dist")).first()
-        b = new.agg(F.count("*"), F.sum("dist")).first()
         dist = new
-        if (a[0], a[1]) == (b[0], b[1]):
-            break
+        if (r + 1) % check_every == 0 or r == max_rounds - 1:
+            cur = dist.agg(F.count("*"), F.sum("dist")).first()
+            if prev is not None and (prev[0], prev[1]) == (cur[0], cur[1]):
+                break
+            prev = cur
     return dist
 
 

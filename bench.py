@@ -68,6 +68,11 @@ HEADLINE = [
     "viewshed",
     "gcp_polynomial",
     "rpc_project",
+    "hillshade_multi",
+    "slope_pct_zt",
+    "color_relief",
+    "make_valid",
+    "shortest_paths",
 ]
 
 

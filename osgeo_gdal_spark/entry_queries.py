@@ -2117,7 +2117,8 @@ p2 AS (
 SELECT video_id, n_frames, n_samples, stride_ms,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
          list_transform(generate_series(0, CAST(n_samples - 1 AS BIGINT)),
-                        k -> (k * stride_ms * fps) // 1000)),
+                        k -> LEAST((k * stride_ms * fps) // 1000,
+                                   n_frames - 1))),
          (a, x) -> a + x) AS frame_digest
 FROM p2
 """

@@ -298,9 +298,14 @@ def _geodesic_areas(geoms):
             for r in range(part):
                 s, e = (pg.ring_offsets[ring_idx],
                         pg.ring_offsets[ring_idx + 1])
-                v = unit(pg.xs[s:e], pg.ys[s:e])
-                if v[0] is not None and np.allclose(v[0], v[-1]):
-                    v = v[:-1]
+                xs, ys = pg.xs[s:e], pg.ys[s:e]
+                # drop the duplicated closing vertex only on EXACT
+                # lon/lat equality, tested before unit-vector conversion
+                # (np.allclose's absolute tolerance could wrongly drop a
+                # genuinely distinct ~1e-8-radian closing edge)
+                if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+                    xs, ys = xs[:-1], ys[:-1]
+                v = unit(xs, ys)
                 exc = 0.0
                 for i in range(1, len(v) - 1):
                     exc += tri_excess(v[0], v[i], v[i + 1])

@@ -20,6 +20,8 @@ weighted-path tier.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -48,6 +50,7 @@ def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
     # no-op rounds for ~2x fewer Spark jobs overall
     check_every = 4
     prev = None
+    converged = False
     for r in range(max_rounds):
         relaxed = (
             dist.join(edges, dist["node"] == edges["src"])
@@ -63,8 +66,20 @@ def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
         if (r + 1) % check_every == 0 or r == max_rounds - 1:
             cur = dist.agg(F.count("*"), F.sum("dist")).first()
             if prev is not None and (prev[0], prev[1]) == (cur[0], cur[1]):
+                converged = True
                 break
             prev = cur
+    if not converged:
+        # the sparse fingerprint cannot distinguish "fixpoint on the last
+        # round" from "ran out of rounds mid-relaxation"; distances below
+        # the true fixpoint would be silently wrong, so say so loudly
+        warnings.warn(
+            f"shortest_paths: no relaxation fixpoint within max_rounds="
+            f"{max_rounds}; returned distances may exceed true shortest "
+            f"distances (graph diameter > max_rounds?)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return dist
 
 
@@ -105,9 +120,17 @@ def shortest_path_route(edges: DataFrame, source, target,
     rows = {r["node"]: (r["dist"], r["prev"]) for r in dist.collect()}
     if int(target) not in rows:
         return float("inf"), []
+    # bound the walk by node count: with zero-weight edges the min_by
+    # predecessor chain can tie-cycle, and an unbounded walk never ends
     path = [int(target)]
     while path[-1] != int(source):
         path.append(int(rows[path[-1]][1]))
+        if len(path) > len(rows):
+            raise RuntimeError(
+                "shortest_path_route: predecessor chain cycled before "
+                "reaching the source (zero-weight tie cycle); path "
+                f"prefix={path[:8]}"
+            )
     return rows[int(target)][0], path[::-1]
 
 
@@ -125,9 +148,32 @@ def k_shortest_paths(edges: DataFrame, source, target, k=3,
     cost0, p0 = shortest_path_route(base, source, target, max_rounds)
     if not p0:
         return []
-    # edge-weight lookup for root-cost accounting, collected ONCE (the
-    # spur loop previously re-collected the edge table per deviation)
-    ew = {(r["src"], r["dst"]): r["w"] for r in base.collect()}
+
+    # Edge-weight lookup for root-cost accounting.  Only edges lying ON
+    # accepted paths are ever probed (root prefixes of A-paths), so
+    # gather exactly those via a pushed-down filter on the composite
+    # (src,dst) key — never a full edge-table collect, which a
+    # 100x-scale road network's driver cannot hold.  MIN over parallel
+    # edges matches what the relaxation itself used.
+    ew: dict = {}
+
+    def _gather_edge_weights(path):
+        pairs = [(a, b) for a, b in zip(path, path[1:])
+                 if (a, b) not in ew]
+        if not pairs:
+            return
+        keys = [f"{a}:{b}" for a, b in pairs]
+        got = (
+            base.filter(
+                F.concat_ws(":", F.col("src"), F.col("dst")).isin(keys)
+            )
+            .groupBy("src", "dst").agg(F.min("w").alias("w"))
+            .collect()
+        )
+        for r in got:
+            ew[(r["src"], r["dst"])] = r["w"]
+
+    _gather_edge_weights(p0)
     A = [(cost0, p0)]
     B = []
     for _ in range(1, k):
@@ -160,4 +206,7 @@ def k_shortest_paths(edges: DataFrame, source, target, k=3,
             break
         B.sort(key=lambda e: (e[0], e[1]))
         A.append(B.pop(0))
+        # the accepted path becomes the next prev_path; its spur-segment
+        # edges are probed as roots next iteration
+        _gather_edge_weights(A[-1][1])
     return A

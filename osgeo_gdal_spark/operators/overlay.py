@@ -107,14 +107,17 @@ _RINGS_CACHE: dict = {}
 
 def _prepared_rings(payload, key):
     """Per-executor cache: polygon fid -> ring soup (parse WKB once per
-    payload, not once per Arrow batch)."""
+    payload, not once per Arrow batch). Keeps the last few payloads so
+    two overlay jobs interleaving Arrow batches in one Python worker
+    don't evict each other every batch."""
     got = _RINGS_CACHE.get(key)
     if got is None:
         got = {
             fid: OVK.geometry_rings(W.parse_wkb(bytes(buf)))
             for fid, buf in payload
         }
-        _RINGS_CACHE.clear()
+        while len(_RINGS_CACHE) >= 4:
+            _RINGS_CACHE.pop(next(iter(_RINGS_CACHE)))
         _RINGS_CACHE[key] = got
     return got
 

@@ -1620,6 +1620,18 @@ def viewshed(tiles: DataFrame, zoom: int, observers, radius: int,
 
         oid = int(pdf["obs_id"].iloc[0])
         opx, opy = int(pdf["opx"].iloc[0]), int(pdf["opy"].iloc[0])
+        # missing tiles inside the gather box would zero-fill the window
+        # and make visibility silently wrong — mirror the loud world-edge
+        # check (observers are pre-validated >= r1 from the edge, so the
+        # cover box never clips and its full extent is known here)
+        exp_nx = (opx + rad + 1) // TILE - (opx - rad - 1) // TILE + 1
+        exp_ny = (opy + rad + 1) // TILE - (opy - rad - 1) // TILE + 1
+        if len(pdf) != exp_nx * exp_ny:
+            raise ValueError(
+                f"viewshed observer {oid}: gather box expects "
+                f"{exp_nx * exp_ny} tiles, joined {len(pdf)} — DEM has "
+                f"holes inside radius {rad} of ({opx}, {opy})"
+            )
         gxs = sorted(pdf["gx"].unique())
         gys = sorted(pdf["gy"].unique())
         win = np.zeros((len(gys) * TILE, len(gxs) * TILE))

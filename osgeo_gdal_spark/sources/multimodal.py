@@ -154,26 +154,37 @@ def frame_sample_plan(videos: DataFrame, every_ms: int = 1000,
     """
     e = int(every_ms)
     m = int(max_frames)
+    if m < 1:
+        raise ValueError(f"max_frames must be >= 1, got {m}")
     base = videos.select(
         "video_id", "duration_ms", "fps",
         F.expr("CAST(duration_ms AS BIGINT) * fps div 1000")
         .alias("n_frames"),
         F.expr(f"duration_ms div {e} + 1").alias("want"),
     )
+    # m == 1 would divide by zero in the re-stride (duration div (m-1));
+    # a single sample is frame 0 with no spacing
+    stride = (
+        F.lit(0) if m == 1
+        else F.when(F.col("want") <= m, F.lit(e)).otherwise(
+            F.expr(f"duration_ms div {m - 1}")
+        )
+    )
     plan = base.select(
         "video_id", "n_frames",
         F.least(F.col("want"), F.lit(m)).alias("n_samples"),
-        F.when(F.col("want") <= m, F.lit(e)).otherwise(
-            F.expr(f"duration_ms div {m - 1}")
-        ).alias("stride_ms"),
+        stride.cast("bigint").alias("stride_ms"),
     )
-    # sampled frame index i = (k * stride_ms) * fps div 1000, k in
-    # [0, n_samples); digest = sum of indices
+    # sampled frame index i = (k * stride_ms) * fps div 1000 clamped to
+    # n_frames - 1 (when the cap binds, the last sample lands at
+    # t = duration_ms, whose raw index can equal n_frames — one past the
+    # last decodable frame), k in [0, n_samples); digest = sum of indices
     return plan.join(videos.select("video_id", "fps", "duration_ms"),
                      "video_id").select(
         "video_id", "n_frames", "n_samples", "stride_ms",
         F.expr(
             "aggregate(sequence(0, n_samples - 1), 0L, "
-            "(acc, k) -> acc + (k * stride_ms * fps) div 1000)"
+            "(acc, k) -> acc + "
+            "LEAST((k * stride_ms * fps) div 1000, n_frames - 1))"
         ).alias("frame_digest"),
     )

@@ -367,3 +367,54 @@ def test_k_shortest_paths_yen(spark):
     # blocking node 1 forces the 0-2-3 route
     c, p = GG.shortest_path_route(df, 0, 3, max_rounds=8, blocked={1})
     assert (c, p) == (3.0, [0, 2, 3])
+
+
+def test_k_shortest_bounded_gather(spark, monkeypatch):
+    """Yen never collects the full edge table (the round-3 scale-killer):
+    with 500 decoy edges off every path, no single collect() in the run
+    may return more than a path-bounded handful of rows, and the ranking
+    is unchanged."""
+    # Spark 4: the classic DataFrame subclass overrides collect(), so
+    # patch the concrete class, not the pyspark.sql.DataFrame base
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from osgeo_gdal_spark.operators import graph as GG
+
+    edges = [
+        (0, 1, 1.0), (1, 3, 1.0),
+        (0, 2, 1.0), (2, 3, 2.0),
+        (0, 3, 4.0),
+        (1, 2, 0.5),
+    ]
+    # decoys: a far-away component Yen's accounting must never touch
+    edges += [(1000 + i, 2000 + i, 1.0) for i in range(500)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    got = GG.k_shortest_paths(df, 0, 3, k=4, max_rounds=8)
+    assert [(c, p) for c, p in got] == [
+        (2.0, [0, 1, 3]),
+        (3.0, [0, 2, 3]),
+        (3.5, [0, 1, 2, 3]),
+        (4.0, [0, 3]),
+    ]
+    # route-reconstruction collects see reachable nodes (a handful);
+    # edge-weight gathers see <= |path| rows; 506 edges must never appear
+    assert max(sizes) <= 20, sizes
+
+
+def test_shortest_paths_warns_when_not_converged(spark):
+    from osgeo_gdal_spark.operators import graph as GG
+
+    chain = [(i, i + 1, 1.0) for i in range(10)]
+    df = spark.createDataFrame(chain, "src LONG, dst LONG, w DOUBLE")
+    with pytest.warns(RuntimeWarning, match="no relaxation fixpoint"):
+        GG.shortest_paths(df, 0, max_rounds=2)

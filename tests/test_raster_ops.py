@@ -697,3 +697,15 @@ def test_viewshed_rejects_edge_observer(spark, tiles):
 
     with _pt.raises(ValueError, match="raster edge"):
         RO.viewshed(tiles, 1, [(1, 10, 256)], 20, 10.0).collect()
+
+
+def test_viewshed_rejects_missing_tile(spark, tiles):
+    """A DEM hole inside the gather box must fail loudly, not zero-fill
+    the window (silently wrong visibility)."""
+    import pytest as _pt
+    from pyspark.errors import PythonException
+
+    holey = tiles.filter(~((F.col("gx") == 1) & (F.col("gy") == 1)))
+    # observer at (250, 250) radius 20: cover box spans all 4 tiles
+    with _pt.raises(PythonException, match="DEM has\\s+holes"):
+        RO.viewshed(holey, 1, [(7, 250, 250)], 20, 30.0).collect()

@@ -293,13 +293,23 @@ def test_frame_sample_plan_semantics(spark):
     r1 = out[1]
     assert r1["n_frames"] == 150 and r1["n_samples"] == 6
     assert r1["stride_ms"] == 1000
-    # digest = sum of (k*1000*30)//1000 = 30 * (0+..+5)
-    assert r1["frame_digest"] == 30 * 15
+    # digest = sum of min((k*1000*30)//1000, 149): the k=5 sample lands
+    # at t=duration whose raw index 150 == n_frames (one past the last
+    # decodable frame) and clamps to 149
+    assert r1["frame_digest"] == 0 + 30 + 60 + 90 + 120 + 149
     r2 = out[2]
     assert r2["n_samples"] == 32 and r2["stride_ms"] == 120000 // 31
     assert r2["n_frames"] == 120000 * 24 // 1000
-    want = sum((k * r2["stride_ms"] * 24) // 1000 for k in range(32))
+    want = sum(min((k * r2["stride_ms"] * 24) // 1000,
+                   r2["n_frames"] - 1) for k in range(32))
     assert r2["frame_digest"] == want
+
+    # max_frames=1 used to divide by zero in the re-stride: one sample,
+    # frame 0, stride 0
+    one = {r["video_id"]: r
+           for r in MM.frame_sample_plan(vids, 1000, 1).collect()}
+    assert one[2]["n_samples"] == 1 and one[2]["stride_ms"] == 0
+    assert one[2]["frame_digest"] == 0
 
 
 def test_st_segmentize_and_dump(spark):

@@ -1626,6 +1626,60 @@ def _overlay_pair_area_sql(p) -> str:
     raise ValueError(p.kind)
 
 
+def q_overlay_snapped(spark: SparkSession, sf: str) -> DataFrame:
+    """Snap-rounding overlay on NON-general-position inputs (the
+    round-3 contract gap: vertex-on-edge contacts, shared collinear
+    edges, near-coincident boundaries — GEOS closes it with
+    snap-rounding; the reference exposes it as the layer-algebra SNAP
+    options, ogrlayer.cpp:5402). 48 contact pairs across 8 degenerate
+    classes (sources/polygons.contact_pairs — incl. a dyadic-jittered
+    class the snap must recover exactly) run intersection, union and
+    difference through the exact-lattice kernel kernels/snap.py; the
+    oracle derives every area by integer box algebra — a fully
+    independent arithmetic path from the engine's
+    snap+node+side-classify+face-walk+shoelace pipeline."""
+    from .operators import overlay as OV
+
+    feats = PL.contact_feats_df(spark)
+    polys = PL.contact_polys()
+    parts = []
+    for op, tag in (("intersection", "i"), ("union", "u"),
+                    ("difference", "d")):
+        ov = OV.overlay_features_snapped(
+            spark, feats, polys, op, grid=PL.CONTACT_GRID
+        )
+        parts.append(ov.select(
+            F.lit(tag).alias("op"), "a_id", "eas_id",
+            F.round("piece_area", 6).alias("area"),
+        ))
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def sql_overlay_snapped() -> str:
+    return f"""
+WITH params AS ({PL.contact_values_sql()}),
+areas AS (
+  SELECT a_id, eas_id,
+         (ax1 - ax0) * (ay1 - ay0) AS a_area, b_area,
+         CASE WHEN b_is_tri THEN 0 ELSE
+           GREATEST(0, LEAST(ax1, bx1) - GREATEST(ax0, bx0)) *
+           GREATEST(0, LEAST(ay1, by1) - GREATEST(ay0, by0)) END AS i_area
+  FROM params
+)
+SELECT 'i' AS op, a_id, CAST(eas_id AS BIGINT) AS eas_id,
+       ROUND(CAST(i_area AS DOUBLE), 6) AS area
+FROM areas WHERE i_area > 0
+UNION ALL
+SELECT 'u', a_id, CAST(eas_id AS BIGINT),
+       ROUND(CAST(a_area + b_area - i_area AS DOUBLE), 6)
+FROM areas
+UNION ALL
+SELECT 'd', a_id, CAST(eas_id AS BIGINT),
+       ROUND(CAST(a_area - i_area AS DOUBLE), 6)
+FROM areas WHERE a_area - i_area > 0
+"""
+
+
 def _overlay_pairs_cte() -> str:
     """(a_id, eas_id, i_area, a_area, b_area) for every intersecting
     (tindex rect, polygon) pair — the shared oracle base for the three
@@ -4475,6 +4529,7 @@ QUERIES = {
     "overlay_union": q_overlay_union,
     "overlay_erase": q_overlay_erase,
     "overlay_symdiff": q_overlay_symdiff,
+    "overlay_snapped": q_overlay_snapped,
     "spatial_predicates": q_spatial_predicates,
     "line_predicates": q_line_predicates,
     "viewshed": q_viewshed,
@@ -4661,6 +4716,7 @@ ORACLES = {
     "sessionize": sql_sessionize(),
     "hex_raster_rollup": sql_hex_raster_rollup(),
     "overlay_symdiff": sql_overlay_symdiff(),
+    "overlay_snapped": sql_overlay_snapped(),
     "grid_metric_range": sql_grid_metric_range(),
     "grid_avg_distance": sql_grid_avg_distance(),
     "interpolate_cubic": sql_interpolate_cubic(),

@@ -258,6 +258,84 @@ def erase_features(spark, feats: DataFrame, polys,
     return erased.unionByName(untouched.mapInPandas(whole, out_schema))
 
 
+def overlay_features_snapped(spark, feats: DataFrame, polys, op: str,
+                             grid: float = None,
+                             keep_cols=("fid", "a_id"),
+                             geom_col="geometry", zoom=None) -> DataFrame:
+    """Layer-algebra overlay WITHOUT the general-position contract: both
+    sides pass through the snap-rounding kernel (kernels/snap.py), so
+    vertex-on-edge contacts, shared collinear edges and near-coincident
+    boundaries — the cases overlay_features refuses — are handled.  The
+    GEOS analog is ST_SetPrecision + snap-rounded overlay; the reference
+    reaches the same semantics via the layer-algebra SNAP options
+    (ogr/ogrsf_frmts/generic/ogrlayer.cpp:5402).
+
+    Plan shape matches overlay_features (broadcast cell cover + bbox
+    prefilter + one Arrow pass, features never shuffle) with one
+    difference: candidates use the CLOSED envelope comparison and skip
+    the strict-interior refine — boundary-only contacts must reach the
+    kernel, and pairs whose op result is empty simply emit nothing.
+
+    ``grid`` is the snap resolution in world units (power of two;
+    defaults per pair from coordinate magnitude). Output rows carry the
+    AREAL result only (boundary-only contacts yield no row for
+    op='intersection').
+    """
+    from ..kernels import snap as SN
+    from . import spatial_join as SJ
+
+    if grid is None:
+        # derive one layer-wide grid from the polygon payload magnitude
+        # so the candidate dilation below matches the kernel's default
+        grid = SN.default_grid(
+            [], [(_g.xs, _g.ys) for pf in polys
+                 for _g in [W.parse_wkb(pf.wkb())]]
+        )
+    kw = {} if zoom is None else {"zoom": zoom}
+    matched = SJ.spatial_join_polygons(
+        spark, feats, polys, predicate="candidates_closed",
+        dilate=float(grid), **kw
+    )
+
+    payload = [(pf.fid, pf.wkb()) for pf in polys]
+    key = SJ.payload_key(payload)
+    bc = spark.sparkContext.broadcast(payload)
+    opv = str(op)
+    gridv = grid
+    cols = list(keep_cols)
+
+    out_schema = T.StructType(
+        [feats.schema[c] for c in cols]
+        + [T.StructField("eas_id", T.LongType())]
+        + _PIECE_FIELDS
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rings_by_fid = _prepared_rings(bc.value, key)
+            rows = []
+            for _, row in pdf.iterrows():
+                ra = OVK.geometry_rings(W.parse_wkb(bytes(row[geom_col])))
+                rb = rings_by_fid[int(row["b_fid"])]
+                res = SN.overlay_rings_snapped(ra, rb, opv, gridv)
+                area = SN.rings_area(res)
+                if not res or area <= 0:
+                    continue
+                rows.append(
+                    {**{c: row[c] for c in cols},
+                     "eas_id": int(row["eas_id"]),
+                     "piece_wkb": OVK.rings_to_wkb(res),
+                     "piece_area": float(area),
+                     "piece_npts": int(sum(len(xs) for xs, _ in res))}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return matched.mapInPandas(kernel, out_schema)
+
+
 def dissolve(spark, feats: DataFrame, group_col: str = "gid",
              geom_col: str = "geometry", fanin: int = 8) -> DataFrame:
     """Dissolve / UnaryUnion per attribute value

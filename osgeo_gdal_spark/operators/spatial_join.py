@@ -232,7 +232,8 @@ def zonal_stats(spark, pages: DataFrame, polys, value_col: str,
 
 def spatial_join_polygons(spark, feats: DataFrame, polys,
                           zoom=DEFAULT_JOIN_ZOOM,
-                          predicate: str = "intersects") -> DataFrame:
+                          predicate: str = "intersects",
+                          dilate: float = 0.0) -> DataFrame:
     """Polygon x polygon containment/intersection join — the moment a
     second VECTOR layer shows up (the reference's envelope + prepared-
     geometry pattern, ogrlayer.cpp:4004-4076, with GEOS replaced by the
@@ -253,9 +254,18 @@ def spatial_join_polygons(spark, feats: DataFrame, polys,
     n = 1 << zoom
     cover = polygon_cover_df(spark, polys, zoom)
 
-    tx = G.tile_x_sql("bbox.xmin", zoom), G.tile_x_sql("bbox.xmax", zoom)
+    # dilate > 0 (the snapped-overlay path): widen the feature's cell
+    # range and the envelope comparison by the snap grid, so boundaries
+    # within one grid step of each other — which snapping will make
+    # coincident — still produce a candidate pair
+    d = float(dilate)
+    xlo = f"(bbox.xmin - {d!r})" if d else "bbox.xmin"
+    xhi = f"(bbox.xmax + {d!r})" if d else "bbox.xmax"
+    ylo = f"(bbox.ymin - {d!r})" if d else "bbox.ymin"
+    yhi = f"(bbox.ymax + {d!r})" if d else "bbox.ymax"
+    tx = G.tile_x_sql(xlo, zoom), G.tile_x_sql(xhi, zoom)
     # mercator y grows downward: ymax -> smaller ty
-    ty = G.tile_y_sql("bbox.ymax", zoom), G.tile_y_sql("bbox.ymin", zoom)
+    ty = G.tile_y_sql(yhi, zoom), G.tile_y_sql(ylo, zoom)
     keyed = feats.select(
         "*",
         F.explode(F.expr(f"sequence({tx[0]}, {tx[1]})")).alias("_cx"),
@@ -269,11 +279,17 @@ def spatial_join_polygons(spark, feats: DataFrame, polys,
     # (touches/equals/covers/disjoint-complement) must keep edge-aligned
     # envelopes -> closed comparison; the strict-interior tier uses the
     # strict one (a shared envelope edge can't make interiors intersect).
-    closed_pred = predicate in ("touches", "overlaps", "equals", "covers")
+    closed_pred = predicate in ("touches", "overlaps", "equals", "covers",
+                                "candidates_closed")
     lt = (lambda a, b: a <= b) if closed_pred else (lambda a, b: a < b)
+    fxlo, fxhi = F.col("bbox.xmin"), F.col("bbox.xmax")
+    fylo, fyhi = F.col("bbox.ymin"), F.col("bbox.ymax")
+    if d:
+        fxlo, fxhi = fxlo - d, fxhi + d
+        fylo, fyhi = fylo - d, fyhi + d
     cand = cand.filter(
-        lt(F.col("bbox.xmin"), F.col("p_xmax")) & lt(F.col("p_xmin"), F.col("bbox.xmax"))
-        & lt(F.col("bbox.ymin"), F.col("p_ymax")) & lt(F.col("p_ymin"), F.col("bbox.ymax"))
+        lt(fxlo, F.col("p_xmax")) & lt(F.col("p_xmin"), fxhi)
+        & lt(fylo, F.col("p_ymax")) & lt(F.col("p_ymin"), fyhi)
     ).dropDuplicates(["fid", "poly_fid"])
 
     payload = [(pf.fid, pf.wkb()) for pf in polys]
@@ -312,6 +328,13 @@ def spatial_join_polygons(spark, feats: DataFrame, polys,
 
     aux = ["p_xmin", "p_ymin", "p_xmax", "p_ymax", "cell_key",
            "refine_needed", "poly_fid"]
-    matched = cand.filter(matches("poly_fid", "geometry"))
+    if predicate == "candidates_closed":
+        # closed-envelope candidates WITHOUT the exact refine: the
+        # snapped overlay consumes these directly (its kernel decides
+        # emptiness itself, and must see boundary-only contacts that the
+        # strict-interior refine would drop)
+        matched = cand
+    else:
+        matched = cand.filter(matches("poly_fid", "geometry"))
     return matched.drop(*[c for c in aux if c != "poly_fid"]).withColumnRenamed(
         "poly_fid", "b_fid")

@@ -487,3 +487,134 @@ def read_geoparquet_meta(path: str) -> dict:
     part = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
     md = pq.read_schema(part).metadata or {}
     return json.loads(md[b"geo"].decode("utf-8"))
+
+
+# --- contact-pair fixture family: deliberate NON-general-position
+# contacts (vertex-on-edge, shared collinear edges, corner touches,
+# near-coincident boundaries) for the snap-rounding overlay tier
+# (kernels/snap.py; GEOS snap-rounding semantics, the reference's
+# layer-algebra SNAP options ogr/ogrsf_frmts/generic/ogrlayer.cpp:5402).
+# Every coordinate is an exact small integer (class 7 adds an exactly
+# representable 2^-30 dyadic jitter that the 2^-10 snap grid absorbs),
+# so every op area is closed-form integer box algebra for the oracle. --
+
+_J = 2.0 ** -30           # dyadic jitter, exactly representable
+CONTACT_GRID = 2.0 ** -10  # snap resolution used by the contact queries
+
+
+def contact_pairs():
+    """48 isolated (A, B) pairs, 6 per contact class (i % 8):
+
+    0 shared full edge | 1 partial shared edge | 2 corner touch |
+    3 containment sharing part of A's bottom edge | 4 identical rects |
+    5 proper crossing (general-position control) | 6 T-contact triangle
+    (apex ON A's edge interior, outside) | 7 class-0 geometry jittered
+    by ±2^-30 (snapping must recover the exact contact).
+
+    Returns dicts with integer A/B bounds (B UNJITTERED for the oracle;
+    the engine-side WKB applies the jitter for class 7), b_kind
+    ('rect'|'tri') and tri vertices where applicable.
+    """
+    out = []
+    for i in range(48):
+        cx = -170 + (i % 16) * 21
+        cy = -60 + (i // 16) * 30
+        w = 4 + (i % 3) * 2
+        h = 4 + (i % 5)
+        cls = i % 8
+        a = (cx, cy, cx + w, cy + h)
+        tri = None
+        jitter = False
+        if cls == 0:
+            b = (cx + w, cy, cx + w + 5, cy + h)
+        elif cls == 1:
+            b = (cx + w, cy + 1, cx + w + 5, cy + h + 3)
+        elif cls == 2:
+            b = (cx + w, cy + h, cx + w + 4, cy + h + 4)
+        elif cls == 3:
+            b = (cx + 1, cy, cx + 3, cy + 2)
+        elif cls == 4:
+            b = a
+        elif cls == 5:
+            b = (cx + 2, cy + 2, cx + w + 3, cy + h + 3)
+        elif cls == 6:
+            b = (cx + w, cy + 1, cx + w + 4, cy + 3)   # tri bbox
+            tri = ((cx + w, cy + 2), (cx + w + 4, cy + 1),
+                   (cx + w + 4, cy + 3))
+        else:
+            b = (cx + w, cy, cx + w + 5, cy + h)
+            jitter = True
+        out.append({"a_id": i, "eas_id": 5000 + i, "cls": cls,
+                    "a": a, "b": b, "tri": tri, "jitter": jitter})
+    return out
+
+
+def contact_polys():
+    """B side of the contact pairs as PolyFeature payload (class-7
+    coordinates carry the dyadic jitter the snap must undo)."""
+    feats = []
+    for p in contact_pairs():
+        if p["tri"] is not None:
+            feats.append(PolyFeature(p["a_id"], p["eas_id"], "tri",
+                                     "tri", {"vertices": [
+                                         (float(x), float(y))
+                                         for x, y in p["tri"]]}))
+        else:
+            x0, y0, x1, y1 = (float(v) for v in p["b"])
+            if p["jitter"]:
+                x0, x1 = x0 + _J, x1 + _J
+                y0, y1 = y0 - _J, y1 - _J
+            feats.append(PolyFeature(p["a_id"], p["eas_id"], "rect",
+                                     "rect", {"bounds": (x0, y0, x1, y1)}))
+    return feats
+
+
+def contact_feats_df(spark):
+    """A side of the contact pairs as a features DataFrame (fid, a_id,
+    WKB geometry, flat bbox struct — the GeoParquet covering pattern)."""
+    from pyspark.sql import types as T
+
+    rows = []
+    for p in contact_pairs():
+        x0, y0, x1, y1 = (float(v) for v in p["a"])
+        wkb = W.polygon_wkb([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+        rows.append((p["a_id"], p["a_id"], bytearray(wkb),
+                     {"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1}))
+    schema = T.StructType([
+        T.StructField("fid", T.LongType()),
+        T.StructField("a_id", T.LongType()),
+        T.StructField("geometry", T.BinaryType()),
+        T.StructField("bbox", T.StructType([
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ])),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def contact_values_sql() -> str:
+    """Oracle-side VALUES table of the UNJITTERED integer parameters:
+    (a_id, eas_id, ax0, ay0, ax1, ay1, bx0, by0, bx1, by1, b_is_tri,
+    b_area). Intersection/union/difference areas derive by box algebra
+    — an arithmetic path fully independent of the engine's
+    snap+node+classify+shoelace pipeline."""
+    rows = []
+    for p in contact_pairs():
+        ax0, ay0, ax1, ay1 = p["a"]
+        bx0, by0, bx1, by1 = p["b"]
+        if p["tri"] is not None:
+            (x1, y1), (x2, y2), (x3, y3) = p["tri"]
+            b_area = abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) / 2
+        else:
+            b_area = (bx1 - bx0) * (by1 - by0)
+        rows.append(
+            f"({p['a_id']}, {p['eas_id']}, {ax0}, {ay0}, {ax1}, {ay1}, "
+            f"{bx0}, {by0}, {bx1}, {by1}, "
+            f"{'TRUE' if p['tri'] is not None else 'FALSE'}, {b_area!r})"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(a_id, eas_id, "
+        "ax0, ay0, ax1, ay1, bx0, by0, bx1, by1, b_is_tri, b_area)"
+    )

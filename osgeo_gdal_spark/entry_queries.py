@@ -3396,50 +3396,81 @@ def sql_raster_pyramid_bilinear() -> str:
     return _sql_pyramid_conv(o, wts)
 
 
+# the lattice pentagram used by q_make_valid: a {5/2} star cycle on
+# integer vertices. Exact-fraction constants (computed once by
+# tests/test_kernels_geometry's fraction oracle and pinned here): the
+# winding-weighted shoelace is 24, the winding-2 core pentagon is
+# 2768/525, so the repaired (union) area at unit scale is 9832/525.
+_STAR_XY = ((0.0, 6.0), (2.0, 0.0), (-5.0, 4.0), (5.0, 4.0), (-2.0, 0.0))
+_STAR_AREA_NUM, _STAR_AREA_DEN = 9832, 525
+
+
 def q_make_valid(spark: SparkSession, sf: str) -> DataFrame:
-    """ST_MakeValid on self-crossing bowtie quads (OGRGeometry::
-    MakeValid, ogrgeometry.cpp:4183 / GEOS linework method): one bowtie
-    per supplier, sized by dyadic functions of s_suppkey, noded and
-    split into two triangles. Total repaired area is the closed form
-    h*w (all coordinates dyadic, the symmetric crossing solves exactly
-    at t=1/2), so the oracle is pure arithmetic on the supplier key."""
+    """ST_MakeValid on self-crossing rings (OGRGeometry::MakeValid,
+    ogrgeometry.cpp:4183 / GEOS linework method), both tiers:
+
+    - EVEN supplier keys: bowtie quads (disjoint-face tier) — noded and
+      split into two triangles; area is the closed form h*w (dyadic
+      coordinates, the symmetric crossing solves exactly at t=1/2).
+    - ODD supplier keys: lattice PENTAGRAMS (the round-3 extension
+      point, overlapping-face tier) scaled by a dyadic factor — the
+      full-arrangement pass emits 5 point-triangles + the winding-2
+      core as 6 polygons; area is s^2 * 9832/525 by the exact-fraction
+      closed form (outer winding shoelace 24 minus core 2768/525).
+
+    Output: (s_suppkey, gtype, n_parts, area@6dp)."""
     import pandas as pd
     from pyspark.sql import types as T
 
     from .functions import st as ST
 
     @F.pandas_udf(T.BinaryType())
-    def bowtie_wkb(keys):
+    def invalid_wkb(keys):
         from .kernels import wkb as W
 
         out = []
         for k in keys:
             k = int(k)
             x, y = float(k % 100), float(k // 100 % 100)
-            w, h = 1.0 + (k % 7) / 4.0, 1.0 + (k % 5) / 8.0
-            # self-crossing vertex order: the two diagonals swap
-            out.append(W.polygon_wkb(
-                [[(x, y), (x + 2 * w, y + h), (x + 2 * w, y), (x, y + h)]]
-            ))
+            if k % 2 == 0:
+                w, h = 1.0 + (k % 7) / 4.0, 1.0 + (k % 5) / 8.0
+                # self-crossing vertex order: the two diagonals swap
+                out.append(W.polygon_wkb(
+                    [[(x, y), (x + 2 * w, y + h), (x + 2 * w, y),
+                      (x, y + h)]]
+                ))
+            else:
+                s = 1.0 + (k % 4) / 4.0
+                out.append(W.polygon_wkb(
+                    [[(x + s * sx, y + s * sy) for sx, sy in _STAR_XY]]
+                ))
         return pd.Series(out)
 
     sup = read_table(spark, sf, "supplier").select("s_suppkey")
     fixed = sup.withColumn(
-        "valid", ST.st_makevalid(bowtie_wkb(F.col("s_suppkey")))
+        "valid", ST.st_makevalid(invalid_wkb(F.col("s_suppkey")))
     )
     return fixed.select(
         "s_suppkey",
         ST.st_geometry_type(F.col("valid")).alias("gtype"),
-        ST.st_area(F.col("valid")).alias("area"),
+        F.size(ST.st_dump(F.col("valid"))).alias("n_parts"),
+        F.round(ST.st_area(F.col("valid")), 6).alias("area"),
     )
 
 
 def sql_make_valid() -> str:
-    return """
+    return f"""
 SELECT s_suppkey, 'MultiPolygon' AS gtype,
-       (CAST(1.0 AS DOUBLE) + (s_suppkey % 7) / CAST(4.0 AS DOUBLE))
-       * (CAST(1.0 AS DOUBLE) + (s_suppkey % 5) / CAST(8.0 AS DOUBLE))
-         AS area
+       CAST(CASE WHEN s_suppkey % 2 = 0 THEN 2 ELSE 6 END AS INT)
+         AS n_parts,
+       ROUND(CASE WHEN s_suppkey % 2 = 0 THEN
+         (CAST(1.0 AS DOUBLE) + (s_suppkey % 7) / CAST(4.0 AS DOUBLE))
+         * (CAST(1.0 AS DOUBLE) + (s_suppkey % 5) / CAST(8.0 AS DOUBLE))
+       ELSE
+         CAST({_STAR_AREA_NUM} AS DOUBLE) / {_STAR_AREA_DEN}
+         * (CAST(1.0 AS DOUBLE) + (s_suppkey % 4) / CAST(4.0 AS DOUBLE))
+         * (CAST(1.0 AS DOUBLE) + (s_suppkey % 4) / CAST(4.0 AS DOUBLE))
+       END, 6) AS area
 FROM supplier
 """
 

@@ -630,10 +630,13 @@ def st_makevalid(geoms):
     GEOS linework/structure method) — REAL for polygons whose self-
     contacts are proper segment crossings: the ring is noded at every
     crossing and split into simple CCW loops (bowtie -> two triangles,
-    figure-eight chains -> one loop per lobe). Inputs whose noded faces
-    OVERLAP (pentagram-style interleaved crossings), collinear-overlap
-    contacts, and nested self-touching loops raise the named shapely
-    extension error (kernels/makevalid.py header).
+    figure-eight chains -> one loop per lobe). When the noded faces
+    OVERLAP (pentagram-style interleaved crossings) the full
+    arrangement pass takes over: every bounded face with nonzero
+    winding is emitted as its own polygon — 5 point-triangles plus the
+    winding-2 core for a pentagram (GEOS linework/Polygonizer
+    structure; kernels/makevalid._arrangement_faces). Collinear-overlap
+    contacts remain the named extension (kernels/makevalid.py header).
     Valid input passes through unchanged-as-polygon; fully degenerate
     input yields NULL."""
     import pandas as pd
@@ -646,7 +649,9 @@ def st_makevalid(geoms):
             out.append(None)
             continue
         loops = MV.make_valid(W.parse_wkb(bytes(g)))
-        if not loops:
+        if loops is None:
+            out.append(bytes(g))   # already valid: pass through
+        elif not loops:
             out.append(None)
         elif len(loops) == 1:
             out.append(W.polygon_wkb([loops[0]]))

@@ -199,19 +199,208 @@ def _loops_overlap(loops):
     return False
 
 
-def make_valid(pg: PackedGeometry):
-    """PackedGeometry polygon -> list of simple CCW loops across all its
-    rings (holes are noded independently — matching the linework
-    method's per-ring treatment; nested-loop reassembly is the named
-    GEOS extension)."""
-    loops = []
+def _winding(px, py, xs, ys):
+    """Winding number of (px, py) around the CLOSED cycle xs/ys (open
+    vertex list, wrap implied) — standard signed upward/downward
+    crossing count."""
+    wn = 0
+    n = len(xs)
+    for i in range(n):
+        x0, y0 = xs[i], ys[i]
+        x1, y1 = xs[(i + 1) % n], ys[(i + 1) % n]
+        cross = (x1 - x0) * (py - y0) - (px - x0) * (y1 - y0)
+        if y0 <= py:
+            if y1 > py and cross > 0:
+                wn += 1
+        else:
+            if y1 <= py and cross < 0:
+                wn -= 1
+    return wn
+
+
+def _off_all_edges(px, py, edges):
+    """True when (px, py) is strictly off every segment in ``edges``
+    (list of (ax, ay, bx, by)); exact float on-segment test."""
+    for (ax, ay, bx, by) in edges:
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        dot = (bx - ax) * (px - ax) + (by - ay) * (py - ay)
+        rr = (bx - ax) ** 2 + (by - ay) ** 2
+        if cross == 0.0 and 0.0 <= dot <= rr:
+            return False
+    return True
+
+
+def _arrangement_faces(rings):
+    """Overlapping-face MakeValid (the round-3 extension point):
+    enumerate every bounded face of the full noded self-arrangement and
+    keep faces with nonzero winding w.r.t. the original ring cycle(s) —
+    GEOS's linework/Polygonizer semantics, where a pentagram yields its
+    5 point-triangles PLUS the winding-2 core as separate polygons.
+
+    ``rings``: list of (xs, ys) OPEN vertex arrays in original
+    orientation. Returns open CCW loops.
+
+    Method: node ALL edges pairwise (proper crossings with the
+    crossing point computed once and shared — identical to the
+    disjoint-face pass), emit BOTH half-edges of every noded
+    sub-segment, and trace faces with the clockwise-successor rule
+    (first outgoing edge CW from the reversed incoming direction, the
+    planar face-traversal walk also used by kernels/snap.py). Each
+    bounded face comes out exactly once, CCW; the unbounded face comes
+    out CW and is dropped by its negative area. Face membership is then
+    decided by the winding number of an interior witness (edge midpoint
+    nudged to the face's left side, halved until off every arrangement
+    edge — the face-witness move)."""
+    import math
+
+    # all directed original edges, flattened
+    E = []
+    for xs, ys in rings:
+        n = len(xs)
+        for i in range(n):
+            a = (float(xs[i]), float(ys[i]))
+            b = (float(xs[(i + 1) % n]), float(ys[(i + 1) % n]))
+            if a != b:
+                E.append((a[0], a[1], b[0], b[1]))
+    # pairwise noding
+    cuts = {i: [] for i in range(len(E))}
+    for i in range(len(E)):
+        ax, ay, bx, by = E[i]
+        for j in range(i + 1, len(E)):
+            cx, cy, dx, dy = E[j]
+            hit = _proper_crossing(ax, ay, bx, by, cx, cy, dx, dy)
+            if hit is not None:
+                px, py, t, u = hit
+                cuts[i].append((t, (px, py)))
+                cuts[j].append((u, (px, py)))
+    subs = set()
+    for i, (ax, ay, bx, by) in enumerate(E):
+        pts = [(0.0, (ax, ay))] + sorted(cuts[i]) + [(1.0, (bx, by))]
+        for (_, p), (_, q) in zip(pts, pts[1:]):
+            if p != q:
+                subs.add((min(p, q), max(p, q)))
+
+    # both half-edges of every noded sub-segment
+    succ: dict = {}
+    for p, q in subs:
+        succ.setdefault(p, []).append(q)
+        succ.setdefault(q, []).append(p)
+
+    faces = []
+    used = set()
+    for start_p, outs0 in list(succ.items()):
+        for start_q in list(outs0):
+            if (start_p, start_q) in used:
+                continue
+            path = [start_p, start_q]
+            used.add((start_p, start_q))
+            prev, node = start_p, start_q
+            guard = 0
+            while True:
+                outs = succ[node]
+                rev = math.atan2(prev[1] - node[1], prev[0] - node[0])
+
+                def cw_gap(c):
+                    a = math.atan2(c[1] - node[1], c[0] - node[0])
+                    d = (rev - a) % (2.0 * math.pi)
+                    return d if d > 1e-12 else 2.0 * math.pi
+
+                nxt = min(outs, key=cw_gap)
+                if (node, nxt) == (start_p, start_q):
+                    break
+                used.add((node, nxt))
+                prev, node = node, nxt
+                path.append(node)
+                guard += 1
+                if guard > 4 * len(subs) + 8:
+                    raise RuntimeError("arrangement face walk diverged")
+            path = path[:-1] if path[-1] == start_p else path
+            if len(path) >= 3:
+                fx = np.array([p[0] for p in path])
+                fy = np.array([p[1] for p in path])
+                area = _loop_area(list(zip(fx, fy)))
+                if area > 1e-12:
+                    faces.append(list(zip(fx.tolist(), fy.tolist())))
+
+    # winding-based membership
+    edges_flat = [(p[0], p[1], q[0], q[1]) for p, q in subs]
+    kept = []
+    for face in faces:
+        (ax, ay), (bx, by) = face[0], face[1]
+        mx, my = (ax + bx) / 2.0, (ay + by) / 2.0
+        dx, dy = bx - ax, by - ay
+        ln = math.hypot(dx, dy)
+        nx, ny = -dy / ln, dx / ln      # left normal = face interior
+        eps = 0.25 * ln
+        while True:
+            wxp, wyp = mx + eps * nx, my + eps * ny
+            if _off_all_edges(wxp, wyp, edges_flat):
+                break
+            eps *= 0.5
+            if eps < 1e-12 * (1.0 + ln):
+                raise RuntimeError("arrangement face witness degenerate")
+        wn = sum(_winding(wxp, wyp, np.asarray(xs), np.asarray(ys))
+                 for xs, ys in rings)
+        if wn != 0:
+            kept.append(face)
+    return kept
+
+
+def _open_rings(pg: PackedGeometry):
+    rings = []
     for r in range(len(pg.ring_offsets) - 1):
         s, e = pg.ring_offsets[r], pg.ring_offsets[r + 1]
-        loops.extend(make_valid_rings(pg.xs[s:e], pg.ys[s:e]))
+        xs, ys = pg.xs[s:e], pg.ys[s:e]
+        if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+            xs, ys = xs[:-1], ys[:-1]
+        rings.append((xs, ys))
+    return rings
+
+
+def _rings_cross(rings) -> bool:
+    """Any proper crossing between edges of DIFFERENT rings."""
+    for a in range(len(rings)):
+        axs, ays = rings[a]
+        na = len(axs)
+        for b in range(a + 1, len(rings)):
+            bxs, bys = rings[b]
+            nb = len(bxs)
+            for i in range(na):
+                for j in range(nb):
+                    if _proper_crossing(
+                        axs[i], ays[i],
+                        axs[(i + 1) % na], ays[(i + 1) % na],
+                        bxs[j], bys[j],
+                        bxs[(j + 1) % nb], bys[(j + 1) % nb],
+                    ) is not None:
+                        return True
+    return False
+
+
+def make_valid(pg: PackedGeometry):
+    """PackedGeometry polygon -> validity repair, three tiers:
+
+    1. STRUCTURALLY INTACT input (every ring simple, no cross-ring
+       crossings — includes valid polygons with holes and
+       multipolygons): returns None, meaning "pass through unchanged"
+       (GEOS MakeValid returns valid input as-is).
+    2. Self-crossing rings whose noded faces are DISJOINT (bowtie,
+       figure-eight): per-ring noding, one simple CCW loop per face.
+    3. OVERLAPPING noded faces (pentagram-style interleaved
+       crossings): the full-arrangement pass — every bounded face of
+       the noded linework with nonzero winding becomes its own polygon
+       (GEOS linework/Polygonizer semantics: 5 point-triangles + the
+       winding-2 core for a pentagram)."""
+    rings = _open_rings(pg)
+    per_ring = [make_valid_rings(xs, ys) for xs, ys in rings]
+    intact = all(len(lp) == 1 for lp in per_ring) and not _rings_cross(rings)
+    if intact and len(rings) > 1:
+        return None
+    if intact and len(rings) == 1:
+        # single simple ring: emit the CCW repair (covers unclosed /
+        # duplicate-vertex input that needed no noding)
+        return per_ring[0]
+    loops = [lp for lps in per_ring for lp in lps]
     if len(loops) > 1 and _loops_overlap(loops):
-        raise NotImplementedError(
-            "MakeValid: interleaved self-crossings (pentagram-style) "
-            "yield overlapping faces; even-odd face classification is "
-            "the shapely.make_valid extension point"
-        )
+        loops = _arrangement_faces(rings)
     return loops

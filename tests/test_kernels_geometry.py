@@ -302,15 +302,47 @@ def test_make_valid_figure_eight_and_pentagram_scope():
     assert all(not MV._has_proper_crossing(l) for l in loops)
     assert not MV._loops_overlap(loops)
 
-    # pentagram: loops overlap on the core face -> scope error
+    # pentagram (overlapping-face tier, round-4): the per-ring noding
+    # leaves overlapping composite loops, and the full-arrangement pass
+    # takes over — 5 point-triangles + the winding-2 core, each its own
+    # simple CCW face (GEOS linework/Polygonizer structure)
     ang = [math.pi / 2 + 4 * math.pi * k / 5 for k in range(5)]
     xs = [math.cos(a) for a in ang]
     ys = [math.sin(a) for a in ang]
     star = MV.make_valid_rings(xs, ys)
     assert MV._loops_overlap(star)
     pg = W.parse_wkb(W.polygon_wkb([list(zip(xs, ys))]))
-    with pytest.raises(NotImplementedError):
-        MV.make_valid(pg)
+    faces = MV.make_valid(pg)
+    assert len(faces) == 6
+    assert all(MV._loop_area(f) > 0 for f in faces)
+    assert all(not MV._has_proper_crossing(f) for f in faces)
+    # (faces legitimately SHARE edges — triangle bases == core edges —
+    # so the disjoint-tier _loops_overlap midpoint probe does not apply)
+    # regular pentagram: 5 congruent point-triangles + one core
+    areas = sorted(MV._loop_area(f) for f in faces)
+    assert max(areas[:5]) - min(areas[:5]) < 1e-9
+
+
+def test_make_valid_lattice_pentagram_exact_fraction_oracle():
+    """Integer-vertex pentagram vs an exact Fraction arrangement oracle:
+    total face area equals (winding-weighted shoelace) - (core pentagon
+    area), both computed in exact rational arithmetic — the constants
+    pinned in entry_queries (9832/525 at unit scale)."""
+    from fractions import Fraction as Fr
+
+    from osgeo_gdal_spark.kernels import makevalid as MV
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    sx = [0.0, 2.0, -5.0, 5.0, -2.0]
+    sy = [6.0, 0.0, 4.0, 4.0, 0.0]
+    pg = W.parse_wkb(W.polygon_wkb([list(zip(sx, sy))]))
+    faces = MV.make_valid(pg)
+    assert len(faces) == 6
+    total = sum(MV._loop_area(f) for f in faces)
+    assert abs(total - 9832 / Fr(525)) < 1e-9
+    # the core is the largest face here: 2768/525
+    assert abs(max(MV._loop_area(f) for f in faces)
+               - 2768 / Fr(525)) < 1e-9
 
 
 def test_interior_point_concave_hole_and_symdiff():

@@ -37,12 +37,15 @@ def test_st_contains_point(spark):
     assert got[9] is True and sum(got.values()) == 1
 
 
-def test_st_geos_stubs_raise(spark):
-    # MakeValid stays a GEOS-tier stub; buffer raises only for the
-    # non-convex / multi-ring tier (the fixture layer includes both)
-    df = PL.polygons_df(spark).select(ST.st_makevalid("geometry").alias("b"))
-    with pytest.raises(Exception, match="GEOS|NotImplemented"):
-        df.collect()
+def test_st_makevalid_passthrough_and_buffer_tier(spark):
+    # MakeValid (round-4): ALREADY-VALID input — including the donut
+    # and dateline-multipolygon fixture rows — passes through unchanged
+    rows = PL.polygons_df(spark).select(
+        "geometry", ST.st_makevalid("geometry").alias("b")
+    ).collect()
+    for r in rows:
+        assert bytes(r["b"]) == bytes(r["geometry"])
+    # buffer still raises for the non-convex / multi-ring tier
     df2 = PL.polygons_df(spark).select(ST.st_buffer("geometry").alias("b"))
     with pytest.raises(Exception, match="GEOS|NotImplemented"):
         df2.collect()   # rect_hole / dateline rows hit the GEOS tier

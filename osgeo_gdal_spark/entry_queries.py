@@ -3475,6 +3475,87 @@ FROM supplier
 """
 
 
+def q_st_buffer(spark: SparkSession, sf: str) -> DataFrame:
+    """General ST_Buffer — positive AND negative distances on convex
+    AND concave rings (OGRGeometry::Buffer, ogrgeometry.cpp:4949; the
+    round-3 'non-convex buffer' extension point). Kernel =
+    kernels/buffer.buffer_rings: boundary band (per-edge swept rects +
+    per-vertex quadrant-segment disks) folded through the snap-rounding
+    overlay (dilation = union fold, erosion = difference fold).
+
+    Fixture: even keys axis rects, odd keys concave L-shapes (dyadic
+    scale), buffered with quadsegs=1 — the chamfer disk {(±d,0),(0,±d)}
+    is fully dyadic, so EVERY vertex, crossing and area in the pipeline
+    is exact and the oracle closed forms carry no rounding at all:
+      rect dilate  = w*h + 2(w+h)d + 2d^2
+      rect erode   = (w-2d)(h-2d)            (0 when fully eroded)
+      L dilate     = 21s^2 + 22sd + 1.5d^2   (5 convex - 1 reflex)
+      L erode      = (6s-2d)(2s-2d) + 3s(3s-2d) + d^2/2  (reflex chamfer)
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .kernels import buffer as BF
+    from .kernels import overlay_kernel as OVK
+    from .kernels import snap as SNK
+    from .kernels import wkb as W
+
+    @F.pandas_udf("dil_area double, ero_area double")
+    def buf_areas(keys):
+        out = []
+        for k in keys:
+            k = int(k)
+            x, y = float(k % 100), float(k // 100 % 100)
+            d_dil = (1.0 + (k % 8)) / 4.0
+            d_ero = (1.0 + (k % 3)) / 4.0
+            if k % 2 == 0:
+                w, h = 4.0 + (k % 5), 3.0 + (k % 3)
+                rings = OVK.geometry_rings(W.parse_wkb(W.polygon_wkb(
+                    [[(x, y), (x + w, y), (x + w, y + h), (x, y + h)]]
+                )))
+            else:
+                s = 1.0 + (k % 4) / 4.0
+                rings = OVK.geometry_rings(W.parse_wkb(W.polygon_wkb(
+                    [[(x, y), (x + 6 * s, y), (x + 6 * s, y + 2 * s),
+                      (x + 3 * s, y + 2 * s), (x + 3 * s, y + 5 * s),
+                      (x, y + 5 * s)]]
+                )))
+            dil = SNK.rings_area(BF.buffer_rings(rings, d_dil, quadsegs=1))
+            ero = SNK.rings_area(BF.buffer_rings(rings, -d_ero, quadsegs=1))
+            out.append((float(dil), float(ero)))
+        return pd.DataFrame(out, columns=["dil_area", "ero_area"])
+
+    sup = read_table(spark, sf, "supplier").select("s_suppkey")
+    return sup.select(
+        "s_suppkey", buf_areas(F.col("s_suppkey")).alias("b")
+    ).select("s_suppkey", "b.dil_area", "b.ero_area")
+
+
+def sql_st_buffer() -> str:
+    return """
+WITH p AS (
+  SELECT s_suppkey,
+         (1.0 + (s_suppkey % 8)) / 4.0 AS dd,
+         (1.0 + (s_suppkey % 3)) / 4.0 AS de,
+         CAST(4 + (s_suppkey % 5) AS DOUBLE) AS w,
+         CAST(3 + (s_suppkey % 3) AS DOUBLE) AS h,
+         1.0 + (s_suppkey % 4) / 4.0 AS s
+  FROM supplier
+)
+SELECT s_suppkey,
+       CAST(CASE WHEN s_suppkey % 2 = 0
+         THEN w * h + 2 * (w + h) * dd + 2 * dd * dd
+         ELSE 21 * s * s + 22 * s * dd + 1.5 * dd * dd
+       END AS DOUBLE) AS dil_area,
+       CAST(CASE WHEN s_suppkey % 2 = 0
+         THEN GREATEST(0, w - 2 * de) * GREATEST(0, h - 2 * de)
+         ELSE (6 * s - 2 * de) * (2 * s - 2 * de)
+              + 3 * s * (3 * s - 2 * de) + de * de / 2
+       END AS DOUBLE) AS ero_area
+FROM p
+"""
+
+
 # --- georeferencing transformer tier (gdal_crs / gdal_rpc / TPS) --------
 # Fits run at import over tiny control sets (pure python, deterministic
 # Gaussian elimination); the fitted coefficients embed as repr literals
@@ -4554,6 +4635,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     # -- (c) operators whose code changes this round + round-4 newcomers --
     "make_valid": q_make_valid,
+    "st_buffer": q_st_buffer,
     "grid_linear": q_grid_linear,
     "shortest_paths": q_shortest_paths,
     "overlay_intersection": q_overlay_intersection,
@@ -4742,6 +4824,7 @@ ORACLES = {
     "raster_pyramid_bilinear": sql_raster_pyramid_bilinear(),
     "zonal_frac_poly": sql_zonal_frac_poly(),
     "make_valid": sql_make_valid(),
+    "st_buffer": sql_st_buffer(),
     "hex_density": sql_hex_density(),
     "embedding_quantize": sql_embedding_quantize(),
     "sessionize": sql_sessionize(),

@@ -602,14 +602,18 @@ st_disjoint = _binary_predicate("polygons_disjoint")
 
 @F.pandas_udf(T.BinaryType())
 def st_buffer_1(geoms):
-    """ST_Buffer with distance 1.0, quadsegs 30 (the OGRGeometry::Buffer
-    defaults, ogrgeometry.cpp:4949) — REAL for convex single-ring
-    polygons (round-join Minkowski offset, kernels/polypoly.
-    buffer_convex); non-convex / negative-distance input raises the
-    documented GEOS extension error. Fixed distance because pandas UDFs
-    take columns; parametrize via partial registration when needed."""
+    """ST_Buffer with distance 1.0 (OGRGeometry::Buffer,
+    ogrgeometry.cpp:4949). Convex single-ring polygons take the
+    round-join Minkowski fast path (kernels/polypoly.buffer_convex,
+    quadsegs 30 — the OGR default); everything else — non-convex,
+    holes, multipolygons — runs the GENERAL morphology kernel
+    (kernels/buffer.buffer_rings: boundary band + snapped union fold,
+    quadsegs 8). Fixed distance because pandas UDFs take columns;
+    parametrize via partial registration when needed."""
     import pandas as pd
 
+    from ..kernels import buffer as BF
+    from ..kernels import overlay_kernel as OVK
     from ..kernels import polypoly as PP
 
     out = []
@@ -617,8 +621,13 @@ def st_buffer_1(geoms):
         if g is None:
             out.append(None)
             continue
-        xs, ys = PP.buffer_convex(W.parse_wkb(bytes(g)), 1.0, quadsegs=30)
-        out.append(W.polygon_wkb([list(zip(xs.tolist(), ys.tolist()))]))
+        pg = W.parse_wkb(bytes(g))
+        try:
+            xs, ys = PP.buffer_convex(pg, 1.0, quadsegs=30)
+            out.append(W.polygon_wkb([list(zip(xs.tolist(), ys.tolist()))]))
+        except NotImplementedError:
+            rings = BF.buffer_rings(OVK.geometry_rings(pg), 1.0, quadsegs=8)
+            out.append(OVK.rings_to_wkb(rings) if rings else None)
     return pd.Series(out)
 
 

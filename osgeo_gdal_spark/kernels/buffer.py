@@ -1,0 +1,94 @@
+"""General ST_Buffer (positive AND negative) — the round-3 extension.
+
+``OGRGeometry::Buffer`` (``/root/reference/ogr/ogrgeometry.cpp:4949``)
+delegates to GEOS Buffer with quadrant segments. The container has no
+GEOS, so this builds the buffer from first principles via the
+mathematical-morphology identities, with the snap-rounding overlay
+(kernels/snap.py) doing the set algebra — the piece soup is full of
+shared edges and vertex contacts, exactly what that kernel exists for:
+
+- dilation  A ⊕ D = A ∪ (∂A ⊕ D):  union-fold A with the boundary
+  band = one swept rectangle per edge (both sides, width 2d) plus one
+  disk polygon (4·quadsegs-gon, GEOS's quadrant-segment discretization,
+  vertex at angle 0) per vertex;
+- erosion   A ⊖ D = A − (∂A ⊕ D):  difference-fold A with the same
+  band (negative buffer; also how gdal warp cutline insets work).
+
+Both identities are exact for sets; the only approximation is the
+polygonal disk (inscribed 4·quadsegs-gon — the same discretization
+GEOS uses). Holes and multi-part inputs need no special cases: the
+band covers every ring's boundary, so dilation shrinks holes and
+erosion grows them, by construction.
+
+For AXIS-ALIGNED inputs the result is exactly the Minkowski sum with
+the 4·quadsegs-gon (rect ends meet disk vertices at the axis angles),
+giving closed-form areas: dilation of a convex w×h rect =
+w·h + 2(w+h)·d + 4·quadsegs·(d²/2)·sin(π/(2·quadsegs)); erosion =
+(w−2d)(h−2d). Non-axis corners are within the usual chord-sagitta
+approximation of GEOS.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import snap as SN
+
+
+def disk_polygon(cx: float, cy: float, d: float, quadsegs: int = 8):
+    """Inscribed 4·quadsegs-gon around (cx, cy), CCW, vertex at angle
+    0 — so axis-aligned edge rects meet it exactly at their corners."""
+    n = 4 * int(quadsegs)
+    ang = [2.0 * math.pi * k / n for k in range(n)]
+    xs = np.array([cx + d * math.cos(a) for a in ang])
+    ys = np.array([cy + d * math.sin(a) for a in ang])
+    return (xs, ys)
+
+
+def edge_rect(ax, ay, bx, by, d):
+    """Rectangle sweeping segment AB by ±d perpendicular (CCW quad),
+    or None for a degenerate edge."""
+    dx, dy = bx - ax, by - ay
+    ln = math.hypot(dx, dy)
+    if ln == 0.0:
+        return None
+    nx, ny = -dy / ln * d, dx / ln * d
+    xs = np.array([ax - nx, bx - nx, bx + nx, ax + nx])
+    ys = np.array([ay - ny, by - ny, by + ny, ay + ny])
+    return (xs, ys)
+
+
+def band_pieces(rings, d: float, quadsegs: int = 8):
+    """∂A ⊕ D as a list of single-ring soups: per-edge swept rects +
+    per-vertex disk polygons over every ring of the soup."""
+    pieces = []
+    for xs, ys in rings:
+        n = len(xs)
+        for i in range(n):
+            r = edge_rect(float(xs[i]), float(ys[i]),
+                          float(xs[(i + 1) % n]), float(ys[(i + 1) % n]), d)
+            if r is not None:
+                pieces.append(r)
+            pieces.append(disk_polygon(float(xs[i]), float(ys[i]), d,
+                                       quadsegs))
+    return pieces
+
+
+def buffer_rings(rings, d: float, quadsegs: int = 8, grid: float = None):
+    """Buffer a ring soup by signed distance ``d`` (negative = erosion).
+    Returns a ring soup in world coordinates. Planar (no dateline
+    wrap); fully-eroded input returns []."""
+    if d == 0.0 or not rings:
+        return list(rings)
+    pieces = band_pieces(rings, abs(float(d)), quadsegs)
+    if grid is None:
+        grid = SN.default_grid(rings, pieces)
+    op = "union" if d > 0 else "difference"
+    acc = list(rings)
+    for p in pieces:
+        acc = SN.overlay_rings_snapped(acc, [p], op, grid)
+        if not acc:
+            break
+    return acc

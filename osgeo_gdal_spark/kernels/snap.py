@@ -67,15 +67,16 @@ _MAX_LATTICE = 1 << 25
 
 def default_grid(rings_a, rings_b) -> float:
     """Snap resolution derived from coordinate magnitude (the
-    SetPrecision auto rule): 2^(e-40) for the smallest power of two
-    2^e >= max|coord| — ~12 decimal digits of relative precision, far
-    below data precision, far above double noise."""
+    SetPrecision auto rule): 2^(e-23) for the smallest power of two
+    2^e >= max|coord| — ~7 decimal digits of relative precision
+    (float32-grade, far above double noise), and a lattice extent of
+    2^24 that stays inside the kernel's exact-int64 bound (2^25)."""
     m = 1.0
     for rings in (rings_a, rings_b):
         for xs, ys in rings:
             if len(xs):
                 m = max(m, float(np.abs(xs).max()), float(np.abs(ys).max()))
-    return 2.0 ** (math.ceil(math.log2(m)) - 40)
+    return 2.0 ** (math.ceil(math.log2(m)) - 23)
 
 
 def snap_rings(rings, grid: float):

@@ -179,3 +179,106 @@ def test_operator_snapped_contact_pairs(spark):
     plan = ov._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 0
     assert plan.count("MapInPandas") >= 1
+
+# --- general ST_Buffer (kernels/buffer.py) -------------------------------
+
+def test_buffer_convex_rect_analytic_qs8():
+    """Dilation of a rect with quadsegs=8 matches the inscribed-polygon
+    closed form exactly up to the snap-grid perturbation."""
+    import math
+
+    from osgeo_gdal_spark.kernels import buffer as BF
+
+    A = [rect(0, 0, 6, 4)]
+    d, qs = 1.0, 8
+    got = SN.rings_area(BF.buffer_rings(A, d, qs))
+    want = 24 + 2 * (6 + 4) * d + 4 * qs * (d * d / 2) * math.sin(
+        math.pi / (2 * qs))
+    assert abs(got - want) < 1e-5
+    # and within the chord-sagitta bound of the true disk form
+    assert got < 24 + 20 * d + math.pi * d * d
+
+
+def test_buffer_concave_pixel_oracle():
+    """Non-convex L-shape dilation and erosion vs a fine-grid
+    point-sampling oracle using TRUE disk distance — an arithmetic path
+    fully independent of the band-union construction."""
+    import numpy as np
+
+    from osgeo_gdal_spark.kernels import buffer as BF
+    from osgeo_gdal_spark.kernels.overlay_kernel import _points_in_rings
+
+    L = [(np.array([0, 6, 6, 3, 3, 0], float),
+          np.array([0, 0, 2, 2, 5, 5], float))]
+    step = 0.02
+    gx, gy = np.meshgrid(np.arange(-1.5, 7.5, step),
+                         np.arange(-1.5, 6.5, step))
+    px, py = gx.ravel(), gy.ravel()
+    inside = _points_in_rings(px, py, L)
+    xs, ys = L[0]
+    n = len(xs)
+    mind = np.full(px.shape, np.inf)
+    for i in range(n):
+        ax, ay = xs[i], ys[i]
+        bx, by = xs[(i + 1) % n], ys[(i + 1) % n]
+        dx, dy = bx - ax, by - ay
+        t = np.clip(((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy),
+                    0, 1)
+        mind = np.minimum(mind, np.hypot(px - (ax + t * dx),
+                                         py - (ay + t * dy)))
+    d = 0.75
+    got = SN.rings_area(BF.buffer_rings(L, d, quadsegs=8))
+    pix = (inside | (mind <= d)).sum() * step * step
+    assert abs(got - pix) / pix < 2e-3      # chord sagitta + pixel noise
+    got = SN.rings_area(BF.buffer_rings(L, -0.5, quadsegs=8))
+    pix = (inside & (mind >= 0.5)).sum() * step * step
+    assert abs(got - pix) / pix < 2e-3
+
+
+def test_buffer_qs1_chamfer_exact():
+    """quadsegs=1 (dyadic chamfer disk): every closed form is BITWISE
+    exact — the forms the st_buffer driver oracle pins."""
+    import numpy as np
+
+    from osgeo_gdal_spark.kernels import buffer as BF
+
+    A = [rect(0, 0, 6, 4)]
+    assert SN.rings_area(BF.buffer_rings(A, 1.0, 1)) == 24 + 20 + 2.0
+    assert SN.rings_area(BF.buffer_rings(A, -1.0, 1)) == 8.0
+    assert SN.rings_area(BF.buffer_rings(A, -2.5, 1)) == 0.0
+    L = [(np.array([0, 6, 6, 3, 3, 0], float),
+          np.array([0, 0, 2, 2, 5, 5], float))]
+    d = 0.75
+    assert SN.rings_area(BF.buffer_rings(L, d, 1)) == \
+        21 + 22 * d + 1.5 * d * d
+    assert SN.rings_area(BF.buffer_rings(L, -d, 1)) == \
+        (6 - 2 * d) * (2 - 2 * d) + 3 * (3 - 2 * d) + d * d / 2
+
+
+def test_buffer_hole_and_roundtrip():
+    """Dilation shrinks holes / erosion grows them (morphology
+    identities through the band construction), and erode(dilate(A))
+    contains A."""
+    import math
+
+    import numpy as np
+
+    from osgeo_gdal_spark.kernels import buffer as BF
+    from osgeo_gdal_spark.kernels.overlay_kernel import _points_in_rings
+
+    H = [rect(0, 0, 8, 8),
+         (np.array([3, 3, 5, 5], float), np.array([3, 5, 5, 3], float))]
+    d, qs = 0.5, 8
+    got = SN.rings_area(BF.buffer_rings(H, d, qs))
+    disk = 4 * qs * (d * d / 2) * math.sin(math.pi / (2 * qs))
+    want = 64 + 2 * 16 * d + disk - 1          # hole shrinks to 1x1
+    assert abs(got - want) < 1e-5
+    got = SN.rings_area(BF.buffer_rings(H, -d, qs))
+    hole_dil = 4 + 2 * 4 * d + disk            # hole grows
+    assert abs(got - (49 - hole_dil)) < 1e-5
+    # round trip: erode(dilate(A, d), d) >= A on sample points
+    rt = BF.buffer_rings(BF.buffer_rings([rect(0, 0, 4, 3)], 1.0, qs),
+                         -1.0, qs)
+    px = np.array([0.1, 2.0, 3.9, 0.1, 3.9])
+    py = np.array([0.1, 1.5, 2.9, 2.9, 0.1])
+    assert _points_in_rings(px, py, rt).all()

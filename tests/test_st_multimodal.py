@@ -45,10 +45,18 @@ def test_st_makevalid_passthrough_and_buffer_tier(spark):
     ).collect()
     for r in rows:
         assert bytes(r["b"]) == bytes(r["geometry"])
-    # buffer still raises for the non-convex / multi-ring tier
-    df2 = PL.polygons_df(spark).select(ST.st_buffer("geometry").alias("b"))
-    with pytest.raises(Exception, match="GEOS|NotImplemented"):
-        df2.collect()   # rect_hole / dateline rows hit the GEOS tier
+    # buffer (round-4): REAL for the whole layer — the rect_hole and
+    # dateline-multipolygon rows that used to raise now run the general
+    # morphology kernel; every buffered area strictly exceeds the input
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    rows2 = PL.polygons_df(spark).select(
+        "geometry", ST.st_buffer("geometry").alias("b")
+    ).collect()
+    for r in rows2:
+        a0 = W.polygon_area(W.parse_wkb(bytes(r["geometry"])))
+        a1 = W.polygon_area(W.parse_wkb(bytes(r["b"])))
+        assert a1 > a0
 
 
 def test_st_buffer_convex_real(spark):

@@ -3671,6 +3671,56 @@ FROM pages
 """
 
 
+def q_rpc_inverse(spark: SparkSession, sf: str) -> DataFrame:
+    """RPC INVERSE transform — image->ground Newton iteration
+    (RPCInverseTransformPoint, alg/gdal_rpc.cpp; the direction
+    orthorectification actually uses). Each page's ground coordinate is
+    forward-projected to (sample, line) with the RPC00B rational, then
+    recovered by the vectorized Newton kernel (kernels/georef.
+    rpc_inverse, one Arrow map — heights join as a column, the
+    DEM-intersected shape). Recovery error is ~1e-13 deg, so rounding
+    to 6 dp reproduces the original millidegree-grid coordinate
+    EXACTLY — the oracle is just the pages table itself."""
+    import pandas as pd
+
+    pages = PG.pages_df(spark, sf)
+
+    @F.pandas_udf("lon_r double, lat_r double")
+    def inv(lon, lat, doc_id):
+        import numpy as np
+
+        from .kernels import georef as GR
+
+        lon = lon.to_numpy(dtype=np.float64)
+        lat = lat.to_numpy(dtype=np.float64)
+        h = ((doc_id.to_numpy(dtype=np.int64) % 100) - 50).astype(
+            np.float64)
+        L = (lon - RPC["LONG_OFF"]) / RPC["LONG_SCALE"]
+        P = (lat - RPC["LAT_OFF"]) / RPC["LAT_SCALE"]
+        Hn = (h - RPC["HEIGHT_OFF"]) / RPC["HEIGHT_SCALE"]
+        s = GR.rpc_eval(RPC["SAMP_NUM"], L, P, Hn) / \
+            GR.rpc_eval(RPC["SAMP_DEN"], L, P, Hn) \
+            * RPC["SAMP_SCALE"] + RPC["SAMP_OFF"] + 0.5
+        ln = GR.rpc_eval(RPC["LINE_NUM"], L, P, Hn) / \
+            GR.rpc_eval(RPC["LINE_DEN"], L, P, Hn) \
+            * RPC["LINE_SCALE"] + RPC["LINE_OFF"] + 0.5
+        lon2, lat2 = GR.rpc_inverse(RPC, s, ln, h)
+        return pd.DataFrame({"lon_r": np.round(lon2, 6),
+                             "lat_r": np.round(lat2, 6)})
+
+    return pages.select(
+        "doc_id", inv("lon", "lat", "doc_id").alias("g")
+    ).select("doc_id", "g.lon_r", "g.lat_r")
+
+
+def sql_rpc_inverse() -> str:
+    return f"""
+WITH pages AS ({PAGES_CTE})
+SELECT doc_id, ROUND(lon, 6) AS lon_r, ROUND(lat, 6) AS lat_r
+FROM pages
+"""
+
+
 def q_tps_warp(spark: SparkSession, sf: str) -> DataFrame:
     """Thin-plate-spline transformer (GDALCreateTPSTransformer, alg/
     thinplatespline.cpp): 6 control points fitted driver-side (TPS
@@ -4636,6 +4686,7 @@ QUERIES = {
     # -- (c) operators whose code changes this round + round-4 newcomers --
     "make_valid": q_make_valid,
     "st_buffer": q_st_buffer,
+    "rpc_inverse": q_rpc_inverse,
     "grid_linear": q_grid_linear,
     "shortest_paths": q_shortest_paths,
     "overlay_intersection": q_overlay_intersection,
@@ -4825,6 +4876,7 @@ ORACLES = {
     "zonal_frac_poly": sql_zonal_frac_poly(),
     "make_valid": sql_make_valid(),
     "st_buffer": sql_st_buffer(),
+    "rpc_inverse": sql_rpc_inverse(),
     "hex_density": sql_hex_density(),
     "embedding_quantize": sql_embedding_quantize(),
     "sessionize": sql_sessionize(),

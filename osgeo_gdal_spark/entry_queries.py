@@ -2508,6 +2508,83 @@ FROM fr
 """
 
 
+# gdalwarp -cutline fixture: one rect + one triangle inside the affine
+# warp's probe window (half-millidegree offsets keep pixel centers off
+# every edge, the fixture-wide discipline)
+def _cutline_features():
+    return [
+        PL.PolyFeature(0, 9000, "CUT0", "rect",
+                       {"bounds": (10.0005, -50.0005, 50.0005, -10.0005)}),
+        PL.PolyFeature(1, 9001, "CUT1", "tri",
+                       {"vertices": [(55.0005, -55.0005),
+                                     (85.0005, -55.0005),
+                                     (70.0005, -25.0005)]}),
+    ]
+
+
+def q_warp_cutline(spark: SparkSession, sf: str) -> DataFrame:
+    """gdalwarp -cutline (alg/gdalcutline.cpp GDALWarpCutlineMasker;
+    apps/gdalwarp_lib.cpp:248-251): the affine warp of q_warp_affine
+    with a rect+triangle cutline — the cutline is rasterized ONCE into
+    0/1 tiles on the dst grid and blended in one Arrow pass; outside
+    pixels become nodata. Oracle composes the warp_affine closed-form
+    bilinear with the rasterizer's pixel-center containment predicates
+    (the rasterize_polygons discipline)."""
+    from .operators import raster_ops as RO
+    from .operators import rasterize as RZ
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    shapes = RZ.shapes_from_features(_cutline_features(), lambda p: 1.0)
+    out = RO.warp_cutline(
+        tiles, RASTER_ZOOM,
+        ("affine", WARP["a"], WARP["b"], WARP["c"], WARP["d"]),
+        shapes, method="bilinear", nodata=-1.0,
+    )
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = WARP_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", "value")
+
+
+def sql_warp_cutline() -> str:
+    a, b, c, d = WARP["a"], WARP["b"], WARP["c"], WARP["d"]
+    x0, x1, y0, y1 = WARP_WIN
+    gen = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    inside = " OR ".join(
+        _px_predicate(p, RASTER_ZOOM) for p in _cutline_features()
+    )
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+),
+m AS (
+  SELECT gpx, gpy,
+         gpx + CAST(0.5 AS DOUBLE) AS pxc,
+         gpy + CAST(0.5 AS DOUBLE) AS pyc,
+         {G.D(a)} * gpx + {G.D(b)} AS sx,
+         {G.D(c)} * gpy + {G.D(d)} AS sy
+  FROM dst
+),
+fr AS (
+  SELECT gpx, gpy, pxc, pyc,
+         CAST(FLOOR(sx) AS BIGINT) AS ix, CAST(FLOOR(sy) AS BIGINT) AS iy,
+         sx - FLOOR(sx) AS fx, sy - FLOOR(sy) AS fy
+  FROM m
+)
+SELECT gpx, gpy,
+       CASE WHEN ({inside}) THEN
+       (1 - fy) * ((1 - fx) * {gen % ('ix', 'iy')} + fx * {gen % ('(ix + 1)', 'iy')})
+     + fy * ((1 - fx) * {gen % ('ix', '(iy + 1)')} + fx * {gen % ('(ix + 1)', '(iy + 1)')})
+       ELSE CAST(-1.0 AS DOUBLE) END AS value
+FROM fr
+"""
+
+
 def q_mosaic_overlay(spark: SparkSession, sf: str) -> DataFrame:
     """Pixel-level nodata-aware mosaic (gdalbuildvrt overlay order: later
     sources on top, nodata transparent). Top layer = (gen + 97) % 255
@@ -4687,6 +4764,7 @@ QUERIES = {
     "make_valid": q_make_valid,
     "st_buffer": q_st_buffer,
     "rpc_inverse": q_rpc_inverse,
+    "warp_cutline": q_warp_cutline,
     "grid_linear": q_grid_linear,
     "shortest_paths": q_shortest_paths,
     "overlay_intersection": q_overlay_intersection,
@@ -4877,6 +4955,7 @@ ORACLES = {
     "make_valid": sql_make_valid(),
     "st_buffer": sql_st_buffer(),
     "rpc_inverse": sql_rpc_inverse(),
+    "warp_cutline": sql_warp_cutline(),
     "hex_density": sql_hex_density(),
     "embedding_quantize": sql_embedding_quantize(),
     "sessionize": sql_sessionize(),

@@ -546,6 +546,64 @@ def warp_affine(tiles: DataFrame, zoom: int, a: float, b: float, c: float,
     return warp_tiles(tiles, zoom, ("affine", a, b, c, d), method, nodata)
 
 
+def warp_cutline(tiles: DataFrame, zoom: int, transform, cutline_shapes,
+                 method="bilinear", nodata=0.0,
+                 dataset_id="warpcut") -> DataFrame:
+    """gdalwarp -cutline (``alg/gdalcutline.cpp`` GDALWarpCutlineMasker;
+    ``apps/gdalwarp_lib.cpp:248-251``): destination pixels outside the
+    cutline polygon(s) become ``nodata``.
+
+    Spark-first composition, exactly the masker's design: the cutline
+    is RASTERIZED once into 0/1 density tiles on the dst grid
+    (operators/rasterize — scanline even-odd fill, the same
+    llrasterize.cpp core the reference's masker calls), then one Arrow
+    blend pass multiplies it into the warped tiles. The mask join is a
+    skinny (gx, gy) equi-join — no pixel shuffle beyond the warped
+    tiles themselves; dst tiles the cutline never touches blend against
+    the implicit all-zero mask (left join, null ⇒ all nodata)."""
+    from . import rasterize as RZ
+
+    spark = tiles.sparkSession
+    warped = warp_tiles(tiles, zoom, transform, method, nodata, dataset_id)
+    mask = RZ.rasterize(spark, cutline_shapes, zoom, dataset_id="cutmask")
+    m = mask.select("gx", "gy", F.col("pixels").alias("mask_pixels"))
+    joined = warped.join(m, ["gx", "gy"], "left")
+    ndv = float(nodata)
+
+    def blend(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = parse_tile(row).astype(np.float64)
+                mp = row["mask_pixels"]
+                if mp is None:
+                    out = np.full_like(arr, ndv)
+                else:
+                    mk = np.frombuffer(bytes(mp), dtype=np.float64) \
+                        .reshape(TILE, TILE)
+                    out = np.where(mk != 0.0, arr, ndv)
+                rows.append({
+                    "dataset_id": row["dataset_id"],
+                    "zoom": int(row["zoom"]),
+                    "gx": int(row["gx"]),
+                    "gy": int(row["gy"]),
+                    "band": int(row["band"]),
+                    "width": TILE,
+                    "height": TILE,
+                    "dtype": "float64",
+                    "nodata": ndv,
+                    "crs": row["crs"],
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(blend, TILE_SCHEMA)
+
+
 def warp_reproject_geodetic(tiles: DataFrame, zoom: int, method="bilinear",
                             nodata=0.0) -> DataFrame:
     """CRS reprojection warp: mercator source grid -> plate-carree

@@ -709,3 +709,37 @@ def test_viewshed_rejects_missing_tile(spark, tiles):
     # observer at (250, 250) radius 20: cover box spans all 4 tiles
     with _pt.raises(PythonException, match="DEM has\\s+holes"):
         RO.viewshed(holey, 1, [(7, 250, 250)], 20, 30.0).collect()
+
+
+def test_warp_cutline_outside_tiles_are_nodata(spark):
+    """gdalwarp -cutline: dst tiles the cutline never touches blend
+    against the implicit all-zero mask (left-join null path) and come
+    out all-nodata; inside the cutline the values equal the plain warp."""
+    from osgeo_gdal_spark.entry_queries import RASTER_ZOOM, WARP
+    from osgeo_gdal_spark.operators import rasterize as RZ
+    from osgeo_gdal_spark.sources import polygons as PL
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    cut = [PL.PolyFeature(0, 1, "C", "rect",
+                          {"bounds": (10.0005, -50.0005, 50.0005,
+                                      -10.0005)})]
+    shapes = RZ.shapes_from_features(cut, lambda p: 1.0)
+    tf = ("affine", WARP["a"], WARP["b"], WARP["c"], WARP["d"])
+    cutted = {(r["gx"], r["gy"]): RS.parse_tile(r)
+              for r in RO.warp_cutline(tiles, RASTER_ZOOM, tf, shapes,
+                                       nodata=-1.0).collect()}
+    plain = {(r["gx"], r["gy"]): RS.parse_tile(r)
+             for r in RO.warp_tiles(tiles, RASTER_ZOOM, tf,
+                                    nodata=-1.0).collect()}
+    assert set(cutted) == set(plain)
+    # tile (0,0) (far northwest) is fully outside the cutline
+    assert (cutted[(0, 0)] == -1.0).all()
+    # some tile overlaps the cutline: inside pixels match the plain warp
+    import numpy as np
+
+    touched = [k for k in cutted
+               if (cutted[k] != -1.0).any()]
+    assert touched
+    for k in touched:
+        m = cutted[k] != -1.0
+        assert np.array_equal(cutted[k][m], plain[k][m])

@@ -192,3 +192,49 @@ def concave_hull(px, py, alpha: float):
             break
         ring.append(node)
     return px[ring], py[ring]
+
+
+def circumcircle(ax, ay, bx, by, cx, cy):
+    """Circumcenter and radius of a triangle. Returns (ux, uy, r);
+    r = inf for (near-)degenerate triangles."""
+    import math
+
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0.0:
+        return 0.0, 0.0, float("inf")
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    return ux, uy, math.hypot(ax - ux, ay - uy)
+
+
+def delaunay_certified(px, py, region, extent):
+    """Local Bowyer-Watson + the block-merge certification of the
+    distributed build (operators/grid.delaunay_tin_distributed):
+
+    a local triangle is a triangle of the GLOBAL Delaunay triangulation
+    whenever its circumcircle — clipped to the global point EXTENT
+    (points cannot exist outside it, so the part of the circle beyond
+    the extent is vacuously empty) — lies inside this block's gather
+    ``region``: every global point that could invalidate it was in the
+    local set. region=None certifies everything (the gather was the
+    whole point set).
+
+    Returns [(i, j, k), ...] certified triangles (local indices)."""
+    tris = delaunay(px, py)
+    if region is None:
+        return tris
+    rx0, ry0, rx1, ry1 = region
+    ex0, ey0, ex1, ey1 = extent
+    out = []
+    for (i, j, k) in tris:
+        ux, uy, r = circumcircle(px[i], py[i], px[j], py[j], px[k], py[k])
+        cx0 = max(ux - r, ex0)
+        cx1 = min(ux + r, ex1)
+        cy0 = max(uy - r, ey0)
+        cy1 = min(uy + r, ey1)
+        if cx0 >= rx0 and cx1 <= rx1 and cy0 >= ry0 and cy1 <= ry1:
+            out.append((i, j, k))
+    return out

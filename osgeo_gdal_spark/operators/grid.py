@@ -277,20 +277,167 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
     return joined.groupBy("gx", "gy").applyInPandas(kernel, TILE_SCHEMA)
 
 
+_TRI_SCHEMA = ("ax DOUBLE, ay DOUBLE, az DOUBLE, bx DOUBLE, by DOUBLE, "
+               "bz DOUBLE, cx DOUBLE, cy DOUBLE, cz DOUBLE")
+
+
+def delaunay_tin_distributed(spark: SparkSession, points: DataFrame,
+                             block: float = 64.0, max_rounds: int = 3):
+    """Distributed block-merge Delaunay (replaces the round-3 driver
+    ``toPandas`` + single Bowyer-Watson — the named scale bound):
+
+    1. points explode to the 3x3 neighborhood of their cell at block
+       size B (the halo gather, same shape as the zonal cover join);
+    2. each cell triangulates its gathered set locally and CERTIFIES a
+       triangle iff its circumcircle — clipped to the global point
+       extent — lies inside the cell's 3B x 3B gather region (every
+       point that could invalidate it was local, so it is a triangle of
+       the GLOBAL Delaunay triangulation; kernels/delaunay.
+       delaunay_certified);
+    3. certified triangles dedup on canonical vertex order;
+    4. completeness check against the Euler count 2n - 2 - h (h =
+       boundary points of the convex hull, computed by a two-stage
+       partition-candidate hull). Missing triangles ⇒ circumcircles
+       bigger than the halo ⇒ escalate: next round quadruples B; the
+       last round gathers everything into ONE EXECUTOR TASK and
+       certifies all (exact fallback — the reference's single qhull
+       pass, but off the driver).
+
+    Cocircular point sets (non-unique Delaunay) can make blocks pick
+    different diagonals, in which case the Euler count never matches
+    and the build lands on the exact single-task fallback — correct,
+    just not block-parallel.
+
+    Returns (triangles DataFrame (ax..cz), rounds_used).
+    """
+    import pandas as pd
+
+    from ..kernels import delaunay as DL
+    from ..kernels import polypoly as PP
+
+    st = points.agg(
+        F.countDistinct(F.struct("px", "py")).alias("n"),
+        F.min("px").alias("x0"), F.max("px").alias("x1"),
+        F.min("py").alias("y0"), F.max("py").alias("y1"),
+    ).first()
+    n_pts = int(st["n"])
+    extent = (float(st["x0"]), float(st["y0"]),
+              float(st["x1"]), float(st["y1"]))
+    span = max(extent[2] - extent[0], extent[3] - extent[1], 1e-9)
+
+    # hull boundary count h: per-partition hull candidates (tiny), then
+    # one driver hull + an on-boundary count over the candidates' hull
+    def cand(batches):
+        for pdf in batches:
+            hull = PP.convex_hull(pdf["px"].to_numpy(),
+                                  pdf["py"].to_numpy())
+            if hull:
+                yield pd.DataFrame(hull, columns=["px", "py"])
+
+    hcand = points.select("px", "py").mapInPandas(
+        cand, "px DOUBLE, py DOUBLE").collect()
+    hull = PP.convex_hull([r["px"] for r in hcand],
+                          [r["py"] for r in hcand])
+    hx = np.array([p[0] for p in hull])
+    hy = np.array([p[1] for p in hull])
+
+    def on_boundary(batches):
+        nh = len(hx)
+        for pdf in batches:
+            px = pdf["px"].to_numpy()
+            py = pdf["py"].to_numpy()
+            on = np.zeros(len(px), dtype=bool)
+            for i in range(nh):
+                x0e, y0e = hx[i], hy[i]
+                x1e, y1e = hx[(i + 1) % nh], hy[(i + 1) % nh]
+                cross = (x1e - x0e) * (py - y0e) - (y1e - y0e) * (px - x0e)
+                dot = (x1e - x0e) * (px - x0e) + (y1e - y0e) * (py - y0e)
+                rr = (x1e - x0e) ** 2 + (y1e - y0e) ** 2
+                on |= (cross == 0.0) & (dot >= 0.0) & (dot <= rr)
+            yield pd.DataFrame({"c": [int(on.sum())]})
+
+    h_cnt = (points.select("px", "py").distinct()
+             .mapInPandas(on_boundary, "c LONG")
+             .agg(F.sum("c")).first()[0]) or 0
+    target = 2 * n_pts - 2 - int(h_cnt)
+
+    def make_kernel(bs, final):
+        def kernel(key, pdf):
+            pdf = pdf.sort_values(["px", "py", "z"]).drop_duplicates(
+                ["px", "py"], keep="first")
+            px = pdf["px"].to_numpy(dtype=np.float64)
+            py = pdf["py"].to_numpy(dtype=np.float64)
+            pz = pdf["z"].to_numpy(dtype=np.float64)
+            if len(px) < 3:
+                return pd.DataFrame(
+                    columns=["ax", "ay", "az", "bx", "by", "bz",
+                             "cx", "cy", "cz"])
+            region = None
+            if not final:
+                cx0, cy0 = int(key[0]), int(key[1])
+                region = ((cx0 - 1) * bs, (cy0 - 1) * bs,
+                          (cx0 + 2) * bs, (cy0 + 2) * bs)
+            try:
+                tris = DL.delaunay_certified(px, py, region, extent)
+            except ValueError:        # collinear local set
+                tris = []
+            rows = []
+            for (i, j, k) in tris:
+                vs = sorted([(px[i], py[i], pz[i]), (px[j], py[j], pz[j]),
+                             (px[k], py[k], pz[k])])
+                rows.append(tuple(v for vert in vs for v in vert))
+            return pd.DataFrame(
+                rows, columns=["ax", "ay", "az", "bx", "by", "bz",
+                               "cx", "cy", "cz"])
+
+        return kernel
+
+    rnd = 0
+    while True:
+        bs = float(block) * (4.0 ** rnd)
+        final = bs >= span or rnd >= max_rounds - 1
+        if final:
+            keyed = points.select(
+                "px", "py", "z",
+                F.lit(0).cast("long").alias("cx0"),
+                F.lit(0).cast("long").alias("cy0"),
+            )
+        else:
+            keyed = points.select(
+                "px", "py", "z",
+                F.floor(F.col("px") / bs).cast("long").alias("_cx"),
+                F.floor(F.col("py") / bs).cast("long").alias("_cy"),
+            ).select(
+                "px", "py", "z", "_cy",
+                F.explode(F.expr("sequence(_cx - 1, _cx + 1)"))
+                .alias("cx0"),
+            ).select(
+                "px", "py", "z", "cx0",
+                F.explode(F.expr("sequence(_cy - 1, _cy + 1)"))
+                .alias("cy0"),
+            )
+        tri = keyed.groupBy("cx0", "cy0").applyInPandas(
+            make_kernel(bs, final), _TRI_SCHEMA
+        ).dropDuplicates(["ax", "ay", "az", "bx", "by", "bz",
+                          "cx", "cy", "cz"]).localCheckpoint()
+        if final or tri.count() == target:
+            return tri, rnd + 1
+        rnd += 1
+
+
 def grid_linear(spark: SparkSession, points: DataFrame, zoom: int,
-                nodata=0.0, window=None) -> DataFrame:
+                nodata=0.0, window=None, block: float = 64.0) -> DataFrame:
     """gdal_grid 'linear' (GDALGridLinear, alg/gdalgrid.cpp + the
     vendored qhull in alg/delaunay.c): Delaunay-TIN barycentric
     interpolation; pixels outside the convex hull get nodata.
 
-    Distributed shape: the triangulation is the reference's global
-    point index (its qhull build is also one single-process pass) —
-    built ONCE driver-side from the collected point layer and broadcast
-    as plane coefficients; every dst tile then evaluates its pixels
-    against the broadcast TIN in one vectorized pass (map-only, no
-    shuffle). Appropriate while the POINT layer is vector-sized; a
-    billion-point TIN would need a distributed triangulation, which
-    neither the reference nor v1 attempts.
+    Distributed shape (round 4 — the driver toPandas is gone): the TIN
+    comes from ``delaunay_tin_distributed`` (block-certified Delaunay,
+    exact single-TASK fallback for non-certifiable inputs), triangles
+    explode NATIVELY to the dst tiles their bbox covers, and each tile
+    evaluates its pixels against only ITS triangles in one vectorized
+    pass — the shuffle carries (tile, triangle) rows, never pixels, and
+    no O(points) state ever sits on the driver or in a broadcast.
     """
     from ..kernels import delaunay as DL
 
@@ -301,53 +448,86 @@ def grid_linear(spark: SparkSession, points: DataFrame, zoom: int,
     x0, y0, w, h = window
     tx0, tx1 = x0 // TILE, (x0 + w - 1) // TILE
     ty0, ty1 = y0 // TILE, (y0 + h - 1) // TILE
-
-    pdf = points.select("px", "py", "z").toPandas()
-    tris = DL.delaunay(pdf["px"].to_numpy(), pdf["py"].to_numpy())
-    planes = DL.tin_planes(pdf["px"].to_numpy(), pdf["py"].to_numpy(),
-                           pdf["z"].to_numpy(), tris)
-    bc = spark.sparkContext.broadcast({k: v for k, v in planes.items()})
     nd = float(nodata)
 
+    tri, _rounds = delaunay_tin_distributed(spark, points, block=block)
+
+    cov = tri.select(
+        "*",
+        F.explode(F.expr(
+            f"sequence(GREATEST({tx0}, CAST(FLOOR(LEAST(ax, bx, cx) "
+            f"/ CAST({TILE} AS DOUBLE)) AS BIGINT)), "
+            f"LEAST({tx1}, CAST(FLOOR(GREATEST(ax, bx, cx) "
+            f"/ CAST({TILE} AS DOUBLE)) AS BIGINT)))"
+        )).alias("gx"),
+    ).select(
+        "*",
+        F.explode(F.expr(
+            f"sequence(GREATEST({ty0}, CAST(FLOOR(LEAST(ay, by, cy) "
+            f"/ CAST({TILE} AS DOUBLE)) AS BIGINT)), "
+            f"LEAST({ty1}, CAST(FLOOR(GREATEST(ay, by, cy) "
+            f"/ CAST({TILE} AS DOUBLE)) AS BIGINT)))"
+        )).alias("gy"),
+    )
+
+    def tile_kernel(key, pdf):
+        import pandas as pd
+
+        gx, gy = int(key[0]), int(key[1])
+        pdf = pdf.sort_values(["ax", "ay", "bx", "by", "cx", "cy"])
+        planes = DL.tin_planes(
+            np.concatenate([pdf["ax"], pdf["bx"], pdf["cx"]]),
+            np.concatenate([pdf["ay"], pdf["by"], pdf["cy"]]),
+            np.concatenate([pdf["az"], pdf["bz"], pdf["cz"]]),
+            [(i, i + len(pdf), i + 2 * len(pdf)) for i in range(len(pdf))],
+        )
+        out = np.full((TILE, TILE), nd)
+        wy0 = max(0, y0 - gy * TILE)
+        wy1 = min(TILE, y0 + h - gy * TILE)
+        wx0 = max(0, x0 - gx * TILE)
+        wx1 = min(TILE, x0 + w - gx * TILE)
+        if wy1 > wy0 and wx1 > wx0:
+            xs = (gx * TILE + np.arange(wx0, wx1) + 0.5)
+            ys = (gy * TILE + np.arange(wy0, wy1) + 0.5)
+            QX = np.broadcast_to(xs[None, :], (len(ys), len(xs))).ravel()
+            QY = np.broadcast_to(ys[:, None], (len(ys), len(xs))).ravel()
+            vals = DL.tin_interpolate(planes, QX, QY, nd)
+            out[wy0:wy1, wx0:wx1] = vals.reshape(len(ys), len(xs))
+        return pd.DataFrame([{
+            "dataset_id": "grid_linear", "zoom": zoom,
+            "gx": gx, "gy": gy, "band": 1,
+            "width": TILE, "height": TILE, "dtype": "float64",
+            "nodata": nd, "crs": "EPSG:3857",
+            "pixels": out.tobytes(),
+            "checksum": CK.checksum_image(out),
+        }])
+
+    filled = cov.groupBy("gx", "gy").applyInPandas(tile_kernel, TILE_SCHEMA)
+
+    # window tiles no triangle bbox covers are all-nodata
     nx = tx1 - tx0 + 1
     dst = spark.range(nx * (ty1 - ty0 + 1)).select(
         (F.col("id") % nx + tx0).alias("gx"),
         (F.col("id") / nx).cast("long").alias("_r"),
     ).select("gx", (F.col("_r") + ty0).alias("gy"))
+    missing = dst.join(cov.select("gx", "gy").distinct(),
+                       ["gx", "gy"], "left_anti")
 
-    def kernel(batches):
+    def empty_tile(batches):
         import pandas as pd
 
-        planes_ = bc.value
-        for pdf_ in batches:
-            rows = []
-            for _, row in pdf_.iterrows():
-                gx, gy = int(row["gx"]), int(row["gy"])
-                out = np.full((TILE, TILE), nd)
-                wy0 = max(0, y0 - gy * TILE)
-                wy1 = min(TILE, y0 + h - gy * TILE)
-                wx0 = max(0, x0 - gx * TILE)
-                wx1 = min(TILE, x0 + w - gx * TILE)
-                if wy1 > wy0 and wx1 > wx0:
-                    xs = (gx * TILE + np.arange(wx0, wx1) + 0.5)
-                    ys = (gy * TILE + np.arange(wy0, wy1) + 0.5)
-                    QX = np.broadcast_to(xs[None, :],
-                                         (len(ys), len(xs))).ravel()
-                    QY = np.broadcast_to(ys[:, None],
-                                         (len(ys), len(xs))).ravel()
-                    from ..kernels import delaunay as DL2
-
-                    vals = DL2.tin_interpolate(planes_, QX, QY, nd)
-                    out[wy0:wy1, wx0:wx1] = vals.reshape(len(ys), len(xs))
-                rows.append({
-                    "dataset_id": "grid_linear", "zoom": zoom,
-                    "gx": gx, "gy": gy, "band": 1,
-                    "width": TILE, "height": TILE, "dtype": "float64",
-                    "nodata": nd, "crs": "EPSG:3857",
-                    "pixels": out.tobytes(),
-                    "checksum": CK.checksum_image(out),
-                })
+        blank = np.full((TILE, TILE), nd)
+        blank_b = blank.tobytes()
+        blank_ck = CK.checksum_image(blank)
+        for pdf in batches:
+            rows = [{
+                "dataset_id": "grid_linear", "zoom": zoom,
+                "gx": int(r["gx"]), "gy": int(r["gy"]), "band": 1,
+                "width": TILE, "height": TILE, "dtype": "float64",
+                "nodata": nd, "crs": "EPSG:3857",
+                "pixels": blank_b, "checksum": blank_ck,
+            } for _, r in pdf.iterrows()]
             if rows:
                 yield pd.DataFrame(rows)
 
-    return dst.mapInPandas(kernel, TILE_SCHEMA)
+    return filled.unionByName(missing.mapInPandas(empty_tile, TILE_SCHEMA))

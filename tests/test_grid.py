@@ -236,3 +236,86 @@ def test_grid_data_metrics_brute_force(spark):
                 else:
                     want = float(len(sel))
                 assert got[(gx, gy)] == want, (meth, gx, gy)
+
+
+def test_delaunay_distributed_matches_single_pass(spark):
+    """Block-certified distributed Delaunay == the single Bowyer-Watson
+    triangulation on a general-position random set, WITHOUT the
+    single-task fallback (certifies in the block rounds), and with
+    DataFrame.toPandas never called (the round-3 driver bottleneck)."""
+    import numpy as np
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from osgeo_gdal_spark.kernels import delaunay as D
+    from osgeo_gdal_spark.operators import grid as GR
+
+    rng = np.random.default_rng(11)
+    px = rng.uniform(0, 400, 120).round(3)
+    py = rng.uniform(0, 400, 120).round(3)
+    # dedup: round-3 coords could collide
+    seen = sorted(set(zip(px, py)))
+    px = np.array([p[0] for p in seen])
+    py = np.array([p[1] for p in seen])
+    z = rng.uniform(-10, 10, len(px)).round(3)
+
+    pts = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(px, py, z)],
+        "px DOUBLE, py DOUBLE, z DOUBLE",
+    )
+
+    orig = CDF.toPandas
+
+    def banned(self):
+        raise AssertionError("grid_linear must not call toPandas")
+
+    CDF.toPandas = banned
+    try:
+        tri_df, rounds = GR.delaunay_tin_distributed(
+            spark, pts, block=64.0, max_rounds=4
+        )
+        got = {tuple(r) for r in tri_df.collect()}
+    finally:
+        CDF.toPandas = orig
+
+    # the 64px block on a 400px extent must certify without the
+    # final whole-set gather
+    assert rounds < 4
+
+    tris = D.delaunay(px, py)
+    want = set()
+    for (i, j, k) in tris:
+        vs = sorted([(px[i], py[i], z[i]), (px[j], py[j], z[j]),
+                     (px[k], py[k], z[k])])
+        want.add(tuple(v for vert in vs for v in vert))
+    assert got == want
+
+
+def test_grid_linear_tiles_distributed_interpolation(spark):
+    """The tile-join interpolation path (triangles explode to covered
+    tiles; no broadcast TIN) reproduces the affine field and nodata
+    outside the hull, across a tile seam."""
+    import numpy as np
+
+    from osgeo_gdal_spark.operators import grid as GR, raster_ops as RO
+
+    pts = []
+    for i in range(5):
+        for j in range(5):
+            x, y = 200.0 + i * 30.0, 200.0 + j * 30.0
+            if 0 < i < 4 and 0 < j < 4:
+                x += ((i * 3 + j) % 3) * 0.5
+            pts.append((x, y, 2.0 * x + 0.5 * y - 3.0))
+    df = spark.createDataFrame(pts, "px DOUBLE, py DOUBLE, z DOUBLE")
+    tiles = GR.grid_linear(spark, df, 1, nodata=-1.0,
+                           window=(192, 192, 160, 160))
+    px_rows = RO.explode_pixels(tiles).collect()
+    inside = outside = 0
+    for r in px_rows:
+        x, y, v = r["gpx"] + 0.5, r["gpy"] + 0.5, r["value"]
+        if 200 < x < 320 and 200 < y < 320:
+            assert abs(v - (2.0 * x + 0.5 * y - 3.0)) < 1e-9, (x, y)
+            inside += 1
+        elif x < 200 or x > 320 or y < 200 or y > 320:
+            assert v == -1.0
+            outside += 1
+    assert inside > 5000 and outside > 1000

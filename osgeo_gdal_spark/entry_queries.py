@@ -2146,6 +2146,50 @@ def q_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
     return MM.frame_sample_plan(vids, every_ms=1000, max_frames=32)
 
 
+def q_audio_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio chunking schedule (the decode-free half of the multimodal
+    AUDIO pipeline, sibling of frame_plan): Whisper-style overlapped
+    windows — 30 s chunks advancing by 25 s in sample space, final
+    short chunk kept. Deterministic per-audio duration/sample-rate
+    derive from doc_id; every quantity is exact integer arithmetic, so
+    the oracle hash-matches including the chunk-start digest."""
+    from .sources import multimodal as MM
+
+    docs = read_table(spark, sf, "documents")
+    auds = MM.synth_audio_meta(docs)
+    return MM.audio_chunk_plan(auds, chunk_ms=30000, overlap_ms=5000)
+
+
+def sql_audio_plan() -> str:
+    return """
+WITH a AS (
+  SELECT doc_id AS audio_id,
+         CAST(500 + (doc_id * 53) % 120000 AS INT) AS duration_ms,
+         CAST([16000, 22050, 44100][CAST(doc_id % 3 AS INT) + 1] AS INT)
+           AS sample_rate
+  FROM documents
+),
+base AS (
+  SELECT audio_id,
+         CAST(duration_ms AS BIGINT) * sample_rate // 1000 AS n_samples,
+         CAST(sample_rate AS BIGINT) * 30000 // 1000 AS chunk_samples,
+         CAST(sample_rate AS BIGINT) * 25000 // 1000 AS hop_samples
+  FROM a
+),
+plan AS (
+  SELECT audio_id, n_samples, chunk_samples, hop_samples,
+         CAST(CASE WHEN n_samples <= chunk_samples THEN 1
+              ELSE 1 + ((n_samples - chunk_samples + hop_samples - 1)
+                        // hop_samples) END AS BIGINT) AS n_chunks
+  FROM base
+)
+SELECT audio_id, n_samples, chunk_samples, hop_samples, n_chunks,
+       n_samples - (n_chunks - 1) * hop_samples AS last_len,
+       hop_samples * ((n_chunks - 1) * n_chunks // 2) AS start_digest
+FROM plan
+"""
+
+
 def sql_frame_plan() -> str:
     return """
 WITH v AS (
@@ -4776,6 +4820,7 @@ QUERIES = {
     "line_predicates": q_line_predicates,
     "viewshed": q_viewshed,
     "frame_plan": q_frame_plan,
+    "audio_plan": q_audio_plan,
     # -- (d) complex single-green round-3 flagships -----------------------
     "rasterize_polygons": q_rasterize_polygons,
     "warp_reproject": q_warp_reproject,
@@ -4968,6 +5013,7 @@ ORACLES = {
     "domain_stats": sql_domain_stats(),
     "dedup_incremental": sql_dedup_incremental(),
     "frame_plan": sql_frame_plan(),
+    "audio_plan": sql_audio_plan(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

@@ -188,3 +188,63 @@ def frame_sample_plan(videos: DataFrame, every_ms: int = 1000,
             "LEAST((k * stride_ms * fps) div 1000, n_frames - 1))"
         ).alias("frame_digest"),
     )
+
+
+def synth_audio_meta(docs: DataFrame) -> DataFrame:
+    """Deterministic AUDIO metadata derived from documents (the
+    synth_video_meta pattern): duration and sample rate are integer
+    functions of doc_id, so every chunk-plan quantity is exact integer
+    arithmetic on both engines."""
+    return docs.select(
+        F.col("doc_id").alias("audio_id"),
+        (F.lit(500) + (F.col("doc_id") * 53) % 120000)
+        .cast("int").alias("duration_ms"),
+        F.expr("CAST(ELEMENT_AT(ARRAY(16000, 22050, 44100), "
+               "CAST(doc_id % 3 AS INT) + 1) AS INT)").alias("sample_rate"),
+    )
+
+
+def audio_chunk_plan(audios: DataFrame, chunk_ms: int = 30000,
+                     overlap_ms: int = 5000) -> DataFrame:
+    """Chunking schedule for audio ingest — the decode-free half of the
+    audio pipeline (the ffmpeg decode stays behind the stub; the
+    SCHEDULE is what the distributed planner owns): fixed windows of
+    ``chunk_ms`` advancing by ``chunk_ms - overlap_ms`` (the
+    Whisper-style overlapped-window transcription layout), final short
+    chunk kept.
+
+    Per audio: n_samples, chunk_samples, hop_samples, n_chunks,
+    last_len (samples in the final chunk) and an order-insensitive
+    digest of the chunk START samples (= hop * n(n-1)/2) — all exact
+    integers.
+    """
+    c = int(chunk_ms)
+    o = int(overlap_ms)
+    if c <= 0 or o < 0 or o >= c:
+        raise ValueError(
+            f"need 0 <= overlap_ms < chunk_ms, got {o} / {c}")
+    hop = c - o
+    base = audios.select(
+        "audio_id", "duration_ms", "sample_rate",
+        F.expr("CAST(duration_ms AS BIGINT) * sample_rate div 1000")
+        .alias("n_samples"),
+        F.expr(f"CAST(sample_rate AS BIGINT) * {c} div 1000")
+        .alias("chunk_samples"),
+        F.expr(f"CAST(sample_rate AS BIGINT) * {hop} div 1000")
+        .alias("hop_samples"),
+    )
+    plan = base.select(
+        "audio_id", "n_samples", "chunk_samples", "hop_samples",
+        F.expr(
+            "CAST(CASE WHEN n_samples <= chunk_samples THEN 1 "
+            "ELSE 1 + ((n_samples - chunk_samples + hop_samples - 1) "
+            "div hop_samples) END AS BIGINT)"
+        ).alias("n_chunks"),
+    )
+    return plan.select(
+        "*",
+        F.expr("n_samples - (n_chunks - 1) * hop_samples")
+        .alias("last_len"),
+        F.expr("hop_samples * ((n_chunks - 1) * n_chunks div 2)")
+        .alias("start_digest"),
+    )

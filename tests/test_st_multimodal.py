@@ -356,3 +356,37 @@ def test_st_segmentize_and_dump(spark):
     areas = sorted(W.polygon_area(W.parse_wkb(p)) for p in by_id[3])
     assert areas == [1.0, 12.0]
     assert len(by_id[1]) == 1 and by_id[1][0] == sq
+
+
+def test_audio_chunk_plan_semantics(spark):
+    """Hand-checked schedules: short clip -> one chunk; long clip ->
+    overlapped 30s/25s windows with a short final chunk; invalid
+    overlap raises."""
+    from osgeo_gdal_spark.sources import multimodal as MM
+
+    auds = spark.createDataFrame(
+        [(1, 10000, 16000),      # 10s @ 16k -> one chunk of 160000
+         (2, 87000, 22050)],     # 87s -> chunks at 0/25/50/75s... -> 4? 
+        "audio_id LONG, duration_ms INT, sample_rate INT",
+    )
+    out = {r["audio_id"]: r
+           for r in MM.audio_chunk_plan(auds, 30000, 5000).collect()}
+    r1 = out[1]
+    assert r1["n_samples"] == 160000
+    assert r1["n_chunks"] == 1
+    assert r1["last_len"] == 160000 and r1["start_digest"] == 0
+    r2 = out[2]
+    n = 87000 * 22050 // 1000
+    chunk = 22050 * 30
+    hop = 22050 * 25
+    want_chunks = 1 + -(-(n - chunk) // hop)
+    assert r2["n_samples"] == n and r2["chunk_samples"] == chunk
+    assert r2["n_chunks"] == want_chunks
+    assert r2["last_len"] == n - (want_chunks - 1) * hop
+    assert 0 < r2["last_len"] <= chunk
+    assert r2["start_digest"] == hop * (want_chunks - 1) * want_chunks // 2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overlap_ms"):
+        MM.audio_chunk_plan(auds, 30000, 30000)

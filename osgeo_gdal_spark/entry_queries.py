@@ -1474,14 +1474,20 @@ def q_polygonize_rings(spark: SparkSession, sf: str) -> DataFrame:
     tiles = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
     polys = PZ.polygonize_polygons(tiles, RASTER_ZOOM)
 
-    @F.udf("struct<n_pts: int, area: double>")
-    def ring_digest(wkb):
-        g = W.parse_wkb(bytes(wkb))
-        s, e = g.ring_offsets[0], g.ring_offsets[1]
-        xs, ys = g.xs[s:e], g.ys[s:e]
-        # e - s counts the closing duplicate vertex; report unique corners
-        return (int(e - s - 1),
-                float(W.shoelace_area(xs, ys)))
+    @F.pandas_udf("n_pts int, area double")
+    def ring_digest(wkbs):
+        import pandas as pd
+
+        n_pts, areas = [], []
+        for wkb in wkbs:
+            g = W.parse_wkb(bytes(wkb))
+            s, e = g.ring_offsets[0], g.ring_offsets[1]
+            xs, ys = g.xs[s:e], g.ys[s:e]
+            # e - s counts the closing duplicate vertex; report unique
+            # corners
+            n_pts.append(int(e - s - 1))
+            areas.append(float(W.shoelace_area(xs, ys)))
+        return pd.DataFrame({"n_pts": n_pts, "area": areas})
 
     return polys.select(
         "region_id", "value", "n_rings",
@@ -1677,6 +1683,38 @@ UNION ALL
 SELECT 'd', a_id, CAST(eas_id AS BIGINT),
        ROUND(CAST(a_area - i_area AS DOUBLE), 6)
 FROM areas WHERE a_area - i_area > 0
+"""
+
+
+def q_predicates_snapped(spark: SparkSession, sf: str) -> DataFrame:
+    """Boundary-aware predicates on snapped NON-general-position inputs
+    (the predicate half of the snap-rounding tier): the 48 contact
+    pairs run intersects/touches/equals/covers/overlaps through the
+    exact-lattice areal overlay + boundary-contact kernel. The oracle
+    is the per-class closed-form truth table (each contact class fully
+    determines all five predicates)."""
+    from .operators import overlay as OV
+
+    return OV.predicates_snapped(
+        spark, PL.contact_feats_df(spark), PL.contact_polys(),
+        grid=PL.CONTACT_GRID,
+    ).select("a_id", "eas_id", "intersects", "touches", "equals",
+             "covers", "overlaps")
+
+
+def sql_predicates_snapped() -> str:
+    # class truth table: 0 shared edge / 1 partial shared / 2 corner /
+    # 3 contained sharing boundary / 4 identical / 5 crossing /
+    # 6 T-contact triangle / 7 = class 0 after the snap
+    return f"""
+WITH params AS ({PL.contact_values_sql()})
+SELECT a_id, CAST(eas_id AS BIGINT) AS eas_id,
+       TRUE AS intersects,
+       (a_id % 8) IN (0, 1, 2, 6, 7) AS touches,
+       (a_id % 8) = 4 AS equals,
+       (a_id % 8) IN (3, 4) AS covers,
+       (a_id % 8) = 5 AS overlaps
+FROM params
 """
 
 
@@ -4774,6 +4812,38 @@ FROM cells c LEFT JOIN g USING (gpx, gpy)
 """
 
 
+def q_grid_avg_distance_pts(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid data metric AVERAGE_DISTANCE_PTS (GDALGridDataMetric-
+    AverageDistancePts, alg/gdalgrid.cpp:1283 — the round-3 named-absent
+    metric): mean distance between all UNIQUE PAIRS of in-radius
+    points. The engine iterates pairs in canonical (i < j) order of the
+    sorted point array with sequential adds; the oracle's pairwise
+    self-join folds the identical order, so the float sum is
+    bit-identical."""
+    return _q_grid(spark, sf, "average_distance_pts")
+
+
+def sql_grid_avg_distance_pts() -> str:
+    return f"""
+WITH pages AS ({PAGES_CTE}),
+{_grid_pts_sql()},
+g AS (
+  SELECT a.gpx, a.gpy,
+         list_reduce(list(
+           SQRT((a.px - b.px) * (a.px - b.px)
+              + (a.py - b.py) * (a.py - b.py))
+           ORDER BY a.px, a.py, a.z, b.px, b.py, b.z), (x, y) -> x + y)
+           / COUNT(*) AS ad
+  FROM inr a JOIN inr b
+    ON a.gpx = b.gpx AND a.gpy = b.gpy
+   AND (a.px, a.py, a.z) < (b.px, b.py, b.z)
+  GROUP BY a.gpx, a.gpy
+)
+SELECT c.gpx, c.gpy, COALESCE(g.ad, CAST(0.0 AS DOUBLE)) AS value
+FROM cells c LEFT JOIN g USING (gpx, gpy)
+"""
+
+
 # The driver's correctness gate records the FIRST 50 entries of queries()
 # (CORRECTNESS_r01/r02/r03 each contain exactly the first 50 keys).  Order
 # is therefore a signal budget.  Round-4 window: (a) the 13 round-3
@@ -4796,6 +4866,7 @@ QUERIES = {
     "focal_mean5": q_focal_mean5,
     "raster_pyramid_bilinear": q_raster_pyramid_bilinear,
     "grid_avg_distance": q_grid_avg_distance,
+    "grid_avg_distance_pts": q_grid_avg_distance_pts,
     "spatial_semi_anti": q_spatial_semi_anti,
     # rows-only by nature but never driver-recorded either:
     "dedup_near_groups": q_dedup_near_groups,
@@ -4816,6 +4887,7 @@ QUERIES = {
     "overlay_erase": q_overlay_erase,
     "overlay_symdiff": q_overlay_symdiff,
     "overlay_snapped": q_overlay_snapped,
+    "predicates_snapped": q_predicates_snapped,
     "spatial_predicates": q_spatial_predicates,
     "line_predicates": q_line_predicates,
     "viewshed": q_viewshed,
@@ -5007,8 +5079,10 @@ ORACLES = {
     "hex_raster_rollup": sql_hex_raster_rollup(),
     "overlay_symdiff": sql_overlay_symdiff(),
     "overlay_snapped": sql_overlay_snapped(),
+    "predicates_snapped": sql_predicates_snapped(),
     "grid_metric_range": sql_grid_metric_range(),
     "grid_avg_distance": sql_grid_avg_distance(),
+    "grid_avg_distance_pts": sql_grid_avg_distance_pts(),
     "interpolate_cubic": sql_interpolate_cubic(),
     "domain_stats": sql_domain_stats(),
     "dedup_incremental": sql_dedup_incremental(),

@@ -368,3 +368,39 @@ __all__ = [
     "rings_area",
     "rings_to_wkb",
 ]
+
+
+def boundaries_touch_snapped(rings_a, rings_b, grid: float = None) -> bool:
+    """True when the snapped boundaries of the two soups share at least
+    one point — shared lattice vertices, vertex-on-edge contacts,
+    proper crossings or collinear overlaps, all decided exactly on the
+    int64 lattice. Combined with the areal overlay this derives the
+    full boundary-aware predicate set on snapped inputs:
+    intersects = touch OR i_area > 0; touches = touch AND i_area == 0.
+    """
+    if grid is None:
+        grid = default_grid(rings_a, rings_b)
+    a = snap_rings(rings_a, grid)
+    b = snap_rings(rings_b, grid)
+    if not a or not b:
+        return False
+    ea = _lattice_edges(a, grid)
+    eb = _lattice_edges(b, grid)
+    # shared lattice vertices
+    va = set(zip(ea[0].tolist(), ea[1].tolist()))
+    vb = set(zip(eb[0].tolist(), eb[1].tolist()))
+    if va & vb:
+        return True
+    # vertex-on-edge (either direction)
+    if _node_edges(ea, eb) or _node_edges(eb, ea):
+        return True
+    # proper crossings
+    cuts_a: dict = {}
+    cuts_b: dict = {}
+    _proper_crossings(ea, eb, cuts_a, cuts_b)
+    if cuts_a:
+        return True
+    # collinear overlap with NO endpoint inside the other edge (exact
+    # same-extent segments): covered by the shared-vertex test above,
+    # since snapped identical segments share lattice endpoints
+    return False

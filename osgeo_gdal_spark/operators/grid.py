@@ -222,6 +222,28 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
                                      axis=2)[..., -1]
                     with np.errstate(invalid="ignore", divide="ignore"):
                         val = np.where(cnt > 0, ssum / cnt, nd)
+                elif meth == "average_distance_pts":
+                    # GDALGridDataMetricAverageDistancePts
+                    # (alg/gdalgrid.cpp:1283): mean distance between all
+                    # UNIQUE PAIRS of in-radius points. The pair loop
+                    # runs in canonical (i < j) order of the sorted
+                    # point array with SEQUENTIAL adds, so the DuckDB
+                    # pairwise-join oracle folds the identical order;
+                    # memory stays O(B·W) per pair step (the bound that
+                    # previously kept this metric out)
+                    npts = len(tx)
+                    acc = np.zeros(in_r.shape[:2])
+                    cntp = np.zeros(in_r.shape[:2], dtype=np.int64)
+                    for i_ in range(npts):
+                        for j_ in range(i_ + 1, npts):
+                            ddx = tx[i_] - tx[j_]
+                            ddy = ty[i_] - ty[j_]
+                            dij = np.sqrt(ddx * ddx + ddy * ddy)
+                            both = in_r[..., i_] & in_r[..., j_]
+                            acc = acc + np.where(both, dij, 0.0)
+                            cntp += both
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        val = np.where(cntp > 0, acc / cntp, nd)
                 elif meth in ("minimum", "maximum", "range", "count",
                               "average_distance"):
                     # data metrics (GDALGridDataMetricMinimum/:976,

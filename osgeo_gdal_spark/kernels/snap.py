@@ -203,6 +203,55 @@ def _split(ea, cuts):
     return segs
 
 
+def _side_probes(segs, soups):
+    """Vectorized left/right side probes for a list of sub-segments:
+    midpoint ± ε·n̂ with per-segment ε halved until BOTH probes are
+    strictly off every edge of every soup (the scalar per-segment loop
+    was the classification hotspot). Returns (Lx, Ly, Rx, Ry) arrays.
+    """
+    ax = np.array([s[0] for s in segs])
+    ay = np.array([s[1] for s in segs])
+    bx = np.array([s[2] for s in segs])
+    by = np.array([s[3] for s in segs])
+    dx, dy = bx - ax, by - ay
+    ln = np.hypot(dx, dy)
+    nx, ny = -dy / ln, dx / ln
+    mx, my = (ax + bx) / 2.0, (ay + by) / 2.0
+
+    # all edges of all soups, flattened
+    e0x, e0y, e1x, e1y = [], [], [], []
+    for rings in soups:
+        for xs, ys in rings:
+            e0x.append(np.asarray(xs))
+            e0y.append(np.asarray(ys))
+            e1x.append(np.roll(xs, -1))
+            e1y.append(np.roll(ys, -1))
+    ex0 = np.concatenate(e0x)[None, :]
+    ey0 = np.concatenate(e0y)[None, :]
+    ex1 = np.concatenate(e1x)[None, :]
+    ey1 = np.concatenate(e1y)[None, :]
+    rx, ry = ex1 - ex0, ey1 - ey0
+    rr = rx * rx + ry * ry
+
+    def on_any(px, py):
+        qx = px[:, None] - ex0
+        qy = py[:, None] - ey0
+        cross = rx * qy - ry * qx
+        dot = rx * qx + ry * qy
+        return ((cross == 0.0) & (dot >= 0.0) & (dot <= rr)).any(axis=1)
+
+    eps = np.full(len(segs), 0.25)
+    for _ in range(40):
+        lx, ly = mx + eps * nx, my + eps * ny
+        rx2, ry2 = mx - eps * nx, my - eps * ny
+        bad = on_any(lx, ly) | on_any(rx2, ry2)
+        if not bad.any():
+            return lx, ly, rx2, ry2
+        eps = np.where(bad, eps * 0.5, eps)
+    raise RuntimeError(
+        "snapped overlay: side probes could not clear the boundaries")
+
+
 def _off_boundary(px, py, soups) -> bool:
     """True when (px, py) is strictly off every edge of every soup —
     exact float on-segment test (no tolerance: a probe ON an edge is
@@ -325,33 +374,19 @@ def overlay_rings_snapped(rings_a, rings_b, op: str, grid: float = None):
         seen.setdefault(key, seg)
 
     want = _OPS[op]
+    segs_u = list(seen.values())
+    lx, ly, rx2, ry2 = _side_probes(segs_u, (la, lb))
+    ina_l = _points_in_rings(lx, ly, la)
+    inb_l = _points_in_rings(lx, ly, lb)
+    ina_r = _points_in_rings(rx2, ry2, la)
+    inb_r = _points_in_rings(rx2, ry2, lb)
+    in_l = want(ina_l, inb_l)
+    in_r = want(ina_r, inb_r)
     kept = []
-    for seg in seen.values():
-        ax, ay, bx, by = seg
-        mx, my = (ax + bx) / 2.0, (ay + by) / 2.0
-        dx, dy = bx - ax, by - ay
-        ln = math.hypot(dx, dy)
-        nx, ny = -dy / ln, dx / ln
-        eps = 0.25
-        while True:
-            lx, ly = mx + eps * nx, my + eps * ny
-            rx2, ry2 = mx - eps * nx, my - eps * ny
-            if _off_boundary(lx, ly, (la, lb)) and \
-                    _off_boundary(rx2, ry2, (la, lb)):
-                break
-            eps *= 0.5
-            if eps < 1e-9:
-                raise RuntimeError(
-                    "snapped overlay: side probe could not clear the "
-                    f"boundaries near lattice point ({mx}, {my})"
-                )
-        in_l = want(_points_in_rings([lx], [ly], la)[0],
-                    _points_in_rings([lx], [ly], lb)[0])
-        in_r = want(_points_in_rings([rx2], [ry2], la)[0],
-                    _points_in_rings([rx2], [ry2], lb)[0])
-        if bool(in_l) == bool(in_r):
+    for i, (ax, ay, bx, by) in enumerate(segs_u):
+        if bool(in_l[i]) == bool(in_r[i]):
             continue
-        if in_l:
+        if in_l[i]:
             kept.append((ax, ay, bx, by))      # interior on left already
         else:
             kept.append((bx, by, ax, ay))
@@ -404,3 +439,90 @@ def boundaries_touch_snapped(rings_a, rings_b, grid: float = None) -> bool:
     # same-extent segments): covered by the shared-vertex test above,
     # since snapped identical segments share lattice endpoints
     return False
+
+
+def overlay_rings_snapped_n(rings_a, soups, op: str, grid: float = None):
+    """N-way snapped overlay against the UNION of many soups in ONE
+    arrangement pass: ``union`` returns A ∪ (∪ soups), ``difference``
+    returns A − (∪ soups). This is the buffer fold's engine — a
+    sequential per-piece fold re-nodes the growing accumulator per
+    piece (O(pieces · E²)); here every edge is noded against every
+    other group exactly once (O(E_total²), vectorized), then each
+    noded sub-segment is classified by the n-way predicate and
+    face-walked as usual."""
+    if op not in ("union", "difference"):
+        raise ValueError(op)
+    if grid is None:
+        grid = default_grid(rings_a, [r for s in soups for r in s])
+    a = snap_rings(rings_a, grid)
+    bs = [s for s in (snap_rings(sp, grid) for sp in soups) if s]
+    if not bs:
+        return list(a)
+    if not a:
+        if op == "difference":
+            return []
+        # union of the soups alone: run with the first soup as A
+        a, bs = bs[0], bs[1:]
+        if not bs:
+            return list(a)
+
+    groups = [a] + bs
+    glat = [_lattice_edges(g, grid) for g in groups]
+    sizes = [len(e[0]) for e in glat]
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+
+    cuts: dict = {}
+
+    def _merge(dst_off, sub):
+        for i, lst in sub.items():
+            cuts.setdefault(dst_off + i, []).extend(lst)
+
+    for gi in range(len(groups)):
+        for gj in range(len(groups)):
+            if gi == gj:
+                continue
+            # endpoint-on-edge of group gj against edges of gi
+            _merge(offs[gi], _node_edges(glat[gi], glat[gj]))
+        for gj in range(gi + 1, len(groups)):
+            ca: dict = {}
+            cb: dict = {}
+            _proper_crossings(glat[gi], glat[gj], ca, cb)
+            _merge(offs[gi], ca)
+            _merge(offs[gj], cb)
+
+    segs = []
+    for gi, ea in enumerate(glat):
+        sub = {i: cuts.get(offs[gi] + i, []) for i in range(sizes[gi])}
+        segs.extend(_split(ea, sub))
+
+    lat = [[(np.asarray(xs) / grid, np.asarray(ys) / grid)
+            for xs, ys in g] for g in groups]
+    la, lbs = lat[0], lat[1:]
+
+    seen: dict = {}
+    for seg in segs:
+        key = (min(seg[:2], seg[2:]), max(seg[:2], seg[2:]))
+        seen.setdefault(key, seg)
+
+    segs_u = list(seen.values())
+    all_soups = [la] + lbs
+    lx, ly, rx2, ry2 = _side_probes(segs_u, all_soups)
+    ia_l = _points_in_rings(lx, ly, la)
+    ia_r = _points_in_rings(rx2, ry2, la)
+    ib_l = np.zeros(len(segs_u), dtype=bool)
+    ib_r = np.zeros(len(segs_u), dtype=bool)
+    for lb in lbs:
+        ib_l |= _points_in_rings(lx, ly, lb)
+        ib_r |= _points_in_rings(rx2, ry2, lb)
+    if op == "union":
+        in_l, in_r = ia_l | ib_l, ia_r | ib_r
+    else:
+        in_l, in_r = ia_l & ~ib_l, ia_r & ~ib_r
+    kept = []
+    for i, (ax, ay, bx, by) in enumerate(segs_u):
+        if bool(in_l[i]) == bool(in_r[i]):
+            continue
+        kept.append((ax, ay, bx, by) if in_l[i] else (bx, by, ax, ay))
+
+    cycles = _assemble_faces(kept)
+    return [(xs * grid, ys * grid) for xs, ys in cycles]

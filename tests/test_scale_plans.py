@@ -306,3 +306,42 @@ def test_text_byte_identity_through_shuffle(spark):
     assert j.filter(
         F.encode(F.col("text"), "utf-8") != F.encode(F.col("text2"), "utf-8")
     ).count() == 0
+
+
+def test_warp_cutline_no_cartesian(spark):
+    """The cutline mask joins the warped tiles on the skinny (gx, gy)
+    key — never a cartesian / broadcast-nested-loop, and the blend is
+    one MapInPandas over the joined tiles."""
+    from osgeo_gdal_spark.entry_queries import RASTER_ZOOM, WARP
+    from osgeo_gdal_spark.operators import raster_ops as RO, rasterize as RZ
+    from osgeo_gdal_spark.sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    cut = [PL.PolyFeature(0, 1, "C", "rect",
+                          {"bounds": (10.0005, -50.0005, 50.0005,
+                                      -10.0005)})]
+    shapes = RZ.shapes_from_features(cut, lambda p: 1.0)
+    out = RO.warp_cutline(
+        tiles, RASTER_ZOOM,
+        ("affine", WARP["a"], WARP["b"], WARP["c"], WARP["d"]), shapes)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_linear_distributed_no_driver_state(spark):
+    """grid_linear's plan carries the TIN as a DataFrame join (cover
+    explode + per-tile applyInPandas) — no cartesian, and the
+    triangulation never round-trips through the driver (pinned by the
+    toPandas-ban test in test_grid.py; here: the plan shape)."""
+    from osgeo_gdal_spark.entry_queries import _grid_linear_pts
+    from osgeo_gdal_spark.operators import grid as GR
+
+    pts = spark.createDataFrame(_grid_linear_pts(),
+                                "px DOUBLE, py DOUBLE, z DOUBLE")
+    tiles = GR.grid_linear(spark, pts, 1, nodata=-1.0,
+                           window=(56, 56, 48, 48))
+    plan = plan_of(tiles)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan      # per-tile TIN evaluation

@@ -3579,42 +3579,49 @@ def q_make_valid(spark: SparkSession, sf: str) -> DataFrame:
 
     Output: (s_suppkey, gtype, n_parts, area@6dp)."""
     import pandas as pd
-    from pyspark.sql import types as T
 
-    from .functions import st as ST
+    @F.pandas_udf("gtype string, n_parts int, area double")
+    def mv_digest(keys):
+        import numpy as np
 
-    @F.pandas_udf(T.BinaryType())
-    def invalid_wkb(keys):
+        from .kernels import makevalid as MV
         from .kernels import wkb as W
 
+        # repair results are translation-equivariant (exact dyadic
+        # coords), so rows sharing (parity, size class) have identical
+        # digests — cache per class, building each class's geometry at
+        # its first-seen position so translated inputs stay exercised
+        cache: dict = {}
         out = []
         for k in keys:
             k = int(k)
             x, y = float(k % 100), float(k // 100 % 100)
-            if k % 2 == 0:
-                w, h = 1.0 + (k % 7) / 4.0, 1.0 + (k % 5) / 8.0
-                # self-crossing vertex order: the two diagonals swap
-                out.append(W.polygon_wkb(
-                    [[(x, y), (x + 2 * w, y + h), (x + 2 * w, y),
-                      (x, y + h)]]
-                ))
-            else:
-                s = 1.0 + (k % 4) / 4.0
-                out.append(W.polygon_wkb(
-                    [[(x + s * sx, y + s * sy) for sx, sy in _STAR_XY]]
-                ))
-        return pd.Series(out)
+            ck = (0, k % 7, k % 5) if k % 2 == 0 else (1, k % 4)
+            got = cache.get(ck)
+            if got is None:
+                if k % 2 == 0:
+                    w, h = 1.0 + (k % 7) / 4.0, 1.0 + (k % 5) / 8.0
+                    # self-crossing vertex order: the diagonals swap
+                    wkb = W.polygon_wkb(
+                        [[(x, y), (x + 2 * w, y + h), (x + 2 * w, y),
+                          (x, y + h)]])
+                else:
+                    s = 1.0 + (k % 4) / 4.0
+                    wkb = W.polygon_wkb(
+                        [[(x + s * sx, y + s * sy)
+                          for sx, sy in _STAR_XY]])
+                loops = MV.make_valid(W.parse_wkb(wkb))
+                # loops are OPEN vertex lists: _loop_area closes them
+                area = sum(abs(MV._loop_area(lp)) for lp in loops)
+                got = ("MultiPolygon", len(loops), round(float(area), 6))
+                cache[ck] = got
+            out.append(got)
+        return pd.DataFrame(out, columns=["gtype", "n_parts", "area"])
 
     sup = read_table(spark, sf, "supplier").select("s_suppkey")
-    fixed = sup.withColumn(
-        "valid", ST.st_makevalid(invalid_wkb(F.col("s_suppkey")))
-    )
-    return fixed.select(
-        "s_suppkey",
-        ST.st_geometry_type(F.col("valid")).alias("gtype"),
-        F.size(ST.st_dump(F.col("valid"))).alias("n_parts"),
-        F.round(ST.st_area(F.col("valid")), 6).alias("area"),
-    )
+    return sup.select(
+        "s_suppkey", mv_digest(F.col("s_suppkey")).alias("d")
+    ).select("s_suppkey", "d.gtype", "d.n_parts", "d.area")
 
 
 def sql_make_valid() -> str:

@@ -729,6 +729,79 @@ FROM pairs GROUP BY eas_id
 # --------------------------------------------------------------------------
 
 
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + dedup (the crawl-curation stage every
+    Common-Crawl pipeline runs before content dedup): six deterministic
+    messy variants per doc_id — case-mangled scheme/host, default
+    ports, www. prefixes, fragments, utm_* tracking params, unsorted
+    query strings, index.html and trailing-slash forms — normalize
+    through functions/text.canonical_url_spark (native Column; the
+    DuckDB oracle uses the string-identical twin) and group: dup
+    groups with member count + keeper."""
+    from .functions import text as TX
+
+    docs = read_table(spark, sf, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.expr("""
+CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN concat('https://WWW.Example', CAST((doc_id div 6) % 40 AS STRING),
+                     '.com/p', CAST((doc_id div 6) % 17 AS STRING), '/?b=2&a=1')
+  WHEN 1 THEN concat('https://www.example', CAST((doc_id div 6) % 40 AS STRING),
+                     '.com:443/p', CAST((doc_id div 6) % 17 AS STRING),
+                     '?a=1&utm_campaign=z&b=2')
+  WHEN 2 THEN concat('http://www.example', CAST((doc_id div 6) % 40 AS STRING),
+                     '.com:80/p', CAST((doc_id div 6) % 17 AS STRING),
+                     '/index.html#frag')
+  WHEN 3 THEN concat('HTTP://Example', CAST((doc_id div 6) % 40 AS STRING),
+                     '.COM/p', CAST((doc_id div 6) % 17 AS STRING), '/')
+  WHEN 4 THEN concat('http://example', CAST((doc_id div 6) % 40 AS STRING),
+                     '.com/p', CAST((doc_id div 6) % 17 AS STRING),
+                     '?utm_source=x')
+  ELSE concat('https://example', CAST((doc_id div 6) % 40 AS STRING),
+              '.com/p', CAST((doc_id div 6) % 17 AS STRING), '/')
+END""").alias("url"),
+    )
+    canon = raw.select(
+        "doc_id", TX.canonical_url_spark("url").alias("canon_url"))
+    return (canon.groupBy("canon_url")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def sql_url_dedup() -> str:
+    from .functions import text as TX
+
+    canon = TX.canonical_url_duckdb_sql("url")
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'https://WWW.Example' || CAST((doc_id // 6) % 40 AS VARCHAR)
+               || '.com/p' || CAST((doc_id // 6) % 17 AS VARCHAR) || '/?b=2&a=1'
+      WHEN 1 THEN 'https://www.example' || CAST((doc_id // 6) % 40 AS VARCHAR)
+               || '.com:443/p' || CAST((doc_id // 6) % 17 AS VARCHAR)
+               || '?a=1&utm_campaign=z&b=2'
+      WHEN 2 THEN 'http://www.example' || CAST((doc_id // 6) % 40 AS VARCHAR)
+               || '.com:80/p' || CAST((doc_id // 6) % 17 AS VARCHAR)
+               || '/index.html#frag'
+      WHEN 3 THEN 'HTTP://Example' || CAST((doc_id // 6) % 40 AS VARCHAR)
+               || '.COM/p' || CAST((doc_id // 6) % 17 AS VARCHAR) || '/'
+      WHEN 4 THEN 'http://example' || CAST((doc_id // 6) % 40 AS VARCHAR)
+               || '.com/p' || CAST((doc_id // 6) % 17 AS VARCHAR)
+               || '?utm_source=x'
+      ELSE 'https://example' || CAST((doc_id // 6) % 40 AS VARCHAR)
+               || '.com/p' || CAST((doc_id // 6) % 17 AS VARCHAR) || '/'
+    END AS url
+  FROM documents
+)
+SELECT {canon} AS canon_url,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM raw GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: md5(text) hash groups with >1 member (empty on this
     corpus — the oracle verifies the emptiness too)."""
@@ -4918,6 +4991,7 @@ QUERIES = {
     "viewshed": q_viewshed,
     "frame_plan": q_frame_plan,
     "audio_plan": q_audio_plan,
+    "url_dedup": q_url_dedup,
     # -- (d) complex single-green round-3 flagships -----------------------
     "rasterize_polygons": q_rasterize_polygons,
     "warp_reproject": q_warp_reproject,
@@ -5113,6 +5187,7 @@ ORACLES = {
     "dedup_incremental": sql_dedup_incremental(),
     "frame_plan": sql_frame_plan(),
     "audio_plan": sql_audio_plan(),
+    "url_dedup": sql_url_dedup(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

@@ -69,3 +69,63 @@ def fingerprint_sql(text: str) -> str:
     normalize step keeps to lower() only — regexp semantics differ between
     engines)."""
     return f"MD5(LOWER({text}))"
+
+
+def canonical_url_spark(url: str) -> Column:
+    """URL canonicalization (the classic crawl-dedup normalizer:
+    lowercase scheme/host, strip default ports and the ``www.`` prefix,
+    drop the fragment and ``utm_*`` tracking params, sort the remaining
+    query params, strip ``/index.html`` and the trailing slash) as a
+    native Spark Column. ``canonical_url_duckdb_sql`` is the
+    string-identical DuckDB twin — the regex patterns are kept inside
+    the Java∩RE2 compatible subset."""
+    scheme = F.lower(F.regexp_extract(F.col(url), r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(F.col(url), r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.when(scheme == "http",
+               F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(F.regexp_replace(hostport, r":443$", "")),
+        r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(F.col(url), r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/index\.html$", "")
+    path = F.regexp_replace(path, r"/$", "")
+    q = F.regexp_extract(F.col(url), r"\?([^#]*)", 1)
+    q2 = F.array_join(
+        F.array_sort(F.filter(
+            F.split(q, "&"),
+            lambda x: (x != "") & ~x.startswith("utm_"))),
+        "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+
+
+def canonical_url_duckdb_sql(url: str) -> str:
+    """DuckDB twin of ``canonical_url_spark`` (same steps, same regex
+    subset; list_aggregate string_agg joins the sorted params)."""
+    scheme = f"LOWER(regexp_extract({url}, '^([A-Za-z]+)://', 1))"
+    hostport = f"LOWER(regexp_extract({url}, '^[A-Za-z]+://([^/?#]+)', 1))"
+    host = (
+        f"regexp_replace(CASE WHEN {scheme} = 'http' THEN "
+        f"regexp_replace({hostport}, ':80$', '') ELSE "
+        f"regexp_replace({hostport}, ':443$', '') END, '^www\\.', '')"
+    )
+    path = (
+        f"regexp_replace(regexp_replace("
+        f"regexp_extract({url}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), "
+        f"'/index\\.html$', ''), '/$', '')"
+    )
+    q = f"regexp_extract({url}, '\\?([^#]*)', 1)"
+    q2 = (
+        f"COALESCE(list_aggregate(list_sort(list_filter("
+        f"string_split({q}, '&'), "
+        f"x -> x <> '' AND NOT starts_with(x, 'utm_'))), "
+        f"'string_agg', '&'), '')"
+    )
+    return (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END)"
+    )

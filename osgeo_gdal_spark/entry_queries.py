@@ -3641,14 +3641,17 @@ def q_make_valid(spark: SparkSession, sf: str) -> DataFrame:
     """ST_MakeValid on self-crossing rings (OGRGeometry::MakeValid,
     ogrgeometry.cpp:4183 / GEOS linework method), both tiers:
 
-    - EVEN supplier keys: bowtie quads (disjoint-face tier) — noded and
+    - keys % 3 == 0: bowtie quads (disjoint-face tier) — noded and
       split into two triangles; area is the closed form h*w (dyadic
       coordinates, the symmetric crossing solves exactly at t=1/2).
-    - ODD supplier keys: lattice PENTAGRAMS (the round-3 extension
-      point, overlapping-face tier) scaled by a dyadic factor — the
-      full-arrangement pass emits 5 point-triangles + the winding-2
-      core as 6 polygons; area is s^2 * 9832/525 by the exact-fraction
-      closed form (outer winding shoelace 24 minus core 2768/525).
+    - keys % 3 == 1: lattice PENTAGRAMS (overlapping-face tier) scaled
+      by a dyadic factor — the full-arrangement pass emits 5
+      point-triangles + the winding-2 core as 6 polygons; area is
+      s^2 * 9832/525 by the exact-fraction closed form.
+    - keys % 3 == 2: FLAG-WITH-POLE rings (collinear-overlap
+      self-contact tier, the last named extension): the ring retraces
+      along its own bottom edge; the lattice arrangement collapses the
+      retraced spike and keeps the flag rectangle — area 2*h exact.
 
     Output: (s_suppkey, gtype, n_parts, area@6dp)."""
     import pandas as pd
@@ -3669,24 +3672,39 @@ def q_make_valid(spark: SparkSession, sf: str) -> DataFrame:
         for k in keys:
             k = int(k)
             x, y = float(k % 100), float(k // 100 % 100)
-            ck = (0, k % 7, k % 5) if k % 2 == 0 else (1, k % 4)
+            cls = k % 3
+            if cls == 0:
+                ck = (0, k % 7, k % 5)
+            elif cls == 1:
+                ck = (1, k % 4)
+            else:
+                ck = (2, k % 5, k % 7)
             got = cache.get(ck)
             if got is None:
-                if k % 2 == 0:
+                if cls == 0:
                     w, h = 1.0 + (k % 7) / 4.0, 1.0 + (k % 5) / 8.0
                     # self-crossing vertex order: the diagonals swap
                     wkb = W.polygon_wkb(
                         [[(x, y), (x + 2 * w, y + h), (x + 2 * w, y),
                           (x, y + h)]])
-                else:
+                elif cls == 1:
                     s = 1.0 + (k % 4) / 4.0
                     wkb = W.polygon_wkb(
                         [[(x + s * sx, y + s * sy)
                           for sx, sy in _STAR_XY]])
+                else:
+                    a = 2.0 + (k % 5)
+                    h2 = 2.0 + (k % 7) / 2.0
+                    # retrace along the bottom edge: pole from x+2+a
+                    # back to x+2, flag = [x, x+2] x [y, y+h2]
+                    wkb = W.polygon_wkb(
+                        [[(x, y), (x + 2 + a, y), (x + 2, y),
+                          (x + 2, y + h2), (x, y + h2)]])
                 loops = MV.make_valid(W.parse_wkb(wkb))
                 # loops are OPEN vertex lists: _loop_area closes them
                 area = sum(abs(MV._loop_area(lp)) for lp in loops)
-                got = ("MultiPolygon", len(loops), round(float(area), 6))
+                got = ("Polygon" if len(loops) == 1 else "MultiPolygon",
+                       len(loops), round(float(area), 6))
                 cache[ck] = got
             out.append(got)
         return pd.DataFrame(out, columns=["gtype", "n_parts", "area"])
@@ -3699,16 +3717,20 @@ def q_make_valid(spark: SparkSession, sf: str) -> DataFrame:
 
 def sql_make_valid() -> str:
     return f"""
-SELECT s_suppkey, 'MultiPolygon' AS gtype,
-       CAST(CASE WHEN s_suppkey % 2 = 0 THEN 2 ELSE 6 END AS INT)
-         AS n_parts,
-       ROUND(CASE WHEN s_suppkey % 2 = 0 THEN
+SELECT s_suppkey,
+       CASE WHEN s_suppkey % 3 = 2 THEN 'Polygon'
+            ELSE 'MultiPolygon' END AS gtype,
+       CAST(CASE s_suppkey % 3 WHEN 0 THEN 2 WHEN 1 THEN 6
+            ELSE 1 END AS INT) AS n_parts,
+       ROUND(CASE s_suppkey % 3 WHEN 0 THEN
          (CAST(1.0 AS DOUBLE) + (s_suppkey % 7) / CAST(4.0 AS DOUBLE))
          * (CAST(1.0 AS DOUBLE) + (s_suppkey % 5) / CAST(8.0 AS DOUBLE))
-       ELSE
+       WHEN 1 THEN
          CAST({_STAR_AREA_NUM} AS DOUBLE) / {_STAR_AREA_DEN}
          * (CAST(1.0 AS DOUBLE) + (s_suppkey % 4) / CAST(4.0 AS DOUBLE))
          * (CAST(1.0 AS DOUBLE) + (s_suppkey % 4) / CAST(4.0 AS DOUBLE))
+       ELSE
+         2 * (CAST(2.0 AS DOUBLE) + (s_suppkey % 7) / CAST(2.0 AS DOUBLE))
        END, 6) AS area
 FROM supplier
 """

@@ -8,15 +8,16 @@ two triangles, a figure-eight two loops, each kept as a positive-area
 CCW part of a MultiPolygon (GEOS's even-odd interpretation of the noded
 linework for these shapes).
 
-v1 scope (documented, tested): rings whose self-contacts are PROPER
-segment crossings AND whose noded faces are disjoint (bowties,
-figure-eight chains — the overwhelmingly common invalid shapes).
-Interleaved crossings whose faces overlap (pentagram-style: the core
-face has winding 2), collinear-overlap contacts, and nested
-self-touching loops raise the documented shapely extension error —
-those need even-odd face classification over a full arrangement. Repairs that need no noding are always applied: consecutive
-duplicate vertices dropped, unclosed rings closed, degenerate (< 3
-distinct vertices / zero-area) rings removed.
+Scope (round 4 — every previously named extension is implemented):
+proper-crossing rings with disjoint faces split per ring (bowtie,
+figure-eight); OVERLAPPING faces (pentagram-style interleaved
+crossings) run the full float arrangement (`_arrangement_faces`);
+vertex-on-edge and COLLINEAR-OVERLAP self-contacts are detected
+exactly on the snap lattice and repaired by the lattice arrangement
+(`make_valid_lattice` over kernels/snap.py noding). Repairs that need
+no noding are always applied: consecutive duplicate vertices dropped,
+unclosed rings closed, degenerate (< 3 distinct vertices / zero-area)
+rings removed; structurally valid input passes through unchanged.
 """
 
 from __future__ import annotations
@@ -280,7 +281,16 @@ def _arrangement_faces(rings):
             if p != q:
                 subs.add((min(p, q), max(p, q)))
 
-    # both half-edges of every noded sub-segment
+    return _walk_and_filter(subs, rings)
+
+
+def _walk_and_filter(subs, rings):
+    """Shared arrangement core: walk BOTH half-edges of every noded
+    sub-segment into faces (clockwise-successor rule), drop non-positive
+    areas, keep faces whose interior witness has nonzero winding w.r.t.
+    the original ring cycles."""
+    import math
+
     succ: dict = {}
     for p, q in subs:
         succ.setdefault(p, []).append(q)
@@ -378,20 +388,29 @@ def _rings_cross(rings) -> bool:
 
 
 def make_valid(pg: PackedGeometry):
-    """PackedGeometry polygon -> validity repair, three tiers:
+    """PackedGeometry polygon -> validity repair, four tiers:
 
-    1. STRUCTURALLY INTACT input (every ring simple, no cross-ring
+    1. Vertex-on-edge or COLLINEAR-OVERLAP self-contacts (exact lattice
+       detection): the snap-lattice arrangement pass
+       (``make_valid_lattice`` — retraced edges collapse, spikes drop,
+       winding keeps the real faces).
+    2. STRUCTURALLY INTACT input (every ring simple, no cross-ring
        crossings — includes valid polygons with holes and
        multipolygons): returns None, meaning "pass through unchanged"
        (GEOS MakeValid returns valid input as-is).
-    2. Self-crossing rings whose noded faces are DISJOINT (bowtie,
+    3. Self-crossing rings whose noded faces are DISJOINT (bowtie,
        figure-eight): per-ring noding, one simple CCW loop per face.
-    3. OVERLAPPING noded faces (pentagram-style interleaved
+    4. OVERLAPPING noded faces (pentagram-style interleaved
        crossings): the full-arrangement pass — every bounded face of
        the noded linework with nonzero winding becomes its own polygon
        (GEOS linework/Polygonizer semantics: 5 point-triangles + the
        winding-2 core for a pentagram)."""
+    from . import snap as SN
+
     rings = _open_rings(pg)
+    grid = SN.default_grid(rings, [])
+    if _lattice_self_contacts(rings, grid):
+        return make_valid_lattice(rings, grid)
     per_ring = [make_valid_rings(xs, ys) for xs, ys in rings]
     intact = all(len(lp) == 1 for lp in per_ring) and not _rings_cross(rings)
     if intact and len(rings) > 1:
@@ -404,3 +423,59 @@ def make_valid(pg: PackedGeometry):
     if len(loops) > 1 and _loops_overlap(loops):
         loops = _arrangement_faces(rings)
     return loops
+
+
+def _lattice_self_contacts(rings, grid) -> bool:
+    """Exact test for vertex-on-edge / collinear-overlap SELF-contacts
+    on the snap lattice (an edge's own endpoints and shared endpoints
+    of adjacent edges are excluded by the strict interior test)."""
+    from . import snap as SN
+
+    snapped = SN.snap_rings(rings, grid)
+    if not snapped:
+        return False
+    ea = SN._lattice_edges(snapped, grid)
+    return bool(SN._node_edges(ea, ea))
+
+
+def make_valid_lattice(rings, grid=None):
+    """MakeValid for COLLINEAR-OVERLAP and vertex-on-edge self-contacts
+    — the last named extension after round 4's overlapping-face tier:
+    route the arrangement through the exact int64 snap lattice
+    (kernels/snap.py), where T-contacts and retraced (overlapping)
+    edges node with zero epsilons; duplicate sub-segments from a
+    retrace collapse in the undirected dedup, the resulting zero-area
+    spike faces drop, and winding membership keeps the real faces.
+
+    Returns open CCW loops in world coordinates."""
+    from . import snap as SN
+
+    if grid is None:
+        grid = SN.default_grid(rings, [])
+    snapped = SN.snap_rings(rings, grid)
+    if not snapped:
+        return []
+    ea = SN._lattice_edges(snapped, grid)
+    cuts = SN._node_edges(ea, ea)       # T-contacts + overlap endpoints
+    ax0, ay0, ax1, ay1 = (a.astype(np.float64) for a in ea)
+    n = len(ax0)
+    for i in range(n):
+        for j in range(i + 1, n):
+            hit = _proper_crossing(
+                ax0[i], ay0[i], ax1[i], ay1[i],
+                ax0[j], ay0[j], ax1[j], ay1[j],
+            )
+            if hit is not None:
+                px, py, t, u = hit
+                cuts.setdefault(i, []).append((t, px, py))
+                cuts.setdefault(j, []).append((u, px, py))
+    segs = SN._split(ea, cuts)
+    subs = set()
+    for (sx, sy, ex, ey) in segs:
+        p, q = (sx, sy), (ex, ey)
+        if p != q:
+            subs.add((min(p, q), max(p, q)))
+    lat_rings = [(np.asarray(xs) / grid, np.asarray(ys) / grid)
+                 for xs, ys in snapped]
+    kept = _walk_and_filter(subs, lat_rings)
+    return [[(x * grid, y * grid) for (x, y) in face] for face in kept]

@@ -379,3 +379,34 @@ def test_interior_point_concave_hole_and_symdiff():
     ))
     sd = OVK.overlay_rings(a, b, "symdifference")
     assert abs(OVK.rings_area(sd) - 14.0) < 1e-9
+
+
+def test_make_valid_collinear_overlap_self_contacts():
+    """The last named MakeValid extension (round 4): vertex-on-edge and
+    retraced collinear-overlap self-contacts repair through the exact
+    snap-lattice arrangement."""
+    import numpy as np
+
+    from osgeo_gdal_spark.kernels import makevalid as MV
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    # flag-with-pole: the ring retraces along its own bottom edge; the
+    # spike collapses, the flag rectangle survives
+    pg = W.parse_wkb(W.polygon_wkb(
+        [[(0.0, 0.0), (4.0, 0.0), (2.0, 0.0), (2.0, 3.0), (0.0, 3.0)]]))
+    faces = MV.make_valid(pg)
+    assert len(faces) == 1
+    assert abs(MV._loop_area(faces[0]) - 6.0) < 1e-9
+
+    # T self-contact: a vertex lands on the ring's own edge interior —
+    # two triangles, total area preserved
+    pg = W.parse_wkb(W.polygon_wkb(
+        [[(0.0, 0.0), (6.0, 0.0), (6.0, 3.0), (3.0, 0.0), (0.0, 3.0)]]))
+    faces = MV.make_valid(pg)
+    assert len(faces) == 2
+    assert sorted(round(MV._loop_area(f), 9) for f in faces) == [4.5, 4.5]
+
+    # detection must NOT fire on clean inputs (valid square passes
+    # through the intact tier, returning None upstream)
+    sq = [(np.array([0.0, 4.0, 4.0, 0.0]), np.array([0.0, 0.0, 4.0, 4.0]))]
+    assert not MV._lattice_self_contacts(sq, 2.0 ** -10)

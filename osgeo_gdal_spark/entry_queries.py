@@ -802,6 +802,71 @@ FROM raw GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+def q_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-portable MinHash + LSH banding (the hash-verifiable twin
+    of the xxhash64 pipeline, which the driver can only rows-check):
+    universal-hash mins over the mod-2^31-1 k-gram rolling hashes plus
+    SDBM band buckets — every signature and bucket value bit-identical
+    in DuckDB."""
+    from .operators import dedup as DD
+
+    return DD.minhash_portable(read_table(spark, sf, "documents"),
+                               num_hashes=8, k=3)
+
+
+def sql_minhash_portable() -> str:
+    from .operators.corpus import FP_GRAM_BASE, FP_MOD, FP_WORD_BASE
+    from .operators.dedup import MH_A0, MH_B0, MH_DA, MH_DB
+
+    g3 = (
+        f"((hs[i] * {FP_GRAM_BASE} + hs[i + 1]) % {FP_MOD}"
+        f" * {FP_GRAM_BASE} + hs[i + 2]) % {FP_MOD}"
+    )
+    mh_cols = ", ".join(
+        f"list_reduce(list_prepend(CAST({FP_MOD} AS BIGINT), "
+        f"list_transform(gs, g -> ({MH_A0 + MH_DA * i} * g "
+        f"+ {MH_B0 + MH_DB * i}) % {FP_MOD})), "
+        f"(m, x) -> LEAST(m, x)) AS mh{i}"
+        for i in range(8)
+    )
+    band_cols = ", ".join(
+        f"(mh{2 * j} * {FP_GRAM_BASE} + mh{2 * j + 1}) % {FP_MOD} "
+        f"AS band{j}"
+        for j in range(4)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(str_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(ws, x -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(str_split(x, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * {FP_WORD_BASE} + c) % {FP_MOD})) AS hs
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 3 THEN
+           list_transform(generate_series(1, len(hs) - 2), i -> {g3})
+         ELSE CAST([] AS BIGINT[]) END AS gs
+  FROM h
+),
+s AS (
+  SELECT doc_id, CAST(len(gs) AS INT) AS n_grams, {mh_cols}
+  FROM g WHERE len(gs) > 0
+)
+SELECT doc_id, n_grams,
+       {', '.join(f'mh{i}' for i in range(8))},
+       {band_cols}
+FROM s
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: md5(text) hash groups with >1 member (empty on this
     corpus — the oracle verifies the emptiness too)."""
@@ -5014,6 +5079,7 @@ QUERIES = {
     "frame_plan": q_frame_plan,
     "audio_plan": q_audio_plan,
     "url_dedup": q_url_dedup,
+    "minhash_portable": q_minhash_portable,
     # -- (d) complex single-green round-3 flagships -----------------------
     "rasterize_polygons": q_rasterize_polygons,
     "warp_reproject": q_warp_reproject,
@@ -5210,6 +5276,7 @@ ORACLES = {
     "frame_plan": sql_frame_plan(),
     "audio_plan": sql_audio_plan(),
     "url_dedup": sql_url_dedup(),
+    "minhash_portable": sql_minhash_portable(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

@@ -270,3 +270,47 @@ def near_dup_groups(docs: DataFrame, n_shingle=3, num_hashes=16, bands=4,
         F.col("label").alias("group_id"), "doc_id",
         (F.col("doc_id") == F.col("label")).alias("keep"),
     )
+
+
+# --- engine-portable MinHash (hash-verifiable end to end) ---------------
+
+MH_A0, MH_DA = 137, 31        # a_i = 137 + 31 i  (any a != 0 works: mod prime)
+MH_B0, MH_DB = 12345, 1009    # b_i = 12345 + 1009 i
+
+
+def minhash_portable(docs: DataFrame, num_hashes=8, k=3,
+                     text_col="text", id_col="doc_id") -> DataFrame:
+    """MinHash signatures + LSH band buckets over the PORTABLE mod-2^31-1
+    k-gram rolling hashes (operators/corpus._fp_arrays) instead of
+    xxhash64 — every value is bit-identical in DuckDB, upgrading the
+    MinHash/LSH component from rows-only to a full hash oracle
+    (the xxhash64 path in minhash_signatures stays as the fast
+    JVM-native production default; this is the verifiable twin).
+
+    Universal-hash family h_i(g) = (a_i·g + b_i) mod M over the gram
+    hashes g (a_i·g < 2^42 — exact in int64); signature_i = min over
+    the doc's grams. Bands pair consecutive signature rows through the
+    SDBM fold, giving ``num_hashes/2`` band buckets.
+
+    Returns (doc_id, n_grams, mh0.., band0..) — docs with no k-gram
+    (shorter than k words) are dropped, as in the xxhash64 path."""
+    from . import corpus as CP
+
+    gs = CP._fp_arrays(docs, k, 4, text_col, id_col) \
+        .select("doc_id", "gs").filter(F.size("gs") > 0)
+    cols = [F.size("gs").alias("n_grams")]
+    for i in range(num_hashes):
+        a = MH_A0 + MH_DA * i
+        b = MH_B0 + MH_DB * i
+        cols.append(F.expr(
+            f"aggregate(gs, CAST({CP.FP_MOD} AS BIGINT), "
+            f"(m, g) -> least(m, ({a}L * g + {b}) % {CP.FP_MOD}))"
+        ).alias(f"mh{i}"))
+    sig = gs.select("doc_id", *cols)
+    bands = [
+        F.expr(f"(mh{2 * j} * {CP.FP_GRAM_BASE} + mh{2 * j + 1}) "
+               f"% {CP.FP_MOD}").alias(f"band{j}")
+        for j in range(num_hashes // 2)
+    ]
+    return sig.select("doc_id", "n_grams",
+                      *[f"mh{i}" for i in range(num_hashes)], *bands)

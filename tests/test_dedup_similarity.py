@@ -320,3 +320,43 @@ def test_ann_topk_quantized_recall(spark, emb):
     ee = {(r["qid"], r["vec_id"]): r["cos_sim"] for r in exact.collect()}
     shared = set(ge) & set(ee)
     assert shared and all(abs(ge[kk] - ee[kk]) < 1e-12 for kk in shared)
+
+
+def test_minhash_portable_locality_and_parity(spark):
+    """Portable-hash MinHash: near-identical docs collide on at least
+    one LSH band, dissimilar docs on none; signatures equal the direct
+    python recomputation of the universal-hash mins."""
+    from osgeo_gdal_spark.operators import corpus as CP, dedup as DD
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    near = base.replace("tonight", "today")
+    other = ("completely different words describing an unrelated topic "
+             "with zero overlapping grams whatsoever here")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id LONG, text STRING")
+    rows = {r["doc_id"]: r for r in
+            DD.minhash_portable(df, num_hashes=8, k=3).collect()}
+    shared_12 = sum(rows[1][f"band{j}"] == rows[2][f"band{j}"]
+                    for j in range(4))
+    shared_13 = sum(rows[1][f"band{j}"] == rows[3][f"band{j}"]
+                    for j in range(4))
+    assert shared_12 >= 1
+    assert shared_13 == 0
+
+    # direct python parity for doc 1
+    M, WB, GB = CP.FP_MOD, CP.FP_WORD_BASE, CP.FP_GRAM_BASE
+    ws = [w for w in base.split(" ") if w]
+    hs = []
+    for w in ws:
+        acc = 0
+        for c in w:
+            acc = (acc * WB + ord(c)) % M
+        hs.append(acc)
+    gs = [(((hs[i] * GB + hs[i + 1]) % M) * GB + hs[i + 2]) % M
+          for i in range(len(hs) - 2)]
+    for i in range(8):
+        a = DD.MH_A0 + DD.MH_DA * i
+        b = DD.MH_B0 + DD.MH_DB * i
+        want = min((a * g + b) % M for g in gs)
+        assert rows[1][f"mh{i}"] == want

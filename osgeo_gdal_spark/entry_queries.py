@@ -867,6 +867,58 @@ FROM s
 """
 
 
+def q_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-portable SimHash (Charikar bit-majority over the
+    mod-2^31-1 k-gram hashes) — hash-verifiable twin of the xxhash64
+    simhash query, which the driver can only rows-check."""
+    from .operators import dedup as DD
+
+    return DD.simhash_portable(read_table(spark, sf, "documents"),
+                               bits=16, k=3)
+
+
+def sql_simhash_portable() -> str:
+    from .operators.corpus import FP_GRAM_BASE, FP_MOD, FP_WORD_BASE
+
+    g3 = (
+        f"((hs[i] * {FP_GRAM_BASE} + hs[i + 1]) % {FP_MOD}"
+        f" * {FP_GRAM_BASE} + hs[i + 2]) % {FP_MOD}"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(gs, g -> CASE WHEN (g // {1 << b}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)), (a, x) -> a + x) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(str_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(ws, x -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(str_split(x, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * {FP_WORD_BASE} + c) % {FP_MOD})) AS hs
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 3 THEN
+           list_transform(generate_series(1, len(hs) - 2), i -> {g3})
+         ELSE CAST([] AS BIGINT[]) END AS gs
+  FROM h
+)
+SELECT doc_id, CAST(len(gs) AS INT) AS n_grams,
+       CAST({bit_terms} AS BIGINT) AS simhash
+FROM g WHERE len(gs) > 0
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: md5(text) hash groups with >1 member (empty on this
     corpus — the oracle verifies the emptiness too)."""
@@ -5080,6 +5132,7 @@ QUERIES = {
     "audio_plan": q_audio_plan,
     "url_dedup": q_url_dedup,
     "minhash_portable": q_minhash_portable,
+    "simhash_portable": q_simhash_portable,
     # -- (d) complex single-green round-3 flagships -----------------------
     "rasterize_polygons": q_rasterize_polygons,
     "warp_reproject": q_warp_reproject,
@@ -5277,6 +5330,7 @@ ORACLES = {
     "audio_plan": sql_audio_plan(),
     "url_dedup": sql_url_dedup(),
     "minhash_portable": sql_minhash_portable(),
+    "simhash_portable": sql_simhash_portable(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

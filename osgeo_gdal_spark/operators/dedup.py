@@ -314,3 +314,27 @@ def minhash_portable(docs: DataFrame, num_hashes=8, k=3,
     ]
     return sig.select("doc_id", "n_grams",
                       *[f"mh{i}" for i in range(num_hashes)], *bands)
+
+
+def simhash_portable(docs: DataFrame, bits=16, k=3,
+                     text_col="text", id_col="doc_id") -> DataFrame:
+    """Engine-portable SimHash (the hash-verifiable twin of ``simhash``,
+    which uses xxhash64): each of ``bits`` output bits is the majority
+    vote of that bit across the doc's portable k-gram hashes
+    (+1/-1 sum > 0) — Charikar's scheme over the mod-2^31-1 grams.
+    Returns (doc_id, n_grams, simhash) with every value bit-identical
+    in DuckDB (integer shifts and masks only)."""
+    from . import corpus as CP
+
+    gs = CP._fp_arrays(docs, k, 4, text_col, id_col) \
+        .select("doc_id", "gs").filter(F.size("gs") > 0)
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate(gs, 0L, (acc, g) -> acc + "
+        f"CASE WHEN (g div {1 << b}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return gs.select(
+        "doc_id", F.size("gs").alias("n_grams"),
+        F.expr(f"CAST({bit_terms} AS BIGINT)").alias("simhash"),
+    )

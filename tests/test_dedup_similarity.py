@@ -360,3 +360,25 @@ def test_minhash_portable_locality_and_parity(spark):
         b = DD.MH_B0 + DD.MH_DB * i
         want = min((a * g + b) % M for g in gs)
         assert rows[1][f"mh{i}"] == want
+
+
+def test_simhash_portable_hamming_locality(spark):
+    """Portable SimHash: near-identical docs sit within small Hamming
+    distance, dissimilar docs far."""
+    from osgeo_gdal_spark.operators import dedup as DD
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight with great speed")
+    near = base.replace("tonight", "today")
+    other = ("completely different words describing an unrelated topic "
+             "with zero overlapping grams whatsoever in this sentence")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id LONG, text STRING")
+    rows = {r["doc_id"]: r["simhash"] for r in
+            DD.simhash_portable(df, bits=16, k=3).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(rows[1], rows[2]) <= 4
+    assert ham(rows[1], rows[3]) >= 5

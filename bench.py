@@ -83,6 +83,9 @@ HEADLINE = [
     "grid_linear",
     "grid_avg_distance_pts",
     "audio_plan",
+    "url_dedup",
+    "minhash_portable",
+    "simhash_portable",
 ]
 
 

@@ -235,15 +235,17 @@ def _fp_arrays(docs: DataFrame, k: int, w: int, text_col, id_col):
 
 def _fp_exploded(docs: DataFrame, k: int, w: int, text_col, id_col):
     """(doc_id, fp) exploded fingerprint rows, with the lineage CUT
-    (localCheckpoint) before the explode. Mandatory, not cosmetic:
+    (cache) before the explode. Mandatory, not cosmetic:
     Catalyst inlines the fps expression into the Generate operator, and
     inside a higher-order-function lambda the inlined gs/hs subtrees
     re-evaluate PER ELEMENT — turning an O(words) column into
-    O(grams x words x chars) per document (hours at sf0.01). The
-    checkpoint materializes the arrays once; at scale this is the same
-    lineage-truncation move polygonize uses."""
+    O(grams x words x chars) per document (hours at sf0.01). The cache
+    materializes the arrays once THROUGH WHOLE-STAGE CODEGEN — a
+    localCheckpoint would also cut the lineage but materializes via the
+    RDD path where these higher-order lambdas run interpreted (~50x
+    slower, measured round 4)."""
     fp = _fp_arrays(docs, k, w, text_col, id_col) \
-        .select("doc_id", "fps").localCheckpoint()
+        .select("doc_id", "fps").cache()
     return fp.select("doc_id", F.explode("fps").alias("fp"))
 
 

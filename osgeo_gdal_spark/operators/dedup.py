@@ -296,17 +296,26 @@ def minhash_portable(docs: DataFrame, num_hashes=8, k=3,
     (shorter than k words) are dropped, as in the xxhash64 path."""
     from . import corpus as CP
 
-    gs = CP._fp_arrays(docs, k, 4, text_col, id_col) \
-        .select("doc_id", "gs").filter(F.size("gs") > 0)
-    cols = [F.size("gs").alias("n_grams")]
+    # EXPLODE the grams once and take the mins as NATIVE groupBy
+    # aggregations (map-side partial — the 100 TB shape). The lineage
+    # cut before the explode uses cache(), NOT localCheckpoint: the
+    # checkpoint materializes through the RDD path where the
+    # higher-order gs lambdas run INTERPRETED (52s at sf0.1), while the
+    # cache populates through whole-stage codegen (<1s) and still stops
+    # Catalyst from inlining the gs expression into Generate
+    # no size-filter: a higher-order expression inside a Filter
+    # predicate evaluates INTERPRETED (43s at sf0.1 vs <1s codegen'd);
+    # explode drops empty arrays by itself
+    g = CP._fp_arrays(docs, k, 4, text_col, id_col) \
+        .select("doc_id", "gs").cache() \
+        .select("doc_id", F.explode("gs").alias("g"))
+    aggs = [F.count("*").cast("int").alias("n_grams")]
     for i in range(num_hashes):
         a = MH_A0 + MH_DA * i
         b = MH_B0 + MH_DB * i
-        cols.append(F.expr(
-            f"aggregate(gs, CAST({CP.FP_MOD} AS BIGINT), "
-            f"(m, g) -> least(m, ({a}L * g + {b}) % {CP.FP_MOD}))"
-        ).alias(f"mh{i}"))
-    sig = gs.select("doc_id", *cols)
+        aggs.append(F.min(
+            F.expr(f"({a}L * g + {b}) % {CP.FP_MOD}")).alias(f"mh{i}"))
+    sig = g.groupBy("doc_id").agg(*aggs)
     bands = [
         F.expr(f"(mh{2 * j} * {CP.FP_GRAM_BASE} + mh{2 * j + 1}) "
                f"% {CP.FP_MOD}").alias(f"band{j}")
@@ -326,15 +335,22 @@ def simhash_portable(docs: DataFrame, bits=16, k=3,
     in DuckDB (integer shifts and masks only)."""
     from . import corpus as CP
 
-    gs = CP._fp_arrays(docs, k, 4, text_col, id_col) \
-        .select("doc_id", "gs").filter(F.size("gs") > 0)
+    # exploded grams + native bit-vote sums (the simhash64 shape);
+    # cache-not-checkpoint lineage cut — see minhash_portable
+    g = CP._fp_arrays(docs, k, 4, text_col, id_col) \
+        .select("doc_id", "gs").cache() \
+        .select("doc_id", F.explode("gs").alias("g"))
+    votes = g.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_grams"),
+        *[F.sum(F.expr(
+            f"CASE WHEN (g div {1 << b}) % 2 = 1 THEN 1 ELSE -1 END"
+        )).alias(f"v{b}") for b in range(bits)]
+    )
     bit_terms = " + ".join(
-        f"(CASE WHEN aggregate(gs, 0L, (acc, g) -> acc + "
-        f"CASE WHEN (g div {1 << b}) % 2 = 1 "
-        f"THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(bits)
     )
-    return gs.select(
-        "doc_id", F.size("gs").alias("n_grams"),
+    return votes.select(
+        "doc_id", "n_grams",
         F.expr(f"CAST({bit_terms} AS BIGINT)").alias("simhash"),
     )

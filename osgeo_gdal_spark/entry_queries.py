@@ -1836,19 +1836,18 @@ def q_overlay_snapped(spark: SparkSession, sf: str) -> DataFrame:
     snap+node+side-classify+face-walk+shoelace pipeline."""
     from .operators import overlay as OV
 
-    feats = PL.contact_feats_df(spark)
-    polys = PL.contact_polys()
-    parts = []
-    for op, tag in (("intersection", "i"), ("union", "u"),
-                    ("difference", "d")):
-        ov = OV.overlay_features_snapped(
-            spark, feats, polys, op, grid=PL.CONTACT_GRID
-        )
-        parts.append(ov.select(
-            F.lit(tag).alias("op"), "a_id", "eas_id",
-            F.round("piece_area", 6).alias("area"),
-        ))
-    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+    areas = OV.overlay_areas_features_snapped(
+        spark, PL.contact_feats_df(spark), PL.contact_polys(),
+        grid=PL.CONTACT_GRID,
+    )
+    # one arrangement pass per pair -> three op rows (areal rows only,
+    # mirroring the oracle's >0 filters)
+    stacked = areas.select(
+        "a_id", "eas_id",
+        F.expr("stack(3, 'i', i_area, 'u', u_area, 'd', d_area) "
+               "AS (op, area)"),
+    ).select("op", "a_id", "eas_id", F.round("area", 6).alias("area"))
+    return stacked.filter(F.col("area") > 0)
 
 
 def sql_overlay_snapped() -> str:

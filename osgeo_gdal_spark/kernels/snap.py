@@ -326,33 +326,19 @@ def _assemble_faces(segs):
     return cycles
 
 
-def overlay_rings_snapped(rings_a, rings_b, op: str, grid: float = None):
-    """Boolean overlay on snapped inputs — accepts vertex-on-edge and
-    shared-edge contacts. op ∈ {intersection, union, difference,
-    symdifference}. Returns a ring soup in WORLD coordinates."""
-    if op == "symdifference":
-        return (overlay_rings_snapped(rings_a, rings_b, "difference", grid)
-                + overlay_rings_snapped(rings_b, rings_a, "difference", grid))
-    if op not in _OPS:
-        raise ValueError(op)
-    if grid is None:
-        grid = default_grid(rings_a, rings_b)
+def _snapped_memberships(rings_a, rings_b, grid):
+    """Shared arrangement core for the 2-way overlays: snap, node,
+    split, dedup coincident sub-segments and classify both sides —
+    returns (a, b, segs_u, ina_l, inb_l, ina_r, inb_r), or a short
+    string tag for the degenerate early-exits ('empty' / 'disjoint')."""
     a = snap_rings(rings_a, grid)
     b = snap_rings(rings_b, grid)
     if not a or not b:
-        if op == "intersection":
-            return []
-        if op == "union":
-            return list(a) + list(b)
-        return list(a)
+        return a, b, "empty", None, None, None, None
     ax0, ay0, ax1, ay1 = rings_envelope(a)
     bx0, by0, bx1, by1 = rings_envelope(b)
     if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
-        if op == "intersection":
-            return []
-        if op == "union":
-            return list(a) + list(b)
-        return list(a)
+        return a, b, "disjoint", None, None, None, None
 
     ea = _lattice_edges(a, grid)
     eb = _lattice_edges(b, grid)
@@ -372,16 +358,16 @@ def overlay_rings_snapped(rings_a, rings_b, op: str, grid: float = None):
     for seg in segs_a + segs_b:
         key = (min(seg[:2], seg[2:]), max(seg[:2], seg[2:]))
         seen.setdefault(key, seg)
-
-    want = _OPS[op]
     segs_u = list(seen.values())
     lx, ly, rx2, ry2 = _side_probes(segs_u, (la, lb))
     ina_l = _points_in_rings(lx, ly, la)
     inb_l = _points_in_rings(lx, ly, lb)
     ina_r = _points_in_rings(rx2, ry2, la)
     inb_r = _points_in_rings(rx2, ry2, lb)
-    in_l = want(ina_l, inb_l)
-    in_r = want(ina_r, inb_r)
+    return a, b, segs_u, ina_l, inb_l, ina_r, inb_r
+
+
+def _select_and_assemble(segs_u, in_l, in_r, grid):
     kept = []
     for i, (ax, ay, bx, by) in enumerate(segs_u):
         if bool(in_l[i]) == bool(in_r[i]):
@@ -390,9 +376,54 @@ def overlay_rings_snapped(rings_a, rings_b, op: str, grid: float = None):
             kept.append((ax, ay, bx, by))      # interior on left already
         else:
             kept.append((bx, by, ax, ay))
-
     cycles = _assemble_faces(kept)
     return [(xs * grid, ys * grid) for xs, ys in cycles]
+
+
+def overlay_rings_snapped(rings_a, rings_b, op: str, grid: float = None):
+    """Boolean overlay on snapped inputs — accepts vertex-on-edge and
+    shared-edge contacts. op ∈ {intersection, union, difference,
+    symdifference}. Returns a ring soup in WORLD coordinates."""
+    if op == "symdifference":
+        return (overlay_rings_snapped(rings_a, rings_b, "difference", grid)
+                + overlay_rings_snapped(rings_b, rings_a, "difference", grid))
+    if op not in _OPS:
+        raise ValueError(op)
+    if grid is None:
+        grid = default_grid(rings_a, rings_b)
+    a, b, segs_u, ina_l, inb_l, ina_r, inb_r = \
+        _snapped_memberships(rings_a, rings_b, grid)
+    if isinstance(segs_u, str):        # 'empty' or 'disjoint'
+        if op == "intersection":
+            return []
+        if op == "union":
+            return list(a) + list(b)
+        return list(a)
+    want = _OPS[op]
+    return _select_and_assemble(
+        segs_u, want(ina_l, inb_l), want(ina_r, inb_r), grid)
+
+
+def overlay_areas_snapped(rings_a, rings_b, grid: float = None):
+    """Intersection / union / A−B / B−A areas in ONE noding +
+    classification pass (the per-pair overlay queries and the snapped
+    predicates need all of them; running four ops re-nodes four
+    times). Returns dict {'i','u','d','db'} of world-unit areas."""
+    if grid is None:
+        grid = default_grid(rings_a, rings_b)
+    a, b, segs_u, ina_l, inb_l, ina_r, inb_r = \
+        _snapped_memberships(rings_a, rings_b, grid)
+    if isinstance(segs_u, str):
+        a_area = rings_area(a)
+        b_area = rings_area(b)
+        return {"i": 0.0, "u": a_area + b_area, "d": a_area, "db": b_area}
+    out = {}
+    for key, want in (("i", _OPS["intersection"]), ("u", _OPS["union"]),
+                      ("d", _OPS["difference"]),
+                      ("db", lambda x, y: y & ~x)):
+        out[key] = rings_area(_select_and_assemble(
+            segs_u, want(ina_l, inb_l), want(ina_r, inb_r), grid))
+    return out
 
 
 __all__ = [

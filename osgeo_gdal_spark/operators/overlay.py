@@ -336,6 +336,68 @@ def overlay_features_snapped(spark, feats: DataFrame, polys, op: str,
     return matched.mapInPandas(kernel, out_schema)
 
 
+def overlay_areas_features_snapped(spark, feats: DataFrame, polys,
+                                   grid: float = None,
+                                   keep_cols=("fid", "a_id"),
+                                   geom_col="geometry",
+                                   zoom=None) -> DataFrame:
+    """Per-pair snapped overlay AREAS — intersection, union and A−B in
+    ONE noding+classification pass per pair (kernels/snap.
+    overlay_areas_snapped), over the same closed-envelope candidate
+    plan as overlay_features_snapped. The shape for per-pair area
+    reports where the geometries themselves aren't needed."""
+    from ..kernels import snap as SN
+    from . import spatial_join as SJ
+
+    if grid is None:
+        grid = SN.default_grid(
+            [], [(_g.xs, _g.ys) for pf in polys
+                 for _g in [W.parse_wkb(pf.wkb())]]
+        )
+    kw = {} if zoom is None else {"zoom": zoom}
+    matched = SJ.spatial_join_polygons(
+        spark, feats, polys, predicate="candidates_closed",
+        dilate=float(grid), **kw
+    )
+    payload = [(pf.fid, pf.wkb()) for pf in polys]
+    key = SJ.payload_key(payload)
+    bc = spark.sparkContext.broadcast(payload)
+    gridv = float(grid)
+    cols = list(keep_cols)
+
+    out_schema = T.StructType(
+        [feats.schema[c] for c in cols]
+        + [T.StructField("eas_id", T.LongType()),
+           T.StructField("i_area", T.DoubleType()),
+           T.StructField("u_area", T.DoubleType()),
+           T.StructField("d_area", T.DoubleType())]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..kernels import snap as SN2
+
+        for pdf in batches:
+            rings_by_fid = _prepared_rings(bc.value, key)
+            rows = []
+            for _, row in pdf.iterrows():
+                ra = OVK.geometry_rings(W.parse_wkb(bytes(row[geom_col])))
+                rb = rings_by_fid[int(row["b_fid"])]
+                ar = SN2.overlay_areas_snapped(ra, rb, gridv)
+                rows.append(
+                    {**{c: row[c] for c in cols},
+                     "eas_id": int(row["eas_id"]),
+                     "i_area": float(ar["i"]),
+                     "u_area": float(ar["u"]),
+                     "d_area": float(ar["d"])}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return matched.mapInPandas(kernel, out_schema)
+
+
 def predicates_snapped(spark, feats: DataFrame, polys, grid: float = None,
                        keep_cols=("fid", "a_id"), geom_col="geometry",
                        zoom=None) -> DataFrame:
@@ -396,14 +458,11 @@ def predicates_snapped(spark, feats: DataFrame, polys, grid: float = None,
                 rb = rings_by_fid[int(row["b_fid"])]
                 from ..kernels import snap as SN2
 
-                sa = SN2.snap_rings(ra, gridv)
-                sb = SN2.snap_rings(rb, gridv)
-                a_area = SN2.rings_area(sa)
-                b_area = SN2.rings_area(sb)
-                i_area = SN2.rings_area(
-                    SN2.overlay_rings_snapped(ra, rb, "intersection", gridv))
-                bma = SN2.rings_area(
-                    SN2.overlay_rings_snapped(rb, ra, "difference", gridv))
+                a_area = SN2.rings_area(SN2.snap_rings(ra, gridv))
+                b_area = SN2.rings_area(SN2.snap_rings(rb, gridv))
+                # one arrangement pass yields every needed area
+                ar = SN2.overlay_areas_snapped(ra, rb, gridv)
+                i_area, bma = ar["i"], ar["db"]
                 touch = SN2.boundaries_touch_snapped(ra, rb, gridv)
                 rows.append(
                     {**{c: row[c] for c in cols},

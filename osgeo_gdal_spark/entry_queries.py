@@ -2026,6 +2026,32 @@ def q_dissolve_regions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dissolve_snapped(spark: SparkSession, sf: str) -> DataFrame:
+    """Dissolve with SHARED BORDERS — the standard admin-layer case
+    (every internal boundary is a shared edge, outside the
+    general-position union fold's contract): groups of rects tiling
+    blocks dissolve through the snap-rounding n-way union
+    (dissolve(snap_grid=...), kernels/snap.overlay_rings_snapped_n).
+    Oracle: per-group closed-form block area + part count."""
+    from .operators import overlay as OV
+
+    d = OV.dissolve(spark, PL.tiling_dissolve_df(spark), "gid",
+                    snap_grid=2.0 ** -16)
+    return d.select("gid", "n_parts", "u_area")
+
+
+def sql_dissolve_snapped() -> str:
+    _, expect = PL.tiling_dissolve_rects()
+    rows = ", ".join(
+        f"({g}, {p}, {a!r})" for g, (p, a) in sorted(expect.items())
+    )
+    return (
+        "SELECT CAST(gid AS BIGINT) AS gid, CAST(n_parts AS INT) AS "
+        "n_parts, CAST(u_area AS DOUBLE) AS u_area FROM (VALUES "
+        + rows + ") AS t(gid, n_parts, u_area)"
+    )
+
+
 def sql_dissolve_regions() -> str:
     parts = ", ".join(
         f"({g}, {n})" for g, n in sorted(PL.dissolve_parts_expected().items())
@@ -5123,6 +5149,7 @@ QUERIES = {
     "overlay_erase": q_overlay_erase,
     "overlay_symdiff": q_overlay_symdiff,
     "overlay_snapped": q_overlay_snapped,
+    "dissolve_snapped": q_dissolve_snapped,
     "predicates_snapped": q_predicates_snapped,
     "spatial_predicates": q_spatial_predicates,
     "line_predicates": q_line_predicates,
@@ -5318,6 +5345,7 @@ ORACLES = {
     "hex_raster_rollup": sql_hex_raster_rollup(),
     "overlay_symdiff": sql_overlay_symdiff(),
     "overlay_snapped": sql_overlay_snapped(),
+    "dissolve_snapped": sql_dissolve_snapped(),
     "predicates_snapped": sql_predicates_snapped(),
     "grid_metric_range": sql_grid_metric_range(),
     "grid_avg_distance": sql_grid_avg_distance(),

@@ -480,7 +480,8 @@ def predicates_snapped(spark, feats: DataFrame, polys, grid: float = None,
 
 
 def dissolve(spark, feats: DataFrame, group_col: str = "gid",
-             geom_col: str = "geometry", fanin: int = 8) -> DataFrame:
+             geom_col: str = "geometry", fanin: int = 8,
+             snap_grid: float = None) -> DataFrame:
     """Dissolve / UnaryUnion per attribute value
     (``apps/gdalalg_vector_dissolve.cpp:120``; per-group set op =
     ``ogrgeometry.cpp:5437`` UnionCascaded, GEOS replaced by the
@@ -496,10 +497,27 @@ def dissolve(spark, feats: DataFrame, group_col: str = "gid",
 
     Returns (group_col, n_parts, u_area, union_wkb): number of connected
     parts (CCW shells of the union), even-odd union area, union WKB.
+
+    ``snap_grid`` (round 4): union through the SNAP-ROUNDING n-way
+    kernel instead of the general-position fold — members sharing
+    borders (the standard admin-layer dissolve: every internal boundary
+    is a shared edge) are outside the general-position contract; the
+    snapped path handles them exactly (one arrangement pass per
+    partial, kernels/snap.overlay_rings_snapped_n).
     """
     import pandas as pd
 
     from ..kernels import overlay_kernel as OVK
+    from ..kernels import snap as SN
+
+    def _union(soups):
+        if snap_grid is not None:
+            if not soups:
+                return []
+            return SN.overlay_rings_snapped_n(
+                soups[0], [[r] for sp in soups[1:] for r in sp],
+                "union", snap_grid)
+        return OVK.union_all_rings(soups)
 
     gfield = feats.schema[group_col]
 
@@ -512,7 +530,7 @@ def dissolve(spark, feats: DataFrame, group_col: str = "gid",
             OVK.geometry_rings(W.parse_wkb(bytes(b)))
             for b in sorted(pdf[geom_col], key=bytes)
         ]
-        u = OVK.union_all_rings(soups)
+        u = _union(soups)
         return pd.DataFrame(
             [{group_col: pdf[group_col].iloc[0],
               "partial_wkb": OVK.rings_to_wkb(u)}]
@@ -532,7 +550,7 @@ def dissolve(spark, feats: DataFrame, group_col: str = "gid",
             OVK.geometry_rings(W.parse_wkb(bytes(b)))
             for b in sorted(pdf["partial_wkb"], key=bytes)
         ]
-        u = OVK.union_all_rings(soups)
+        u = _union(soups)
         n_parts = sum(1 for xs, ys in u if CL.ring_area(xs, ys) > 0)
         return pd.DataFrame(
             [{group_col: pdf[group_col].iloc[0],

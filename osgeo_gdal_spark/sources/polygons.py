@@ -618,3 +618,52 @@ def contact_values_sql() -> str:
         "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(a_id, eas_id, "
         "ax0, ay0, ax1, ay1, bx0, by0, bx1, by1, b_is_tri, b_area)"
     )
+
+
+# --- snapped-dissolve fixture: groups of rectangles TILING blocks with
+# shared internal borders (the admin-layer dissolve case — every
+# internal boundary is a shared edge, outside the general-position
+# union fold's contract) --------------------------------------------------
+
+def tiling_dissolve_rects():
+    """18 groups; group g tiles a block at a deterministic origin into
+    an nx x ny grid of edge-sharing rects (union = the block, 1 part);
+    every third group adds one DISJOINT member (2 parts). Returns
+    [(gid, fid, x0, y0, x1, y1)] plus the expected (gid -> (n_parts,
+    union_area)) map."""
+    rows, expect = [], {}
+    fid = 0
+    for g in range(18):
+        ox = -160.0 + (g % 12) * 26.0
+        oy = -60.0 + (g // 12) * 30.0
+        nx, ny = 2 + g % 3, 1 + g % 2
+        w, h = 3.0 * nx, 4.0 * ny
+        for i in range(nx):
+            for j in range(ny):
+                rows.append((g, fid, ox + 3.0 * i, oy + 4.0 * j,
+                             ox + 3.0 * (i + 1), oy + 4.0 * (j + 1)))
+                fid += 1
+        area, parts = w * h, 1
+        if g % 3 == 2:
+            rows.append((g, fid, ox + w + 5.0, oy, ox + w + 7.0, oy + 2.0))
+            fid += 1
+            area += 4.0
+            parts = 2
+        expect[g] = (parts, area)
+    return rows, expect
+
+
+def tiling_dissolve_df(spark):
+    from pyspark.sql import types as T
+
+    rows, _ = tiling_dissolve_rects()
+    out = []
+    for (gid, fid, x0, y0, x1, y1) in rows:
+        wkb = W.polygon_wkb([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+        out.append((gid, fid, bytearray(wkb)))
+    schema = T.StructType([
+        T.StructField("gid", T.LongType()),
+        T.StructField("fid", T.LongType()),
+        T.StructField("geometry", T.BinaryType()),
+    ])
+    return spark.createDataFrame(out, schema)

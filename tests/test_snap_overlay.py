@@ -282,3 +282,17 @@ def test_buffer_hole_and_roundtrip():
     px = np.array([0.1, 2.0, 3.9, 0.1, 3.9])
     py = np.array([0.1, 1.5, 2.9, 2.9, 0.1])
     assert _points_in_rings(px, py, rt).all()
+
+
+def test_dissolve_snapped_shared_borders(spark):
+    """dissolve(snap_grid=...) on edge-sharing tilings (the admin-layer
+    case): every group unions to its closed-form block area and part
+    count, across the two-level salt tree."""
+    from osgeo_gdal_spark.operators import overlay as OV
+    from osgeo_gdal_spark.sources import polygons as PL
+
+    _, expect = PL.tiling_dissolve_rects()
+    got = {r["gid"]: (r["n_parts"], r["u_area"]) for r in
+           OV.dissolve(spark, PL.tiling_dissolve_df(spark), "gid",
+                       snap_grid=2.0 ** -16, fanin=3).collect()}
+    assert got == expect

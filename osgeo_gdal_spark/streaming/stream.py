@@ -188,3 +188,55 @@ def streaming_hex_counts(pages_stream: DataFrame, size: float = 3.0,
         .select(F.unix_timestamp("win.start").alias("win_start"),
                 "hq", "hr", "cnt")
     )
+
+
+def streaming_url_frontier(docs_stream: DataFrame,
+                           url_col: str = "url",
+                           timeout_minutes: int = 0) -> DataFrame:
+    """Streaming crawl-frontier URL screen: canonicalize every incoming
+    URL (functions/text.canonical_url_spark — lowercase/default-port/
+    www/fragment/utm/query-sort normalization) and pass only the FIRST
+    document per canonical URL across triggers — the stateful ingest
+    twin of the batch ``url_dedup`` query, one boolean of state per
+    canonical URL (``timeout_minutes`` bounds it for unbounded URL
+    spaces, as in streaming_dedup_first_seen)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from ..functions import text as TX
+
+    out_schema = T.StructType([
+        T.StructField("canon_url", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def screen_fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdfs:
+                pass
+            if timeout_minutes > 0:
+                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and (first is None or pdf["doc_id"].min() < first):
+                first = int(pdf["doc_id"].min())
+        state.update((True,))
+        if timeout_minutes > 0:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if first is None:
+            return iter(())
+        return iter([pd.DataFrame({"canon_url": [key[0]],
+                                   "doc_id": [first]})])
+
+    keyed = docs_stream.select(
+        TX.canonical_url_spark(url_col).alias("canon_url"), F.col("doc_id")
+    ).groupBy("canon_url")
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if timeout_minutes > 0
+               else GroupStateTimeout.NoTimeout)
+    return keyed.applyInPandasWithState(
+        screen_fn, out_schema, state_schema, "update", timeout
+    )

@@ -261,3 +261,38 @@ def test_streaming_hex_counts_equal_batch(spark):
                 "hq", "hr", "cnt").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_url_frontier_cross_trigger(spark, tmpdir):
+    """Streaming URL-frontier screen: messy variants of the SAME
+    canonical URL arriving in different micro-batches collapse to one
+    first-seen row via cross-trigger state."""
+    import os
+
+    import pandas as pd
+
+    src = os.path.join(tmpdir, "urls_in")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "url": ["https://WWW.Example1.com/a/?b=2&a=1",
+                "http://other.com/x",
+                "https://www.example1.com:443/a?a=1&b=2"],  # dup of 1
+    }).to_parquet(f"{src}/p1.parquet")
+    pd.DataFrame({
+        "doc_id": [4, 5],
+        "url": ["https://example1.com/a?b=2&a=1&utm_source=z",  # dup of 1
+                "http://other.com/x#frag"],                     # dup of 2
+    }).to_parquet(f"{src}/p2.parquet")
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = ST.streaming_url_frontier(stream)
+    q = (out.writeStream.format("memory").queryName("url_frontier")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM url_frontier").collect()
+    got = {r["canon_url"]: r["doc_id"] for r in rows}
+    assert got == {"https://example1.com/a?a=1&b=2": 1,
+                   "http://other.com/x": 2}

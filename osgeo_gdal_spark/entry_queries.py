@@ -2333,6 +2333,69 @@ FROM ranked WHERE rn = 1
 """
 
 
+BM25_TERMS = ("data", "model", "system", "analysis")
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval (the search tier): top-50 docs for a fixed
+    4-term query. Per-doc term sums fold sequentially in term order;
+    both engines round(9) the score before ranking (LN last-ulp class);
+    rank ties break on doc_id."""
+    from .operators import corpus as CP
+
+    docs = read_table(spark, sf, "documents")
+    return CP.bm25_topk(docs, BM25_TERMS, k=50)
+
+
+def sql_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1, b = 1.2, 0.75
+    return f"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(str_split(text, ' '), x -> x != ''))
+              AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(dl) AS sum_dl FROM dl
+),
+words AS (
+  SELECT doc_id, UNNEST(str_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM words WHERE w IN ({terms}) GROUP BY doc_id, w
+),
+dfreq AS (
+  SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tf GROUP BY w
+),
+scored AS (
+  SELECT t.doc_id, t.w,
+         LN(CAST(1.0 AS DOUBLE) + (CAST(s.n_docs AS DOUBLE) - d.df
+            + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+         * (t.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+         / (t.tf + CAST({k1!r} AS DOUBLE) * (CAST({1.0 - b!r} AS DOUBLE)
+            + CAST({b!r} AS DOUBLE) * l.dl
+              / (s.sum_dl / CAST(s.n_docs AS DOUBLE)))) AS s
+  FROM tf t JOIN dfreq d USING (w) JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id,
+         ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(s ORDER BY w)), (acc, x) -> acc + x), 9) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, score
+FROM per_doc
+QUALIFY rank <= 50
+"""
+
+
 def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-level curation statistics (the RefinedWeb/C4 per-source
     tier: crawl curation decides keep/drop per DOMAIN before per-doc
@@ -5159,6 +5222,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "minhash_portable": q_minhash_portable,
     "simhash_portable": q_simhash_portable,
+    "bm25_topk": q_bm25_topk,
     # -- (d) complex single-green round-3 flagships -----------------------
     "rasterize_polygons": q_rasterize_polygons,
     "warp_reproject": q_warp_reproject,
@@ -5358,6 +5422,7 @@ ORACLES = {
     "url_dedup": sql_url_dedup(),
     "minhash_portable": sql_minhash_portable(),
     "simhash_portable": sql_simhash_portable(),
+    "bm25_topk": sql_bm25_topk(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

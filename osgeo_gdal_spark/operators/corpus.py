@@ -406,3 +406,67 @@ def dedup_incremental(index_docs: DataFrame, new_docs: DataFrame,
         ).alias("best_match"),
     )
     return best.filter(F.col("n_hits") >= min_shared)
+
+
+def bm25_topk(docs: DataFrame, terms, k: int = 50, k1: float = 1.2,
+              b: float = 0.75, text_col="text",
+              id_col="doc_id") -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones; the search tier
+    over the tf/df machinery): score(d) = Σ_t idf_t · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)) with idf = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Distributed shape: one words explode filtered to the query terms
+    (map-side), tf per (doc, term), df per term (tiny — broadcast),
+    corpus stats (N, avgdl) as a broadcast scalar row. The per-doc term
+    sum folds SEQUENTIALLY in term order (the repo-wide bit-exact-sum
+    discipline); Java/DuckDB LN differ in the last ulp, so consumers
+    round(9) — the tps_warp pattern.
+
+    Returns the top-``k`` (doc_id, score) by (score DESC, doc_id)."""
+    from pyspark.sql import Window
+
+    term_list = sorted(set(terms))
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"size(filter(split({text_col}, ' '), x -> x != ''))")
+        .cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w").isin(term_list))
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count("*").cast("double").alias("tf"))
+    df = tf.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.expr(
+            "sum_dl / CAST(n_docs AS DOUBLE)"))
+        .withColumn("s", F.expr(
+            f"LN(CAST(1.0 AS DOUBLE) + (CAST(n_docs AS DOUBLE) - df "
+            f"+ CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) "
+            f"* (tf * CAST({k1 + 1.0!r} AS DOUBLE)) "
+            f"/ (tf + CAST({k1!r} AS DOUBLE) * (CAST({1.0 - b!r} AS DOUBLE) "
+            f"+ CAST({b!r} AS DOUBLE) * dl / avgdl))"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(w, s))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.s)"
+        ).alias("score")
+    )
+    # distributed top-k FIRST (TakeOrderedAndProject — no global
+    # single-partition window over all docs), then rank the <= k
+    # survivors with the tiny window
+    topk = (per_doc.withColumn("score", F.round("score", 9))
+            .orderBy(F.col("score").desc(), F.col("doc_id")).limit(k))
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (topk.withColumn("rank", F.row_number().over(win))
+            .select("rank", "doc_id", "score"))

@@ -159,6 +159,42 @@ def _node_edges(ea, eb):
     return cuts
 
 
+def _self_node(e, cuts):
+    """Node an edge set against ITSELF: endpoint-on-edge contacts plus
+    proper crossings between DIFFERENT edges (i < j, crossing point
+    computed once from i's parameterization and shared). Needed when a
+    soup's own rings overlap (legal even-odd input — e.g. two
+    overlapping member rects): partially-coincident edges from
+    different rings must split at each other's endpoints or the
+    sub-segment soup is not a planar subdivision."""
+    for i, lst in _node_edges(e, e).items():
+        cuts.setdefault(i, []).extend(lst)
+    x0, y0, x1, y1 = (a.astype(np.float64) for a in e)
+    rx = (x1 - x0)[:, None]
+    ry = (y1 - y0)[:, None]
+    sx = (x1 - x0)[None, :]
+    sy = (y1 - y0)[None, :]
+    qpx = x0[None, :] - x0[:, None]
+    qpy = y0[None, :] - y0[:, None]
+    rxs = rx * sy - ry * sx
+    c1 = qpx * sy - qpy * sx
+    c2 = qpx * ry - qpy * rx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = c1 / rxs
+        u = c2 / rxs
+    cross = (rxs != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    ii, jj = np.nonzero(cross)
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        if i >= j:
+            continue
+        tv = float(t[i, j])
+        uv = float(u[i, j])
+        px = float(x0[i]) + tv * float(x1[i] - x0[i])
+        py = float(y0[i]) + tv * float(y1[i] - y0[i])
+        cuts.setdefault(i, []).append((tv, px, py))
+        cuts.setdefault(j, []).append((uv, px, py))
+
+
 def _proper_crossings(ea, eb, cuts_a, cuts_b):
     """Exact proper-crossing detection on the lattice; the float
     crossing point is computed once and shared."""
@@ -326,6 +362,17 @@ def _assemble_faces(segs):
     return cycles
 
 
+def _eo_normalize(soup, grid):
+    """Resolve a possibly self-overlapping multi-ring soup to proper
+    even-odd faces (two identical member rects XOR to empty, etc.) via
+    self-intersection; single-ring soups are proper by construction.
+    Used by the disjoint/empty early-exits, whose raw return would
+    otherwise leak uncancelled rings into area sums."""
+    if len(soup) <= 1:
+        return list(soup)
+    return overlay_rings_snapped(soup, soup, "intersection", grid)
+
+
 def _snapped_memberships(rings_a, rings_b, grid):
     """Shared arrangement core for the 2-way overlays: snap, node,
     split, dedup coincident sub-segments and classify both sides —
@@ -345,6 +392,9 @@ def _snapped_memberships(rings_a, rings_b, grid):
     cuts_a = _node_edges(ea, eb)
     cuts_b = _node_edges(eb, ea)
     _proper_crossings(ea, eb, cuts_a, cuts_b)
+    # within-soup noding: a soup's own rings may overlap (even-odd)
+    _self_node(ea, cuts_a)
+    _self_node(eb, cuts_b)
     segs_a = _split(ea, cuts_a)
     segs_b = _split(eb, cuts_b)
 
@@ -397,8 +447,8 @@ def overlay_rings_snapped(rings_a, rings_b, op: str, grid: float = None):
         if op == "intersection":
             return []
         if op == "union":
-            return list(a) + list(b)
-        return list(a)
+            return _eo_normalize(a, grid) + _eo_normalize(b, grid)
+        return _eo_normalize(a, grid)
     want = _OPS[op]
     return _select_and_assemble(
         segs_u, want(ina_l, inb_l), want(ina_r, inb_r), grid)
@@ -414,8 +464,8 @@ def overlay_areas_snapped(rings_a, rings_b, grid: float = None):
     a, b, segs_u, ina_l, inb_l, ina_r, inb_r = \
         _snapped_memberships(rings_a, rings_b, grid)
     if isinstance(segs_u, str):
-        a_area = rings_area(a)
-        b_area = rings_area(b)
+        a_area = rings_area(_eo_normalize(a, grid))
+        b_area = rings_area(_eo_normalize(b, grid))
         return {"i": 0.0, "u": a_area + b_area, "d": a_area, "db": b_area}
     out = {}
     for key, want in (("i", _OPS["intersection"]), ("u", _OPS["union"]),
@@ -488,14 +538,14 @@ def overlay_rings_snapped_n(rings_a, soups, op: str, grid: float = None):
     a = snap_rings(rings_a, grid)
     bs = [s for s in (snap_rings(sp, grid) for sp in soups) if s]
     if not bs:
-        return list(a)
+        return _eo_normalize(a, grid)
     if not a:
         if op == "difference":
             return []
         # union of the soups alone: run with the first soup as A
         a, bs = bs[0], bs[1:]
         if not bs:
-            return list(a)
+            return _eo_normalize(a, grid)
 
     groups = [a] + bs
     glat = [_lattice_edges(g, grid) for g in groups]
@@ -509,6 +559,9 @@ def overlay_rings_snapped_n(rings_a, soups, op: str, grid: float = None):
             cuts.setdefault(dst_off + i, []).extend(lst)
 
     for gi in range(len(groups)):
+        sub_self: dict = {}
+        _self_node(glat[gi], sub_self)
+        _merge(offs[gi], sub_self)
         for gj in range(len(groups)):
             if gi == gj:
                 continue

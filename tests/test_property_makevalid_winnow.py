@@ -109,3 +109,40 @@ def test_winnowing_shared_run_guarantee(prefix_a, shared, prefix_b):
     fa = _py_winnow(doc_a)
     fb = _py_winnow(doc_b)
     assert fa & fb
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10), st.integers(0, 10),
+                          st.integers(1, 5), st.integers(1, 5)),
+                min_size=1, max_size=2),
+       st.lists(st.tuples(st.integers(0, 10), st.integers(0, 10),
+                          st.integers(1, 5), st.integers(1, 5)),
+                min_size=1, max_size=2))
+def test_hypothesis_snapped_overlay_conservation(ra, rb):
+    """Property: over EVEN-ODD rect soups (members may overlap, making
+    effective holes) with rampant shared edges and corners, the snapped
+    overlay satisfies the set-algebra laws |A∩B| + |A\\B| = |A| and
+    |A∪B| = |A| + |B| − |A∩B|."""
+    import numpy as np
+
+    from osgeo_gdal_spark.kernels import snap as SN
+
+    def soup(rects):
+        return [
+            (np.array([x, x + w, x + w, x], float),
+             np.array([y, y, y + h, y + h], float))
+            for (x, y, w, h) in rects
+        ]
+
+    g = 2.0 ** -12
+    A, B = soup(ra), soup(rb)
+    # the signed ring-area sum is NOT the even-odd measure when a
+    # soup's own rings overlap (two identical rects XOR to empty);
+    # the even-odd area is the self-intersection's area
+    aa = SN.rings_area(SN.overlay_rings_snapped(A, A, "intersection", g))
+    bb = SN.rings_area(SN.overlay_rings_snapped(B, B, "intersection", g))
+    i = SN.rings_area(SN.overlay_rings_snapped(A, B, "intersection", g))
+    d = SN.rings_area(SN.overlay_rings_snapped(A, B, "difference", g))
+    u = SN.rings_area(SN.overlay_rings_snapped(A, B, "union", g))
+    assert abs(i + d - aa) < 1e-9
+    assert abs(u - (aa + bb - i)) < 1e-9

@@ -919,6 +919,87 @@ FROM g WHERE len(gs) > 0
 """
 
 
+def q_lsh_pairs_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable-hash LSH candidate PAIRS with planted duplicates (the
+    fully hash-verifiable twin of the xxhash64 pair step): the first 50
+    docs are duplicated under shifted ids, so every planted pair must
+    surface sharing all 4 bands; natural band collisions (if any) are
+    deterministic in both engines."""
+    from .operators import dedup as DD
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return DD.lsh_pairs_portable(docs.unionByName(planted),
+                                 num_hashes=8, k=3)
+
+
+def sql_lsh_pairs_portable() -> str:
+    from .operators.corpus import FP_GRAM_BASE, FP_MOD, FP_WORD_BASE
+    from .operators.dedup import (DEFAULT_MAX_BUCKET, MH_A0, MH_B0,
+                                  MH_DA, MH_DB)
+
+    g3 = (
+        f"((hs[i] * {FP_GRAM_BASE} + hs[i + 1]) % {FP_MOD}"
+        f" * {FP_GRAM_BASE} + hs[i + 2]) % {FP_MOD}"
+    )
+    mh_cols = ", ".join(
+        f"list_reduce(list_prepend(CAST({FP_MOD} AS BIGINT), "
+        f"list_transform(gs, g -> ({MH_A0 + MH_DA * i} * g "
+        f"+ {MH_B0 + MH_DB * i}) % {FP_MOD})), "
+        f"(m, x) -> LEAST(m, x)) AS mh{i}"
+        for i in range(8)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, "
+        f"(mh{2 * j} * {FP_GRAM_BASE} + mh{2 * j + 1}) % {FP_MOD} "
+        f"AS bucket FROM s"
+        for j in range(4)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id < 50
+),
+d AS (
+  SELECT doc_id,
+         list_filter(str_split(text, ' '), x -> x != '') AS ws
+  FROM docs
+),
+h AS (
+  SELECT doc_id,
+         list_transform(ws, x -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(str_split(x, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * {FP_WORD_BASE} + c) % {FP_MOD})) AS hs
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 3 THEN
+           list_transform(generate_series(1, len(hs) - 2), i -> {g3})
+         ELSE CAST([] AS BIGINT[]) END AS gs
+  FROM h
+),
+s AS (
+  SELECT doc_id, {mh_cols} FROM g WHERE len(gs) > 0
+),
+stacked AS (
+  SELECT * FROM ({band_rows})
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+          <= {DEFAULT_MAX_BUCKET}
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(COUNT(*) AS INT) AS n_shared_bands
+FROM stacked l JOIN stacked r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+GROUP BY l.doc_id, r.doc_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: md5(text) hash groups with >1 member (empty on this
     corpus — the oracle verifies the emptiness too)."""
@@ -5223,6 +5304,7 @@ QUERIES = {
     "minhash_portable": q_minhash_portable,
     "simhash_portable": q_simhash_portable,
     "bm25_topk": q_bm25_topk,
+    "lsh_pairs_portable": q_lsh_pairs_portable,
     # -- (d) complex single-green round-3 flagships -----------------------
     "rasterize_polygons": q_rasterize_polygons,
     "warp_reproject": q_warp_reproject,
@@ -5423,6 +5505,7 @@ ORACLES = {
     "minhash_portable": sql_minhash_portable(),
     "simhash_portable": sql_simhash_portable(),
     "bm25_topk": sql_bm25_topk(),
+    "lsh_pairs_portable": sql_lsh_pairs_portable(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

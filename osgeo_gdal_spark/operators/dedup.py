@@ -354,3 +354,39 @@ def simhash_portable(docs: DataFrame, bits=16, k=3,
         "doc_id", "n_grams",
         F.expr(f"CAST({bit_terms} AS BIGINT)").alias("simhash"),
     )
+
+
+def lsh_pairs_portable(docs: DataFrame, num_hashes=8, k=3,
+                       max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                       text_col="text", id_col="doc_id") -> DataFrame:
+    """Candidate near-dup pairs from the PORTABLE MinHash bands — the
+    fully hash-verifiable LSH pair step (the xxhash64 pipeline's pairs
+    are rows-only checkable). Same shape as lsh_candidate_pairs: band
+    bucket explode, hot-bucket cap, in-bucket self-join with a < b;
+    returns (doc_a, doc_b, n_shared_bands)."""
+    from pyspark.sql import Window
+
+    sig = minhash_portable(docs, num_hashes, k, text_col, id_col)
+    nb = num_hashes // 2
+    stacked = sig.select(
+        "doc_id",
+        F.expr("stack({}, {}) AS (band, bucket)".format(
+            nb, ", ".join(f"{j}, band{j}" for j in range(nb)))),
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        stacked = (stacked.withColumn("_n", F.count("*").over(w))
+                   .filter(F.col("_n") <= max_bucket).drop("_n"))
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("doc_a"),
+                 F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("int").alias("n_shared_bands"))
+    )

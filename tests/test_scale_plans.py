@@ -345,3 +345,16 @@ def test_grid_linear_distributed_no_driver_state(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan      # per-tile TIN evaluation
+
+
+def test_bm25_plan_broadcasts_and_takes_ordered(spark):
+    """BM25: df and corpus stats broadcast (no shuffle of the big side
+    for them) and the top-k runs as TakeOrderedAndProject — never a
+    global single-partition sort of all docs."""
+    from osgeo_gdal_spark.operators import corpus as CP
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = CP.bm25_topk(docs, ("data", "model"), k=10)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan

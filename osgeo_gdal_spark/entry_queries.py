@@ -4030,14 +4030,17 @@ def q_st_buffer(spark: SparkSession, sf: str) -> DataFrame:
     per-vertex quadrant-segment disks) folded through the snap-rounding
     overlay (dilation = union fold, erosion = difference fold).
 
-    Fixture: even keys axis rects, odd keys concave L-shapes (dyadic
-    scale), buffered with quadsegs=1 — the chamfer disk {(±d,0),(0,±d)}
-    is fully dyadic, so EVERY vertex, crossing and area in the pipeline
-    is exact and the oracle closed forms carry no rounding at all:
+    Fixture (key % 4): axis rects / concave L-shapes / axis L-POLYLINES
+    (the LineString arm — capsule union, erosion empty) / POINTS
+    (disk), all with quadsegs=1 — the chamfer disk {(±d,0),(0,±d)} is
+    fully dyadic, so EVERY vertex, crossing and area in the pipeline is
+    exact and the oracle closed forms carry no rounding at all:
       rect dilate  = w*h + 2(w+h)d + 2d^2
       rect erode   = (w-2d)(h-2d)            (0 when fully eroded)
       L dilate     = 21s^2 + 22sd + 1.5d^2   (5 convex - 1 reflex)
       L erode      = (6s-2d)(2s-2d) + 3s(3s-2d) + d^2/2  (reflex chamfer)
+      line dilate  = 2d(l1+l2) + 1.5d^2      (right-angle joint)
+      point dilate = 2d^2                    (the chamfer diamond)
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -4062,30 +4065,45 @@ def q_st_buffer(spark: SparkSession, sf: str) -> DataFrame:
             x, y = float(k % 100), float(k // 100 % 100)
             d_dil = (1.0 + (k % 8)) / 4.0
             d_ero = (1.0 + (k % 3)) / 4.0
-            if k % 2 == 0:
+            cls = k % 4
+            if cls == 0:
                 w, h = 4.0 + (k % 5), 3.0 + (k % 3)
                 ck = ("r", w, h, d_dil, d_ero)
-            else:
+            elif cls == 1:
                 s = 1.0 + (k % 4) / 4.0
                 ck = ("l", s, 0.0, d_dil, d_ero)
+            elif cls == 2:
+                l1, l2 = 3.0 + (k % 5), 2.0 + (k % 3)
+                ck = ("p", l1, l2, d_dil, 0.0)
+            else:
+                ck = ("pt", 0.0, 0.0, d_dil, 0.0)
             got = cache.get(ck)
             if got is None:
-                if k % 2 == 0:
+                if cls == 0:
                     rings = OVK.geometry_rings(W.parse_wkb(W.polygon_wkb(
                         [[(x, y), (x + w, y), (x + w, y + h), (x, y + h)]]
                     )))
-                else:
+                elif cls == 1:
                     rings = OVK.geometry_rings(W.parse_wkb(W.polygon_wkb(
                         [[(x, y), (x + 6 * s, y), (x + 6 * s, y + 2 * s),
                           (x + 3 * s, y + 2 * s), (x + 3 * s, y + 5 * s),
                           (x, y + 5 * s)]]
                     )))
-                got = (
-                    float(SNK.rings_area(
-                        BF.buffer_rings(rings, d_dil, quadsegs=1))),
-                    float(SNK.rings_area(
-                        BF.buffer_rings(rings, -d_ero, quadsegs=1))),
-                )
+                if cls in (0, 1):
+                    got = (
+                        float(SNK.rings_area(
+                            BF.buffer_rings(rings, d_dil, quadsegs=1))),
+                        float(SNK.rings_area(
+                            BF.buffer_rings(rings, -d_ero, quadsegs=1))),
+                    )
+                elif cls == 2:
+                    soup = BF.buffer_path([x, x + l1, x + l1],
+                                          [y, y, y + l2], d_dil,
+                                          quadsegs=1)
+                    got = (float(SNK.rings_area(soup)), 0.0)
+                else:
+                    dx, dy = BF.disk_polygon(x, y, d_dil, quadsegs=1)
+                    got = (float(SNK.rings_area([(dx, dy)])), 0.0)
                 cache[ck] = got
             out.append(got)
         return pd.DataFrame(out, columns=["dil_area", "ero_area"])
@@ -4104,18 +4122,23 @@ WITH p AS (
          (1.0 + (s_suppkey % 3)) / 4.0 AS de,
          CAST(4 + (s_suppkey % 5) AS DOUBLE) AS w,
          CAST(3 + (s_suppkey % 3) AS DOUBLE) AS h,
-         1.0 + (s_suppkey % 4) / 4.0 AS s
+         1.0 + (s_suppkey % 4) / 4.0 AS s,
+         CAST(3 + (s_suppkey % 5) AS DOUBLE) AS l1,
+         CAST(2 + (s_suppkey % 3) AS DOUBLE) AS l2
   FROM supplier
 )
 SELECT s_suppkey,
-       CAST(CASE WHEN s_suppkey % 2 = 0
-         THEN w * h + 2 * (w + h) * dd + 2 * dd * dd
-         ELSE 21 * s * s + 22 * s * dd + 1.5 * dd * dd
+       CAST(CASE s_suppkey % 4
+         WHEN 0 THEN w * h + 2 * (w + h) * dd + 2 * dd * dd
+         WHEN 1 THEN 21 * s * s + 22 * s * dd + 1.5 * dd * dd
+         WHEN 2 THEN 2 * dd * (l1 + l2) + 1.5 * dd * dd
+         ELSE 2 * dd * dd
        END AS DOUBLE) AS dil_area,
-       CAST(CASE WHEN s_suppkey % 2 = 0
-         THEN GREATEST(0, w - 2 * de) * GREATEST(0, h - 2 * de)
-         ELSE (6 * s - 2 * de) * (2 * s - 2 * de)
+       CAST(CASE s_suppkey % 4
+         WHEN 0 THEN GREATEST(0, w - 2 * de) * GREATEST(0, h - 2 * de)
+         WHEN 1 THEN (6 * s - 2 * de) * (2 * s - 2 * de)
               + 3 * s * (3 * s - 2 * de) + de * de / 2
+         ELSE 0.0
        END AS DOUBLE) AS ero_area
 FROM p
 """

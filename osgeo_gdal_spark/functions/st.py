@@ -603,9 +603,11 @@ st_disjoint = _binary_predicate("polygons_disjoint")
 @F.pandas_udf(T.BinaryType())
 def st_buffer_1(geoms):
     """ST_Buffer with distance 1.0 (OGRGeometry::Buffer,
-    ogrgeometry.cpp:4949). Convex single-ring polygons take the
+    ogrgeometry.cpp:4949) — ALL geometry types: Points become disk
+    polygons, LineStrings the capsule-union path buffer
+    (kernels/buffer.buffer_path), convex single-ring polygons take the
     round-join Minkowski fast path (kernels/polypoly.buffer_convex,
-    quadsegs 30 — the OGR default); everything else — non-convex,
+    quadsegs 30 — the OGR default), and everything else — non-convex,
     holes, multipolygons — runs the GENERAL morphology kernel
     (kernels/buffer.buffer_rings: boundary band + snapped union fold,
     quadsegs 8). Fixed distance because pandas UDFs take columns;
@@ -622,6 +624,15 @@ def st_buffer_1(geoms):
             out.append(None)
             continue
         pg = W.parse_wkb(bytes(g))
+        if pg.geom_type == "Point":
+            dx, dy = BF.disk_polygon(float(pg.xs[0]), float(pg.ys[0]),
+                                     1.0, 8)
+            out.append(W.polygon_wkb([list(zip(dx.tolist(), dy.tolist()))]))
+            continue
+        if pg.geom_type == "LineString":
+            rings = BF.buffer_path(pg.xs, pg.ys, 1.0, quadsegs=8)
+            out.append(OVK.rings_to_wkb(rings) if rings else None)
+            continue
         try:
             xs, ys = PP.buffer_convex(pg, 1.0, quadsegs=30)
             out.append(W.polygon_wkb([list(zip(xs.tolist(), ys.tolist()))]))

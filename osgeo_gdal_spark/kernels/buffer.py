@@ -111,3 +111,30 @@ def buffer_rings(rings, d: float, quadsegs: int = 8, grid: float = None):
     return SN.overlay_rings_snapped_n(
         rings, [[p] for p in pieces], op, grid
     )
+
+
+def buffer_path(xs, ys, d: float, quadsegs: int = 8, grid: float = None,
+                closed: bool = False):
+    """Buffer a polyline (or closed path) by ``d > 0``: the union of
+    per-segment capsules — the LineString arm of OGRGeometry::Buffer.
+    Returns a ring soup."""
+    if d <= 0.0:
+        raise ValueError("line buffer needs d > 0")
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    n = len(xs)
+    pieces = []
+    last = n if closed else n - 1
+    for i in range(last):
+        c = edge_capsule(float(xs[i]), float(ys[i]),
+                         float(xs[(i + 1) % n]), float(ys[(i + 1) % n]),
+                         d, quadsegs)
+        if c is not None:
+            pieces.append(c)
+    if not pieces:
+        return []
+    if grid is None:
+        grid = SN.default_grid([], pieces)
+    return SN.overlay_rings_snapped_n(
+        [pieces[0]], [[p] for p in pieces[1:]], "union", grid
+    )

@@ -296,3 +296,48 @@ def test_dissolve_snapped_shared_borders(spark):
            OV.dissolve(spark, PL.tiling_dissolve_df(spark), "gid",
                        snap_grid=2.0 ** -16, fanin=3).collect()}
     assert got == expect
+
+
+def test_buffer_line_and_point():
+    """LineString and Point buffer arms: qs=1 exact closed forms (the
+    st_buffer oracle's line/point classes) and qs=8 analytic tolerance
+    vs the true stadium."""
+    import math
+
+    from osgeo_gdal_spark.kernels import buffer as BF
+
+    d = 0.5
+    # straight segment: capsule = 2d*len + diamond
+    assert SN.rings_area(BF.buffer_path([0, 4], [0, 0], d, 1)) == \
+        2 * d * 4 + 2 * d * d
+    # right-angle polyline: joint contributes 1.5 d^2 total
+    assert SN.rings_area(BF.buffer_path([0, 4, 4], [0, 0, 3], d, 1)) == \
+        2 * d * 7 + 1.5 * d * d
+    # qs=8 stadium ~ true: 2dL + pi d^2, short by exactly the inscribed
+    # 32-gon sagitta pi*d^2 - 16*sin(pi/16)*d^2 (~0.0201 d^2)
+    got = SN.rings_area(BF.buffer_path([0, 4], [0, 0], d, 8))
+    want = 2 * d * 4 + math.pi * d * d
+    sag = (math.pi - 16 * math.sin(math.pi / 16)) * d * d
+    assert 0 < want - got < sag + 1e-3
+    # point diamond
+    dx, dy = BF.disk_polygon(1.0, 2.0, d, 1)
+    assert SN.rings_area([(dx, dy)]) == 2 * d * d
+
+
+def test_st_buffer_udf_line_point(spark):
+    from osgeo_gdal_spark.functions import st as ST
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    ln = W.linestring_wkb([(0.0, 0.0), (6.0, 0.0)])
+    pt = W.point_wkb(3.0, 4.0)
+    df = spark.createDataFrame(
+        [(1, bytearray(ln)), (2, bytearray(pt))], "id LONG, g BINARY")
+    rows = {r["id"]: W.parse_wkb(bytes(r["b"]))
+            for r in df.select("id",
+                               ST.st_buffer("g").alias("b")).collect()}
+    import math
+
+    area_ln = W.polygon_area(rows[1])
+    assert abs(area_ln - (2 * 6 + math.pi)) < 3e-2   # qs=8 stadium
+    area_pt = W.polygon_area(rows[2])
+    assert abs(area_pt - math.pi) < 3e-2             # 32-gon disk

@@ -146,3 +146,39 @@ def test_hypothesis_snapped_overlay_conservation(ra, rb):
     u = SN.rings_area(SN.overlay_rings_snapped(A, B, "union", g))
     assert abs(i + d - aa) < 1e-9
     assert abs(u - (aa + bb - i)) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=3, max_size=6, unique=True),
+       st.sampled_from([0.25, 0.5, 1.0]))
+def test_hypothesis_buffer_contains_and_monotone(pts, d):
+    """Buffer properties over random lattice polygons: the dilation
+    contains the input's area and grows monotonically with distance;
+    dilate-then-erode is at least the original area."""
+    from hypothesis import assume
+
+    import numpy as np
+
+    from osgeo_gdal_spark.kernels import buffer as BF, snap as SN
+    from osgeo_gdal_spark.kernels.clip import ring_area
+
+    xs = np.array([p[0] for p in pts], float)
+    ys = np.array([p[1] for p in pts], float)
+    a0 = ring_area(xs, ys)
+    assume(abs(a0) > 0.5)
+    if a0 < 0:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    # self-crossing random rings are MakeValid's domain, not Buffer's
+    from osgeo_gdal_spark.kernels import makevalid as MV
+
+    assume(not MV._has_proper_crossing(list(zip(xs, ys))))
+    A = [(xs, ys)]
+    area0 = SN.rings_area(A)
+    big = SN.rings_area(BF.buffer_rings(A, d, quadsegs=1))
+    bigger = SN.rings_area(BF.buffer_rings(A, 2 * d, quadsegs=1))
+    assert big >= area0 - 1e-9
+    assert bigger >= big - 1e-9
+    rt = BF.buffer_rings(BF.buffer_rings(A, d, quadsegs=1), -d,
+                         quadsegs=1)
+    assert SN.rings_area(rt) >= area0 - 1e-9

@@ -86,6 +86,9 @@ HEADLINE = [
     "url_dedup",
     "minhash_portable",
     "simhash_portable",
+    "dissolve_snapped",
+    "bm25_topk",
+    "lsh_pairs_portable",
 ]
 
 

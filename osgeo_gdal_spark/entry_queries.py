@@ -4030,18 +4030,31 @@ def q_st_buffer(spark: SparkSession, sf: str) -> DataFrame:
     per-vertex quadrant-segment disks) folded through the snap-rounding
     overlay (dilation = union fold, erosion = difference fold).
 
-    Fixture (key % 4): axis rects / concave L-shapes / axis L-POLYLINES
+    Fixture (key % 6): axis rects / concave L-shapes / axis L-POLYLINES
     (the LineString arm — capsule union, erosion empty) / POINTS
-    (disk), all with quadsegs=1 — the chamfer disk {(±d,0),(0,±d)} is
-    fully dyadic, so EVERY vertex, crossing and area in the pipeline is
-    exact and the oracle closed forms carry no rounding at all:
+    (disk) / two CONCAVE-DIAGONAL-DART classes, all with quadsegs=1 —
+    the chamfer disk {(±d,0),(0,±d)} is fully dyadic, so for classes
+    0-3 EVERY vertex, crossing and area in the pipeline is exact and
+    the oracle closed forms carry no rounding at all:
       rect dilate  = w*h + 2(w+h)d + 2d^2
       rect erode   = (w-2d)(h-2d)            (0 when fully eroded)
       L dilate     = 21s^2 + 22sd + 1.5d^2   (5 convex - 1 reflex)
       L erode      = (6s-2d)(2s-2d) + 3s(3s-2d) + d^2/2  (reflex chamfer)
       line dilate  = 2d(l1+l2) + 1.5d^2      (right-angle joint)
       point dilate = 2d^2                    (the chamfer diamond)
-    """
+    Classes 4/5 (d = 1/4 and 1/2) are the round-4 Hypothesis
+    falsifying darts — concave rings with DIAGONAL edges whose
+    capsule crossings are rational, so snap rounding (kernels/snap.py
+    hot-pixel reroute) perturbs them by <= grid/2 per vertex. Their
+    areas are pinned against an INDEPENDENT exact-Fraction slab
+    oracle (tests/fraction_area.py, an algorithm disjoint from the
+    face-walk kernel) and emitted quantized to 1/1024 (perturbation
+    ~5e-7 << half-quantum, boundary distances >= 0.22 quanta —
+    verified in tests), with the same 12 rational constants embedded
+    in the DuckDB oracle."""
+    import math
+
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -4065,7 +4078,39 @@ def q_st_buffer(spark: SparkSession, sf: str) -> DataFrame:
             x, y = float(k % 100), float(k // 100 % 100)
             d_dil = (1.0 + (k % 8)) / 4.0
             d_ero = (1.0 + (k % 3)) / 4.0
-            cls = k % 4
+            cls = k % 6
+            if cls >= 4:
+                # concave diagonal darts (round-4 falsifying family):
+                # canonical position, explicit 2^-21 grid (coords <= 8
+                # keep the lattice inside the exact-int64 bound), areas
+                # quantized to 1/1024 (see docstring)
+                darts = ([(3.0, 3.0), (0.0, 3.0), (6.0, 1.0), (3.0, 2.0)],
+                         [(3.0, 3.0), (0.0, 3.0), (6.0, 0.0), (2.0, 2.0)],
+                         [(6.0, 6.0), (0.0, 0.0), (6.0, 0.0), (3.0, 1.0)])
+                di = (k // 6) % 3
+                dd = 0.25 if cls == 4 else 0.5
+                ck = ("dart", float(di), 0.0, dd, dd)
+                got = cache.get(ck)
+                if got is None:
+                    pts = darts[di]
+                    xs_ = np.array([p[0] for p in pts])
+                    ys_ = np.array([p[1] for p in pts])
+                    from .kernels.clip import ring_area as _ra
+                    if _ra(xs_, ys_) < 0:
+                        xs_, ys_ = xs_[::-1].copy(), ys_[::-1].copy()
+                    rings = [(xs_, ys_)]
+                    g21 = 2.0 ** -21
+                    got = (
+                        math.floor(float(SNK.rings_area(BF.buffer_rings(
+                            rings, dd, quadsegs=1, grid=g21))) * 1024.0
+                            + 0.5) / 1024.0,
+                        math.floor(float(SNK.rings_area(BF.buffer_rings(
+                            rings, -dd, quadsegs=1, grid=g21))) * 1024.0
+                            + 0.5) / 1024.0,
+                    )
+                    cache[ck] = got
+                out.append(got)
+                continue
             if cls == 0:
                 w, h = 4.0 + (k % 5), 3.0 + (k % 3)
                 ck = ("r", w, h, d_dil, d_ero)
@@ -4128,16 +4173,26 @@ WITH p AS (
   FROM supplier
 )
 SELECT s_suppkey,
-       CAST(CASE s_suppkey % 4
+       CAST(CASE s_suppkey % 6
          WHEN 0 THEN w * h + 2 * (w + h) * dd + 2 * dd * dd
          WHEN 1 THEN 21 * s * s + 22 * s * dd + 1.5 * dd * dd
          WHEN 2 THEN 2 * dd * (l1 + l2) + 1.5 * dd * dd
-         ELSE 2 * dd * dd
+         WHEN 3 THEN 2 * dd * dd
+         -- concave darts: exact-Fraction slab-oracle areas
+         -- (tests/fraction_area.py), quantized to 1/1024
+         WHEN 4 THEN CASE (s_suppkey // 6) % 3 WHEN 0 THEN 4971.0 / 1024
+                     WHEN 1 THEN 5227.0 / 1024 ELSE 14436.0 / 1024 END
+         ELSE CASE (s_suppkey // 6) % 3 WHEN 0 THEN 8619.0 / 1024
+              WHEN 1 THEN 9131.0 / 1024 ELSE 19854.0 / 1024 END
        END AS DOUBLE) AS dil_area,
-       CAST(CASE s_suppkey % 4
+       CAST(CASE s_suppkey % 6
          WHEN 0 THEN GREATEST(0, w - 2 * de) * GREATEST(0, h - 2 * de)
          WHEN 1 THEN (6 * s - 2 * de) * (2 * s - 2 * de)
               + 3 * s * (3 * s - 2 * de) + de * de / 2
+         WHEN 4 THEN CASE (s_suppkey // 6) % 3 WHEN 0 THEN 267.0 / 1024
+                     WHEN 1 THEN 384.0 / 1024 ELSE 4864.0 / 1024 END
+         WHEN 5 THEN CASE (s_suppkey // 6) % 3 WHEN 0 THEN 0.0
+                     WHEN 1 THEN 0.0 ELSE 2048.0 / 1024 END
          ELSE 0.0
        END AS DOUBLE) AS ero_area
 FROM p

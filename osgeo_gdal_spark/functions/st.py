@@ -656,9 +656,11 @@ def st_makevalid(geoms):
     winding is emitted as its own polygon — 5 point-triangles plus the
     winding-2 core for a pentagram (GEOS linework/Polygonizer
     structure; kernels/makevalid._arrangement_faces). Collinear-overlap
-    contacts remain the named extension (kernels/makevalid.py header).
-    Valid input passes through unchanged-as-polygon; fully degenerate
-    input yields NULL."""
+    and vertex-on-edge self-contacts route through the exact snap-
+    lattice arrangement (kernels/makevalid.make_valid_lattice — the
+    round-4 completion of the 4-tier dispatch). Valid input passes
+    through unchanged-as-polygon; fully degenerate input yields
+    NULL."""
     import pandas as pd
 
     from ..kernels import makevalid as MV
@@ -676,7 +678,25 @@ def st_makevalid(geoms):
         elif len(loops) == 1:
             out.append(W.polygon_wkb([loops[0]]))
         else:
-            out.append(W.multipolygon_wkb([[loop] for loop in loops]))
+            # loop winding is structure: CCW = shell, CW = hole of the
+            # preceding shell (only the intact-multi-ring repair tier
+            # emits CW loops — makevalid.make_valid restores input
+            # winding there; every noding tier emits all-CCW loops,
+            # which keep the one-shell-per-polygon behavior)
+            import numpy as _np
+
+            from ..kernels.clip import ring_area as _ra
+
+            polys = []
+            for loop in loops:
+                ccw = _ra(_np.array([p[0] for p in loop]),
+                          _np.array([p[1] for p in loop])) >= 0.0
+                if ccw or not polys:
+                    polys.append([loop if ccw else loop[::-1]])
+                else:
+                    polys[-1].append(loop)
+            out.append(W.polygon_wkb(polys[0]) if len(polys) == 1
+                       else W.multipolygon_wkb(polys))
     return pd.Series(out)
 
 

@@ -197,5 +197,16 @@ def rpc_inverse(rpc: dict, samp, line, h, iters: int = 10):
         det = a * d - b * c
         L = L - (d * rs - b * rl) / det
         P = P - (-c * rs + a * rl) / det
+    # loud-failure discipline (viewshed/shortest-paths precedent): a
+    # (near-)singular Jacobian or zero denominator polynomial would
+    # otherwise emit silent NaN/inf coordinates
+    bad = ~(np.isfinite(L) & np.isfinite(P))
+    if bad.any():
+        idx = np.nonzero(bad)[0][:8]
+        raise ValueError(
+            f"rpc_inverse: Newton diverged (singular Jacobian or zero "
+            f"denominator) at {int(bad.sum())} point(s), first indices "
+            f"{idx.tolist()}"
+        )
     return (L * rpc["LONG_SCALE"] + rpc["LONG_OFF"],
             P * rpc["LAT_SCALE"] + rpc["LAT_OFF"])

@@ -414,7 +414,36 @@ def make_valid(pg: PackedGeometry):
     per_ring = [make_valid_rings(xs, ys) for xs, ys in rings]
     intact = all(len(lp) == 1 for lp in per_ring) and not _rings_cross(rings)
     if intact and len(rings) > 1:
-        return None
+        # pass through ONLY when the per-ring repair was a no-op for
+        # every ring; otherwise emit the repaired rings —
+        # duplicate-vertex drops and unclosed-ring closing apply to
+        # multi-ring input too (ADVICE r4: the unconditional None
+        # skipped them). Ring ORIENTATION is polygon structure in this
+        # tier (holes are CW), not a defect: make_valid_rings
+        # canonicalizes to CCW, so restore each input ring's winding
+        # before comparing or emitting.
+        from .clip import ring_area as _ra
+
+        restored = []
+        unchanged = True
+        for lp, (xs, ys) in zip(per_ring, rings):
+            loop = lp[0]
+            if _ra(np.asarray(xs, dtype=np.float64),
+                   np.asarray(ys, dtype=np.float64)) < 0.0:
+                loop = loop[::-1]
+            restored.append(loop)
+            orig = list(zip([float(v) for v in xs], [float(v) for v in ys]))
+            if orig and orig[0] == orig[-1]:
+                orig = orig[:-1]
+            if len(loop) != len(orig) or loop[0] not in orig:
+                unchanged = False
+            else:
+                k = orig.index(loop[0])
+                if loop != orig[k:] + orig[:k]:
+                    unchanged = False
+        if unchanged:
+            return None
+        return restored
     if intact and len(rings) == 1:
         # single simple ring: emit the CCW repair (covers unclosed /
         # duplicate-vertex input that needed no noding)

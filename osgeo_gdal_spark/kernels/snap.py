@@ -64,6 +64,22 @@ from .overlay_kernel import (
 # product within 2^51 — exact in int64 AND in float64
 _MAX_LATTICE = 1 << 25
 
+# cut-point weld sub-lattice: float crossing points are quantized to
+# 2^-20 lattice units so that geometrically-coincident crossings
+# (three near-concurrent edges, coincident capsule edges) become
+# BIT-IDENTICAL and the rounding-noise micro-segments between them
+# (observed: 6.6e-10 lattice units long, with a noise-direction
+# normal that defeats side probing) collapse to exact zero length.
+# The perturbation is grid/2^21 in world units — 6 orders below the
+# grid/2 snap perturbation the kernel already accepts.
+_WELD = float(1 << 20)
+
+# probe-ray clearance floor (lattice units): hits closer than this are
+# float noise from edges passing exactly through the probe base (the
+# collinear parents), not real faces. 2^-22 sits well above the
+# ~1e-9 cross-product noise and below the 2^-20 weld cell.
+_T_FLOOR = 2.0 ** -22
+
 
 def default_grid(rings_a, rings_b) -> float:
     """Snap resolution derived from coordinate magnitude (the
@@ -225,12 +241,17 @@ def _proper_crossings(ea, eb, cuts_a, cuts_b):
 
 def _split(ea, cuts):
     """Split lattice edges at their cut points -> float sub-segment
-    endpoint lists (lattice units)."""
+    endpoint lists (lattice units). Cut points are WELDED to the
+    2^-20 sub-lattice so coincident crossings computed from different
+    edge parameterizations agree bitwise (micro-segment killer)."""
     x0, y0, x1, y1 = (a.astype(np.float64) for a in ea)
     segs = []
     for i in range(len(x0)):
         pts = [(0.0, float(x0[i]), float(y0[i]))]
-        pts += sorted(set(cuts.get(i, ())))
+        pts += sorted(
+            {(t, round(px * _WELD) / _WELD, round(py * _WELD) / _WELD)
+             for (t, px, py) in cuts.get(i, ())}
+        )
         pts.append((1.0, float(x1[i]), float(y1[i])))
         for (_, ax, ay), (_, bx, by) in zip(pts, pts[1:]):
             if ax == bx and ay == by:
@@ -240,10 +261,17 @@ def _split(ea, cuts):
 
 
 def _side_probes(segs, soups):
-    """Vectorized left/right side probes for a list of sub-segments:
-    midpoint ± ε·n̂ with per-segment ε halved until BOTH probes are
-    strictly off every edge of every soup (the scalar per-segment loop
-    was the classification hotspot). Returns (Lx, Ly, Rx, Ry) arrays.
+    """Vectorized left/right side probes for a list of sub-segments.
+
+    A probe must sample the face ADJACENT to the segment, so its
+    offset ε is bounded by the CLEARANCE — the distance along ±n̂ from
+    the base point to the first crossing with any edge of any soup
+    (a fixed ε can silently jump a sliver face thinner than ε, which
+    is exactly what snapped buffer arrangements produce: this was the
+    round-4 erosion wrong-answer). Probes landing exactly ON an edge
+    (collinear within the edge's extent) are re-tried with halved ε
+    and then from shifted base points along the segment.
+    Returns (Lx, Ly, Rx, Ry) arrays in lattice units.
     """
     ax = np.array([s[0] for s in segs])
     ay = np.array([s[1] for s in segs])
@@ -252,7 +280,6 @@ def _side_probes(segs, soups):
     dx, dy = bx - ax, by - ay
     ln = np.hypot(dx, dy)
     nx, ny = -dy / ln, dx / ln
-    mx, my = (ax + bx) / 2.0, (ay + by) / 2.0
 
     # all edges of all soups, flattened
     e0x, e0y, e1x, e1y = [], [], [], []
@@ -276,14 +303,33 @@ def _side_probes(segs, soups):
         dot = rx * qx + ry * qy
         return ((cross == 0.0) & (dot >= 0.0) & (dot <= rr)).any(axis=1)
 
-    eps = np.full(len(segs), 0.25)
-    for _ in range(40):
-        lx, ly = mx + eps * nx, my + eps * ny
-        rx2, ry2 = mx - eps * nx, my - eps * ny
-        bad = on_any(lx, ly) | on_any(rx2, ry2)
-        if not bad.any():
-            return lx, ly, rx2, ry2
-        eps = np.where(bad, eps * 0.5, eps)
+    def clearance_eps(px, py):
+        """Half the first-crossing distance of the probe ray
+        p ± t·n̂ against every edge (t solved by Cramer; hits below
+        _T_FLOOR are the collinear parents through the base point,
+        not faces). Returns per-segment (eps_left, eps_right)."""
+        den = nx[:, None] * ry - ny[:, None] * rx       # n̂ × r
+        qx = ex0 - px[:, None]
+        qy = ey0 - py[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qx * ry - qy * rx) / den
+            u = (qx * ny[:, None] - qy * nx[:, None]) / den
+        valid = (den != 0.0) & (u >= 0.0) & (u <= 1.0) & np.isfinite(t)
+        tl = np.where(valid & (t > _T_FLOOR), t, np.inf).min(axis=1)
+        tr = np.where(valid & (t < -_T_FLOOR), -t, np.inf).min(axis=1)
+        return (np.minimum(0.25, 0.5 * tl), np.minimum(0.25, 0.5 * tr))
+
+    for f in (0.5, 0.25, 0.75, 0.375, 0.625):
+        px, py = ax + f * dx, ay + f * dy
+        eps_l, eps_r = clearance_eps(px, py)
+        for _ in range(20):
+            lx, ly = px + eps_l * nx, py + eps_l * ny
+            rx2, ry2 = px - eps_r * nx, py - eps_r * ny
+            bad = on_any(lx, ly) | on_any(rx2, ry2)
+            if not bad.any():
+                return lx, ly, rx2, ry2
+            eps_l = np.where(bad, eps_l * 0.5, eps_l)
+            eps_r = np.where(bad, eps_r * 0.5, eps_r)
     raise RuntimeError(
         "snapped overlay: side probes could not clear the boundaries")
 
@@ -309,6 +355,178 @@ _OPS = {
     "union": lambda a, b: a | b,
     "difference": lambda a, b: a & ~b,
 }
+
+
+# ---------------------------------------------------------------------------
+# Integer snap-rounding arrangement (round 5).
+#
+# Round 4 noded at FLOAT crossing points, which broke the exact-lattice
+# guarantee downstream: rounding-noise micro-segments (6.6e-10 lattice
+# units long, with noise-direction normals) defeated side probing, and
+# near-parallel float slivers collapsed probe clearances — the general-
+# buffer wrong answer. The classical fix is snap rounding (Hobby 1999;
+# Guibas & Marshall): round every crossing to the lattice and REROUTE
+# each edge through every "hot pixel" (closed half-unit square around a
+# vertex or rounded crossing) it intersects, iterating until no proper
+# crossings remain. The result is an ALL-INTEGER planar subdivision
+# with a hard guarantee: every vertex is >= 0.5 lattice units (L-inf)
+# from every non-incident sub-segment — since the min distance between
+# two non-crossing segments is attained at an endpoint, non-incident
+# sub-segments are >= 0.5 apart, so probe clearances are never noise.
+# Perturbation stays O(grid) per vertex, the contract already accepted.
+# ---------------------------------------------------------------------------
+
+
+def _segs_of_chains(chains):
+    """Closed int-vertex chains -> directed segment list [(a, b)]."""
+    segs = []
+    for ring in chains:
+        n = len(ring)
+        for i in range(n):
+            a, b = ring[i], ring[(i + 1) % n]
+            if a != b:
+                segs.append((a, b))
+    return segs
+
+
+def _int_crossings(segs):
+    """Rounded lattice points of all PROPER crossings among integer
+    segments. Sign tests are exact int64 (products <= 2^53); the float
+    crossing point has ~1e-9 error, far below the 0.5 rounding cell."""
+    pts = set()
+    n = len(segs)
+    if n < 2:
+        return pts
+    A = np.array([s[0] for s in segs], dtype=np.int64)
+    B = np.array([s[1] for s in segs], dtype=np.int64)
+    ax, ay, bx, by = A[:, 0], A[:, 1], B[:, 0], B[:, 1]
+    rx, ry = bx - ax, by - ay
+    chunk = max(1, (1 << 22) // max(n, 1))
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        rxs = rx[lo:hi, None] * ry[None, :] - ry[lo:hi, None] * rx[None, :]
+        qpx = ax[None, :] - ax[lo:hi, None]
+        qpy = ay[None, :] - ay[lo:hi, None]
+        c1 = qpx * ry[None, :] - qpy * rx[None, :]
+        c2 = qpx * ry[lo:hi, None] - qpy * rx[lo:hi, None]
+        pos = rxs > 0
+        tin = np.where(pos, (c1 > 0) & (c1 < rxs), (c1 < 0) & (c1 > rxs))
+        uin = np.where(pos, (c2 > 0) & (c2 < rxs), (c2 < 0) & (c2 > rxs))
+        cross = (rxs != 0) & tin & uin
+        ii, jj = np.nonzero(cross)
+        for i, j in zip((ii + lo).tolist(), jj.tolist()):
+            if i == j:
+                continue
+            t = float(c1[i - lo, j]) / float(rxs[i - lo, j])
+            px = float(ax[i]) + t * float(rx[i])
+            py = float(ay[i]) + t * float(ry[i])
+            pts.add((int(round(px)), int(round(py))))
+    return pts
+
+
+def _reroute_vias(segs, hot):
+    """For each integer segment, the ordered list of hot pixels whose
+    CLOSED half-unit square it intersects (excluding its endpoints) —
+    the snap-rounding reroute. Exact int64 SAT test on 2x-scaled
+    coordinates (segment vs axis-aligned box: bbox overlap + not all
+    four corners strictly on one side of the segment line)."""
+    if not segs or not hot:
+        return {}
+    A = np.array([s[0] for s in segs], dtype=np.int64) * 2
+    B = np.array([s[1] for s in segs], dtype=np.int64) * 2
+    ax, ay, bx, by = A[:, 0], A[:, 1], B[:, 0], B[:, 1]
+    rx, ry = bx - ax, by - ay
+    H = np.array(sorted(hot), dtype=np.int64) * 2
+    vias: dict = {}
+    chunk = max(1, (1 << 22) // max(len(segs), 1))
+    for lo in range(0, len(H), chunk):
+        hx = H[lo:lo + chunk, 0][None, :]
+        hy = H[lo:lo + chunk, 1][None, :]
+        bb = ((np.minimum(ax, bx)[:, None] <= hx + 1)
+              & (np.maximum(ax, bx)[:, None] >= hx - 1)
+              & (np.minimum(ay, by)[:, None] <= hy + 1)
+              & (np.maximum(ay, by)[:, None] >= hy - 1))
+        # separating-axis: no hit when all 4 box corners lie strictly
+        # on one side of the segment's line
+        allpos = np.ones(bb.shape, dtype=bool)
+        allneg = np.ones(bb.shape, dtype=bool)
+        for dx in (-1, 1):
+            for dy in (-1, 1):
+                cr = (rx[:, None] * (hy + dy - ay[:, None])
+                      - ry[:, None] * (hx + dx - ax[:, None]))
+                allpos &= cr > 0
+                allneg &= cr < 0
+        hit = bb & ~(allpos | allneg)
+        ii, jj = np.nonzero(hit)
+        for i, j in zip(ii.tolist(), (jj + lo).tolist()):
+            h = (int(H[j, 0] // 2), int(H[j, 1] // 2))
+            if h == segs[i][0] or h == segs[i][1]:
+                continue
+            vias.setdefault(i, []).append(h)
+    # order vias along each segment by exact projection
+    for i, lst in vias.items():
+        (x0, y0), (x1, y1) = segs[i]
+        dx, dy = x1 - x0, y1 - y0
+        lst.sort(key=lambda h: (h[0] - x0) * dx + (h[1] - y0) * dy)
+    return vias
+
+
+def _snap_round_chains(chains):
+    """Iterated snap rounding of closed integer-vertex chains: node at
+    rounded crossings and reroute through hot pixels until the
+    arrangement has no proper crossings and no un-split pixel
+    penetration. Returns the rerouted chains (still closed, integer)."""
+    for _ in range(16):
+        segs = _segs_of_chains(chains)
+        hot = {p for ring in chains for p in ring}
+        hot |= _int_crossings(segs)
+        vias = _reroute_vias(segs, hot)
+        if not vias:
+            return chains
+        out, k = [], 0
+        for ring in chains:
+            n = len(ring)
+            nring = []
+            for i in range(n):
+                a, b = ring[i], ring[(i + 1) % n]
+                nring.append(a)
+                if a != b:
+                    nring.extend(vias.get(k, ()))
+                    k += 1
+            # drop consecutive duplicates
+            clean = [p for q, p in zip([nring[-1]] + nring[:-1], nring)
+                     if p != q]
+            out.append(clean if clean else nring[:1])
+        chains = out
+    raise RuntimeError("snap rounding did not converge in 16 rounds")
+
+
+def _rounded_core(groups, grid):
+    """Joint snap-rounded arrangement of several ring soups (WORLD
+    coords on the grid). Returns (lat_groups, segs_u): the rerouted
+    ring soups in lattice units (float arrays, for even-odd PIP) and
+    the deduped undirected integer sub-segments (as float 4-tuples,
+    for side-probe classification)."""
+    chains, gidx = [], []
+    for g, soup in enumerate(groups):
+        for xs, ys in soup:
+            ix = np.rint(np.asarray(xs) / grid).astype(np.int64)
+            iy = np.rint(np.asarray(ys) / grid).astype(np.int64)
+            chains.append(list(zip(ix.tolist(), iy.tolist())))
+            gidx.append(g)
+    chains = _snap_round_chains(chains)
+    lat_groups = [[] for _ in groups]
+    for ring, g in zip(chains, gidx):
+        if len(ring) >= 3:
+            lat_groups[g].append((
+                np.array([p[0] for p in ring], dtype=np.float64),
+                np.array([p[1] for p in ring], dtype=np.float64)))
+    seen: dict = {}
+    for a, b in _segs_of_chains(chains):
+        key = (min(a, b), max(a, b))
+        if key not in seen:
+            seen[key] = (float(a[0]), float(a[1]), float(b[0]), float(b[1]))
+    return lat_groups, list(seen.values())
 
 
 def _assemble_faces(segs):
@@ -387,28 +605,9 @@ def _snapped_memberships(rings_a, rings_b, grid):
     if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
         return a, b, "disjoint", None, None, None, None
 
-    ea = _lattice_edges(a, grid)
-    eb = _lattice_edges(b, grid)
-    cuts_a = _node_edges(ea, eb)
-    cuts_b = _node_edges(eb, ea)
-    _proper_crossings(ea, eb, cuts_a, cuts_b)
-    # within-soup noding: a soup's own rings may overlap (even-odd)
-    _self_node(ea, cuts_a)
-    _self_node(eb, cuts_b)
-    segs_a = _split(ea, cuts_a)
-    segs_b = _split(eb, cuts_b)
-
-    # lattice-unit ring soups for the probes
-    la = [(np.asarray(xs) / grid, np.asarray(ys) / grid) for xs, ys in a]
-    lb = [(np.asarray(xs) / grid, np.asarray(ys) / grid) for xs, ys in b]
-
-    # collapse coincident sub-segments (shared edges) to one undirected
-    # representative; remember one original direction for orientation
-    seen: dict = {}
-    for seg in segs_a + segs_b:
-        key = (min(seg[:2], seg[2:]), max(seg[:2], seg[2:]))
-        seen.setdefault(key, seg)
-    segs_u = list(seen.values())
+    # integer snap-rounded joint arrangement (crossings welded to the
+    # lattice, edges rerouted through hot pixels — see _rounded_core)
+    (la, lb), segs_u = _rounded_core([a, b], grid)
     lx, ly, rx2, ry2 = _side_probes(segs_u, (la, lb))
     ina_l = _points_in_rings(lx, ly, la)
     inb_l = _points_in_rings(lx, ly, lb)
@@ -466,11 +665,17 @@ def overlay_areas_snapped(rings_a, rings_b, grid: float = None):
     if isinstance(segs_u, str):
         a_area = rings_area(_eo_normalize(a, grid))
         b_area = rings_area(_eo_normalize(b, grid))
-        return {"i": 0.0, "u": a_area + b_area, "d": a_area, "db": b_area}
+        return {"i": 0.0, "u": a_area + b_area, "d": a_area,
+                "db": b_area, "a": a_area, "b": b_area}
     out = {}
     for key, want in (("i", _OPS["intersection"]), ("u", _OPS["union"]),
                       ("d", _OPS["difference"]),
-                      ("db", lambda x, y: y & ~x)):
+                      ("db", lambda x, y: y & ~x),
+                      # rounded per-input areas: the EXACT conservation
+                      # laws (i + d = a, u = a + b - i) hold against
+                      # these, not the pre-rounding inputs, because
+                      # snap rounding reroutes edges through hot pixels
+                      ("a", lambda x, y: x), ("b", lambda x, y: y)):
         out[key] = rings_area(_select_and_assemble(
             segs_u, want(ina_l, inb_l), want(ina_r, inb_r), grid))
     return out
@@ -548,47 +753,9 @@ def overlay_rings_snapped_n(rings_a, soups, op: str, grid: float = None):
             return _eo_normalize(a, grid)
 
     groups = [a] + bs
-    glat = [_lattice_edges(g, grid) for g in groups]
-    sizes = [len(e[0]) for e in glat]
-    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
-
-    cuts: dict = {}
-
-    def _merge(dst_off, sub):
-        for i, lst in sub.items():
-            cuts.setdefault(dst_off + i, []).extend(lst)
-
-    for gi in range(len(groups)):
-        sub_self: dict = {}
-        _self_node(glat[gi], sub_self)
-        _merge(offs[gi], sub_self)
-        for gj in range(len(groups)):
-            if gi == gj:
-                continue
-            # endpoint-on-edge of group gj against edges of gi
-            _merge(offs[gi], _node_edges(glat[gi], glat[gj]))
-        for gj in range(gi + 1, len(groups)):
-            ca: dict = {}
-            cb: dict = {}
-            _proper_crossings(glat[gi], glat[gj], ca, cb)
-            _merge(offs[gi], ca)
-            _merge(offs[gj], cb)
-
-    segs = []
-    for gi, ea in enumerate(glat):
-        sub = {i: cuts.get(offs[gi] + i, []) for i in range(sizes[gi])}
-        segs.extend(_split(ea, sub))
-
-    lat = [[(np.asarray(xs) / grid, np.asarray(ys) / grid)
-            for xs, ys in g] for g in groups]
+    # integer snap-rounded joint arrangement across ALL groups at once
+    lat, segs_u = _rounded_core(groups, grid)
     la, lbs = lat[0], lat[1:]
-
-    seen: dict = {}
-    for seg in segs:
-        key = (min(seg[:2], seg[2:]), max(seg[:2], seg[2:]))
-        seen.setdefault(key, seg)
-
-    segs_u = list(seen.values())
     all_soups = [la] + lbs
     lx, ly, rx2, ry2 = _side_probes(segs_u, all_soups)
     ia_l = _points_in_rings(lx, ly, la)

@@ -244,8 +244,11 @@ def _fp_exploded(docs: DataFrame, k: int, w: int, text_col, id_col):
     localCheckpoint would also cut the lineage but materializes via the
     RDD path where these higher-order lambdas run interpreted (~50x
     slower, measured round 4)."""
-    fp = _fp_arrays(docs, k, w, text_col, id_col) \
-        .select("doc_id", "fps").cache()
+    from .dedup import _bounded_cache_cut
+
+    fp = _bounded_cache_cut(
+        "winnow_fps",
+        _fp_arrays(docs, k, w, text_col, id_col).select("doc_id", "fps"))
     return fp.select("doc_id", F.explode("fps").alias("fp"))
 
 

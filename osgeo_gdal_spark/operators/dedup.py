@@ -272,6 +272,26 @@ def near_dup_groups(docs: DataFrame, n_shingle=3, num_hashes=16, bands=4,
     )
 
 
+# Lineage-cut caches (the explode-codegen trick below) cannot be
+# unpersisted before the caller materializes the lazy result, but the
+# leak is BOUNDED by evicting the PREVIOUS cut when the same call site
+# runs again (the bench suite was pinning one InMemoryRelation per
+# invocation for the session lifetime — ADVICE r4).
+_CUT_CACHE: dict = {}
+
+
+def _bounded_cache_cut(tag: str, df: DataFrame) -> DataFrame:
+    prev = _CUT_CACHE.get(tag)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    c = df.cache()
+    _CUT_CACHE[tag] = c
+    return c
+
+
 # --- engine-portable MinHash (hash-verifiable end to end) ---------------
 
 MH_A0, MH_DA = 137, 31        # a_i = 137 + 31 i  (any a != 0 works: mod prime)
@@ -306,9 +326,10 @@ def minhash_portable(docs: DataFrame, num_hashes=8, k=3,
     # no size-filter: a higher-order expression inside a Filter
     # predicate evaluates INTERPRETED (43s at sf0.1 vs <1s codegen'd);
     # explode drops empty arrays by itself
-    g = CP._fp_arrays(docs, k, 4, text_col, id_col) \
-        .select("doc_id", "gs").cache() \
-        .select("doc_id", F.explode("gs").alias("g"))
+    g = _bounded_cache_cut(
+        "minhash_grams",
+        CP._fp_arrays(docs, k, 4, text_col, id_col).select("doc_id", "gs")
+    ).select("doc_id", F.explode("gs").alias("g"))
     aggs = [F.count("*").cast("int").alias("n_grams")]
     for i in range(num_hashes):
         a = MH_A0 + MH_DA * i
@@ -337,9 +358,10 @@ def simhash_portable(docs: DataFrame, bits=16, k=3,
 
     # exploded grams + native bit-vote sums (the simhash64 shape);
     # cache-not-checkpoint lineage cut — see minhash_portable
-    g = CP._fp_arrays(docs, k, 4, text_col, id_col) \
-        .select("doc_id", "gs").cache() \
-        .select("doc_id", F.explode("gs").alias("g"))
+    g = _bounded_cache_cut(
+        "simhash_grams",
+        CP._fp_arrays(docs, k, 4, text_col, id_col).select("doc_id", "gs")
+    ).select("doc_id", F.explode("gs").alias("g"))
     votes = g.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_grams"),
         *[F.sum(F.expr(

@@ -118,6 +118,12 @@ def streaming_dedup_first_seen(docs_stream: DataFrame,
     def dedup_fn(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # timeout invocation: evict so state stays bounded (a
+            # re-seen hash after eviction passes again — the
+            # documented trade of the timeout knob)
+            state.remove()
+            return iter(())
         if state.exists:
             # hash already emitted in an earlier trigger: drop everything
             for _ in pdfs:
@@ -214,6 +220,12 @@ def streaming_url_frontier(docs_stream: DataFrame,
     def screen_fn(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # timeout invocation: evict the key so state stays bounded
+            # for unbounded URL spaces (re-crawled URLs after eviction
+            # pass again — the documented trade of a bounded frontier)
+            state.remove()
+            return iter(())
         if state.exists:
             for _ in pdfs:
                 pass

@@ -2,6 +2,7 @@
 numpy — no Spark session, so they run in milliseconds)."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from osgeo_gdal_spark.kernels import makevalid as MV
@@ -148,7 +149,7 @@ def test_hypothesis_snapped_overlay_conservation(ra, rb):
     assert abs(u - (aa + bb - i)) < 1e-9
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=1000, deadline=None, derandomize=True)
 @given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
                 min_size=3, max_size=6, unique=True),
        st.sampled_from([0.25, 0.5, 1.0]))
@@ -182,3 +183,48 @@ def test_hypothesis_buffer_contains_and_monotone(pts, d):
     rt = BF.buffer_rings(BF.buffer_rings(A, d, quadsegs=1), -d,
                          quadsegs=1)
     assert SN.rings_area(rt) >= area0 - 1e-9
+
+
+DARTS = [
+    [(3, 3), (0, 3), (6, 1), (3, 2)],
+    [(3, 3), (0, 3), (6, 0), (2, 2)],
+    [(6, 6), (0, 0), (6, 0), (3, 1)],
+]
+
+
+@pytest.mark.parametrize("di", [0, 1, 2])
+@pytest.mark.parametrize("d", [0.25, 0.5])
+def test_buffer_darts_match_exact_fraction_oracle(di, d):
+    """The round-4 falsifying concave darts, pinned against the
+    INDEPENDENT exact-Fraction slab oracle (tests/fraction_area.py —
+    vertical slab decomposition, no shared code with the face-walk
+    kernel). Kernel error must stay inside the snap-rounding
+    perturbation bound AND the 1/1024 quantization used by the gated
+    st_buffer query must agree between kernel and oracle."""
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+
+    from fraction_area import buffer_areas_exact
+    from osgeo_gdal_spark.kernels import buffer as BF, snap as SN
+    from osgeo_gdal_spark.kernels.clip import ring_area
+
+    pts = DARTS[di]
+    xs = np.array([p[0] for p in pts], float)
+    ys = np.array([p[1] for p in pts], float)
+    if ring_area(xs, ys) < 0:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+        pts = pts[::-1]
+    dil_e, ero_e = buffer_areas_exact(pts, Fraction(d))
+    g = 2.0 ** -21
+    dil_k = SN.rings_area(BF.buffer_rings([(xs, ys)], d, quadsegs=1,
+                                          grid=g))
+    ero_k = SN.rings_area(BF.buffer_rings([(xs, ys)], -d, quadsegs=1,
+                                          grid=g))
+    # snap-rounding perturbation bound: <= #vertices * grid/2 * diam
+    assert abs(dil_k - float(dil_e)) < 1e-4
+    assert abs(ero_k - float(ero_e)) < 1e-4
+    for kern, exact in ((dil_k, dil_e), (ero_k, ero_e)):
+        assert math.floor(kern * 1024 + 0.5) == \
+            math.floor(float(exact) * 1024 + 0.5)

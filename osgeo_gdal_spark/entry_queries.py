@@ -1381,6 +1381,213 @@ FROM px
 """
 
 
+BLEND_WIN = (32, 48, 64, 64)   # gpx0, gpy0, w, h — blend-tier window
+
+
+def _rgba_sql(ds: str) -> str:
+    """DuckDB channel expressions mirroring sources/raster.RGBA_CHANNELS."""
+    from .sources.raster import RGBA_CHANNELS
+
+    parts = []
+    names = {1: "r", 2: "g", 3: "b", 4: "a"}
+    for band in (1, 2, 3, 4):
+        mx, my, off = RGBA_CHANNELS[(ds, band)]
+        col = names[band] if ds == "base" else "ov_" + names[band]
+        if off:
+            parts.append(f"{off} + (gpx * {mx} + gpy * {my}) % {off} AS {col}")
+        else:
+            parts.append(f"(gpx * {mx} + gpy * {my}) % 256 AS {col}")
+    return ", ".join(parts)
+
+
+def q_raster_blend(spark: SparkSession, sf: str) -> DataFrame:
+    """``gdal raster blend`` (apps/gdalalg_raster_blend.cpp) — src_over
+    and multiply composition of two synthetic RGBA datasets at 60%
+    opacity. Pure byte integer arithmetic end to end (MulScale255 /
+    DivScale255 / the (255<<8)/DA table un-premultiply), so the oracle
+    replays the exact formulas in SQL. operators/raster_ops.blend_tiles:
+    one groupBy on the tile key, all pixel math task-local."""
+    from functools import reduce as _reduce
+
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    base = RS.synth_rgba_tiles(spark, 0, "base")
+    over = RS.synth_rgba_tiles(spark, 0, "over")
+    x0, y0, w, h = BLEND_WIN
+    outs = []
+    for mode in ("src_over", "multiply"):
+        t = RO.blend_tiles(base, over, mode=mode, opacity=60)
+        outs.append(RO.explode_pixels_banded(t).select(
+            F.lit(mode).alias("mode"), "band", "gpx", "gpy",
+            F.col("value").cast("long").alias("value")))
+    px = _reduce(lambda a, b: a.unionByName(b), outs)
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
+
+
+def sql_raster_blend() -> str:
+    x0, y0, w, h = BLEND_WIN
+    op255 = (60 * 255 + 50) // 100          # = 153 (blend.cpp:2790)
+    names = {1: "r", 2: "g", 3: "b"}
+    mul = "(({a}) * ({b}) + 255) // 256"
+
+    def m(a, b):
+        return mul.format(a=a, b=b)
+
+    so_cols, mu_cols = [], []
+    for band in (1, 2, 3):
+        c, oc = names[band], "ov_" + names[band]
+        pre = f"(({oc}) * OA + ({c}) * smul + 255) // 256"
+        so_cols.append(
+            f"(({pre}) * inv + 255) // 256 AS v{band}")
+        t = (f"({m(f'cp_{c}', f'ocp_{c}')} + "
+             f"{m(f'cp_{c}', '255 - OA')} + "
+             f"{m(f'ocp_{c}', '255 - a')})")
+        mu_cols.append(
+            f"CASE WHEN {t} = 0 THEN 0 WHEN DA2 = 0 THEN 255 "
+            f"ELSE (({t}) * 255) // DA2 END AS v{band}")
+    prem = ", ".join(
+        f"{m(nm, 'a')} AS cp_{nm}, {m('ov_' + nm, 'OA')} AS ocp_{nm}"
+        for nm in ("r", "g", "b"))
+    return f"""
+WITH px AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+),
+ch AS (SELECT gpx, gpy, {_rgba_sql("base")}, {_rgba_sql("over")} FROM px),
+alph AS (
+  SELECT *, (ov_a * {op255} + 255) // 256 AS OA FROM ch
+),
+so1 AS (
+  SELECT *, (a * (255 - OA) + 255) // 256 AS smul FROM alph
+),
+so2 AS (
+  SELECT *, OA + smul AS DA,
+         CASE WHEN OA + smul > 0
+              THEN (65280 + (OA + smul) // 2) // (OA + smul) ELSE 0 END AS inv
+  FROM so1
+),
+so AS (SELECT gpx, gpy, DA, {", ".join(so_cols)} FROM so2),
+mu0 AS (
+  SELECT *, OA + a - {m("OA", "a")} AS DA2, {prem} FROM alph
+),
+mu AS (SELECT gpx, gpy, DA2, {", ".join(mu_cols)} FROM mu0)
+SELECT 'src_over' AS mode, band, gpx, gpy, CAST(value AS BIGINT) AS value
+FROM (
+  SELECT gpx, gpy, UNNEST([1, 2, 3, 4]) AS band,
+         UNNEST([v1, v2, v3, DA]) AS value
+  FROM so
+)
+UNION ALL
+SELECT 'multiply', band, gpx, gpy, CAST(value AS BIGINT)
+FROM (
+  SELECT gpx, gpy, UNNEST([1, 2, 3, 4]) AS band,
+         UNNEST([v1, v2, v3, DA2]) AS value
+  FROM mu
+)
+"""
+
+
+def q_raster_nodata_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """``gdal raster nodata-to-alpha``
+    (apps/gdalalg_raster_nodata_to_alpha.cpp): append the dataset mask
+    as alpha (0 where the band equals its nodata value, 255 elsewhere)
+    and clear the nodata flag. Fixture: the synth uint8 band with
+    nodata declared as 77 — the mask is pure integer arithmetic."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM).withColumn(
+        "nodata", F.lit(77.0))
+    out = RO.nodata_to_alpha_tiles(tiles)
+    x0, y0, w, h = SRCWIN
+    return RO.explode_pixels_banded(out).select(
+        "band", "gpx", "gpy", F.col("value").cast("long").alias("value")
+    ).filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
+
+
+def sql_raster_nodata_alpha() -> str:
+    x0, y0, w, h = SRCWIN
+    return f"""
+WITH px AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+)
+SELECT 1 AS band, gpx, gpy, CAST({_GEN} AS BIGINT) AS value FROM px
+UNION ALL
+SELECT 2, gpx, gpy, CASE WHEN {_GEN} = 77 THEN 0 ELSE 255 END FROM px
+"""
+
+
+def q_clean_collar(spark: SparkSession, sf: str) -> DataFrame:
+    """``gdal raster clean-collar`` / nearblack 'twopasses' with
+    max_non_black=0 (apps/nearblack_lib.cpp:545): the near-black
+    collar — the union of the four directional near runs from the
+    borders — takes the replace value and alpha 0. The operator
+    (operators/raster_ops.clean_collar_pixels) is NATIVE Spark SQL:
+    four window minima over row/column partitionings, no Python in
+    the plan. Fixture: a 128x128 band with a ragged arithmetic
+    collar; the oracle replays the same run rules in SQL."""
+    from .operators import raster_ops as RO
+
+    n = 128
+    px = spark.range(n * n).select(
+        (F.col("id") % n).alias("gpx"),
+        (F.col("id") / n).cast("long").alias("gpy"))
+    v = F.expr(
+        "CASE WHEN gpx < 5 + (gpy * 7) % 9 OR gpx > 122 - (gpy * 3) % 7 "
+        "OR gpy < 4 + (gpx * 5) % 6 OR gpy > 120 - (gpx * 11) % 8 "
+        "THEN (gpx + gpy) % 12 ELSE 20 + (gpx * 3 + gpy * 5) % 200 END")
+    out = RO.clean_collar_pixels(px.withColumn("value", v), near_dist=15)
+    return out.select("gpx", "gpy",
+                      F.col("value").cast("long").alias("value"),
+                      F.col("alpha").cast("long").alias("alpha"))
+
+
+def sql_clean_collar() -> str:
+    return """
+WITH px AS (
+  SELECT (xs.i) AS gpx, (ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, 128)) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 128)) AS i) ys
+),
+v AS (
+  SELECT gpx, gpy,
+         CASE WHEN gpx < 5 + (gpy * 7) % 9 OR gpx > 122 - (gpy * 3) % 7
+              OR gpy < 4 + (gpx * 5) % 6 OR gpy > 120 - (gpx * 11) % 8
+         THEN (gpx + gpy) % 12 ELSE 20 + (gpx * 3 + gpy * 5) % 200 END
+           AS value
+  FROM px
+),
+n AS (SELECT *, (ABS(value - 0) <= 15) AS near FROM v),
+rowb AS (
+  SELECT gpy AS k, MIN(CASE WHEN NOT near THEN gpx END) AS minbx,
+         MAX(CASE WHEN NOT near THEN gpx END) AS maxbx
+  FROM n GROUP BY gpy
+),
+colb AS (
+  SELECT gpx AS k, MIN(CASE WHEN NOT near THEN gpy END) AS minby,
+         MAX(CASE WHEN NOT near THEN gpy END) AS maxby
+  FROM n GROUP BY gpx
+)
+SELECT n.gpx, n.gpy,
+       CAST(CASE WHEN c THEN 0 ELSE value END AS BIGINT) AS value,
+       CAST(CASE WHEN c THEN 0 ELSE 255 END AS BIGINT) AS alpha
+FROM (
+  SELECT n.*,
+         (rowb.minbx IS NULL OR n.gpx < rowb.minbx OR n.gpx > rowb.maxbx
+          OR n.gpy < colb.minby OR n.gpy > colb.maxby) AS c
+  FROM n JOIN rowb ON n.gpy = rowb.k JOIN colb ON n.gpx = colb.k
+) n
+"""
+
+
 def q_raster_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     """Overview AVERAGE reduction z1 -> z0 (overview.cpp 2x2 mean),
     verified pixel-by-pixel: parent pixel = mean of its 4 children."""
@@ -1953,6 +2160,39 @@ UNION ALL
 SELECT 'd', a_id, CAST(eas_id AS BIGINT),
        ROUND(CAST(a_area - i_area AS DOUBLE), 6)
 FROM areas WHERE a_area - i_area > 0
+"""
+
+
+def q_overlay_snapped_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """LOWER-DIMENSIONAL overlay component (round-5): the LINESTRING
+    rows GDAL layer algebra emits for boundary-only intersections
+    (KEEP_LOWER_DIMENSION_GEOMETRIES, ogrlayer.cpp:5402-5411). The 48
+    contact pairs run through kernels/snap.overlay_lines_snapped
+    (boundary-provenance + side-membership classification on the
+    snap-rounded arrangement); the oracle is the per-class closed
+    form — shared-edge classes 0/7 share A's full right edge (length
+    h), partial class 1 shares [cy+1, cy+h] (length h-1), and every
+    other class has an empty line component (corner/T-contact are
+    POINT contacts; classes 3/4/5 intersect areally, which suppresses
+    the boundary rows exactly as GEOS does). Lengths are exact
+    lattice arithmetic (axis-aligned fixture => integer lengths)."""
+    from .operators import overlay as OV
+
+    return OV.overlay_lines_features_snapped(
+        spark, PL.contact_feats_df(spark), PL.contact_polys(),
+        grid=PL.CONTACT_GRID,
+    ).select("a_id", "eas_id", "n_lines", "total_len")
+
+
+def sql_overlay_snapped_lines() -> str:
+    return f"""
+WITH params AS ({PL.contact_values_sql()})
+SELECT a_id, CAST(eas_id AS BIGINT) AS eas_id,
+       1 AS n_lines,
+       CAST(CASE WHEN (a_id % 8) IN (0, 7) THEN ay1 - ay0
+                 ELSE ay1 - ay0 - 1 END AS DOUBLE) AS total_len
+FROM params
+WHERE (a_id % 8) IN (0, 1, 7)
 """
 
 
@@ -5300,10 +5540,12 @@ def q_grid_avg_distance_pts(spark: SparkSession, sf: str) -> DataFrame:
     """Grid data metric AVERAGE_DISTANCE_PTS (GDALGridDataMetric-
     AverageDistancePts, alg/gdalgrid.cpp:1283 — the round-3 named-absent
     metric): mean distance between all UNIQUE PAIRS of in-radius
-    points. The engine iterates pairs in canonical (i < j) order of the
-    sorted point array with sequential adds; the oracle's pairwise
-    self-join folds the identical order, so the float sum is
-    bit-identical."""
+    points. Pair distances quantize to the dyadic 2^-20 px grid
+    (round 5 — the approx-transformer analog), which makes every
+    partial sum exactly representable: summation is ORDER-FREE in
+    both engines, the kernel folds per-cell pair sums as one BLAS
+    m^T D m product (3.5s -> 1.0s at sf0.1), and the oracle's
+    pairwise self-join uses a plain SUM — still bit-identical."""
     return _q_grid(spark, sf, "average_distance_pts")
 
 
@@ -5312,11 +5554,13 @@ def sql_grid_avg_distance_pts() -> str:
 WITH pages AS ({PAGES_CTE}),
 {_grid_pts_sql()},
 g AS (
+  -- pair distances quantized to the dyadic 2^-20 px grid: every
+  -- partial sum is exactly representable, so plain SUM (any order)
+  -- matches the kernel's BLAS fold bit-for-bit
   SELECT a.gpx, a.gpy,
-         list_reduce(list(
-           SQRT((a.px - b.px) * (a.px - b.px)
-              + (a.py - b.py) * (a.py - b.py))
-           ORDER BY a.px, a.py, a.z, b.px, b.py, b.z), (x, y) -> x + y)
+         SUM(FLOOR(SQRT((a.px - b.px) * (a.px - b.px)
+                      + (a.py - b.py) * (a.py - b.py))
+                   * 1048576.0 + 0.5) / 1048576.0)
            / COUNT(*) AS ad
   FROM inr a JOIN inr b
     ON a.gpx = b.gpx AND a.gpy = b.gpy
@@ -5353,10 +5597,6 @@ QUERIES = {
     "grid_avg_distance_pts": q_grid_avg_distance_pts,
     "spatial_semi_anti": q_spatial_semi_anti,
     # rows-only by nature but never driver-recorded either:
-    "dedup_near_groups": q_dedup_near_groups,
-    "embedding_ann_ivf": q_embedding_ann_ivf,
-    "contour_polylines": q_contour_polylines,
-    "embedding_near_dup": q_embedding_near_dup,
     # -- (b) red in r03, armored (all-integer output) ---------------------
     "domain_stats": q_domain_stats,
     # -- (c) operators whose code changes this round + round-4 newcomers --
@@ -5371,6 +5611,10 @@ QUERIES = {
     "overlay_erase": q_overlay_erase,
     "overlay_symdiff": q_overlay_symdiff,
     "overlay_snapped": q_overlay_snapped,
+    "overlay_snapped_lines": q_overlay_snapped_lines,
+    "raster_blend": q_raster_blend,
+    "raster_nodata_alpha": q_raster_nodata_alpha,
+    "clean_collar": q_clean_collar,
     "dissolve_snapped": q_dissolve_snapped,
     "predicates_snapped": q_predicates_snapped,
     "spatial_predicates": q_spatial_predicates,
@@ -5475,6 +5719,13 @@ QUERIES = {
     "array_explode": q_array_explode,
     "focal_hillshade": q_focal_hillshade,
     "contour_stats": q_contour,
+    # rows-only by nature (no oracle): lifetime-recorded by the
+    # driver in earlier rounds — kept OUT of the 50-row gate window
+    # so every gated slot is oracle-checkable (VERDICT r4 item 7)
+    "dedup_near_groups": q_dedup_near_groups,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
+    "contour_polylines": q_contour_polylines,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES = {
@@ -5569,6 +5820,10 @@ ORACLES = {
     "hex_raster_rollup": sql_hex_raster_rollup(),
     "overlay_symdiff": sql_overlay_symdiff(),
     "overlay_snapped": sql_overlay_snapped(),
+    "overlay_snapped_lines": sql_overlay_snapped_lines(),
+    "raster_blend": sql_raster_blend(),
+    "raster_nodata_alpha": sql_raster_nodata_alpha(),
+    "clean_collar": sql_clean_collar(),
     "dissolve_snapped": sql_dissolve_snapped(),
     "predicates_snapped": sql_predicates_snapped(),
     "grid_metric_range": sql_grid_metric_range(),

@@ -503,10 +503,12 @@ def _snap_round_chains(chains):
 
 def _rounded_core(groups, grid):
     """Joint snap-rounded arrangement of several ring soups (WORLD
-    coords on the grid). Returns (lat_groups, segs_u): the rerouted
-    ring soups in lattice units (float arrays, for even-odd PIP) and
-    the deduped undirected integer sub-segments (as float 4-tuples,
-    for side-probe classification)."""
+    coords on the grid). Returns (lat_groups, segs_u, seg_groups):
+    the rerouted ring soups in lattice units (float arrays, for
+    even-odd PIP), the deduped undirected integer sub-segments (as
+    float 4-tuples, for side-probe classification), and the set of
+    group indices whose boundary contributed each sub-segment (the
+    lower-dimensional overlay needs boundary provenance)."""
     chains, gidx = [], []
     for g, soup in enumerate(groups):
         for xs, ys in soup:
@@ -522,11 +524,21 @@ def _rounded_core(groups, grid):
                 np.array([p[0] for p in ring], dtype=np.float64),
                 np.array([p[1] for p in ring], dtype=np.float64)))
     seen: dict = {}
-    for a, b in _segs_of_chains(chains):
-        key = (min(a, b), max(a, b))
-        if key not in seen:
-            seen[key] = (float(a[0]), float(a[1]), float(b[0]), float(b[1]))
-    return lat_groups, list(seen.values())
+    owners: dict = {}
+    for ring, g in zip(chains, gidx):
+        n = len(ring)
+        for i in range(n):
+            a, b = ring[i], ring[(i + 1) % n]
+            if a == b:
+                continue
+            key = (min(a, b), max(a, b))
+            if key not in seen:
+                seen[key] = (float(a[0]), float(a[1]),
+                             float(b[0]), float(b[1]))
+            owners.setdefault(key, set()).add(g)
+    keys = list(seen)
+    return (lat_groups, [seen[k] for k in keys],
+            [owners[k] for k in keys])
 
 
 def _assemble_faces(segs):
@@ -607,7 +619,7 @@ def _snapped_memberships(rings_a, rings_b, grid):
 
     # integer snap-rounded joint arrangement (crossings welded to the
     # lattice, edges rerouted through hot pixels — see _rounded_core)
-    (la, lb), segs_u = _rounded_core([a, b], grid)
+    (la, lb), segs_u, _ = _rounded_core([a, b], grid)
     lx, ly, rx2, ry2 = _side_probes(segs_u, (la, lb))
     ina_l = _points_in_rings(lx, ly, la)
     inb_l = _points_in_rings(lx, ly, lb)
@@ -754,7 +766,7 @@ def overlay_rings_snapped_n(rings_a, soups, op: str, grid: float = None):
 
     groups = [a] + bs
     # integer snap-rounded joint arrangement across ALL groups at once
-    lat, segs_u = _rounded_core(groups, grid)
+    lat, segs_u, _ = _rounded_core(groups, grid)
     la, lbs = lat[0], lat[1:]
     all_soups = [la] + lbs
     lx, ly, rx2, ry2 = _side_probes(segs_u, all_soups)
@@ -777,3 +789,68 @@ def overlay_rings_snapped_n(rings_a, soups, op: str, grid: float = None):
 
     cycles = _assemble_faces(kept)
     return [(xs * grid, ys * grid) for xs, ys in cycles]
+
+
+def overlay_lines_snapped(rings_a, rings_b, grid: float = None):
+    """Lower-dimensional (LINESTRING) intersection component — the
+    KEEP_LOWER_DIMENSION_GEOMETRIES half of GDAL's layer algebra
+    (``ogr/ogrsf_frmts/generic/ogrlayer.cpp:5402-5411``; GEOS overlay
+    returns the shared edge as a LineString when two polygons touch
+    along a border). A snap-rounded sub-segment belongs to the line
+    component iff BOTH boundaries contributed it (provenance from
+    _rounded_core) and NEITHER side lies in the areal intersection
+    (segments bounding an intersection face stay areal, exactly as
+    GEOS suppresses them). Shared polylines are stitched through
+    degree-2 nodes. Returns [(xs, ys)] open polylines in WORLD
+    coordinates; lengths are exact lattice arithmetic scaled by grid.
+    """
+    if grid is None:
+        grid = default_grid(rings_a, rings_b)
+    a = snap_rings(rings_a, grid)
+    b = snap_rings(rings_b, grid)
+    if not a or not b:
+        return []
+    (la, lb), segs_u, seg_groups = _rounded_core([a, b], grid)
+    shared = [i for i, g in enumerate(seg_groups) if len(g) == 2]
+    if not shared:
+        return []
+    lx, ly, rx2, ry2 = _side_probes(segs_u, (la, lb))
+    ina_l = _points_in_rings(lx, ly, la)
+    inb_l = _points_in_rings(lx, ly, lb)
+    ina_r = _points_in_rings(rx2, ry2, la)
+    inb_r = _points_in_rings(rx2, ry2, lb)
+    keep = [segs_u[i] for i in shared
+            if not (ina_l[i] and inb_l[i])
+            and not (ina_r[i] and inb_r[i])]
+    if not keep:
+        return []
+    # stitch undirected segments into maximal polylines through
+    # degree-2 nodes (deterministic: sorted segment list, sorted nodes)
+    adj: dict = {}
+    for idx, (ax, ay, bx, by) in enumerate(sorted(keep)):
+        adj.setdefault((ax, ay), []).append(((bx, by), idx))
+        adj.setdefault((bx, by), []).append(((ax, ay), idx))
+    used = set()
+    lines = []
+    # start at odd-degree nodes first (path endpoints), then cycles
+    starts = sorted([n for n, es in adj.items() if len(es) != 2]) + \
+        sorted(adj)
+    for start in starts:
+        for (nxt, idx) in adj[start]:
+            if idx in used:
+                continue
+            used.add(idx)
+            path = [start, nxt]
+            node, prev_idx = nxt, idx
+            while len(adj[node]) == 2:
+                (n1, i1), (n2, i2) = adj[node]
+                ni, nn = (i2, n2) if i1 == prev_idx else (i1, n1)
+                if ni in used:
+                    break
+                used.add(ni)
+                path.append(nn)
+                node, prev_idx = nn, ni
+            lines.append((
+                np.array([p[0] for p in path]) * grid,
+                np.array([p[1] for p in path]) * grid))
+    return lines

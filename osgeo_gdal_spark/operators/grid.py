@@ -225,23 +225,33 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
                 elif meth == "average_distance_pts":
                     # GDALGridDataMetricAverageDistancePts
                     # (alg/gdalgrid.cpp:1283): mean distance between all
-                    # UNIQUE PAIRS of in-radius points. The pair loop
-                    # runs in canonical (i < j) order of the sorted
-                    # point array with SEQUENTIAL adds, so the DuckDB
-                    # pairwise-join oracle folds the identical order;
-                    # memory stays O(B·W) per pair step (the bound that
-                    # previously kept this metric out)
+                    # UNIQUE PAIRS of in-radius points. Round 5: pair
+                    # distances are QUANTIZED to the dyadic 2^-20 px
+                    # grid (the repo's approx-transformer analog, cf.
+                    # warp's 1/4096 px source quantization) — every
+                    # partial sum is then exactly representable in
+                    # double, so summation is ORDER-FREE in both
+                    # engines and the per-cell fold collapses to one
+                    # BLAS product: acc = 0.5 * m^T D m with m the
+                    # cell's in-radius indicator (the previous
+                    # order-pinned Python pair loop was the 2nd-slowest
+                    # bench query; this is exact, not approximate,
+                    # given the quantized metric).
                     npts = len(tx)
-                    acc = np.zeros(in_r.shape[:2])
-                    cntp = np.zeros(in_r.shape[:2], dtype=np.int64)
-                    for i_ in range(npts):
-                        for j_ in range(i_ + 1, npts):
-                            ddx = tx[i_] - tx[j_]
-                            ddy = ty[i_] - ty[j_]
-                            dij = np.sqrt(ddx * ddx + ddy * ddy)
-                            both = in_r[..., i_] & in_r[..., j_]
-                            acc = acc + np.where(both, dij, 0.0)
-                            cntp += both
+                    if npts >= 2:
+                        ddx = tx[:, None] - tx[None, :]
+                        ddy = ty[:, None] - ty[None, :]
+                        D = np.sqrt(ddx * ddx + ddy * ddy)
+                        D = np.floor(D * 1048576.0 + 0.5) / 1048576.0
+                        np.fill_diagonal(D, 0.0)
+                        M = in_r.reshape(-1, npts).astype(np.float64)
+                        acc = (0.5 * ((M @ D) * M).sum(axis=1)) \
+                            .reshape(in_r.shape[:2])
+                        k = in_r.sum(axis=2).astype(np.int64)
+                        cntp = k * (k - 1) // 2
+                    else:
+                        acc = np.zeros(in_r.shape[:2])
+                        cntp = np.zeros(in_r.shape[:2], dtype=np.int64)
                     with np.errstate(invalid="ignore", divide="ignore"):
                         val = np.where(cntp > 0, acc / cntp, nd)
                 elif meth in ("minimum", "maximum", "range", "count",

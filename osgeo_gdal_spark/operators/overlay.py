@@ -398,6 +398,76 @@ def overlay_areas_features_snapped(spark, feats: DataFrame, polys,
     return matched.mapInPandas(kernel, out_schema)
 
 
+def overlay_lines_features_snapped(spark, feats: DataFrame, polys,
+                                   grid: float = None,
+                                   keep_cols=("fid", "a_id"),
+                                   geom_col="geometry",
+                                   zoom=None) -> DataFrame:
+    """Per-pair LOWER-DIMENSIONAL overlay component — the LINESTRING
+    rows GDAL's layer algebra emits for boundary-only intersections
+    (KEEP_LOWER_DIMENSION_GEOMETRIES, ogrlayer.cpp:5402-5411; GEOS
+    returns the shared edge when two polygons touch along a border).
+    kernels/snap.overlay_lines_snapped classifies snap-rounded
+    sub-segments by boundary provenance + side membership and
+    stitches shared polylines; rows report count and exact total
+    length per pair (pairs with an empty line component emit no row,
+    mirroring the areal queries' >0 filters)."""
+    from ..kernels import snap as SN
+    from . import spatial_join as SJ
+
+    if grid is None:
+        grid = SN.default_grid(
+            [], [(_g.xs, _g.ys) for pf in polys
+                 for _g in [W.parse_wkb(pf.wkb())]]
+        )
+    kw = {} if zoom is None else {"zoom": zoom}
+    matched = SJ.spatial_join_polygons(
+        spark, feats, polys, predicate="candidates_closed",
+        dilate=float(grid), **kw
+    )
+    payload = [(pf.fid, pf.wkb()) for pf in polys]
+    key = SJ.payload_key(payload)
+    bc = spark.sparkContext.broadcast(payload)
+    gridv = float(grid)
+    cols = list(keep_cols)
+
+    out_schema = T.StructType(
+        [feats.schema[c] for c in cols]
+        + [T.StructField("eas_id", T.LongType()),
+           T.StructField("n_lines", T.IntegerType()),
+           T.StructField("total_len", T.DoubleType())]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..kernels import snap as SN2
+
+        for pdf in batches:
+            rings_by_fid = _prepared_rings(bc.value, key)
+            rows = []
+            for _, row in pdf.iterrows():
+                ra = OVK.geometry_rings(W.parse_wkb(bytes(row[geom_col])))
+                rb = rings_by_fid[int(row["b_fid"])]
+                lines = SN2.overlay_lines_snapped(ra, rb, gridv)
+                if not lines:
+                    continue
+                tl = float(sum(
+                    float(np.hypot(np.diff(xs), np.diff(ys)).sum())
+                    for xs, ys in lines))
+                rows.append(
+                    {**{c: row[c] for c in cols},
+                     "eas_id": int(row["eas_id"]),
+                     "n_lines": len(lines),
+                     "total_len": tl}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return matched.mapInPandas(kernel, out_schema)
+
+
 def predicates_snapped(spark, feats: DataFrame, polys, grid: float = None,
                        keep_cols=("fid", "a_id"), geom_col="geometry",
                        zoom=None) -> DataFrame:

@@ -120,6 +120,35 @@ def explode_pixels(tiles: DataFrame) -> DataFrame:
     return tiles.mapInPandas(gen, _PIXEL_SCHEMA)
 
 
+def explode_pixels_banded(tiles: DataFrame) -> DataFrame:
+    """explode_pixels with the band column kept — the multi-band oracle
+    bridge (blend / nodata-to-alpha emit several bands per tile)."""
+    has_origin = "_ox0" in tiles.columns
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                grid = parse_tile(row)
+                oy0 = int(row["_oy0"]) if has_origin else int(row["gy"]) * TILE
+                ox0 = int(row["_ox0"]) if has_origin else int(row["gx"]) * TILE
+                ys, xs = np.indices(grid.shape)
+                outs.append(pd.DataFrame({
+                    "zoom": int(row["zoom"]),
+                    "band": int(row["band"]),
+                    "gpx": (ox0 + xs.ravel()).astype(np.int64),
+                    "gpy": (oy0 + ys.ravel()).astype(np.int64),
+                    "value": grid.ravel().astype(np.float64),
+                }))
+            if outs:
+                yield pd.concat(outs)
+
+    return tiles.mapInPandas(
+        gen, "zoom INT, band INT, gpx LONG, gpy LONG, value DOUBLE")
+
+
 def pyramid_average(tiles: DataFrame) -> DataFrame:
     """One AVERAGE overview level (see pyramid_reduce)."""
     return pyramid_reduce(tiles, "average")
@@ -1739,3 +1768,297 @@ def color_relief(tiles: DataFrame, ramp=None) -> DataFrame:
         F.expr(G2.color_relief_sql("value", ramp, 1)).alias("g"),
         F.expr(G2.color_relief_sql("value", ramp, 2)).alias("b"),
     )
+
+
+# --- raster pipeline cosmetics (round 5): blend / nodata-to-alpha /
+# --- clean-collar / rgb-to-palette ---------------------------------------
+
+def _mul255(a, b):
+    """(a*b + 255) // 256 — GDAL's MulScale255 (gdalalg_raster_blend.cpp:183),
+    byte ratio product by ceiling. int32/int64 numpy arrays."""
+    return (a * b + 255) // 256
+
+
+def _div255(a, b):
+    """(a*255) // b with the 0/0-guard conventions of DivScale255
+    (gdalalg_raster_blend.cpp:231): a==0 -> 0, b==0 -> 255."""
+    return np.where(a == 0, 0,
+                    np.where(b == 0, 255, (a * 255) // np.maximum(b, 1)))
+
+
+def blend_tiles(base: DataFrame, overlay: DataFrame, mode="src_over",
+                opacity=100) -> DataFrame:
+    """``gdal raster blend`` (apps/gdalalg_raster_blend.cpp) over two
+    aligned RGBA tile tables — per-tile numpy INTEGER math, exact to
+    the reference's byte formulas:
+
+    - opacity% -> 255 scale: (pct*255 + 50) // 100  (:2790)
+    - src_over (:1711 RGBA generic): premultiplied composite with the
+      (255<<8)/DA table un-premultiply;
+    - multiply/screen/darken/lighten (:890+): Mapserver generic
+      formulas through MulScale255/DivScale255.
+
+    One groupBy on the tile key; the shuffle carries only tile
+    payloads (the 100 TB shape — pixel math never leaves the task)."""
+    if mode not in ("src_over", "multiply", "screen", "darken", "lighten"):
+        raise ValueError(f"unsupported blend mode {mode!r}")
+    op255 = (int(opacity) * 255 + 50) // 100
+    u = base.withColumn("_src", F.lit(0)).unionByName(
+        overlay.withColumn("_src", F.lit(1)))
+
+    def kernel(key, pdf):
+        import pandas as pd
+
+        bands = {}
+        for _, row in pdf.iterrows():
+            g = parse_tile(row).astype(np.int64)
+            bands[(int(row["_src"]), int(row["band"]))] = (g, row)
+        if len(bands) < 8:
+            return pd.DataFrame()       # incomplete RGBA pair
+        C = [bands[(0, b)][0] for b in (1, 2, 3)]
+        A = bands[(0, 4)][0]
+        OC = [bands[(1, b)][0] for b in (1, 2, 3)]
+        OA0 = bands[(1, 4)][0]
+        proto = bands[(0, 1)][1]
+
+        OA = _mul255(OA0, op255)
+        if mode == "src_over":
+            s_mul = _mul255(A, 255 - OA)
+            DA = OA + s_mul
+            inv = np.where(DA > 0, ((255 << 8) + DA // 2) // np.maximum(DA, 1),
+                           0)
+            out = [((_c := (oc * OA + c * s_mul + 255) // 256) * inv
+                    + 255) >> 8
+                   for c, oc in zip(C, OC)]
+        else:
+            DA = OA + A - _mul255(OA, A)
+            Cp = [_mul255(c, A) for c in C]
+            OCp = [_mul255(oc, OA) for oc in OC]
+            out = []
+            for c, oc in zip(Cp, OCp):
+                if mode == "multiply":
+                    t = _mul255(c, oc) + _mul255(c, 255 - OA) \
+                        + _mul255(oc, 255 - A)
+                elif mode == "screen":
+                    t = c + oc - _mul255(c, oc)
+                elif mode == "darken":
+                    t = np.minimum(_mul255(oc, A), _mul255(c, OA)) \
+                        + _mul255(c, 255 - OA) + _mul255(oc, 255 - A)
+                else:                           # lighten
+                    t = np.maximum(_mul255(oc, A), _mul255(c, OA)) \
+                        + _mul255(c, 255 - OA) + _mul255(oc, 255 - A)
+                out.append(_div255(t, DA))
+        rows = []
+        for bi, g in enumerate(out + [DA], start=1):
+            g8 = g.astype(np.uint8)
+            rows.append({
+                "dataset_id": "blend", "zoom": int(proto["zoom"]),
+                "gx": int(proto["gx"]), "gy": int(proto["gy"]),
+                "band": bi, "width": int(proto["width"]),
+                "height": int(proto["height"]), "dtype": "uint8",
+                "nodata": None, "crs": proto["crs"],
+                "pixels": g8.tobytes(),
+                "checksum": CK.checksum_image(g8),
+            })
+        return pd.DataFrame(rows)
+
+    return u.groupBy("zoom", "gx", "gy").applyInPandas(
+        kernel, TILE_SCHEMA)
+
+
+def nodata_to_alpha_tiles(tiles: DataFrame) -> DataFrame:
+    """``gdal raster nodata-to-alpha``
+    (apps/gdalalg_raster_nodata_to_alpha.cpp): append the dataset mask
+    as an alpha band — 0 where every band equals its nodata value,
+    255 elsewhere — and clear the nodata flag on the data bands. One
+    groupBy on the tile key."""
+    def kernel(key, pdf):
+        import pandas as pd
+
+        rows = []
+        mask = None
+        proto = None
+        nb = 0
+        for _, row in pdf.iterrows():
+            g = parse_tile(row)
+            nd = row["nodata"]
+            m = np.ones(g.shape, dtype=bool) if nd is None or \
+                (isinstance(nd, float) and np.isnan(nd)) else (g != nd)
+            mask = m if mask is None else (mask | m)
+            proto = row
+            nb = max(nb, int(row["band"]))
+            rows.append({
+                "dataset_id": row["dataset_id"], "zoom": int(row["zoom"]),
+                "gx": int(row["gx"]), "gy": int(row["gy"]),
+                "band": int(row["band"]), "width": int(row["width"]),
+                "height": int(row["height"]), "dtype": row["dtype"],
+                "nodata": None, "crs": row["crs"],
+                "pixels": row["pixels"],
+                "checksum": int(row["checksum"]),
+            })
+        alpha = np.where(mask, 255, 0).astype(np.uint8)
+        rows.append({
+            "dataset_id": proto["dataset_id"], "zoom": int(proto["zoom"]),
+            "gx": int(proto["gx"]), "gy": int(proto["gy"]),
+            "band": nb + 1, "width": int(proto["width"]),
+            "height": int(proto["height"]), "dtype": "uint8",
+            "nodata": None, "crs": proto["crs"],
+            "pixels": alpha.tobytes(),
+            "checksum": CK.checksum_image(alpha),
+        })
+        return pd.DataFrame(rows)
+
+    import pandas as pd  # noqa: F401  (kernel-scope import for executors)
+
+    return tiles.groupBy("zoom", "gx", "gy").applyInPandas(
+        kernel, TILE_SCHEMA)
+
+
+def clean_collar_pixels(px: DataFrame, near_dist=15, color=0,
+                        value_col="value") -> DataFrame:
+    """``gdal raster clean-collar`` / nearblack 'twopasses'
+    (apps/nearblack_lib.cpp:545 ProcessLine) with max_non_black=0 over
+    a single-band pixel table: the collar is the union of the four
+    directional near-color runs from the raster borders. With
+    max_non_black=0 the reference's sequential pass interplay is
+    inert (replaced pixels stay near-color), so the mask is exactly
+    run-based and the whole operator is NATIVE Spark SQL — four
+    window minima over the row / column partitionings (two shuffles),
+    no Python in the plan. Collar pixels take the replace value
+    (0 for black, 255 for white) and alpha 0."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    near = (F.abs(v - F.lit(int(color))) <= int(near_dist)).cast("int")
+    p = px.withColumn("_near", near)
+    wrow = Window.partitionBy("gpy")
+    wcol = Window.partitionBy("gpx")
+    bad_x = F.when(F.col("_near") == 0, F.col("gpx"))
+    bad_y = F.when(F.col("_near") == 0, F.col("gpy"))
+    p = (
+        p.withColumn("_minbx", F.min(bad_x).over(wrow))
+        .withColumn("_maxbx", F.max(bad_x).over(wrow))
+        .withColumn("_minby", F.min(bad_y).over(wcol))
+        .withColumn("_maxby", F.max(bad_y).over(wcol))
+    )
+    collar = (
+        F.col("_minbx").isNull()
+        | (F.col("gpx") < F.col("_minbx"))
+        | (F.col("gpx") > F.col("_maxbx"))
+        | (F.col("gpy") < F.col("_minby"))
+        | (F.col("gpy") > F.col("_maxby"))
+    )
+    repl = 255 if int(color) == 255 else 0
+    return p.select(
+        "gpx", "gpy",
+        F.when(collar, F.lit(repl)).otherwise(v).alias(value_col),
+        F.when(collar, F.lit(0)).otherwise(F.lit(255)).alias("alpha"),
+    )
+
+
+def rgb_to_palette_tiles(tiles: DataFrame, max_colors=256):
+    """``gdal raster rgb-to-palette``
+    (apps/gdalalg_raster_rgb_to_palette.cpp): median-cut palette fit
+    DRIVER-SIDE over the distributed color histogram (bounded: the
+    groupBy(color) result is at most min(pixels, 2^24) rows and is
+    capped by taking the top-weight colors), then one broadcast
+    nearest-palette-entry assignment per tile. Returns (palette,
+    indexed tile DataFrame); the palette is a list of (r, g, b)."""
+    hist = (
+        tiles.filter(F.col("band").isin(1, 2, 3))
+        .groupBy("zoom", "gx", "gy", "band")
+        .agg(F.first("pixels").alias("pixels"),
+             F.first("width").alias("width"),
+             F.first("height").alias("height"),
+             F.first("dtype").alias("dtype"))
+    )
+
+    def colors(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {}
+            for key, sub in pdf.groupby(["zoom", "gx", "gy"]):
+                if len(sub) < 3:
+                    continue
+                by_band = {int(r["band"]): parse_tile(r)
+                           for _, r in sub.iterrows()}
+                packed = (by_band[1].astype(np.int64) << 16) \
+                    | (by_band[2].astype(np.int64) << 8) \
+                    | by_band[3].astype(np.int64)
+                vals, cnts = np.unique(packed, return_counts=True)
+                for vv, cc in zip(vals.tolist(), cnts.tolist()):
+                    out[vv] = out.get(vv, 0) + cc
+            yield pd.DataFrame({"color": list(out), "cnt": list(out.values())})
+
+    agg = (
+        hist.mapInPandas(colors, "color LONG, cnt LONG")
+        .groupBy("color").agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), "color").limit(1 << 16)
+        .collect()
+    )
+    cols = np.array([[r["color"] >> 16, (r["color"] >> 8) & 255,
+                      r["color"] & 255] for r in agg], dtype=np.int64)
+    wts = np.array([r["cnt"] for r in agg], dtype=np.int64)
+
+    # median cut: split the widest-spread box at its weighted median
+    boxes = [np.arange(len(cols))]
+    while len(boxes) < max_colors:
+        # widest box by channel range (ties: first box)
+        best, bc, brange = None, 0, -1
+        for bi, idx in enumerate(boxes):
+            if len(idx) < 2:
+                continue
+            rng = cols[idx].max(axis=0) - cols[idx].min(axis=0)
+            c = int(rng.argmax())
+            if rng[c] > brange:
+                best, bc, brange = bi, c, int(rng[c])
+        if best is None or brange <= 0:
+            break
+        idx = boxes[best]
+        order = idx[np.argsort(cols[idx, bc], kind="stable")]
+        cum = np.cumsum(wts[order])
+        half = int(np.searchsorted(cum, cum[-1] / 2.0)) + 1
+        half = min(max(half, 1), len(order) - 1)
+        boxes[best] = order[:half]
+        boxes.append(order[half:])
+    palette = []
+    for idx in boxes:
+        w = wts[idx]
+        palette.append(tuple(
+            int((cols[idx, c] * w).sum() // max(w.sum(), 1))
+            for c in range(3)))
+    palette.sort()
+    pal = np.array(palette, dtype=np.int64)
+
+    spark = tiles.sparkSession
+    bc_pal = spark.sparkContext.broadcast(pal)
+
+    def assign(key, pdf):
+        import pandas as pd
+
+        by_band = {int(r["band"]): (parse_tile(r), r)
+                   for _, r in pdf.iterrows()}
+        if not {1, 2, 3} <= set(by_band):
+            return pd.DataFrame()
+        p = bc_pal.value
+        r8, g8, b8 = (by_band[b][0].astype(np.int64) for b in (1, 2, 3))
+        # exact nearest palette entry (squared RGB distance, first wins)
+        d = ((r8[..., None] - p[:, 0]) ** 2
+             + (g8[..., None] - p[:, 1]) ** 2
+             + (b8[..., None] - p[:, 2]) ** 2)
+        pidx = d.argmin(axis=-1).astype(np.uint8)
+        proto = by_band[1][1]
+        return pd.DataFrame([{
+            "dataset_id": "palette", "zoom": int(proto["zoom"]),
+            "gx": int(proto["gx"]), "gy": int(proto["gy"]),
+            "band": 1, "width": int(proto["width"]),
+            "height": int(proto["height"]), "dtype": "uint8",
+            "nodata": None, "crs": proto["crs"],
+            "pixels": pidx.tobytes(),
+            "checksum": CK.checksum_image(pidx),
+        }])
+
+    indexed = tiles.filter(F.col("band").isin(1, 2, 3)) \
+        .groupBy("zoom", "gx", "gy").applyInPandas(assign, TILE_SCHEMA)
+    return palette, indexed

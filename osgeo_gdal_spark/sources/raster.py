@@ -164,3 +164,53 @@ def parse_tile(row) -> np.ndarray:
     return np.frombuffer(bytes(row["pixels"]), dtype=dt).reshape(
         row["height"], row["width"]
     )
+
+
+RGBA_CHANNELS = {
+    # SQL-replicable uint8 channel generators for the blend fixtures:
+    # (dataset, band) -> (gpx mult, gpy mult, offset)
+    ("base", 1): (7, 3, 0), ("base", 2): (5, 13, 0),
+    ("base", 3): (11, 2, 0), ("base", 4): (1, 1, 128),
+    ("over", 1): (3, 17, 0), ("over", 2): (13, 7, 0),
+    ("over", 3): (2, 19, 0), ("over", 4): (9, 5, 0),
+}
+
+
+def synth_rgba_tiles(spark: SparkSession, zoom: int,
+                     dataset_id="base") -> DataFrame:
+    """Deterministic RGBA fixture for the blend tier: channel value =
+    (gpx*mx + gpy*my + off) % 256 with per-(dataset, band) multipliers
+    from RGBA_CHANNELS (band 4 = alpha: 128 + (gpx+gpy) % 128 for the
+    base so the premultiply path is exercised). Bit-replicable by SQL
+    integer arithmetic."""
+    n = 1 << zoom
+    keys = spark.range(n * n).select(
+        (F.col("id") % n).alias("gx"),
+        (F.col("id") / n).cast("long").alias("gy"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for gx, gy in zip(pdf["gx"], pdf["gy"]):
+                gpx = int(gx) * TILE + np.arange(TILE)[None, :]
+                gpy = int(gy) * TILE + np.arange(TILE)[:, None]
+                for band in (1, 2, 3, 4):
+                    mx, my, off = RGBA_CHANNELS[(dataset_id, band)]
+                    if off:
+                        grid = (off + (gpx * mx + gpy * my) % off) \
+                            .astype(np.uint8)
+                    else:
+                        grid = ((gpx * mx + gpy * my) % 256).astype(np.uint8)
+                    rows.append({
+                        "dataset_id": dataset_id, "zoom": zoom,
+                        "gx": int(gx), "gy": int(gy), "band": band,
+                        "width": TILE, "height": TILE, "dtype": "uint8",
+                        "nodata": None, "crs": "EPSG:3857",
+                        "pixels": grid.tobytes(),
+                        "checksum": CK.checksum_image(grid),
+                    })
+            yield pd.DataFrame(rows)
+
+    return keys.mapInPandas(gen, TILE_SCHEMA)

@@ -743,3 +743,93 @@ def test_warp_cutline_outside_tiles_are_nodata(spark):
     for k in touched:
         m = cutted[k] != -1.0
         assert np.array_equal(cutted[k][m], plain[k][m])
+
+
+def test_blend_modes_reference_formulas(spark):
+    """screen/darken/lighten blend against a scalar re-derivation of
+    the Mapserver generic formulas (MulScale255/DivScale255 byte math,
+    gdalalg_raster_blend.cpp:890+) on a handful of probed pixels."""
+    import numpy as np
+
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+
+    base = RS.synth_rgba_tiles(spark, 0, "base")
+    over = RS.synth_rgba_tiles(spark, 0, "over")
+
+    def mul(a, b):
+        return (a * b + 255) // 256
+
+    def div(a, b):
+        return 0 if a == 0 else (255 if b == 0 else (a * 255) // b)
+
+    got = {}
+    for mode in ("screen", "darken", "lighten"):
+        t = RO.blend_tiles(base, over, mode=mode, opacity=100)
+        px = RO.explode_pixels_banded(t).filter(
+            "gpx in (0, 17, 200) and gpy in (3, 99)").collect()
+        for r in px:
+            got[(mode, r["band"], r["gpx"], r["gpy"])] = int(r["value"])
+    for (mode, band, x, y), v in got.items():
+        ch = {b: (x * RS.RGBA_CHANNELS[("base", b)][0]
+                  + y * RS.RGBA_CHANNELS[("base", b)][1]) % 256
+              for b in (1, 2, 3)}
+        ch[4] = 128 + (x + y) % 128
+        ov = {b: (x * RS.RGBA_CHANNELS[("over", b)][0]
+                  + y * RS.RGBA_CHANNELS[("over", b)][1]) % 256
+              for b in (1, 2, 3, 4)}
+        A, OA = ch[4], mul(ov[4], 255)
+        DA = OA + A - mul(OA, A)
+        if band == 4:
+            assert v == DA, (mode, band, x, y)
+            continue
+        c, oc = mul(ch[band], A), mul(ov[band], OA)
+        if mode == "screen":
+            t_ = c + oc - mul(c, oc)
+        elif mode == "darken":
+            t_ = min(mul(oc, A), mul(c, OA)) + mul(c, 255 - OA) \
+                + mul(oc, 255 - A)
+        else:
+            t_ = max(mul(oc, A), mul(c, OA)) + mul(c, 255 - OA) \
+                + mul(oc, 255 - A)
+        assert v == div(t_, DA), (mode, band, x, y)
+
+
+def test_rgb_to_palette_median_cut(spark):
+    """rgb-to-palette (apps/gdalalg_raster_rgb_to_palette.cpp):
+    median-cut palette over the distributed color histogram; the
+    indexed raster round-trips within a quantization error bound, and
+    an image with <= max_colors distinct colors round-trips EXACTLY."""
+    import numpy as np
+
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+
+    rgba = RS.synth_rgba_tiles(spark, 0, "base")
+    palette, indexed = RO.rgb_to_palette_tiles(rgba, max_colors=16)
+    assert 1 <= len(palette) <= 16
+    rows = indexed.collect()
+    assert len(rows) == 1
+    idx = RS.parse_tile(rows[0])
+    assert idx.min() >= 0 and idx.max() < len(palette)
+    # reconstruct and bound the quantization error
+    pal = np.array(palette)
+    rec = pal[idx]
+    gpx = np.arange(256)[None, :]
+    gpy = np.arange(256)[:, None]
+    orig = np.stack([(gpx * RS.RGBA_CHANNELS[("base", b)][0]
+                      + gpy * RS.RGBA_CHANNELS[("base", b)][1]) % 256
+                     for b in (1, 2, 3)], axis=-1)
+    err = np.abs(rec - orig).mean()
+    assert err < 64.0          # 16 colors on a smooth ramp
+    # exact case: constant-color raster -> 1 palette entry, zero error
+    import pandas as pd
+    const = RS.tiles_from_grid(
+        spark, np.full((256, 256), 42, dtype=np.uint8), 0, "c")
+    rgb = None
+    for b in (1, 2, 3):
+        t = const.withColumn("band", F.lit(b))
+        rgb = t if rgb is None else rgb.unionByName(t)
+    pal2, idx2 = RO.rgb_to_palette_tiles(rgb, max_colors=4)
+    assert pal2 == [(42, 42, 42)]
+    assert (RS.parse_tile(idx2.collect()[0]) == 0).all()

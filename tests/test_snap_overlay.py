@@ -350,3 +350,89 @@ def test_st_buffer_udf_line_point(spark):
     assert abs(area_ln - (2 * 6 + math.pi)) < 3e-2   # qs=8 stadium
     area_pt = W.polygon_area(rows[2])
     assert abs(area_pt - math.pi) < 3e-2             # 32-gon disk
+
+
+# --- round-5 property suite: random lattice polygon PAIRS ---------------
+# The conservation laws, exact in the snap-rounded arrangement (the
+# buffer bug showed the probing method needs adversarial coverage):
+#   i + d  = a            (A's rounded area partitions into in-B/out-B)
+#   u      = a + b - i    (inclusion-exclusion)
+#   sym    = u - i        (symdifference identity)
+# plus crash-freedom across T-contacts, shared edges and crossings.
+
+from hypothesis import given as _given, settings as _settings, \
+    strategies as _st
+
+
+@_st.composite
+def _lattice_poly(draw):
+    """Random SIMPLE lattice polygon: distinct integer points sorted by
+    angle around their centroid (star-shaped => simple by construction),
+    rejected when the area is tiny."""
+    pts = draw(_st.lists(
+        _st.tuples(_st.integers(0, 12), _st.integers(0, 12)),
+        min_size=3, max_size=8, unique=True))
+    cx = sum(p[0] for p in pts) / len(pts)
+    cy = sum(p[1] for p in pts) / len(pts)
+    import math as _m
+    pts = sorted(pts, key=lambda p: _m.atan2(p[1] - cy, p[0] - cx))
+    xs = np.array([p[0] for p in pts], float)
+    ys = np.array([p[1] for p in pts], float)
+    from osgeo_gdal_spark.kernels.clip import ring_area as _ra
+    a = _ra(xs, ys)
+    if abs(a) < 1.0:
+        return None
+    if a < 0:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    return [(xs, ys)]
+
+
+@_settings(max_examples=1000, deadline=None, derandomize=True)
+@_given(_lattice_poly(), _lattice_poly())
+def test_hypothesis_snapped_overlay_conservation(A, B):
+    from hypothesis import assume
+
+    assume(A is not None and B is not None)
+    got = SN.overlay_areas_snapped(A, B, G)
+    assert abs(got["i"] + got["d"] - got["a"]) < 1e-9
+    assert abs(got["db"] + got["i"] - got["b"]) < 1e-9
+    assert abs(got["u"] - (got["a"] + got["b"] - got["i"])) < 1e-9
+    # rounded inputs stay within the hot-pixel perturbation bound
+    assert abs(got["a"] - abs(SN.rings_area(A))) < 64 * G
+    assert abs(got["b"] - abs(SN.rings_area(B))) < 64 * G
+    # the symdifference identity through the ring-emitting API
+    sym = SN.rings_area(SN.overlay_rings_snapped(A, B, "symdifference", G))
+    assert abs(sym - (got["u"] - got["i"])) < 1e-9
+
+
+def test_lower_dimension_overlay_lines():
+    """KEEP_LOWER_DIMENSION semantics (ogrlayer.cpp:5402-5411): the
+    intersection of two edge-sharing rects is their shared segment;
+    areal overlap, corner touches and inset-with-shared-edge emit NO
+    line component (GEOS suppresses boundary rows of areal results;
+    corner contact is the POINT component)."""
+    full = SN.overlay_lines_snapped([rect(0, 0, 2, 2)],
+                                    [rect(2, 0, 4, 2)], G)
+    assert len(full) == 1
+    xs, ys = full[0]
+    assert sorted(zip(xs.tolist(), ys.tolist())) == [(2.0, 0.0), (2.0, 2.0)]
+    partial = SN.overlay_lines_snapped([rect(0, 0, 2, 2)],
+                                       [rect(2, 1, 4, 3)], G)
+    assert len(partial) == 1
+    xs, ys = partial[0]
+    assert sorted(zip(xs.tolist(), ys.tolist())) == [(2.0, 1.0), (2.0, 2.0)]
+    assert SN.overlay_lines_snapped([rect(0, 0, 2, 2)],
+                                    [rect(1, 0, 3, 2)], G) == []
+    assert SN.overlay_lines_snapped([rect(0, 0, 1, 1)],
+                                    [rect(1, 1, 2, 2)], G) == []
+    assert SN.overlay_lines_snapped([rect(0, 0, 3, 3)],
+                                    [rect(1, 0, 2, 1)], G) == []
+    # L-shaped shared border (two collinear-broken segments stitch
+    # through the degree-2 corner into ONE polyline)
+    a = [ring((0, 0), (2, 0), (2, 2), (0, 2))]
+    b = [ring((2, 0), (4, 0), (4, 4), (0, 4), (0, 2), (2, 2))]
+    lines = SN.overlay_lines_snapped(a, b, G)
+    assert len(lines) == 1
+    total = float(np.hypot(np.diff(lines[0][0]),
+                           np.diff(lines[0][1])).sum())
+    assert total == 4.0

@@ -1400,6 +1400,92 @@ def _rgba_sql(ds: str) -> str:
     return ", ".join(parts)
 
 
+def q_clean_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """``gdal vector clean-coverage``
+    (apps/gdalalg_vector_clean_coverage.cpp; GEOS CoverageCleaner) —
+    kernels/coverage.clean_coverage over the snap-rounded arrangement:
+    overlap faces merge by strategy, enclosed gaps merge into the
+    longest-border neighbor within the max-gap threshold, polygons
+    rebuild as an exact partition. Fixture (key % 4): overlapping pair
+    resolved by longest-border / by min-area / notch-gap closed / notch
+    kept under a gap threshold, heights h = 4 + key % 3. All coords
+    dyadic => every area is exact and the oracle is closed-form box
+    algebra per class."""
+    import pandas as pd
+
+    import numpy as np
+
+    from .kernels import coverage as CV
+    from .kernels import snap as SNK
+
+    @F.pandas_udf("a_area double, b_area double")
+    def clean_areas(keys):
+        def rect(x0, y0, x1, y1):
+            return (np.array([x0, x1, x1, x0], float),
+                    np.array([y0, y0, y1, y1], float))
+
+        cache: dict = {}
+        out = []
+        g = 2.0 ** -12
+        for k in keys:
+            k = int(k)
+            cls = k % 4
+            h = float(4 + k % 3)
+            ck = (cls, h)
+            got = cache.get(ck)
+            if got is None:
+                if cls in (0, 1):
+                    polys = [(1, [rect(0, 0, 5, h)]),
+                             (2, [rect(4, 1, 9, h - 1)])]
+                    strat = "longest-border" if cls == 0 else "min-area"
+                    res = CV.clean_coverage(polys, grid=g,
+                                            merge_strategy=strat)
+                else:
+                    apts = [(0, 0), (4, 0), (4, h / 2 - 0.5),
+                            (3.5, h / 2), (4, h / 2 + 0.5), (4, h),
+                            (0, h)]
+                    A = (np.array([p[0] for p in apts]),
+                         np.array([p[1] for p in apts], dtype=float))
+                    polys = [(1, [A]), (2, [rect(4, 0, 9, h)])]
+                    res = CV.clean_coverage(
+                        polys, grid=g,
+                        max_gap_area=None if cls == 2 else 0.1)
+                got = (float(SNK.rings_area(res[1])),
+                       float(SNK.rings_area(res[2])))
+                cache[ck] = got
+            out.append(got)
+        return pd.DataFrame(out, columns=["a_area", "b_area"])
+
+    sup = read_table(spark, sf, "supplier").select("s_suppkey")
+    return sup.select(
+        "s_suppkey", clean_areas(F.col("s_suppkey")).alias("c")
+    ).select("s_suppkey", "c.a_area", "c.b_area")
+
+
+def sql_clean_coverage() -> str:
+    # closed forms: h = 4 + key % 3
+    # cls 0 longest-border: overlap [4,5]x[1,h-1] -> A: a=5h, b=4(h-2)
+    # cls 1 min-area: B smaller wins overlap:      a=5h-(h-2), b=5(h-2)
+    # cls 2 notch gap (area 1/4) closed -> A:      a=4h, b=5h
+    # cls 3 gap kept (0.25 > 0.1 threshold):       a=4h-0.25, b=5h
+    return """
+WITH p AS (
+  SELECT s_suppkey, s_suppkey % 4 AS cls,
+         CAST(4 + s_suppkey % 3 AS DOUBLE) AS h
+  FROM supplier
+)
+SELECT s_suppkey,
+       CAST(CASE cls WHEN 0 THEN 5 * h
+                     WHEN 1 THEN 5 * h - (h - 2)
+                     WHEN 2 THEN 4 * h
+                     ELSE 4 * h - 0.25 END AS DOUBLE) AS a_area,
+       CAST(CASE cls WHEN 0 THEN 4 * (h - 2)
+                     WHEN 1 THEN 5 * (h - 2)
+                     ELSE 5 * h END AS DOUBLE) AS b_area
+FROM p
+"""
+
+
 def q_raster_blend(spark: SparkSession, sf: str) -> DataFrame:
     """``gdal raster blend`` (apps/gdalalg_raster_blend.cpp) — src_over
     and multiply composition of two synthetic RGBA datasets at 60%
@@ -5615,6 +5701,7 @@ QUERIES = {
     "raster_blend": q_raster_blend,
     "raster_nodata_alpha": q_raster_nodata_alpha,
     "clean_collar": q_clean_collar,
+    "clean_coverage": q_clean_coverage,
     "dissolve_snapped": q_dissolve_snapped,
     "predicates_snapped": q_predicates_snapped,
     "spatial_predicates": q_spatial_predicates,
@@ -5824,6 +5911,7 @@ ORACLES = {
     "raster_blend": sql_raster_blend(),
     "raster_nodata_alpha": sql_raster_nodata_alpha(),
     "clean_collar": sql_clean_collar(),
+    "clean_coverage": sql_clean_coverage(),
     "dissolve_snapped": sql_dissolve_snapped(),
     "predicates_snapped": sql_predicates_snapped(),
     "grid_metric_range": sql_grid_metric_range(),

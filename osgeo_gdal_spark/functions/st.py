@@ -188,11 +188,11 @@ def _lengths(geoms):
     return out
 
 
-def _geodesic_lengths(geoms):
-    """ST_GeodesicLength (ogrsqlitesqlfunctions.cpp; the reference uses
-    the Karney ellipsoidal geodesic via PROJ) — v1 is the SPHERICAL
-    great-circle sum (haversine, kernels/distance discipline, WGS84
-    mean radius): within ~0.5% of the ellipsoid, named difference."""
+def _spherical_lengths(geoms):
+    """ST_SphericalLength — the fast SPHERICAL great-circle sum
+    (haversine, WGS84 mean radius): within ~0.5% of the ellipsoid.
+    The accurate tier is _geodesic_lengths (kernels/geodesic, the
+    Karney ellipsoidal model the reference reaches via PROJ)."""
     R = 6371008.8
     out = []
     for g in geoms:
@@ -256,12 +256,12 @@ def _from_text(wkts):
     return out
 
 
-def _geodesic_areas(geoms):
-    """ST_GeodesicArea (ogrsqlitesqlfunctions.cpp; reference uses the
-    Karney ellipsoid via PROJ) — v1 is the SPHERICAL excess on the
-    WGS84 mean radius: signed l'Huilier fan from the first vertex (the
-    spherical shoelace), exact for great-circle-edged polygons; holes
-    subtract. Within ~0.5% of the ellipsoid, named difference."""
+def _spherical_areas(geoms):
+    """ST_SphericalArea — the fast SPHERICAL excess on the WGS84 mean
+    radius: signed l'Huilier fan from the first vertex, exact for
+    great-circle-edged polygons; holes subtract. Within ~0.5% of the
+    ellipsoid; the accurate tier is _geodesic_areas below
+    (kernels/geodesic, the Karney ellipsoidal model)."""
     R = 6371008.8
 
     def tri_excess(v0, v1, v2):
@@ -506,10 +506,68 @@ st_segmentize = _series_udf(_segmentize_max1, T.BinaryType())
 st_dump = _series_udf(_dump_parts, T.ArrayType(T.BinaryType()))
 st_normalize = _series_udf(_normalized, T.BinaryType())
 st_setprecision = _series_udf(_set_precision_grid1, T.BinaryType())
+def _geodesic_areas(geoms):
+    """ST_GeodesicArea (ogrsqlitesqlfunctions.cpp: OGR_GeodesicArea via
+    PROJ's geodesic) — ELLIPSOIDAL WGS84 area from kernels/geodesic:
+    exact auxiliary-sphere relations + Green's theorem in the authalic
+    q-function, GL-20 quadrature (no series, converged to machine
+    precision; the octant with a pole vertex closes to total/8
+    bitwise). Shells add, holes subtract, signed by ring winding."""
+    from ..kernels import geodesic as GD
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(float("nan"))
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type not in ("Polygon", "MultiPolygon"):
+            out.append(0.0)
+            continue
+        total = 0.0
+        ring_idx = 0
+        for part in pg.part_rings:
+            for r in range(part):
+                s0, e0 = (pg.ring_offsets[ring_idx],
+                          pg.ring_offsets[ring_idx + 1])
+                xs, ys = pg.xs[s0:e0], pg.ys[s0:e0]
+                a = abs(GD.polygon_area(xs, ys))
+                total += a if r == 0 else -a
+                ring_idx += 1
+        out.append(total)
+    return out
+
+
+def _geodesic_lengths(geoms):
+    """ST_GeodesicLength — ELLIPSOIDAL WGS84 geodesic length
+    (kernels/geodesic; meridian/equator arcs are closed-form exact:
+    the quarter meridian evaluates to the published 10001965.729 m)."""
+    from ..kernels import geodesic as GD
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(float("nan"))
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type == "Point":
+            out.append(0.0)
+            continue
+        total = 0.0
+        for r in range(len(pg.ring_offsets) - 1):
+            s0, e0 = pg.ring_offsets[r], pg.ring_offsets[r + 1]
+            total += GD.line_length(pg.xs[s0:e0], pg.ys[s0:e0])
+        out.append(total)
+    return out
+
+
 st_geodesic_area = _series_udf(_geodesic_areas, T.DoubleType())
+st_spherical_area = _series_udf(_spherical_areas, T.DoubleType())
+st_spherical_length = _series_udf(_spherical_lengths, T.DoubleType())
 st_concavehull = st_concavehull_a2
 st_length = _series_udf(_lengths, T.DoubleType())
 st_geodesic_length = _series_udf(_geodesic_lengths, T.DoubleType())
+
 st_geomfromtext = _series_udf(_from_text, T.BinaryType())
 # ST_AsBinary / ST_GeomFromWKB are identities in a WKB-native engine;
 # ST_SRID is the constant data-model CRS (EPSG:4326 lon/lat).
@@ -728,6 +786,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_PointOnSurface", st_pointonsurface)
     spark.udf.register("ST_Length", st_length)
     spark.udf.register("ST_GeodesicLength", st_geodesic_length)
+    spark.udf.register("ST_SphericalLength", st_spherical_length)
+    spark.udf.register("ST_SphericalArea", st_spherical_area)
     spark.udf.register("ST_GeomFromText", st_geomfromtext)
     spark.udf.register("ST_GeomFromWKB", st_asbinary)
     spark.udf.register("ST_AsBinary", st_asbinary)

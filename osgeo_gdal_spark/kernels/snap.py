@@ -16,19 +16,21 @@ Arrow kernel as the general-position overlay):
    semantics; the default resolution derives from coordinate
    magnitude). Snapped coordinates are exact dyadic floats, so they
    convert losslessly to int64 LATTICE UNITS.
-2. **Node exactly**: with integer endpoints, collinearity /
-   on-segment / overlap tests are exact int64 arithmetic — no epsilon
-   anywhere in the noding. Every edge is split at (a) proper crossings
-   (the crossing point is computed ONCE in float and shared by both
-   edges, so assembly keys match bit-exactly), (b) lattice vertices of
-   the other input lying in its interior (T-contacts), and (c)
-   endpoints of collinear overlapping segments.
-3. **Classify by side-sampling**: a noded sub-segment lies on the
-   result boundary iff the op's predicate (inA ∧ inB for intersection,
-   inA ∨ inB for union, inA ∧ ¬inB for difference) differs between the
-   two sides of the segment. Sides are probed at midpoint ± ε·n̂ with ε
-   halved until both probes are strictly off every edge of both inputs
-   — the polypoly face-witness move. Coincident (shared) sub-segments
+2. **Snap-round the arrangement** (round 5 — classical Hobby /
+   Guibas-Marshall): proper crossings are WELDED to the integer
+   lattice and every edge reroutes through each hot pixel (closed
+   half-unit square around a vertex or rounded crossing) it
+   intersects, iterated to convergence. The subdivision stays
+   ALL-INTEGER, and every vertex ends >= 0.5 lattice units (L-inf)
+   from every non-incident sub-segment — so the round-4 float-noding
+   failure modes (noise micro-segments, collapsed probe clearances)
+   cannot occur. T-contacts and collinear overlaps node exactly.
+3. **Classify by side-sampling**: a sub-segment lies on the result
+   boundary iff the op's predicate (inA ∧ inB for intersection,
+   inA ∨ inB for union, inA ∧ ¬inB for difference) differs between
+   the two sides. Probes sit at CLEARANCE-BOUNDED offsets (half the
+   exact first-crossing distance of the probe ray), so they always
+   sample the adjacent face. Coincident (shared) sub-segments
    collapse to one before probing.
 4. **Orient interior-on-left and face-walk**: kept segments are
    directed so the result interior lies to their left (shells come out
@@ -38,11 +40,15 @@ Arrow kernel as the general-position overlay):
    nodes (corner contacts) the general-position walker never sees.
 
 Contract notes:
-- Output is the AREAL (dimension-2) component: boundary-only contacts
-  (shared edges of an intersection, touching corners) produce no rings,
-  where GEOS would return lower-dimensional geometries.
-- Snapping is a real geometric perturbation of up to grid/2 per vertex
-  — identical to what ST_SetPrecision + GEOS snap-rounding does.
+- The boolean ops return the AREAL (dimension-2) component; the
+  LINESTRING component of boundary-only intersections is available
+  separately via ``overlay_lines_snapped`` (round 5 — the
+  KEEP_LOWER_DIMENSION_GEOMETRIES half; corner-touch POINTs remain
+  unemitted).
+- Snapping + hot-pixel rerouting is a real geometric perturbation of
+  O(grid) per vertex — the same contract as ST_SetPrecision + GEOS
+  snap-rounding. Conservation laws (i + d = a, u = a + b - i) hold
+  EXACTLY against the rounded inputs (overlay_areas_snapped 'a'/'b').
 """
 
 from __future__ import annotations

@@ -195,11 +195,15 @@ def test_st_length_geodesic_fromtext_srid(spark):
     assert out[2]["len"] == 5.0           # 3-4-5
     assert out[1]["srid"] == 4326
     assert bytes(out[2]["bin"]) == ln
-    # geodesic: 1 degree of longitude at the equator ~= 111.2 km
+    # geodesic (ELLIPSOIDAL since round 5): 1 degree of longitude at
+    # the equator is exactly a * pi/180; the spherical v1 stays
+    # available as ST_SphericalLength
     eq = W.linestring_wkb([(0.0, 0.0), (1.0, 0.0)])
     df2 = spark.createDataFrame([(1, bytearray(eq))], "id LONG, g BINARY")
     geo = df2.select(ST.st_geodesic_length(F.col("g")).alias("m")).first()["m"]
-    assert abs(geo - 2 * math.pi * 6371008.8 / 360.0) < 1.0
+    assert abs(geo - 2 * math.pi * 6378137.0 / 360.0) < 1e-6
+    sph = df2.select(ST.st_spherical_length(F.col("g")).alias("m")).first()["m"]
+    assert abs(sph - 2 * math.pi * 6371008.8 / 360.0) < 1.0
 
     # WKT round-trips through the parser for all four types
     spark.udf.register("_noop", lambda: None)  # ensure session alive
@@ -226,18 +230,25 @@ def test_st_geodesic_area_and_concave_hull(spark):
     from osgeo_gdal_spark.functions import st as ST
     from osgeo_gdal_spark.kernels import wkb as W
 
-    R = 6371008.8
-    # octant triangle (0,0) (90,0) (0,90): exactly 1/8 of the sphere
+    from osgeo_gdal_spark.kernels import geodesic as GD
+
+    # octant triangle (0,0) (90,0) (0,90): exactly 1/8 of the WGS84
+    # ELLIPSOID (the pole-incident lambda-slide closes the polar cap)
     octant = W.polygon_wkb([[(0.0, 0.0), (90.0, 0.0), (0.0, 90.0)]])
-    # small 1x1-degree square at the equator ~= (111.2 km)^2
+    # small 1x1-degree square at the equator ~= (111.3 km)^2
     sq = W.polygon_wkb([[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]])
     df = spark.createDataFrame(
         [(1, bytearray(octant)), (2, bytearray(sq))], "id LONG, g BINARY")
     out = {r["id"]: r["a"] for r in df.select(
         "id", ST.st_geodesic_area(F.col("g")).alias("a")).collect()}
-    assert abs(out[1] - 4 * math.pi * R * R / 8) / (R * R) < 1e-9
-    deg = 2 * math.pi * R / 360.0
+    assert abs(out[1] - GD.ellipsoid_area() / 8) / out[1] < 1e-12
+    deg = 2 * math.pi * 6378137.0 / 360.0
     assert abs(out[2] - deg * deg) / (deg * deg) < 0.01
+    # spherical v1 stays available: l'Huilier octant on the mean sphere
+    R = 6371008.8
+    sph = {r["id"]: r["a"] for r in df.select(
+        "id", ST.st_spherical_area(F.col("g")).alias("a")).collect()}
+    assert abs(sph[1] - 4 * math.pi * R * R / 8) / (R * R) < 1e-9
 
     # concave hull: C-shaped cloud -> notch excluded; area between the
     # true concave area and the convex hull area

@@ -89,6 +89,13 @@ HEADLINE = [
     "dissolve_snapped",
     "bm25_topk",
     "lsh_pairs_portable",
+    # round-5 operators: lower-dimensional overlay, raster cosmetics,
+    # coverage clean, nearblack collar
+    "overlay_snapped_lines",
+    "raster_blend",
+    "raster_nodata_alpha",
+    "clean_collar",
+    "clean_coverage",
 ]
 
 

@@ -28,10 +28,14 @@ so both are built on this repo's integer snap-rounded arrangement
   contract). ``preserve_boundary`` keeps arcs on the exterior (outer
   face) unsimplified (simplify_coverage.cpp:41-43).
 
-Caveats (documented contract): faces are taken as simple cycles —
-fixtures avoid nested-island coverages; Douglas-Peucker can in
-principle self-intersect at extreme tolerances (GEOS guards; callers
-keep tolerance below feature size).
+Multi-component faces (nested containment — a polygon inside another
+polygon's face, the annulus case) are handled by merging each negative
+boundary cycle into the face of the smallest positive cycle containing
+its witness (the DCEL hole-assignment rule; the round-5 Hypothesis
+suite over random rect coverages found the original single-cycle
+assumption). Caveat: Douglas-Peucker can in principle self-intersect
+at extreme tolerances (GEOS guards; callers keep tolerance below
+feature size).
 """
 
 from __future__ import annotations
@@ -91,33 +95,60 @@ def _face_areas(faces):
     return out
 
 
-def _face_witnesses(faces, seg_face, segs_u, lat_groups):
-    """One interior witness point per face: the LEFT side probe of the
-    face's first boundary segment (clearance-bounded, kernels/snap).
-    Returns per-group membership arrays indexed by face id."""
+def _arrangement(polys, grid):
+    """Common core: snap each polygon's ring soup, build the joint
+    rounded arrangement, walk all faces, MERGE hole cycles into their
+    containing faces (a face may have several boundary components —
+    the annulus case the round-5 Hypothesis suite caught: a nested
+    polygon's outer ring is also the inner boundary of the container's
+    face) and classify memberships. Returns (pids, lat_groups, segs_u,
+    faces, seg_face, areas, owners_sets); areas/owners are meaningful
+    for faces with area > 0 after merging."""
+    pids = [p for p, _ in polys]
+    groups = [SN.snap_rings(r, grid) for _, r in polys]
+    lat_groups, segs_u, _segg = SN._rounded_core(groups, grid)
+    faces, seg_face = _face_walk(segs_u)
+    areas = _face_areas(faces)
+
+    # one interior witness per cycle (left probe of its first segment)
     first_seg = [None] * len(faces)
     for (ax, ay, bx, by) in segs_u:
         for a, b in (((ax, ay), (bx, by)), ((bx, by), (ax, ay))):
             fid = seg_face[(a, b)]
             if first_seg[fid] is None:
                 first_seg[fid] = (a[0], a[1], b[0], b[1])
-    lx, ly, _rx, _ry = SN._side_probes(first_seg, lat_groups)
-    return [
-        _points_in_rings(lx, ly, g) for g in lat_groups
+    wx, wy, _rx, _ry = SN._side_probes(first_seg, lat_groups)
+
+    # merge each NEGATIVE cycle into the face of the smallest positive
+    # cycle strictly containing its witness (immediate parent); global
+    # outer cycles contain no parent and stay unmerged
+    pos = [f for f in range(len(faces)) if areas[f] > 0]
+    pos_rings = {
+        p: [(np.array([v[0] for v in faces[p]], dtype=np.float64),
+             np.array([v[1] for v in faces[p]], dtype=np.float64))]
+        for p in pos
+    }
+    remap = {}
+    for f in range(len(faces)):
+        if areas[f] > 0:
+            continue
+        cands = [
+            (areas[p], p) for p in pos
+            if p != f and bool(_points_in_rings(
+                np.array([wx[f]]), np.array([wy[f]]), pos_rings[p])[0])
+        ]
+        if cands:
+            remap[f] = min(cands)[1]
+    if remap:
+        for k in seg_face:
+            seg_face[k] = remap.get(seg_face[k], seg_face[k])
+        for f, p in remap.items():
+            areas[p] += areas[f]
+            areas[f] = 0.0
+
+    members = [
+        _points_in_rings(wx, wy, g) for g in lat_groups
     ]
-
-
-def _arrangement(polys, grid):
-    """Common core: snap each polygon's ring soup, build the joint
-    rounded arrangement, walk all faces and classify memberships.
-    Returns (pids, lat_groups, segs_u, faces, seg_face, areas,
-    owners_sets)."""
-    pids = [p for p, _ in polys]
-    groups = [SN.snap_rings(r, grid) for _, r in polys]
-    lat_groups, segs_u, _segg = SN._rounded_core(groups, grid)
-    faces, seg_face = _face_walk(segs_u)
-    areas = _face_areas(faces)
-    members = _face_witnesses(faces, seg_face, segs_u, lat_groups)
     owners = [
         {pids[g] for g in range(len(pids)) if members[g][fid]}
         for fid in range(len(faces))

@@ -93,3 +93,73 @@ def test_simplify_without_preserve_boundary_simplifies_exterior():
     assert sum(len(xs) for xs, _ in keep[1]) == len(apts)
     assert sum(len(xs) for xs, _ in drop[1]) < len(apts)
     assert SN.rings_area(drop[1]) == 16.0     # straightened to the rect
+
+
+# --- property suite: random rect coverages --------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _rect_coverage(draw):
+    """2-4 random integer rects (overlaps/gaps/shared edges arise
+    naturally at this density)."""
+    n = draw(st.integers(2, 4))
+    polys = []
+    for pid in range(1, n + 1):
+        x0 = draw(st.integers(0, 8))
+        y0 = draw(st.integers(0, 8))
+        w = draw(st.integers(2, 6))
+        h = draw(st.integers(2, 6))
+        polys.append((pid, [rect(x0, y0, x0 + w, y0 + h)]))
+    return polys
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(_rect_coverage(), st.sampled_from(
+    ["longest-border", "max-area", "min-area", "min-index"]))
+def test_hypothesis_clean_coverage_partition(polys, strategy):
+    """clean_coverage always returns an exact partition: pairwise
+    intersections are empty and the areas sum to the area of the
+    union of the inputs (gaps all closed: every bounded gap merges)."""
+    out = CV.clean_coverage(polys, grid=G, merge_strategy=strategy)
+    areas = {p: SN.rings_area(r) for p, r in out.items()}
+    # pairwise disjoint
+    pids = sorted(out)
+    for i in range(len(pids)):
+        for j in range(i + 1, len(pids)):
+            if out[pids[i]] and out[pids[j]]:
+                got = SN.overlay_areas_snapped(
+                    out[pids[i]], out[pids[j]], G)
+                assert abs(got["i"]) < 1e-9, (pids[i], pids[j], strategy)
+    # conservation: union of inputs == sum of outputs (all rects are
+    # axis-aligned integers, unions are exact)
+    u = None
+    for _p, rs in polys:
+        u = rs if u is None else SN.overlay_rings_snapped(u, rs, "union", G)
+    # gaps fully enclosed by the input union ARE closed, so the total
+    # must be >= union area is not enough — it must be exactly the
+    # union area PLUS enclosed gaps; recompute via the cleaned union
+    cu = None
+    for p in pids:
+        if not out[p]:
+            continue
+        cu = out[p] if cu is None else \
+            SN.overlay_rings_snapped(cu, out[p], "union", G)
+    assert abs(sum(areas.values()) - SN.rings_area(cu)) < 1e-9
+    # no input area is ever LOST (the cleaned union covers the input
+    # union; it may legitimately EXCEED it by closed enclosed gaps)
+    lost = SN.rings_area(SN.overlay_rings_snapped(u, cu, "difference", G))
+    assert abs(lost) < 1e-9
+    # with gap closing disabled the cleaned union is EXACTLY the
+    # input union (both directions empty)
+    out0 = CV.clean_coverage(polys, grid=G, merge_strategy=strategy,
+                             max_gap_area=0.0)
+    cu0 = None
+    for p in sorted(out0):
+        if out0[p]:
+            cu0 = out0[p] if cu0 is None else \
+                SN.overlay_rings_snapped(cu0, out0[p], "union", G)
+    d1 = SN.rings_area(SN.overlay_rings_snapped(u, cu0, "difference", G))
+    d2 = SN.rings_area(SN.overlay_rings_snapped(cu0, u, "difference", G))
+    assert abs(d1) < 1e-9 and abs(d2) < 1e-9

@@ -92,10 +92,12 @@ HEADLINE = [
     # round-5 operators: lower-dimensional overlay, raster cosmetics,
     # coverage clean, nearblack collar
     "overlay_snapped_lines",
+    "overlay_snapped_points",
     "raster_blend",
     "raster_nodata_alpha",
     "clean_collar",
     "clean_coverage",
+    "geodesic_area",
 ]
 
 

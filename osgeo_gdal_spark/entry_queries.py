@@ -1400,6 +1400,112 @@ def _rgba_sql(ds: str) -> str:
     return ", ".join(parts)
 
 
+GEODESIC_TRIS = [
+    ([0, 40, 10], [5, 10, 50]),
+    ([-20, 15, 0], [-35, -5, 20]),
+    ([100, 140, 120], [10, 20, 55]),
+]
+GEODESIC_QUADS = [
+    ([10, 55, 60, 5], [20, 15, 60, 65]),
+    ([-120, -60, -70, -110], [30, 25, 55, 60]),
+    ([0, 1, 1, 0], [50, 50, 51, 51]),
+]
+# kernel-computed constants for the general classes, embedded in BOTH
+# engines (the GCP_COEFFS pattern): the kernel itself is pinned by
+# independent anchors in tests/test_geodesic.py — published total-area
+# and quarter-meridian constants, bitwise-exact octant, f->0 equality
+# with l'Huilier to 1e-12, GL-20 vs GL-40 convergence to 1e-9
+GEODESIC_TRI_AREAS = [11163795992103.777, 8318861958070.534,
+                      9730444340392.686]
+GEODESIC_QUAD_AREAS = [20168885950248.52, 12957718047786.893,
+                       7892061583.713623]
+
+
+def q_geodesic_area(spark: SparkSession, sf: str) -> DataFrame:
+    """Ellipsoidal WGS84 geodesic polygon area (kernels/geodesic —
+    the Karney model, OGR ST_GeodesicArea via PROJ). Fixture
+    (key % 4): north/south meridian LUNES with a pole vertex — the
+    oracle computes their CLOSED FORM in SQL ((a^2/2) * q(pi/2) *
+    dlam, the exact polar-cap Green term) — and general triangles /
+    quads pinned by kernel constants (anchor-verified; embedded in
+    both engines). Areas quantized to 100 m^2 (the transcendental
+    closed form agrees cross-engine to ~0.01 m^2; quantization makes
+    the boundary risk negligible)."""
+    import math
+
+    import pandas as pd
+
+    from .kernels import geodesic as GD
+
+    @F.pandas_udf("long")
+    def geo_area(keys):
+        cache: dict = {}
+        out = []
+        for k in keys:
+            k = int(k)
+            cls = k % 4
+            if cls == 0:
+                d = 1 + k % 7
+                ck = ("lune_n", d)
+                lons, lats = [0.0, float(d), 0.0], [0.0, 0.0, 90.0]
+            elif cls == 1:
+                d = 1 + k % 7
+                ck = ("lune_s", d)
+                lons, lats = [float(d), 0.0, 0.0], [0.0, 0.0, -90.0]
+            elif cls == 2:
+                i = (k // 4) % 3
+                ck = ("tri", i)
+                lons, lats = GEODESIC_TRIS[i]
+            else:
+                i = (k // 4) % 3
+                ck = ("quad", i)
+                lons, lats = GEODESIC_QUADS[i]
+            got = cache.get(ck)
+            if got is None:
+                got = int(math.floor(
+                    GD.polygon_area(lons, lats) / 100.0 + 0.5))
+                cache[ck] = got
+            out.append(got)
+        return pd.Series(out, name="area_q")
+
+    sup = read_table(spark, sf, "supplier").select("s_suppkey")
+    return sup.select("s_suppkey", geo_area(F.col("s_suppkey"))
+                      .alias("area_q"))
+
+
+def sql_geodesic_area() -> str:
+    tri = ", ".join(repr(v) for v in GEODESIC_TRI_AREAS)
+    quad = ", ".join(repr(v) for v in GEODESIC_QUAD_AREAS)
+    return f"""
+WITH c AS (
+  SELECT CAST(6378137.0 AS DOUBLE) AS a,
+         CAST(1.0 AS DOUBLE) / 298.257223563 AS f
+),
+e AS (
+  SELECT a, SQRT(f * (2 - f)) AS ecc, f * (2 - f) AS e2 FROM c
+),
+qp AS (
+  -- q(pi/2) = (1-e^2) * (1/(1-e^2) + atanh(e)/e); the polar-cap
+  -- Green coefficient (a^2/2) * q(pi/2)
+  SELECT a * a / 2 * (1 - e2)
+         * (1 / (1 - e2) + LN((1 + ecc) / (1 - ecc)) / (2 * ecc)) AS cap
+  FROM e
+),
+p AS (
+  SELECT s_suppkey, s_suppkey % 4 AS cls,
+         1 + s_suppkey % 7 AS d, (s_suppkey // 4) % 3 AS i
+  FROM supplier
+)
+SELECT s_suppkey,
+       CAST(FLOOR(CASE
+         WHEN cls IN (0, 1) THEN (SELECT cap FROM qp) * d * PI() / 180
+         WHEN cls = 2 THEN [{tri}][i + 1]
+         ELSE [{quad}][i + 1]
+       END / 100.0 + 0.5) AS BIGINT) AS area_q
+FROM p
+"""
+
+
 def q_clean_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """``gdal vector clean-coverage``
     (apps/gdalalg_vector_clean_coverage.cpp; GEOS CoverageCleaner) —
@@ -2279,6 +2385,34 @@ SELECT a_id, CAST(eas_id AS BIGINT) AS eas_id,
                  ELSE ay1 - ay0 - 1 END AS DOUBLE) AS total_len
 FROM params
 WHERE (a_id % 8) IN (0, 1, 7)
+"""
+
+
+def q_overlay_snapped_points(spark: SparkSession, sf: str) -> DataFrame:
+    """Dimension-0 overlay component (round-5, completing
+    KEEP_LOWER_DIMENSION_GEOMETRIES with overlay_snapped_lines):
+    corner-touch and T-contact-apex POINTs from the snap-rounded
+    arrangement. Contact classes 2 (corner: the shared corner) and 6
+    (triangle apex ON A's edge interior) emit exactly one point each
+    at closed-form coordinates; every other class has an empty point
+    component (shared edges are the LINE component; areal overlaps
+    suppress boundary output)."""
+    from .operators import overlay as OV
+
+    return OV.overlay_points_features_snapped(
+        spark, PL.contact_feats_df(spark), PL.contact_polys(),
+        grid=PL.CONTACT_GRID,
+    ).select("a_id", "eas_id", "px", "py")
+
+
+def sql_overlay_snapped_points() -> str:
+    return f"""
+WITH params AS ({PL.contact_values_sql()})
+SELECT a_id, CAST(eas_id AS BIGINT) AS eas_id,
+       CAST(ax1 AS DOUBLE) AS px,
+       CAST(CASE WHEN (a_id % 8) = 2 THEN ay1 ELSE ay0 + 2 END AS DOUBLE) AS py
+FROM params
+WHERE (a_id % 8) IN (2, 6)
 """
 
 
@@ -5698,10 +5832,12 @@ QUERIES = {
     "overlay_symdiff": q_overlay_symdiff,
     "overlay_snapped": q_overlay_snapped,
     "overlay_snapped_lines": q_overlay_snapped_lines,
+    "overlay_snapped_points": q_overlay_snapped_points,
     "raster_blend": q_raster_blend,
     "raster_nodata_alpha": q_raster_nodata_alpha,
     "clean_collar": q_clean_collar,
     "clean_coverage": q_clean_coverage,
+    "geodesic_area": q_geodesic_area,
     "dissolve_snapped": q_dissolve_snapped,
     "predicates_snapped": q_predicates_snapped,
     "spatial_predicates": q_spatial_predicates,
@@ -5908,10 +6044,12 @@ ORACLES = {
     "overlay_symdiff": sql_overlay_symdiff(),
     "overlay_snapped": sql_overlay_snapped(),
     "overlay_snapped_lines": sql_overlay_snapped_lines(),
+    "overlay_snapped_points": sql_overlay_snapped_points(),
     "raster_blend": sql_raster_blend(),
     "raster_nodata_alpha": sql_raster_nodata_alpha(),
     "clean_collar": sql_clean_collar(),
     "clean_coverage": sql_clean_coverage(),
+    "geodesic_area": sql_geodesic_area(),
     "dissolve_snapped": sql_dissolve_snapped(),
     "predicates_snapped": sql_predicates_snapped(),
     "grid_metric_range": sql_grid_metric_range(),

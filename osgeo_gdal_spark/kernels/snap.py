@@ -860,3 +860,45 @@ def overlay_lines_snapped(rings_a, rings_b, grid: float = None):
                 np.array([p[0] for p in path]) * grid,
                 np.array([p[1] for p in path]) * grid))
     return lines
+
+
+def overlay_points_snapped(rings_a, rings_b, grid: float = None):
+    """Dimension-0 (POINT) intersection component — corner touches and
+    T-contact apexes, completing KEEP_LOWER_DIMENSION_GEOMETRIES
+    (ogrlayer.cpp:5402-5411) together with overlay_lines_snapped. A
+    rounded-arrangement vertex belongs to the point component iff BOTH
+    boundaries pass through it, NO incident sub-segment is shared by
+    both boundaries (that is the line component), and NO incident face
+    lies in the areal intersection (checked on the incident segments'
+    side memberships). Returns [(x, y)] in WORLD coordinates."""
+    if grid is None:
+        grid = default_grid(rings_a, rings_b)
+    a = snap_rings(rings_a, grid)
+    b = snap_rings(rings_b, grid)
+    if not a or not b:
+        return []
+    (la, lb), segs_u, seg_groups = _rounded_core([a, b], grid)
+    va = {(x, y) for xs, ys in la for x, y in zip(xs, ys)}
+    vb = {(x, y) for xs, ys in lb for x, y in zip(xs, ys)}
+    shared_v = va & vb
+    if not shared_v:
+        return []
+    incident: dict = {}
+    for i, (ax, ay, bx, by) in enumerate(segs_u):
+        incident.setdefault((ax, ay), []).append(i)
+        incident.setdefault((bx, by), []).append(i)
+    lx, ly, rx2, ry2 = _side_probes(segs_u, (la, lb))
+    ina_l = _points_in_rings(lx, ly, la)
+    inb_l = _points_in_rings(lx, ly, lb)
+    ina_r = _points_in_rings(rx2, ry2, la)
+    inb_r = _points_in_rings(rx2, ry2, lb)
+    pts = []
+    for v in sorted(shared_v):
+        segs = incident.get(v, ())
+        if any(len(seg_groups[i]) == 2 for i in segs):
+            continue                      # line component through v
+        if any((ina_l[i] and inb_l[i]) or (ina_r[i] and inb_r[i])
+               for i in segs):
+            continue                      # areal intersection at v
+        pts.append((v[0] * grid, v[1] * grid))
+    return pts

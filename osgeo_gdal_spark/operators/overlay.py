@@ -468,6 +468,64 @@ def overlay_lines_features_snapped(spark, feats: DataFrame, polys,
     return matched.mapInPandas(kernel, out_schema)
 
 
+def overlay_points_features_snapped(spark, feats: DataFrame, polys,
+                                    grid: float = None,
+                                    keep_cols=("fid", "a_id"),
+                                    geom_col="geometry",
+                                    zoom=None) -> DataFrame:
+    """Per-pair dimension-0 overlay component — the POINT rows of
+    KEEP_LOWER_DIMENSION_GEOMETRIES (corner touches, T-contact
+    apexes); kernels/snap.overlay_points_snapped. Pairs with an empty
+    point component emit no row."""
+    from ..kernels import snap as SN
+    from . import spatial_join as SJ
+
+    if grid is None:
+        grid = SN.default_grid(
+            [], [(_g.xs, _g.ys) for pf in polys
+                 for _g in [W.parse_wkb(pf.wkb())]]
+        )
+    kw = {} if zoom is None else {"zoom": zoom}
+    matched = SJ.spatial_join_polygons(
+        spark, feats, polys, predicate="candidates_closed",
+        dilate=float(grid), **kw
+    )
+    payload = [(pf.fid, pf.wkb()) for pf in polys]
+    key = SJ.payload_key(payload)
+    bc = spark.sparkContext.broadcast(payload)
+    gridv = float(grid)
+    cols = list(keep_cols)
+
+    out_schema = T.StructType(
+        [feats.schema[c] for c in cols]
+        + [T.StructField("eas_id", T.LongType()),
+           T.StructField("px", T.DoubleType()),
+           T.StructField("py", T.DoubleType())]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..kernels import snap as SN2
+
+        for pdf in batches:
+            rings_by_fid = _prepared_rings(bc.value, key)
+            rows = []
+            for _, row in pdf.iterrows():
+                ra = OVK.geometry_rings(W.parse_wkb(bytes(row[geom_col])))
+                rb = rings_by_fid[int(row["b_fid"])]
+                for (px, py) in SN2.overlay_points_snapped(ra, rb, gridv):
+                    rows.append(
+                        {**{c: row[c] for c in cols},
+                         "eas_id": int(row["eas_id"]),
+                         "px": float(px), "py": float(py)}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return matched.mapInPandas(kernel, out_schema)
+
+
 def predicates_snapped(spark, feats: DataFrame, polys, grid: float = None,
                        keep_cols=("fid", "a_id"), geom_col="geometry",
                        zoom=None) -> DataFrame:

@@ -436,3 +436,19 @@ def test_lower_dimension_overlay_lines():
     total = float(np.hypot(np.diff(lines[0][0]),
                            np.diff(lines[0][1])).sum())
     assert total == 4.0
+
+
+def test_lower_dimension_overlay_points():
+    """The POINT component: corner touches and T-contact apexes emit
+    points; shared edges (line component) and areal overlaps do not."""
+    assert SN.overlay_points_snapped([rect(0, 0, 1, 1)],
+                                     [rect(1, 1, 2, 2)], G) == [(1.0, 1.0)]
+    tri = (np.array([4.0, 6, 6]), np.array([2.0, 1, 3]))
+    assert SN.overlay_points_snapped([rect(0, 0, 4, 4)], [tri], G) \
+        == [(4.0, 2.0)]
+    assert SN.overlay_points_snapped([rect(0, 0, 2, 2)],
+                                     [rect(2, 0, 4, 2)], G) == []
+    assert SN.overlay_points_snapped([rect(0, 0, 2, 2)],
+                                     [rect(1, 1, 3, 3)], G) == []
+    assert SN.overlay_points_snapped([rect(0, 0, 2, 2)],
+                                     [rect(0, 0, 2, 2)], G) == []

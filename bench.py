@@ -98,6 +98,8 @@ HEADLINE = [
     "clean_collar",
     "clean_coverage",
     "geodesic_area",
+    "dedup_substring_spans",
+    "lm_quality_score",
 ]
 
 

@@ -814,6 +814,121 @@ def q_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
                                num_hashes=8, k=3)
 
 
+def q_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-proxy LM quality scoring (CCNet/Gopher-style
+    curation; operators/corpus.lm_quality_scores): add-one bigram LM
+    fit on the deterministic reference slice doc_id % 10 == 0; every
+    doc scores the dyadic-quantized sum of ln((c2+1)/(c1+V)) terms as
+    an INTEGER (x 2^20) — order-free exact in both engines, LN's
+    libm last-ulp drift ~1e-9 below the quantum."""
+    docs = read_table(spark, sf, "documents")
+    from .operators.corpus import lm_quality_scores
+
+    return lm_quality_scores(docs, ref_mod=10)
+
+
+def sql_lm_quality_score() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(ws) - 1),
+                               i -> {'w1': ws[i], 'w2': ws[i + 1]}),
+                recursive := true)
+  FROM d WHERE len(ws) >= 2
+),
+ref AS (SELECT * FROM bi WHERE doc_id % 10 = 0),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY w1),
+big AS (SELECT w1, w2, COUNT(*) AS c2 FROM ref GROUP BY w1, w2),
+v AS (
+  SELECT COUNT(DISTINCT w) AS vocab FROM (
+    SELECT w1 AS w FROM ref UNION SELECT w2 FROM ref)
+),
+t AS (
+  SELECT bi.doc_id,
+         FLOOR(LN((COALESCE(big.c2, 0) + 1.0)
+                  / (COALESCE(uni.c1, 0) + (SELECT vocab FROM v)))
+               * 1048576.0 + 0.5) AS term_q
+  FROM bi LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(term_q) AS BIGINT) AS lm_score_q
+FROM t GROUP BY doc_id
+"""
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-substring removal planning (ExactSubstr dedup, Lee et
+    al. 2022 arXiv:2107.06499 — LLM curation tier, no reference
+    analog): corpus-wide duplicated k-gram marking + per-doc
+    gaps-and-islands span merge (operators/corpus.
+    duplicate_substring_spans). Fully native (one gram groupBy, one
+    semi-join, one per-doc window) over the engine-portable
+    mod-2^31-1 rolling hashes => exact oracle end to end."""
+    docs = read_table(spark, sf, "documents")
+    from .operators.corpus import duplicate_substring_spans
+
+    return duplicate_substring_spans(docs, k=3, min_count=2)
+
+
+def sql_dedup_substring_spans() -> str:
+    from .operators.corpus import FP_GRAM_BASE, FP_MOD, FP_WORD_BASE
+
+    g3 = (f"((hs[i] * {FP_GRAM_BASE} + hs[i + 1]) % {FP_MOD}"
+          f" * {FP_GRAM_BASE} + hs[i + 2]) % {FP_MOD}")
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(ws, x -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(str_split(x, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * {FP_WORD_BASE} + c) % {FP_MOD})) AS hs
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 3 THEN
+           list_transform(generate_series(1, len(hs) - 2), i -> {g3})
+         ELSE CAST([] AS BIGINT[]) END AS gs
+  FROM h
+),
+ex AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(gs)),
+                               i -> {{'pos': i - 1, 'g': gs[i]}}),
+                recursive := true)
+  FROM g
+),
+dupg AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) >= 2),
+dup AS (SELECT ex.doc_id, ex.pos FROM ex JOIN dupg USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 3 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+),
+spans AS (
+  SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 2 AS e
+  FROM isl GROUP BY doc_id, isl
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       CAST(SUM((s * {FP_GRAM_BASE} + e) % {FP_MOD}) AS BIGINT)
+         AS span_digest
+FROM spans GROUP BY doc_id
+"""
+
+
 def sql_minhash_portable() -> str:
     from .operators.corpus import FP_GRAM_BASE, FP_MOD, FP_WORD_BASE
     from .operators.dedup import MH_A0, MH_B0, MH_DA, MH_DB
@@ -5838,6 +5953,8 @@ QUERIES = {
     "clean_collar": q_clean_collar,
     "clean_coverage": q_clean_coverage,
     "geodesic_area": q_geodesic_area,
+    "dedup_substring_spans": q_dedup_substring_spans,
+    "lm_quality_score": q_lm_quality_score,
     "dissolve_snapped": q_dissolve_snapped,
     "predicates_snapped": q_predicates_snapped,
     "spatial_predicates": q_spatial_predicates,
@@ -6050,6 +6167,8 @@ ORACLES = {
     "clean_collar": sql_clean_collar(),
     "clean_coverage": sql_clean_coverage(),
     "geodesic_area": sql_geodesic_area(),
+    "dedup_substring_spans": sql_dedup_substring_spans(),
+    "lm_quality_score": sql_lm_quality_score(),
     "dissolve_snapped": sql_dissolve_snapped(),
     "predicates_snapped": sql_predicates_snapped(),
     "grid_metric_range": sql_grid_metric_range(),

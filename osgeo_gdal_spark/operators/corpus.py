@@ -473,3 +473,108 @@ def bm25_topk(docs: DataFrame, terms, k: int = 50, k1: float = 1.2,
     win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (topk.withColumn("rank", F.row_number().over(win))
             .select("rank", "doc_id", "score"))
+
+
+def duplicate_substring_spans(docs: DataFrame, k: int = 3,
+                              min_count: int = 2,
+                              text_col="text", id_col="doc_id") -> DataFrame:
+    """Repeated-substring removal planning — the ExactSubstr dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499): any k-token gram occurring >=
+    ``min_count`` times corpus-wide marks its token span as
+    duplicated; per doc, overlapping/adjacent duplicated spans merge
+    into maximal removal intervals. The reference has no analog (LLM
+    curation tier). Returns one row per doc that HAS duplicated
+    spans: (doc_id, n_spans, dup_tokens, span_digest).
+
+    Fully NATIVE and engine-portable: the mod-2^31-1 rolling gram
+    hashes (_fp_arrays) are bit-identical in DuckDB, interval merging
+    is the gaps-and-islands window pattern, and the digest is integer
+    arithmetic — an exact oracle end to end. 100 TB shape: one
+    map-side-combinable groupBy(gram) for the corpus counts, one
+    broadcast-friendly semi-join back, one per-doc window (bounded by
+    doc length). The paper's suffix-array formulation is sequential;
+    gram-count marking finds the same >= k-token duplicated regions
+    (a span of length L >= k duplicated elsewhere duplicates all its
+    L-k+1 grams)."""
+    from pyspark.sql import Window
+
+    from .dedup import _bounded_cache_cut
+
+    g = _bounded_cache_cut(
+        "substr_grams",
+        _fp_arrays(docs, k, 4, text_col, id_col).select("doc_id", "gs"))
+    ex = g.select("doc_id", F.posexplode("gs").alias("pos", "g"))
+    dup_grams = (
+        ex.groupBy("g").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count)).select("g")
+    )
+    dup = ex.join(dup_grams, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_isl",
+            (F.col("prev").isNull()
+             | (F.col("pos") - F.col("prev") > k)).cast("int"))
+        .withColumn("isl", F.sum("new_isl").over(w))
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("start"),
+        (F.max("pos") + F.lit(k - 1)).alias("end"))
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum(F.col("end") - F.col("start") + 1).cast("long")
+        .alias("dup_tokens"),
+        F.expr(f"CAST(sum((start * {FP_GRAM_BASE} + end) % {FP_MOD}) "
+               f"AS BIGINT)").alias("span_digest"))
+
+
+def lm_quality_scores(docs: DataFrame, ref_mod: int = 10,
+                      text_col="text", id_col="doc_id") -> DataFrame:
+    """N-gram language-model quality scoring — the perplexity-proxy
+    filter of CCNet/Gopher-style curation (score each document by a
+    reference-corpus LM; low log-likelihood = gibberish / boilerplate;
+    no reference analog, LLM curation tier). A bigram add-one model
+    is fit on the deterministic reference slice ``doc_id % ref_mod ==
+    0`` and every document scores
+
+        sum over bigrams of  ln( (c(w1, w2) + 1) / (c(w1) + V) )
+
+    with each LOG TERM quantized to the dyadic 2^-20 grid and emitted
+    as an INTEGER sum (x 2^20) — partial sums are exactly
+    representable, so the result is order-free and bit-identical in
+    DuckDB (the grid_avg_distance_pts armor; LN's last-ulp libm
+    differences sit ~1e-9 below the quantum).
+
+    100 TB shape: the LM is vocabulary-bounded (two broadcast-size
+    count tables from one map-side-combinable groupBy each); scoring
+    is two broadcast joins + one groupBy(doc) — documents never
+    shuffle."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("ws"),
+    )
+    bi = w.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws) - 2), "
+            "i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2").filter(F.col("w2").isNotNull())
+    ref = bi.filter((F.col("doc_id") % ref_mod) == 0)
+    uni = ref.groupBy("w1").agg(F.count("*").alias("c1"))
+    big = ref.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = ref.select("w1").union(ref.select("w2")).distinct().count()
+    scored = (
+        bi.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), ["w1"], "left")
+        .withColumn(
+            "term_q",
+            F.floor(F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + float(vocab))
+            ) * 1048576.0 + 0.5).cast("long"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("term_q").alias("lm_score_q"))

@@ -93,6 +93,40 @@ def run_available_now(sdf: DataFrame, checkpoint: str, out_path: str) -> None:
     q.awaitTermination()
 
 
+def _first_seen_fn(out_key: str, timeout_minutes: int):
+    """Shared group function for the first-seen stateful operators
+    (dedup by text hash, crawl-frontier by canonical URL): emit the
+    first row per key across triggers, drop later ones; on a TIMEOUT
+    invocation evict the key (bounded state for unbounded key spaces —
+    an evicted key passes again if re-seen, the documented trade).
+    Module-level factory so the timeout path is unit-testable without
+    wall-clock streaming (tests/test_streaming_plans.py)."""
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        if state.exists:
+            for _ in pdfs:
+                pass
+            if timeout_minutes > 0:
+                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and (first is None or pdf["doc_id"].min() < first):
+                first = int(pdf["doc_id"].min())
+        state.update((True,))
+        if timeout_minutes > 0:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if first is None:
+            return iter(())
+        return iter([pd.DataFrame({out_key: [key[0]], "doc_id": [first]})])
+
+    return fn
+
+
 def streaming_dedup_first_seen(docs_stream: DataFrame,
                                timeout_minutes: int = 0) -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState): exact
@@ -115,32 +149,7 @@ def streaming_dedup_first_seen(docs_stream: DataFrame,
     ])
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
 
-    def dedup_fn(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        if state.hasTimedOut:
-            # timeout invocation: evict so state stays bounded (a
-            # re-seen hash after eviction passes again — the
-            # documented trade of the timeout knob)
-            state.remove()
-            return iter(())
-        if state.exists:
-            # hash already emitted in an earlier trigger: drop everything
-            for _ in pdfs:
-                pass
-            if timeout_minutes > 0:
-                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-            return iter(())
-        first = None
-        for pdf in pdfs:
-            if len(pdf) and (first is None or pdf["doc_id"].min() < first):
-                first = int(pdf["doc_id"].min())
-        state.update((True,))
-        if timeout_minutes > 0:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        if first is None:
-            return iter(())
-        return iter([pd.DataFrame({"text_hash": [key[0]], "doc_id": [first]})])
+    dedup_fn = _first_seen_fn("text_hash", timeout_minutes)
 
     keyed = docs_stream.select(
         F.md5(F.col("text")).alias("text_hash"), F.col("doc_id")
@@ -217,32 +226,7 @@ def streaming_url_frontier(docs_stream: DataFrame,
     ])
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
 
-    def screen_fn(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        if state.hasTimedOut:
-            # timeout invocation: evict the key so state stays bounded
-            # for unbounded URL spaces (re-crawled URLs after eviction
-            # pass again — the documented trade of a bounded frontier)
-            state.remove()
-            return iter(())
-        if state.exists:
-            for _ in pdfs:
-                pass
-            if timeout_minutes > 0:
-                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-            return iter(())
-        first = None
-        for pdf in pdfs:
-            if len(pdf) and (first is None or pdf["doc_id"].min() < first):
-                first = int(pdf["doc_id"].min())
-        state.update((True,))
-        if timeout_minutes > 0:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        if first is None:
-            return iter(())
-        return iter([pd.DataFrame({"canon_url": [key[0]],
-                                   "doc_id": [first]})])
+    screen_fn = _first_seen_fn("canon_url", timeout_minutes)
 
     keyed = docs_stream.select(
         TX.canonical_url_spark(url_col).alias("canon_url"), F.col("doc_id")

@@ -449,3 +449,63 @@ def test_route_reconstruction_is_path_bounded(spark, monkeypatch):
     # every collect is <= 1 row; the 303-node distance table must
     # never be collected
     assert max(sizes) <= 1, sizes
+
+
+def test_duplicate_substring_spans_planted(spark):
+    """ExactSubstr span planning on planted fixtures: a phrase
+    repeated across two docs marks exactly its token range in both;
+    merging joins overlapping grams; unique docs emit no row."""
+    from osgeo_gdal_spark.operators.corpus import duplicate_substring_spans
+
+    boiler = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"one two three four {boiler}"),
+            (3, "unique words only here nothing repeats"),
+            # doc 4 repeats a 4-token phrase INTERNALLY -> self-dup
+            (4, "x y z w q x y z w"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in
+           duplicate_substring_spans(docs, k=3, min_count=2).collect()}
+    assert 3 not in out
+    # doc 1: boiler occupies tokens 2..6 -> grams 2,3,4 -> span [2,6]
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 5
+    # doc 2: boiler occupies tokens 4..8 -> span [4,8]
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 5
+    # doc 4: 'x y z w' at 0..3 and 5..8; grams (x,y,z),(y,z,w) at
+    # 0,1 and 5,6 -> spans [0,3] and [5,8] (gap 5-1 > 3 keeps them
+    # separate) -> 8 duplicated tokens
+    assert out[4]["n_spans"] == 2 and out[4]["dup_tokens"] == 8
+
+
+def test_lm_quality_scores_hand_computed(spark):
+    """Bigram LM scoring on a hand fixture: doc 0 is the reference
+    slice (ref_mod leaves only it), so its own bigrams score high and
+    an out-of-vocabulary doc scores the floor term ln(1/V)."""
+    import math
+
+    from osgeo_gdal_spark.operators.corpus import lm_quality_scores
+
+    docs = spark.createDataFrame(
+        [
+            # ref: bigrams (a,b)x2, (b,a)x1 -> c1(a)=2, c1(b)=1, V=2
+            (0, "a b a b"),
+            (1, "a b"),            # in-vocab: ln((2+1)/(2+2))
+            (3, "z q"),            # OOV: ln((0+1)/(0+2))
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in
+           lm_quality_scores(docs, ref_mod=10).collect()}
+
+    def q(x):
+        return math.floor(math.log(x) * 1048576.0 + 0.5)
+
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["lm_score_q"] == q(3.0 / 4.0)
+    assert out[3]["lm_score_q"] == q(1.0 / 2.0)
+    # ref doc scores itself: (a,b) twice + (b,a) once at ln((1+1)/(1+2))
+    assert out[0]["lm_score_q"] == 2 * q(3.0 / 4.0) + q(2.0 / 3.0)

@@ -296,3 +296,49 @@ def test_streaming_url_frontier_cross_trigger(spark, tmpdir):
     got = {r["canon_url"]: r["doc_id"] for r in rows}
     assert got == {"https://example1.com/a?a=1&b=2": 1,
                    "http://other.com/x": 2}
+
+
+def test_stateful_timeout_evicts_state():
+    """The timeout invocation of the shared first-seen group function
+    must EVICT the key (state.remove) and emit nothing — the
+    bounded-state contract for unbounded key spaces (ADVICE r4: the
+    timeout used to re-arm forever, so state never shrank). Driven
+    directly through the module-level factory with a fake GroupState
+    (the applyInPandasWithState timeout path needs wall-clock passage
+    a test cannot afford)."""
+    import pandas as pd
+
+    from osgeo_gdal_spark.streaming.stream import _first_seen_fn
+
+    class FakeState:
+        def __init__(self, has_timed_out, exists):
+            self.hasTimedOut = has_timed_out
+            self.exists = exists
+            self.removed = False
+            self.timeouts = []
+            self.updated = None
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeouts.append(ms)
+
+        def update(self, v):
+            self.updated = v
+
+    fn = _first_seen_fn("canon_url", timeout_minutes=5)
+    # timeout invocation: evict, emit nothing, do NOT re-arm
+    st = FakeState(has_timed_out=True, exists=True)
+    assert list(fn(("u",), iter(()), st)) == []
+    assert st.removed and st.timeouts == [] and st.updated is None
+    # first sight: emit + arm the timeout
+    st = FakeState(has_timed_out=False, exists=False)
+    out = list(fn(("u",), iter([pd.DataFrame({"doc_id": [7, 3]})]), st))
+    assert len(out) == 1 and out[0]["doc_id"].iloc[0] == 3
+    assert st.updated == (True,) and st.timeouts == [300000]
+    assert not st.removed
+    # later sight: drop + RE-arm (sliding inactivity window)
+    st = FakeState(has_timed_out=False, exists=True)
+    assert list(fn(("u",), iter([pd.DataFrame({"doc_id": [9]})]), st)) == []
+    assert st.timeouts == [300000] and not st.removed

@@ -100,6 +100,9 @@ HEADLINE = [
     "geodesic_area",
     "dedup_substring_spans",
     "lm_quality_score",
+    "check_coverage",
+    "raster_compare",
+    "pii_scrub",
 ]
 
 

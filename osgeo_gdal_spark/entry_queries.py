@@ -1536,6 +1536,85 @@ GEODESIC_QUAD_AREAS = [20168885950248.52, 12957718047786.893,
                        7892061583.713623]
 
 
+def q_check_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """``gdal vector check-coverage`` (GEOS CoverageValidator
+    invalid_edge output; kernels/coverage.check_coverage): per-polygon
+    INVALID boundary length — edges adjacent to overlap faces or to
+    enclosed gaps within the max-gap threshold. Same fixture classes
+    as clean_coverage; closed forms: overlap pairs flag (h-2) of A
+    and h of B; the notch gap flags 2*sqrt(0.5) of A (sqrt is
+    IEEE-exact cross-engine) and 1 of B; the thresholded class flags
+    nothing. Lengths x1024 as integers (dyadic + one sqrt constant,
+    boundary-safe)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .kernels import coverage as CV
+
+    @F.pandas_udf("a_inv_q long, b_inv_q long")
+    def inv_lens(keys):
+        def rect(x0, y0, x1, y1):
+            return (np.array([x0, x1, x1, x0], float),
+                    np.array([y0, y0, y1, y1], float))
+
+        cache: dict = {}
+        out = []
+        g = 2.0 ** -12
+        for k in keys:
+            k = int(k)
+            cls = k % 4
+            h = float(4 + k % 3)
+            ck = (cls, h)
+            got = cache.get(ck)
+            if got is None:
+                if cls in (0, 1):
+                    polys = [(1, [rect(0, 0, 5, h)]),
+                             (2, [rect(4, 1, 9, h - 1)])]
+                    res = CV.check_coverage(polys, grid=g)
+                else:
+                    apts = [(0, 0), (4, 0), (4, h / 2 - 0.5),
+                            (3.5, h / 2), (4, h / 2 + 0.5), (4, h),
+                            (0, h)]
+                    A = (np.array([p[0] for p in apts]),
+                         np.array([p[1] for p in apts], dtype=float))
+                    polys = [(1, [A]), (2, [rect(4, 0, 9, h)])]
+                    res = CV.check_coverage(
+                        polys, grid=g,
+                        max_gap_area=None if cls == 2 else 0.1)
+                got = (int(math.floor(res[1][1] * 1024.0 + 0.5)),
+                       int(math.floor(res[2][1] * 1024.0 + 0.5)))
+                cache[ck] = got
+            out.append(got)
+        return pd.DataFrame(out, columns=["a_inv_q", "b_inv_q"])
+
+    sup = read_table(spark, sf, "supplier").select("s_suppkey")
+    return sup.select(
+        "s_suppkey", inv_lens(F.col("s_suppkey")).alias("c")
+    ).select("s_suppkey", "c.a_inv_q", "c.b_inv_q")
+
+
+def sql_check_coverage() -> str:
+    return """
+WITH p AS (
+  SELECT s_suppkey, s_suppkey % 4 AS cls,
+         CAST(4 + s_suppkey % 3 AS DOUBLE) AS h
+  FROM supplier
+)
+SELECT s_suppkey,
+       CAST(CASE cls WHEN 0 THEN (h - 2) * 1024
+                     WHEN 1 THEN (h - 2) * 1024
+                     WHEN 2 THEN FLOOR(2 * SQRT(0.5) * 1024 + 0.5)
+                     ELSE 0 END AS BIGINT) AS a_inv_q,
+       CAST(CASE cls WHEN 0 THEN h * 1024
+                     WHEN 1 THEN h * 1024
+                     WHEN 2 THEN 1024
+                     ELSE 0 END AS BIGINT) AS b_inv_q
+FROM p
+"""
+
+
 def q_geodesic_area(spark: SparkSession, sf: str) -> DataFrame:
     """Ellipsoidal WGS84 geodesic polygon area (kernels/geodesic —
     the Karney model, OGR ST_GeodesicArea via PROJ). Fixture
@@ -1618,6 +1697,110 @@ SELECT s_suppkey,
          ELSE [{quad}][i + 1]
        END / 100.0 + 0.5) AS BIGINT) AS area_q
 FROM p
+"""
+
+
+def q_raster_compare(spark: SparkSession, sf: str) -> DataFrame:
+    """``gdal raster compare`` (apps/gdalalg_raster_compare.cpp):
+    per-band difference report between the two synthetic RGBA
+    datasets (operators/raster_ops.compare_tiles). Pure integer
+    arithmetic — the oracle recomputes counts/max/sum of
+    |base - overlay| from the channel generators in SQL."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    return RO.compare_tiles(
+        RS.synth_rgba_tiles(spark, 0, "base"),
+        RS.synth_rgba_tiles(spark, 0, "over"),
+    ).select("band", "n_diff", "max_abs_diff", "sum_abs_diff")
+
+
+def sql_raster_compare() -> str:
+    from .sources.raster import RGBA_CHANNELS
+
+    rows = []
+    for band in (1, 2, 3, 4):
+        bmx, bmy, boff = RGBA_CHANNELS[("base", band)]
+        omx, omy, ooff = RGBA_CHANNELS[("over", band)]
+        bexpr = (f"{boff} + (gpx * {bmx} + gpy * {bmy}) % {boff}" if boff
+                 else f"(gpx * {bmx} + gpy * {bmy}) % 256")
+        oexpr = (f"{ooff} + (gpx * {omx} + gpy * {omy}) % {ooff}" if ooff
+                 else f"(gpx * {omx} + gpy * {omy}) % 256")
+        rows.append(f"SELECT {band} AS band, ABS(({bexpr}) - ({oexpr})) "
+                    f"AS d FROM px")
+    un = " UNION ALL ".join(rows)
+    return f"""
+WITH px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, 256)) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 256)) AS i) ys
+),
+d AS ({un})
+SELECT band, CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_diff,
+       CAST(MAX(d) AS BIGINT) AS max_abs_diff,
+       CAST(SUM(d) AS BIGINT) AS sum_abs_diff
+FROM d GROUP BY band
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing report (functions/text.pii_stats — the
+    pre-publication curation step; LLM tier, no reference analog):
+    emails / URLs / long digit runs counted and masked NATIVELY
+    (regexp_count / regexp_replace in whole-stage codegen). The
+    fixture injects deterministic PII via string concat — identical
+    SQL in both engines; the patterns are the Java-AND-RE2-compatible
+    subset used verbatim by the oracle."""
+    from .functions.text import pii_stats
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "t2",
+        F.expr(
+            "concat(text,"
+            " CASE WHEN doc_id % 3 = 0 THEN"
+            "   concat(' contact bob', CAST(doc_id AS STRING),"
+            "          '@example.com now') ELSE '' END,"
+            " CASE WHEN doc_id % 5 = 0 THEN"
+            "   concat(' visit https://site', CAST(doc_id AS STRING),"
+            "          '.org/page today') ELSE '' END,"
+            " CASE WHEN doc_id % 7 = 0 THEN"
+            "   concat(' call 555', CAST(1000000 + doc_id AS STRING))"
+            " ELSE '' END)"))
+    return injected.select(
+        "doc_id", pii_stats(F.col("t2")).alias("p")
+    ).select("doc_id", "p.n_email", "p.n_url", "p.n_digits",
+             "p.masked_len")
+
+
+def sql_pii_scrub() -> str:
+    from .functions.text import PII_EMAIL, PII_LONG_DIGITS, PII_URL
+
+    em, ur, dg = PII_EMAIL, PII_URL, PII_LONG_DIGITS
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 3 = 0 THEN
+             concat(' contact bob', CAST(doc_id AS VARCHAR),
+                    '@example.com now') ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN
+             concat(' visit https://site', CAST(doc_id AS VARCHAR),
+                    '.org/page today') ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN
+             concat(' call 555', CAST(1000000 + doc_id AS VARCHAR))
+           ELSE '' END) AS t2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2, '{em}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t2, '{ur}')) AS INT) AS n_url,
+       CAST(len(regexp_extract_all(t2, '{dg}')) AS INT) AS n_digits,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(
+           t2, '{em}', '<EMAIL>', 'g'), '{ur}', '<URL>', 'g'),
+           '{dg}', '<NUM>', 'g')) AS INT) AS masked_len
+FROM inj
 """
 
 
@@ -5952,6 +6135,9 @@ QUERIES = {
     "raster_nodata_alpha": q_raster_nodata_alpha,
     "clean_collar": q_clean_collar,
     "clean_coverage": q_clean_coverage,
+    "check_coverage": q_check_coverage,
+    "raster_compare": q_raster_compare,
+    "pii_scrub": q_pii_scrub,
     "geodesic_area": q_geodesic_area,
     "dedup_substring_spans": q_dedup_substring_spans,
     "lm_quality_score": q_lm_quality_score,
@@ -6166,6 +6352,9 @@ ORACLES = {
     "raster_nodata_alpha": sql_raster_nodata_alpha(),
     "clean_collar": sql_clean_collar(),
     "clean_coverage": sql_clean_coverage(),
+    "check_coverage": sql_check_coverage(),
+    "raster_compare": sql_raster_compare(),
+    "pii_scrub": sql_pii_scrub(),
     "geodesic_area": sql_geodesic_area(),
     "dedup_substring_spans": sql_dedup_substring_spans(),
     "lm_quality_score": sql_lm_quality_score(),

@@ -129,3 +129,34 @@ def canonical_url_duckdb_sql(url: str) -> str:
         f"({scheme} || '://' || {host} || {path} || "
         f"CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END)"
     )
+
+
+# conservative PII patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): character classes + bounded quantifiers only
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[A-Za-z0-9./_-]+"
+PII_LONG_DIGITS = r"[0-9]{7,}"
+
+
+def pii_stats(col):
+    """PII scrubbing report for a text Column — the curation step that
+    runs before corpus publication (no reference analog; LLM tier):
+    counts of emails / URLs / long digit runs (phone-ish), plus the
+    text length after masking all three with fixed tags. NATIVE
+    column expressions (regexp_count / regexp_replace, whole-stage
+    codegen); the patterns are the Java-regex AND RE2-compatible
+    subset so the DuckDB oracle uses them verbatim. Returns a struct
+    column (n_email, n_url, n_digits, masked_len)."""
+    from pyspark.sql import functions as F
+
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL, "<EMAIL>"),
+            PII_URL, "<URL>"),
+        PII_LONG_DIGITS, "<NUM>")
+    return F.struct(
+        F.regexp_count(col, F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count(col, F.lit(PII_URL)).alias("n_url"),
+        F.regexp_count(col, F.lit(PII_LONG_DIGITS)).alias("n_digits"),
+        F.length(masked).alias("masked_len"),
+    )

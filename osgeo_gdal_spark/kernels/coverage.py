@@ -106,7 +106,7 @@ def _arrangement(polys, grid):
     for faces with area > 0 after merging."""
     pids = [p for p, _ in polys]
     groups = [SN.snap_rings(r, grid) for _, r in polys]
-    lat_groups, segs_u, _segg = SN._rounded_core(groups, grid)
+    lat_groups, segs_u, seg_groups = SN._rounded_core(groups, grid)
     faces, seg_face = _face_walk(segs_u)
     areas = _face_areas(faces)
 
@@ -153,7 +153,8 @@ def _arrangement(polys, grid):
         {pids[g] for g in range(len(pids)) if members[g][fid]}
         for fid in range(len(faces))
     ]
-    return pids, lat_groups, segs_u, faces, seg_face, areas, owners
+    return (pids, lat_groups, segs_u, seg_groups, faces, seg_face,
+            areas, owners)
 
 
 def _border_scores(fid, faces, seg_face, segs_u, owner_of, candidates):
@@ -183,7 +184,7 @@ def clean_coverage(polys, grid: float = None,
         raise ValueError(f"unknown merge strategy {merge_strategy!r}")
     if grid is None:
         grid = SN.default_grid([r for _, rs in polys for r in rs], [])
-    pids, lat_groups, segs_u, faces, seg_face, areas, owners = \
+    pids, lat_groups, segs_u, _sg, faces, seg_face, areas, owners = \
         _arrangement(polys, grid)
     poly_area = {
         p: SN.rings_area(g) for p, g in zip(pids, lat_groups)
@@ -257,7 +258,7 @@ def simplify_coverage(polys, tolerance: float, grid: float = None,
     (clean first if needed)."""
     if grid is None:
         grid = SN.default_grid([r for _, rs in polys for r in rs], [])
-    pids, lat_groups, segs_u, faces, seg_face, areas, owners = \
+    pids, lat_groups, segs_u, _sg, faces, seg_face, areas, owners = \
         _arrangement(polys, grid)
     owner_of = {
         fid: next(iter(own))
@@ -343,3 +344,41 @@ def simplify_coverage(polys, tolerance: float, grid: float = None,
         cycles = SN._assemble_faces(kept)
         out[pid] = [(xs * grid, ys * grid) for xs, ys in cycles]
     return out
+
+
+def check_coverage(polys, grid: float = None, max_gap_area: float = None):
+    """``gdal vector check-coverage``
+    (apps/gdalalg_vector_check_coverage.cpp; GEOS CoverageValidator
+    "invalid_edge" output): report each polygon's INVALID boundary —
+    sub-segments adjacent to an overlap face (owned by 2+ polygons) or
+    to an enclosed gap face within the ``max_gap_area`` threshold
+    (None = every bounded gap is a defect; wider gaps count as
+    legitimate holes, the maximum-gap-width semantics). Returns
+    {pid: (n_invalid_segs, invalid_len)} in WORLD units; lengths use
+    sqrt(dx^2+dy^2) (IEEE-exact cross-engine, unlike hypot)."""
+    if grid is None:
+        grid = SN.default_grid([r for _, rs in polys for r in rs], [])
+    pids, lat_groups, segs_u, seg_groups, faces, seg_face, areas, owners =         _arrangement(polys, grid)
+    gap_limit = None if max_gap_area is None else         float(max_gap_area) / (grid * grid)
+    bad = set()
+    for fid, own in enumerate(owners):
+        if areas[fid] <= 0:
+            continue
+        if len(own) >= 2:
+            bad.add(fid)
+        elif not own and (gap_limit is None or areas[fid] <= gap_limit):
+            bad.add(fid)
+    gidx = {p: i for i, p in enumerate(pids)}
+    out = {p: [0, 0.0] for p in pids}
+    for i, (ax, ay, bx, by) in enumerate(segs_u):
+        fl = seg_face[((ax, ay), (bx, by))]
+        fr = seg_face[((bx, by), (ax, ay))]
+        if fl not in bad and fr not in bad:
+            continue
+        dx, dy = bx - ax, by - ay
+        ln = float(np.sqrt(dx * dx + dy * dy)) * grid
+        for g in seg_groups[i]:
+            p = pids[g]
+            out[p][0] += 1
+            out[p][1] += ln
+    return {p: (n, l) for p, (n, l) in out.items()}

@@ -2062,3 +2062,34 @@ def rgb_to_palette_tiles(tiles: DataFrame, max_colors=256):
     indexed = tiles.filter(F.col("band").isin(1, 2, 3)) \
         .groupBy("zoom", "gx", "gy").applyInPandas(assign, TILE_SCHEMA)
     return palette, indexed
+
+
+def compare_tiles(a: DataFrame, b: DataFrame) -> DataFrame:
+    """``gdal raster compare`` (apps/gdalalg_raster_compare.cpp):
+    per-band pixel difference report between two aligned tile tables —
+    differing-pixel count, max and sum of absolute differences. One
+    groupBy on (tile, band); per-tile numpy integer math."""
+    u = a.withColumn("_src", F.lit(0)).unionByName(
+        b.withColumn("_src", F.lit(1)))
+
+    def kernel(key, pdf):
+        import pandas as pd
+
+        by_src = {int(r["_src"]): parse_tile(r).astype(np.int64)
+                  for _, r in pdf.iterrows()}
+        if len(by_src) < 2:
+            return pd.DataFrame()
+        d = np.abs(by_src[0] - by_src[1])
+        proto = pdf.iloc[0]
+        return pd.DataFrame([{
+            "zoom": int(proto["zoom"]), "gx": int(proto["gx"]),
+            "gy": int(proto["gy"]), "band": int(proto["band"]),
+            "n_diff": int((d > 0).sum()),
+            "max_abs_diff": int(d.max()),
+            "sum_abs_diff": int(d.sum()),
+        }])
+
+    return u.groupBy("zoom", "gx", "gy", "band").applyInPandas(
+        kernel,
+        "zoom INT, gx LONG, gy LONG, band INT, n_diff LONG, "
+        "max_abs_diff LONG, sum_abs_diff LONG")

@@ -103,6 +103,7 @@ HEADLINE = [
     "check_coverage",
     "raster_compare",
     "pii_scrub",
+    "check_geometry",
 ]
 
 

@@ -1536,6 +1536,71 @@ GEODESIC_QUAD_AREAS = [20168885950248.52, 12957718047786.893,
                        7892061583.713623]
 
 
+def q_check_geometry(spark: SparkSession, sf: str) -> DataFrame:
+    """``gdal vector check-geometry`` / ST_IsValidReason
+    (apps/gdalalg_vector_check_geometry.cpp; the detection half of the
+    MakeValid dispatch, kernels/makevalid.validity_reason). Classes
+    (key % 5): bowtie -> self-intersection; collinear bottom-edge
+    retrace -> self-contact; symmetric interior SPIKE (exact
+    duplicate-edge retrace — the round-5 detector gap) ->
+    self-contact; plain rect and donut-with-hole -> valid."""
+    import pandas as pd
+
+    @F.pandas_udf("is_valid boolean, reason string")
+    def validity(keys):
+        from .kernels import makevalid as MV
+        from .kernels import wkb as W
+
+        cache: dict = {}
+        out = []
+        for k in keys:
+            k = int(k)
+            cls = k % 5
+            h = 2.0 + (k % 3)
+            ck = (cls, h)
+            got = cache.get(ck)
+            if got is None:
+                if cls == 0:
+                    rings = [[(0, 0), (3, h), (3, 0), (0, h)]]
+                elif cls == 1:
+                    rings = [[(0, 0), (6, 0), (4, 0), (4, h), (0, h)]]
+                elif cls == 2:
+                    rings = [[(0, 0), (4, 0), (4, 4), (0, 4), (0, h),
+                              (2, h), (0, h)]]
+                elif cls == 3:
+                    rings = [[(0, 0), (4, 0), (4, h), (0, h)]]
+                else:
+                    rings = [[(0, 0), (6, 0), (6, 6), (0, 6)],
+                             [(2, 2), (4, 2), (4, 4), (2, 4)]]
+                pg = W.parse_wkb(W.polygon_wkb(
+                    [[(float(x), float(y)) for x, y in r]
+                     for r in rings]))
+                reason = MV.validity_reason(pg)
+                got = (reason == "valid", reason)
+                cache[ck] = got
+            out.append(got)
+        return pd.DataFrame(out, columns=["is_valid", "reason"])
+
+    sup = read_table(spark, sf, "supplier").select("s_suppkey")
+    return sup.select(
+        "s_suppkey", validity(F.col("s_suppkey")).alias("v")
+    ).select("s_suppkey", "v.is_valid", "v.reason")
+
+
+def sql_check_geometry() -> str:
+    return """
+SELECT s_suppkey,
+       (s_suppkey % 5) IN (3, 4) AS is_valid,
+       CASE s_suppkey % 5
+         WHEN 0 THEN 'self-intersection'
+         WHEN 1 THEN 'self-contact'
+         WHEN 2 THEN 'self-contact'
+         ELSE 'valid'
+       END AS reason
+FROM supplier
+"""
+
+
 def q_check_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """``gdal vector check-coverage`` (GEOS CoverageValidator
     invalid_edge output; kernels/coverage.check_coverage): per-polygon
@@ -6091,17 +6156,19 @@ FROM cells c LEFT JOIN g USING (gpx, gpy)
 
 
 # The driver's correctness gate records the FIRST 50 entries of queries()
-# (CORRECTNESS_r01/r02/r03 each contain exactly the first 50 keys).  Order
-# is therefore a signal budget.  Round-4 window: (a) the 13 round-3
-# queries that landed past the window and have never had a driver row,
-# plus spatial_semi_anti (single prior green); (b) domain_stats (red in
-# r03, armored this round); (c) every operator whose code changes in
-# round 4 (overlay/predicates snapping, make_valid faces, grid_linear
-# distributed TIN, shortest_paths bounded gather, viewshed tile check,
-# frame_plan guard) and the new round-4 queries as they land; (d) the
-# remaining slots hold the most complex single-green round-3 flagships.
-# Everything displaced has >=1 lifetime green driver row and stays
-# registered + swept (tests/test_oracle_parity.py, scripts/sweep.py).
+# (CORRECTNESS_r01..r04 each contain exactly the first 50 keys).  Order
+# is therefore a signal budget.  Round-5 window: (a) the 4 rows-only
+# no-oracle queries are rotated to the registry END (lifetime-recorded
+# in r04) so ALL 50 recorded rows are oracle-checkable; (b) the 12 new
+# round-5 queries (lower-dimensional overlay lines/points, raster
+# blend/nodata-alpha/collar/compare, coverage clean/check, geodesic
+# area, ExactSubstr spans, LM scoring, PII scrub) sit in-window;
+# (c) every operator whose code changed in round 5 stays in-window
+# (snap-rounding tier: st_buffer/overlay_snapped/dissolve_snapped/
+# predicates_snapped/make_valid; grid_avg_distance_pts; shortest_paths;
+# the portable sketches; rpc_inverse).  Everything displaced has >= 1
+# lifetime green driver row and stays registered + swept
+# (tests/test_oracle_parity.py, scripts/sweep.py).
 QUERIES = {
     # -- (a) never-gated round-3 queries + single-green semi/anti ---------
     "viewshed_cumulative": q_viewshed_cumulative,
@@ -6136,6 +6203,7 @@ QUERIES = {
     "clean_collar": q_clean_collar,
     "clean_coverage": q_clean_coverage,
     "check_coverage": q_check_coverage,
+    "check_geometry": q_check_geometry,
     "raster_compare": q_raster_compare,
     "pii_scrub": q_pii_scrub,
     "geodesic_area": q_geodesic_area,
@@ -6353,6 +6421,7 @@ ORACLES = {
     "clean_collar": sql_clean_collar(),
     "clean_coverage": sql_clean_coverage(),
     "check_coverage": sql_check_coverage(),
+    "check_geometry": sql_check_geometry(),
     "raster_compare": sql_raster_compare(),
     "pii_scrub": sql_pii_scrub(),
     "geodesic_area": sql_geodesic_area(),

@@ -758,6 +758,46 @@ def st_makevalid(geoms):
     return pd.Series(out)
 
 
+@F.pandas_udf(T.StringType())
+def st_isvalid_reason(geoms):
+    """ST_IsValidReason (check-geometry verb): 'valid' /
+    'self-intersection' / 'self-contact' from the MakeValid tier
+    dispatch (kernels/makevalid.validity_reason)."""
+    import pandas as pd
+
+    from ..kernels import makevalid as MV
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type not in ("Polygon", "MultiPolygon"):
+            out.append("valid")
+            continue
+        out.append(MV.validity_reason(pg))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_isvalid(geoms):
+    """ST_IsValid — boolean twin of st_isvalid_reason."""
+    import pandas as pd
+
+    from ..kernels import makevalid as MV
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        out.append(pg.geom_type not in ("Polygon", "MultiPolygon")
+                   or MV.validity_reason(pg) == "valid")
+    return pd.Series(out)
+
+
 def register_all(spark: SparkSession) -> None:
     """Expose the library to Spark SQL (the analog of GDAL registering
     OGR2SQLITE functions into the SQLite VM)."""
@@ -788,6 +828,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_GeodesicLength", st_geodesic_length)
     spark.udf.register("ST_SphericalLength", st_spherical_length)
     spark.udf.register("ST_SphericalArea", st_spherical_area)
+    spark.udf.register("ST_IsValid", st_isvalid)
+    spark.udf.register("ST_IsValidReason", st_isvalid_reason)
     spark.udf.register("ST_GeomFromText", st_geomfromtext)
     spark.udf.register("ST_GeomFromWKB", st_asbinary)
     spark.udf.register("ST_AsBinary", st_asbinary)

@@ -464,7 +464,19 @@ def _lattice_self_contacts(rings, grid) -> bool:
     if not snapped:
         return False
     ea = SN._lattice_edges(snapped, grid)
-    return bool(SN._node_edges(ea, ea))
+    if SN._node_edges(ea, ea):
+        return True
+    # EXACT retraces (a ring traversing the same segment twice with
+    # equal endpoints) produce duplicate undirected lattice edges but
+    # no endpoint-interior contact — round 5: the symmetric-spike gap
+    seen = set()
+    for x0, y0, x1, y1 in zip(*(a.tolist() for a in ea)):
+        key = ((x0, y0), (x1, y1)) if (x0, y0) <= (x1, y1) \
+            else ((x1, y1), (x0, y0))
+        if key in seen:
+            return True
+        seen.add(key)
+    return False
 
 
 def make_valid_lattice(rings, grid=None):
@@ -508,3 +520,27 @@ def make_valid_lattice(rings, grid=None):
                  for xs, ys in snapped]
     kept = _walk_and_filter(subs, lat_rings)
     return [[(x * grid, y * grid) for (x, y) in face] for face in kept]
+
+
+def validity_reason(pg) -> str:
+    """``gdal vector check-geometry`` / ST_IsValid classification (the
+    detection half of the make_valid dispatch, reference
+    ogrgeometry.cpp:4183 and apps/gdalalg_vector_check_geometry.cpp):
+    returns 'valid', 'self-intersection' (proper ring crossings —
+    bowtie/pentagram tier) or 'self-contact' (vertex-on-edge /
+    collinear-overlap lattice contacts)."""
+    from . import snap as SN
+
+    rings = _open_rings(pg)
+    if not rings:
+        return "valid"
+    grid = SN.default_grid(rings, [])
+    if _lattice_self_contacts(rings, grid):
+        return "self-contact"
+    if _rings_cross(rings):
+        return "self-intersection"
+    for xs, ys in rings:
+        if _has_proper_crossing(list(zip(
+                [float(v) for v in xs], [float(v) for v in ys]))):
+            return "self-intersection"
+    return "valid"

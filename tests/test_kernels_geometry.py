@@ -410,3 +410,44 @@ def test_make_valid_collinear_overlap_self_contacts():
     # through the intact tier, returning None upstream)
     sq = [(np.array([0.0, 4.0, 4.0, 0.0]), np.array([0.0, 0.0, 4.0, 4.0]))]
     assert not MV._lattice_self_contacts(sq, 2.0 ** -10)
+
+
+def test_st_isvalid_and_reason(spark):
+    """ST_IsValid / ST_IsValidReason over the validity classes,
+    including the round-5 symmetric-spike detector gap (an EXACT
+    duplicate-edge retrace has no endpoint-interior contact, so the
+    lattice T-contact test alone missed it); make_valid must also
+    REPAIR the spike (drop it, keep the rect)."""
+    from pyspark.sql import functions as F
+
+    from osgeo_gdal_spark.functions import st as ST
+    from osgeo_gdal_spark.kernels import makevalid as MV, wkb as W
+
+    cases = {
+        1: ([[(0, 0), (3, 2), (3, 0), (0, 2)]], "self-intersection"),
+        2: ([[(0, 0), (6, 0), (4, 0), (4, 3), (0, 3)]], "self-contact"),
+        3: ([[(0, 0), (4, 0), (4, 4), (0, 4), (0, 2), (2, 2), (0, 2)]],
+            "self-contact"),
+        4: ([[(0, 0), (4, 0), (4, 3), (0, 3)]], "valid"),
+        5: ([[(0, 0), (6, 0), (6, 6), (0, 6)],
+             [(2, 2), (4, 2), (4, 4), (2, 4)]], "valid"),
+    }
+    rows = [(k, bytearray(W.polygon_wkb(
+        [[(float(x), float(y)) for x, y in r] for r in rings])))
+        for k, (rings, _r) in cases.items()]
+    df = spark.createDataFrame(rows, "id LONG, g BINARY")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        ST.st_isvalid(F.col("g")).alias("v"),
+        ST.st_isvalid_reason(F.col("g")).alias("why"),
+    ).collect()}
+    for k, (_rings, reason) in cases.items():
+        assert out[k]["why"] == reason, k
+        assert out[k]["v"] == (reason == "valid"), k
+    # spike repair: retraced edge collapses, rect survives
+    pg = W.parse_wkb(W.polygon_wkb(
+        [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 2.0),
+          (2.0, 2.0), (0.0, 2.0)]]))
+    loops = MV.make_valid(pg)
+    assert loops is not None
+    assert sum(abs(MV._loop_area(lp)) for lp in loops) == 16.0

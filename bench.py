@@ -104,6 +104,7 @@ HEADLINE = [
     "raster_compare",
     "pii_scrub",
     "check_geometry",
+    "simplify_coverage",
 ]
 
 

@@ -1536,6 +1536,88 @@ GEODESIC_QUAD_AREAS = [20168885950248.52, 12957718047786.893,
                        7892061583.713623]
 
 
+def q_simplify_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """``gdal vector simplify-coverage``
+    (apps/gdalalg_vector_simplify_coverage.cpp; GEOS
+    CoverageSimplifier; kernels/coverage.simplify_coverage): each
+    shared arc Douglas-Peucker-simplifies ONCE, so neighbors keep
+    identical borders. Fixture (key % 2): a zigzag shared border
+    between two rects straightens to x=4 (closed-form areas 4h and
+    5h, total conserved) with preserve_boundary keeping the outer
+    rectangle; the odd class lowers tolerance below the zigzag
+    amplitude so NOTHING simplifies (areas = the exact zigzag
+    polygons, amp*h/2 transferred). All coords dyadic => exact."""
+    import pandas as pd
+
+    import numpy as np
+
+    from .kernels import coverage as CV
+    from .kernels import snap as SNK
+
+    @F.pandas_udf("a_area double, b_area double, a_pts int")
+    def simp(keys):
+        cache: dict = {}
+        out = []
+        g = 2.0 ** -12
+        for k in keys:
+            k = int(k)
+            h = float(4 + k % 3)
+            tol = 0.5 if k % 2 == 0 else 0.125
+            ck = (h, tol)
+            got = cache.get(ck)
+            if got is None:
+                amp = 0.25
+                nzz = int(2 * h - 1)
+                zz = [(4.0, 0.0)] + [
+                    (4 + (amp if i % 2 else -amp), 0.5 + i * 0.5)
+                    for i in range(nzz)] + [(4.0, h)]
+                apts = [(0, 0), (4, 0)] + zz[1:-1] + [(4, h), (0, h)]
+                bpts = [(4, 0), (9, 0), (9, h), (4, h)] + zz[1:-1][::-1]
+                A = (np.array([p[0] for p in apts]),
+                     np.array([p[1] for p in apts], dtype=float))
+                B = (np.array([p[0] for p in bpts]),
+                     np.array([p[1] for p in bpts], dtype=float))
+                res = CV.simplify_coverage(
+                    [(1, [A]), (2, [B])], tolerance=tol, grid=g,
+                    preserve_boundary=True)
+                got = (float(SNK.rings_area(res[1])),
+                       float(SNK.rings_area(res[2])),
+                       int(sum(len(xs) for xs, _ in res[1])))
+                cache[ck] = got
+            out.append(got)
+        return pd.DataFrame(out, columns=["a_area", "b_area", "a_pts"])
+
+    sup = read_table(spark, sf, "supplier").select("s_suppkey")
+    return sup.select(
+        "s_suppkey", simp(F.col("s_suppkey")).alias("v")
+    ).select("s_suppkey", "v.a_area", "v.b_area", "v.a_pts")
+
+
+def sql_simplify_coverage() -> str:
+    # closed forms (verified by the exact shoelace offline and pinned
+    # in tests/test_coverage.py): with tolerance above the 0.25 tooth
+    # amplitude the shared zigzag straightens to x=4 — A and B become
+    # exact rects (4h, 5h; A keeps 4 vertices). Below the amplitude
+    # nothing simplifies: the alternating teeth transfer exactly
+    # 0.125 of area from A to B (the unpaired half-tooth) and A keeps
+    # its 2h+3 zigzag vertices.
+    return """
+WITH p AS (
+  SELECT s_suppkey, CAST(4 + s_suppkey % 3 AS DOUBLE) AS h,
+         s_suppkey % 2 AS odd
+  FROM supplier
+)
+SELECT s_suppkey,
+       CAST(CASE WHEN odd = 0 THEN 4 * h ELSE 4 * h - 0.125
+            END AS DOUBLE) AS a_area,
+       CAST(CASE WHEN odd = 0 THEN 5 * h ELSE 5 * h + 0.125
+            END AS DOUBLE) AS b_area,
+       CAST(CASE WHEN odd = 0 THEN 4
+            ELSE CAST(2 * h + 3 AS INT) END AS INT) AS a_pts
+FROM p
+"""
+
+
 def q_check_geometry(spark: SparkSession, sf: str) -> DataFrame:
     """``gdal vector check-geometry`` / ST_IsValidReason
     (apps/gdalalg_vector_check_geometry.cpp; the detection half of the
@@ -6204,6 +6286,7 @@ QUERIES = {
     "clean_coverage": q_clean_coverage,
     "check_coverage": q_check_coverage,
     "check_geometry": q_check_geometry,
+    "simplify_coverage": q_simplify_coverage,
     "raster_compare": q_raster_compare,
     "pii_scrub": q_pii_scrub,
     "geodesic_area": q_geodesic_area,
@@ -6422,6 +6505,7 @@ ORACLES = {
     "clean_coverage": sql_clean_coverage(),
     "check_coverage": sql_check_coverage(),
     "check_geometry": sql_check_geometry(),
+    "simplify_coverage": sql_simplify_coverage(),
     "raster_compare": sql_raster_compare(),
     "pii_scrub": sql_pii_scrub(),
     "geodesic_area": sql_geodesic_area(),

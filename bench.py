@@ -105,6 +105,7 @@ HEADLINE = [
     "pii_scrub",
     "check_geometry",
     "simplify_coverage",
+    "rgb_to_palette",
 ]
 
 

@@ -1618,6 +1618,73 @@ FROM p
 """
 
 
+def q_rgb_to_palette(spark: SparkSession, sf: str) -> DataFrame:
+    """``gdal raster rgb-to-palette``
+    (apps/gdalalg_raster_rgb_to_palette.cpp;
+    raster_ops.median_cut_palette + the nearest-entry assignment of
+    rgb_to_palette_tiles): weighted median-cut palette fit and exact
+    squared-RGB-distance index assignment. Fixture (key % 3): 8/12/16
+    distinct lattice colors (affine mod-256 ramps) with weights
+    1+(i*i)%7, quantized to 4/5/6 palette entries. All-integer outputs
+    (palette size, packed-palette sum, weighted index-assignment sum)
+    pinned from the offline run and re-verified in
+    tests/test_raster_ops.py."""
+    import pandas as pd
+
+    @F.pandas_udf("n_pal int, pal_sum long, assign_sum long")
+    def palfit(keys):
+        import numpy as np
+
+        from .operators.raster_ops import median_cut_palette
+
+        cache: dict = {}
+        out = []
+        for k in keys:
+            m = int(k) % 3
+            got = cache.get(m)
+            if got is None:
+                n = 8 + 4 * m
+                i = np.arange(n)
+                cols = np.stack([(37 * i) % 256, (91 * i + 13) % 256,
+                                 (173 * i + 7) % 256], axis=1) \
+                    .astype(np.int64)
+                wts = (1 + (i * i) % 7).astype(np.int64)
+                pal = median_cut_palette(cols, wts, 4 + m)
+                p = np.array(pal, dtype=np.int64)
+                d = ((cols[:, 0][:, None] - p[:, 0]) ** 2
+                     + (cols[:, 1][:, None] - p[:, 1]) ** 2
+                     + (cols[:, 2][:, None] - p[:, 2]) ** 2)
+                idx = d.argmin(axis=1)
+                got = (len(pal),
+                       int(sum((r << 16) | (g << 8) | b
+                               for r, g, b in pal)),
+                       int((idx * wts).sum()))
+                cache[m] = got
+            out.append(got)
+        return pd.DataFrame(out, columns=["n_pal", "pal_sum",
+                                          "assign_sum"])
+
+    sup = read_table(spark, sf, "supplier").select("s_suppkey")
+    return sup.select(
+        "s_suppkey", palfit(F.col("s_suppkey")).alias("v")
+    ).select("s_suppkey", "v.n_pal", "v.pal_sum", "v.assign_sum")
+
+
+def sql_rgb_to_palette() -> str:
+    # pinned from the offline median-cut run (re-verified in
+    # tests/test_raster_ops.py::test_rgb_to_palette_fixture_constants)
+    return """
+SELECT s_suppkey,
+       CAST(CASE s_suppkey % 3 WHEN 0 THEN 4 WHEN 1 THEN 5
+            ELSE 6 END AS INT) AS n_pal,
+       CAST(CASE s_suppkey % 3 WHEN 0 THEN 23914389 WHEN 1 THEN 33976695
+            ELSE 46781033 END AS BIGINT) AS pal_sum,
+       CAST(CASE s_suppkey % 3 WHEN 0 THEN 41 WHEN 1 THEN 74
+            ELSE 121 END AS BIGINT) AS assign_sum
+FROM supplier
+"""
+
+
 def q_check_geometry(spark: SparkSession, sf: str) -> DataFrame:
     """``gdal vector check-geometry`` / ST_IsValidReason
     (apps/gdalalg_vector_check_geometry.cpp; the detection half of the
@@ -6283,6 +6350,7 @@ QUERIES = {
     "raster_blend": q_raster_blend,
     "raster_nodata_alpha": q_raster_nodata_alpha,
     "clean_collar": q_clean_collar,
+    "rgb_to_palette": q_rgb_to_palette,
     "clean_coverage": q_clean_coverage,
     "check_coverage": q_check_coverage,
     "check_geometry": q_check_geometry,
@@ -6502,6 +6570,7 @@ ORACLES = {
     "raster_blend": sql_raster_blend(),
     "raster_nodata_alpha": sql_raster_nodata_alpha(),
     "clean_collar": sql_clean_collar(),
+    "rgb_to_palette": sql_rgb_to_palette(),
     "clean_coverage": sql_clean_coverage(),
     "check_coverage": sql_check_coverage(),
     "check_geometry": sql_check_geometry(),

@@ -1956,6 +1956,45 @@ def clean_collar_pixels(px: DataFrame, near_dist=15, color=0,
     )
 
 
+def median_cut_palette(cols, wts, max_colors):
+    """Weighted median-cut palette fit (the driver-side core of
+    ``gdal raster rgb-to-palette``, apps/gdalalg_raster_rgb_to_palette.cpp).
+    ``cols`` is an (n, 3) int64 array of distinct RGB colors, ``wts``
+    their pixel counts. Splits the box with the widest channel range at
+    its weighted median (ties: first box, stable order) until
+    ``max_colors`` boxes or no splittable box remains; each palette
+    entry is the weighted integer mean of its box. Fully integer and
+    deterministic; returns a sorted list of (r, g, b) tuples."""
+    boxes = [np.arange(len(cols))]
+    while len(boxes) < max_colors:
+        # widest box by channel range (ties: first box)
+        best, bc, brange = None, 0, -1
+        for bi, idx in enumerate(boxes):
+            if len(idx) < 2:
+                continue
+            rng = cols[idx].max(axis=0) - cols[idx].min(axis=0)
+            c = int(rng.argmax())
+            if rng[c] > brange:
+                best, bc, brange = bi, c, int(rng[c])
+        if best is None or brange <= 0:
+            break
+        idx = boxes[best]
+        order = idx[np.argsort(cols[idx, bc], kind="stable")]
+        cum = np.cumsum(wts[order])
+        half = int(np.searchsorted(cum, cum[-1] / 2.0)) + 1
+        half = min(max(half, 1), len(order) - 1)
+        boxes[best] = order[:half]
+        boxes.append(order[half:])
+    palette = []
+    for idx in boxes:
+        w = wts[idx]
+        palette.append(tuple(
+            int((cols[idx, c] * w).sum() // max(w.sum(), 1))
+            for c in range(3)))
+    palette.sort()
+    return palette
+
+
 def rgb_to_palette_tiles(tiles: DataFrame, max_colors=256):
     """``gdal raster rgb-to-palette``
     (apps/gdalalg_raster_rgb_to_palette.cpp): median-cut palette fit
@@ -2000,35 +2039,7 @@ def rgb_to_palette_tiles(tiles: DataFrame, max_colors=256):
     cols = np.array([[r["color"] >> 16, (r["color"] >> 8) & 255,
                       r["color"] & 255] for r in agg], dtype=np.int64)
     wts = np.array([r["cnt"] for r in agg], dtype=np.int64)
-
-    # median cut: split the widest-spread box at its weighted median
-    boxes = [np.arange(len(cols))]
-    while len(boxes) < max_colors:
-        # widest box by channel range (ties: first box)
-        best, bc, brange = None, 0, -1
-        for bi, idx in enumerate(boxes):
-            if len(idx) < 2:
-                continue
-            rng = cols[idx].max(axis=0) - cols[idx].min(axis=0)
-            c = int(rng.argmax())
-            if rng[c] > brange:
-                best, bc, brange = bi, c, int(rng[c])
-        if best is None or brange <= 0:
-            break
-        idx = boxes[best]
-        order = idx[np.argsort(cols[idx, bc], kind="stable")]
-        cum = np.cumsum(wts[order])
-        half = int(np.searchsorted(cum, cum[-1] / 2.0)) + 1
-        half = min(max(half, 1), len(order) - 1)
-        boxes[best] = order[:half]
-        boxes.append(order[half:])
-    palette = []
-    for idx in boxes:
-        w = wts[idx]
-        palette.append(tuple(
-            int((cols[idx, c] * w).sum() // max(w.sum(), 1))
-            for c in range(3)))
-    palette.sort()
+    palette = median_cut_palette(cols, wts, max_colors)
     pal = np.array(palette, dtype=np.int64)
 
     spark = tiles.sparkSession

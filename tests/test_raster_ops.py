@@ -833,3 +833,28 @@ def test_rgb_to_palette_median_cut(spark):
     pal2, idx2 = RO.rgb_to_palette_tiles(rgb, max_colors=4)
     assert pal2 == [(42, 42, 42)]
     assert (RS.parse_tile(idx2.collect()[0]) == 0).all()
+
+
+def test_rgb_to_palette_fixture_constants():
+    """Pins the offline constants used by the gated rgb_to_palette
+    oracle (entry_queries.sql_rgb_to_palette) — pure numpy, no Spark."""
+    from osgeo_gdal_spark.operators.raster_ops import median_cut_palette
+
+    pinned = {0: (4, 23914389, 41), 1: (5, 33976695, 74),
+              2: (6, 46781033, 121)}
+    for m, want in pinned.items():
+        n = 8 + 4 * m
+        i = np.arange(n)
+        cols = np.stack([(37 * i) % 256, (91 * i + 13) % 256,
+                         (173 * i + 7) % 256], axis=1).astype(np.int64)
+        wts = (1 + (i * i) % 7).astype(np.int64)
+        pal = median_cut_palette(cols, wts, 4 + m)
+        p = np.array(pal, dtype=np.int64)
+        d = ((cols[:, 0][:, None] - p[:, 0]) ** 2
+             + (cols[:, 1][:, None] - p[:, 1]) ** 2
+             + (cols[:, 2][:, None] - p[:, 2]) ** 2)
+        idx = d.argmin(axis=1)
+        got = (len(pal),
+               int(sum((r << 16) | (g << 8) | b for r, g, b in pal)),
+               int((idx * wts).sum()))
+        assert got == want, (m, got, want)

@@ -106,6 +106,14 @@ HEADLINE = [
     "check_geometry",
     "simplify_coverage",
     "rgb_to_palette",
+    # round-5 verb sweep
+    "raster_reclassify",
+    "raster_scale",
+    "raster_update",
+    "raster_stack",
+    "pixel_info",
+    "vector_verbs",
+    "explode_collections",
 ]
 
 

@@ -1496,6 +1496,217 @@ FROM px
 """
 
 
+RECLASS_MAPPING = "[0,63]=10;(63,127]=20;150=0;[200,inf)=NO_DATA;DEFAULT=PASS_THROUGH"
+RECLASS_NODATA = 255.0
+RECLASS_WIN = (96, 160, 128, 128)  # gpx0, gpy0, w, h (crosses tile border)
+
+
+def q_raster_reclassify(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal raster reclassify (apps/gdalalg_raster_reclassify.cpp via the
+    frmts/vrt/vrtreclassifier.cpp interval grammar): closed/open interval
+    remap with NO_DATA target and DEFAULT=PASS_THROUGH, over the synth
+    generator; the oracle replays the interval table as a CASE chain."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = RO.reclassify_tiles(tiles, RECLASS_MAPPING, nodata=RECLASS_NODATA)
+    x0, y0, w, h = RECLASS_WIN
+    return (
+        RO.explode_pixels(out)
+        .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
+                & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
+        .select("gpx", "gpy", "value")
+    )
+
+
+def sql_raster_reclassify() -> str:
+    x0, y0, w, h = RECLASS_WIN
+    return f"""
+WITH px AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+), v AS (
+  SELECT gpx, gpy, CAST({_GEN} AS DOUBLE) AS v FROM px
+)
+SELECT gpx, gpy,
+       CASE WHEN v >= 0 AND v <= 63 THEN CAST(10 AS DOUBLE)
+            WHEN v > 63 AND v <= 127 THEN CAST(20 AS DOUBLE)
+            WHEN v = 150 THEN CAST(0 AS DOUBLE)
+            WHEN v >= 200 THEN CAST({G.D(RECLASS_NODATA)} AS DOUBLE)
+            ELSE v END AS value
+FROM v
+"""
+
+
+SCALE_PARAMS = (0.0, 256.0, 10.0, 1034.0, 2)  # srcMin srcMax dstMin dstMax exp
+
+
+def q_raster_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal raster scale with exponent (apps/gdalalg_raster_scale.cpp →
+    VRTComplexSource power scaling, frmts/vrt/vrtsources.cpp:4041-4056):
+    out = (dstMax-dstMin) * clip((v-srcMin)/(srcMax-srcMin))^2 + dstMin.
+    The fixture is dyadic (srcMax-srcMin = 256, dstMax-dstMin = 1024) so
+    every intermediate is exact binary64 and the oracle reduces to
+    v*v/64 + 10 — bit-equal across engines with no libm pow."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    s0, s1, d0, d1, e = SCALE_PARAMS
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = RO.scale_tiles(tiles, s0, s1, d0, d1, exponent=e)
+    x0, y0, w, h = RECLASS_WIN
+    return (
+        RO.explode_pixels(out)
+        .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
+                & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
+        .select("gpx", "gpy", "value")
+    )
+
+
+def sql_raster_scale() -> str:
+    x0, y0, w, h = RECLASS_WIN
+    return f"""
+WITH px AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+)
+SELECT gpx, gpy,
+       CAST({_GEN} AS DOUBLE) * {_GEN} / CAST(64 AS DOUBLE)
+         + CAST(10 AS DOUBLE) AS value
+FROM px
+"""
+
+
+UPDATE_NODATA = 7.0
+UPDATE_WIN = (192, 192, 128, 128)  # crosses the patched/untouched border
+_GEN_PATCH = "((gpx * 13 + gpy * 5 + 1) % 255)"  # coeffs (13, 5) at zoom 1
+
+
+def q_raster_update(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal raster update (apps/gdalalg_raster_update.cpp: write new
+    content into an existing dataset, same-grid case): the patch dataset
+    (generator coeffs 13/5, nodata 7) covers only the gx=0 tile column;
+    patch pixels win except where nodata, untouched tiles pass through
+    natively. The window straddles the patched/unpatched boundary."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    base = RS.synth_tiles(spark, RASTER_ZOOM)
+    patch = RS.synth_tiles(spark, RASTER_ZOOM, dataset_id="patch",
+                           coeffs=(13, 5), nodata=UPDATE_NODATA) \
+        .filter(F.col("gx") == 0)
+    out = RO.update_tiles(base, patch, UPDATE_NODATA)
+    x0, y0, w, h = UPDATE_WIN
+    return (
+        RO.explode_pixels(out)
+        .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
+                & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
+        .select("gpx", "gpy", "value")
+    )
+
+
+def sql_raster_update() -> str:
+    x0, y0, w, h = UPDATE_WIN
+    return f"""
+WITH px AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+)
+SELECT gpx, gpy,
+       CAST(CASE WHEN gpx < 256 AND {_GEN_PATCH} <> {int(UPDATE_NODATA)}
+                 THEN {_GEN_PATCH} ELSE {_GEN} END AS DOUBLE) AS value
+FROM px
+"""
+
+
+STACK_WIN = (224, 224, 64, 64)
+
+
+def q_raster_stack(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal raster stack (apps/gdalalg_raster_stack.cpp: concatenate
+    inputs as bands of one dataset). Pure native plan — unionByName with
+    map-side band renumbering, zero Python before the oracle bridge."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    a = RS.synth_tiles(spark, RASTER_ZOOM)
+    b = RS.synth_tiles(spark, RASTER_ZOOM, dataset_id="b", coeffs=(13, 5))
+    out = RO.stack_tiles([a, b])
+    x0, y0, w, h = STACK_WIN
+    return (
+        RO.explode_pixels_banded(out)
+        .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
+                & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
+        .select("band", "gpx", "gpy", "value")
+    )
+
+
+def sql_raster_stack() -> str:
+    x0, y0, w, h = STACK_WIN
+    return f"""
+WITH px AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+)
+SELECT 1 AS band, gpx, gpy, CAST({_GEN} AS DOUBLE) AS value FROM px
+UNION ALL
+SELECT 2 AS band, gpx, gpy, CAST({_GEN_PATCH} AS DOUBLE) AS value FROM px
+"""
+
+
+def q_pixel_info(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal raster pixel-info / gdallocationinfo
+    (apps/gdalalg_raster_pixel_info.cpp): report the pixel coordinate and
+    band value under each query point. Pixel coords are computed natively
+    (the same mercator exprs as the oracle); the value lookup reuses the
+    interpolate-at-points 'near' tap join — one tap per point, each tap
+    joining only the tile that owns it."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    pts = spark.createDataFrame(
+        [(int(p), float(lon), float(lat)) for p, lon, lat in INTERP_POINTS],
+        "pid BIGINT, lon DOUBLE, lat DOUBLE",
+    )
+    world = (1 << RASTER_ZOOM) * 256
+    qx = f"((lon + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * {world})"
+    qy = (f"((CAST(1.0 AS DOUBLE) - {G.merc_y_sql('lat')} / PI()) "
+          f"/ CAST(2.0 AS DOUBLE) * {world})")
+    clamp = (lambda e: f"LEAST({world - 1}, GREATEST(0, "
+             f"CAST(FLOOR({e}) AS BIGINT)))")
+    coords = pts.select(
+        "pid",
+        F.expr(clamp(qx)).alias("gpx"),
+        F.expr(clamp(qy)).alias("gpy"),
+    )
+    vals = RO.interpolate_at_points(tiles, pts, RASTER_ZOOM, "near")
+    return coords.join(vals, "pid").select("pid", "gpx", "gpy", "value")
+
+
+def sql_pixel_info() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    vals = ", ".join(f"({p}, {G.D(lon)}, {G.D(lat)})"
+                     for p, lon, lat in INTERP_POINTS)
+    qx = f"((lon + {G.D(180.0)}) / {G.D(360.0)} * {world})"
+    qy = f"(({G.D(1.0)} - {G.merc_y_sql('lat')} / PI()) / {G.D(2.0)} * {world})"
+    clamp = f"LEAST({world - 1}, GREATEST(0, %s))"
+    gen = "(((%s) * 7 + (%s) * 11 + 1) %% 255)"
+    gx = clamp % f"CAST(FLOOR({qx}) AS BIGINT)"
+    gy = clamp % f"CAST(FLOOR({qy}) AS BIGINT)"
+    return f"""
+WITH pts(pid, lon, lat) AS (VALUES {vals}),
+px AS (SELECT pid, {gx} AS gpx, {gy} AS gpy FROM pts)
+SELECT pid, gpx, gpy, CAST({gen % ('gpx', 'gpy')} AS DOUBLE) AS value
+FROM px
+"""
+
+
 BLEND_WIN = (32, 48, 64, 64)   # gpx0, gpy0, w, h — blend-tier window
 
 
@@ -2498,6 +2709,74 @@ def sql_st_functions() -> str:
         f"SELECT fid, ROUND(area, 9) AS area, ROUND(cx, 9) AS cx, "
         f"ROUND(cy, 9) AS cy, gtype FROM ({PL.st_oracle_select_sql()})"
     )
+
+
+def q_vector_verbs(spark: SparkSession, sf: str) -> DataFrame:
+    """The gdal vector pipeline edit verbs make-point / swap-xy /
+    set-field-type (apps/gdalalg_vector_make_point.cpp,
+    _swap_xy.cpp via OGRGeometry::swapXY, _set_field_type.cpp) chained
+    over pages: lon/lat -> point WKB -> swapXY -> coordinate extraction
+    proves the codec round-trip bit-exactly (the oracle is just the
+    swapped derivation columns); doc_id recast to string is the
+    set-field-type leg."""
+    from .functions import st as ST
+
+    pages = PG.pages_df(spark, sf).filter(F.col("doc_id") % 7 == 0)
+    pts = pages.select(
+        "doc_id", ST.st_makepoint("lon", "lat").alias("g"))
+    sw = pts.select("doc_id", ST.st_swapxy("g").alias("g"))
+    return sw.select(
+        "doc_id",
+        ST.st_x("g").alias("sx"),
+        ST.st_y("g").alias("sy"),
+        F.col("doc_id").cast("string").alias("doc_str"),
+    )
+
+
+def sql_vector_verbs() -> str:
+    return f"""
+WITH pages AS ({PG.pages_cte_sql()})
+SELECT doc_id, lat AS sx, lon AS sy, CAST(doc_id AS VARCHAR) AS doc_str
+FROM pages WHERE doc_id % 7 = 0
+"""
+
+
+# (fid, multipolygon parts) — closed-form part areas for the oracle
+EXPLODE_FIXTURE = [
+    (1, [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]],
+         [[(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 6.0), (5.0, 5.0)]],
+         [[(10.0, 0.0), (12.0, 0.0), (12.0, 3.0), (10.0, 3.0), (10.0, 0.0)]]]),
+    (2, [[[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+          [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)]],
+         [[(10.0, 10.0), (14.0, 10.0), (10.0, 13.0), (10.0, 10.0)]]]),
+]
+EXPLODE_AREAS = {(1, 0): 1.0, (1, 1): 1.0, (1, 2): 6.0,
+                 (2, 0): 15.0, (2, 1): 6.0, (3, 0): 4.0}
+
+
+def q_explode_collections(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal vector explode-collections (apps/
+    gdalalg_vector_explode_collections.cpp / ogr2ogr
+    -explodecollections): ST_Dump + posexplode — one row per
+    multipolygon part, areas by the shoelace kernel vs the closed-form
+    oracle. fid 3 is a plain polygon (dumps to itself)."""
+    from .functions import st as ST
+    from .kernels import wkb as W
+
+    rows = [(fid, W.multipolygon_wkb(parts)) for fid, parts in EXPLODE_FIXTURE]
+    rows.append((3, W.polygon_wkb(
+        [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]])))
+    df = spark.createDataFrame(rows, "fid INT, g BINARY")
+    parts = df.select("fid", F.posexplode(ST.st_dump("g"))
+                      .alias("part", "pg"))
+    return parts.select("fid", "part",
+                        ST.st_area("pg").alias("area"))
+
+
+def sql_explode_collections() -> str:
+    vals = ", ".join(f"({f}, {p}, {G.D(a)})"
+                     for (f, p), a in sorted(EXPLODE_AREAS.items()))
+    return f"SELECT * FROM (VALUES {vals}) AS t(fid, part, area)"
 
 
 INTERP_POINTS = [(i, lon, lat) for i, lon, lat in KNN_QUERIES]
@@ -6332,12 +6611,9 @@ QUERIES = {
     "spatial_semi_anti": q_spatial_semi_anti,
     # rows-only by nature but never driver-recorded either:
     # -- (b) red in r03, armored (all-integer output) ---------------------
-    "domain_stats": q_domain_stats,
     # -- (c) operators whose code changes this round + round-4 newcomers --
     "make_valid": q_make_valid,
     "st_buffer": q_st_buffer,
-    "rpc_inverse": q_rpc_inverse,
-    "warp_cutline": q_warp_cutline,
     "grid_linear": q_grid_linear,
     "shortest_paths": q_shortest_paths,
     "overlay_intersection": q_overlay_intersection,
@@ -6349,6 +6625,13 @@ QUERIES = {
     "overlay_snapped_points": q_overlay_snapped_points,
     "raster_blend": q_raster_blend,
     "raster_nodata_alpha": q_raster_nodata_alpha,
+    "raster_reclassify": q_raster_reclassify,
+    "raster_scale": q_raster_scale,
+    "raster_update": q_raster_update,
+    "raster_stack": q_raster_stack,
+    "pixel_info": q_pixel_info,
+    "vector_verbs": q_vector_verbs,
+    "explode_collections": q_explode_collections,
     "clean_collar": q_clean_collar,
     "rgb_to_palette": q_rgb_to_palette,
     "clean_coverage": q_clean_coverage,
@@ -6364,10 +6647,6 @@ QUERIES = {
     "predicates_snapped": q_predicates_snapped,
     "spatial_predicates": q_spatial_predicates,
     "line_predicates": q_line_predicates,
-    "viewshed": q_viewshed,
-    "frame_plan": q_frame_plan,
-    "audio_plan": q_audio_plan,
-    "url_dedup": q_url_dedup,
     "minhash_portable": q_minhash_portable,
     "simhash_portable": q_simhash_portable,
     "bm25_topk": q_bm25_topk,
@@ -6395,6 +6674,14 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     # ======== 50-entry gate window ends after the round-4 newcomers ======
     # -- single-green round-3 queries rotated past the window -------------
+    # (r5 rotation: green in r3/r4, code untouched this round)
+    "domain_stats": q_domain_stats,
+    "viewshed": q_viewshed,
+    "rpc_inverse": q_rpc_inverse,
+    "warp_cutline": q_warp_cutline,
+    "frame_plan": q_frame_plan,
+    "audio_plan": q_audio_plan,
+    "url_dedup": q_url_dedup,
     "grid_nearest": q_grid_nearest,
     "raster_pyramid_mode": q_raster_pyramid_mode,
     "clip_rect": q_clip_rect,
@@ -6569,6 +6856,13 @@ ORACLES = {
     "overlay_snapped_points": sql_overlay_snapped_points(),
     "raster_blend": sql_raster_blend(),
     "raster_nodata_alpha": sql_raster_nodata_alpha(),
+    "raster_reclassify": sql_raster_reclassify(),
+    "raster_scale": sql_raster_scale(),
+    "raster_update": sql_raster_update(),
+    "raster_stack": sql_raster_stack(),
+    "pixel_info": sql_pixel_info(),
+    "vector_verbs": sql_vector_verbs(),
+    "explode_collections": sql_explode_collections(),
     "clean_collar": sql_clean_collar(),
     "rgb_to_palette": sql_rgb_to_palette(),
     "clean_coverage": sql_clean_coverage(),

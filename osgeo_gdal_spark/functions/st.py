@@ -506,6 +506,63 @@ st_segmentize = _series_udf(_segmentize_max1, T.BinaryType())
 st_dump = _series_udf(_dump_parts, T.ArrayType(T.BinaryType()))
 st_normalize = _series_udf(_normalized, T.BinaryType())
 st_setprecision = _series_udf(_set_precision_grid1, T.BinaryType())
+
+
+def _xs_of(geoms):
+    """ST_X (ogrsqlitesqlfunctions.cpp ST_X: point x coordinate)."""
+    return [
+        float("nan") if g is None else float(W.parse_wkb(bytes(g)).xs[0])
+        for g in geoms
+    ]
+
+
+def _ys_of(geoms):
+    return [
+        float("nan") if g is None else float(W.parse_wkb(bytes(g)).ys[0])
+        for g in geoms
+    ]
+
+
+def _swapped_xy(geoms):
+    """``gdal vector swap-xy`` (apps/gdalalg_vector_swap_xy.cpp via
+    OGRGeometry::swapXY): rebuild the WKB with x/y exchanged — all
+    linear geometry kinds."""
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(None)
+            continue
+        pg = W.parse_wkb(bytes(g))
+        if pg.geom_type == "Point":
+            out.append(W.point_wkb(float(pg.ys[0]), float(pg.xs[0])))
+        elif pg.geom_type == "LineString":
+            out.append(W.linestring_wkb(
+                list(zip(pg.ys.tolist(), pg.xs.tolist()))))
+        elif pg.geom_type == "Polygon":
+            rings = [list(zip(pg.ys[s:e].tolist(), pg.xs[s:e].tolist()))
+                     for s, e in zip(pg.ring_offsets, pg.ring_offsets[1:])]
+            out.append(W.polygon_wkb(rings))
+        elif pg.geom_type == "MultiPolygon":
+            polys, ring_idx = [], 0
+            for nr in pg.part_rings:
+                rings = []
+                for _ in range(int(nr)):
+                    s, e = (pg.ring_offsets[ring_idx],
+                            pg.ring_offsets[ring_idx + 1])
+                    rings.append(list(zip(pg.ys[s:e].tolist(),
+                                          pg.xs[s:e].tolist())))
+                    ring_idx += 1
+                polys.append(rings)
+            out.append(W.multipolygon_wkb(polys))
+        else:
+            raise NotImplementedError(
+                f"swap-xy: unsupported geometry {pg.geom_type}")
+    return out
+
+
+st_x = _series_udf(_xs_of, T.DoubleType())
+st_y = _series_udf(_ys_of, T.DoubleType())
+st_swapxy = _series_udf(_swapped_xy, T.BinaryType())
 def _geodesic_areas(geoms):
     """ST_GeodesicArea (ogrsqlitesqlfunctions.cpp: OGR_GeodesicArea via
     PROJ's geodesic) — ELLIPSOIDAL WGS84 area from kernels/geodesic:
@@ -841,6 +898,9 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_SetPrecision", st_setprecision)
     spark.udf.register("ST_Segmentize", st_segmentize)
     spark.udf.register("ST_Dump", st_dump)
+    spark.udf.register("ST_X", st_x)
+    spark.udf.register("ST_Y", st_y)
+    spark.udf.register("ST_SwapXY", st_swapxy)
 
 
 @F.pandas_udf(T.BinaryType())

@@ -2104,3 +2104,257 @@ def compare_tiles(a: DataFrame, b: DataFrame) -> DataFrame:
         kernel,
         "zoom INT, gx LONG, gy LONG, band INT, n_diff LONG, "
         "max_abs_diff LONG, sum_abs_diff LONG")
+
+
+# --------------------------------------------------------------------------
+# gdal raster reclassify / scale / update / stack (round-5 verb sweep)
+# --------------------------------------------------------------------------
+
+_RECLASS_INF = float("inf")
+
+
+def parse_reclass_mapping(text: str, nodata=None):
+    """Parse the ``gdal raster reclassify -m`` mapping grammar
+    (frmts/vrt/vrtreclassifier.cpp:213-345): ``;``-separated entries,
+    each ``FROM=TO`` where FROM is a constant, an interval ``[a,b]`` /
+    ``(a,b)`` / half-open mixes with ``-inf``/``inf`` bounds, ``NO_DATA``
+    or ``DEFAULT``; TO is a number, ``NO_DATA`` or ``PASS_THROUGH``.
+    Open bounds use nextafter exactly like the reference
+    (vrtreclassifier.cpp:148-156).
+
+    Returns (intervals, default_value, default_pass_through) with
+    intervals = [(lo, hi, dst_or_None)] (dst None == PASS_THROUGH).
+    Raises ValueError on grammar errors, NO_DATA without a nodata value,
+    and overlapping intervals (vrtreclassifier.cpp:172-192)."""
+    intervals = []
+    default_value = None
+    default_pass = False
+    for raw in text.split(";"):
+        entry = raw.strip()
+        if not entry:
+            continue
+        if "=" not in entry:
+            raise ValueError(f"reclassify: expected FROM=TO, got {entry!r}")
+        src_s, dst_s = entry.split("=", 1)
+        src_s, dst_s = src_s.strip(), dst_s.strip()
+
+        if dst_s.upper() == "NO_DATA":
+            if nodata is None:
+                raise ValueError(
+                    "reclassify: value mapped to NO_DATA, but NoData "
+                    "value is not set")
+            dst, pass_through = float(nodata), False
+        elif dst_s.upper() == "PASS_THROUGH":
+            dst, pass_through = None, True
+        else:
+            dst, pass_through = float(dst_s), False
+
+        if src_s.upper() == "DEFAULT":
+            if pass_through:
+                default_pass = True
+            else:
+                default_value = dst
+            continue
+        if src_s.upper() == "NO_DATA":
+            if nodata is None:
+                raise ValueError(
+                    "reclassify: value mapped from NO_DATA, but NoData "
+                    "value is not set")
+            intervals.append((float(nodata), float(nodata), dst))
+            continue
+        if src_s.startswith("[") or src_s.startswith("("):
+            lo_inc = src_s.startswith("[")
+            if src_s.endswith("]"):
+                hi_inc = True
+            elif src_s.endswith(")"):
+                hi_inc = False
+            else:
+                raise ValueError(
+                    f"reclassify: interval must end with ')' or ']': {src_s!r}")
+            body = src_s[1:-1].split(",")
+            if len(body) != 2:
+                raise ValueError(f"reclassify: expected two bounds: {src_s!r}")
+            lo = -_RECLASS_INF if body[0].strip().lower() == "-inf" else float(body[0])
+            hi = _RECLASS_INF if body[1].strip().lower() == "inf" else float(body[1])
+            if lo > hi:
+                raise ValueError(f"reclassify: lower bound > upper: {src_s!r}")
+            if not lo_inc:
+                lo = np.nextafter(lo, _RECLASS_INF)
+            if not hi_inc:
+                hi = np.nextafter(hi, -_RECLASS_INF)
+            intervals.append((lo, hi, dst))
+        else:
+            v = float(src_s)
+            intervals.append((v, v, dst))
+
+    intervals.sort(key=lambda t: t[0])
+    for (a_lo, a_hi, _), (b_lo, b_hi, _) in zip(intervals, intervals[1:]):
+        if b_lo <= a_hi:
+            raise ValueError(
+                f"reclassify: intervals [{a_lo},{a_hi}] and [{b_lo},{b_hi}] "
+                "overlap")
+    return intervals, default_value, default_pass
+
+
+def reclassify_tiles(tiles: DataFrame, mapping: str, nodata=None,
+                     out_dtype="float64") -> DataFrame:
+    """``gdal raster reclassify`` (apps/gdalalg_raster_reclassify.cpp via
+    frmts/vrt/vrtreclassifier.cpp): per-pixel interval remap. Mapping is
+    parsed ONCE on the driver; each task runs one vectorized np.select
+    over its tile. A value matched by no interval with no DEFAULT raises
+    (the reference's CE_Failure 'not matched by any interval',
+    vrtreclassifier.cpp Reclassify caller contract) — loud, never a
+    silent 0."""
+    intervals, default_value, default_pass = parse_reclass_mapping(
+        mapping, nodata)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                grid = parse_tile(row).astype(np.float64)
+                conds = [(grid >= lo) & (grid <= hi)
+                         for lo, hi, _ in intervals]
+                choices = [np.full_like(grid, dst) if dst is not None else grid
+                           for _, _, dst in intervals]
+                matched = np.logical_or.reduce(conds) if conds else \
+                    np.zeros_like(grid, dtype=bool)
+                if default_value is not None:
+                    default = np.full_like(grid, default_value)
+                elif default_pass:
+                    default = grid
+                else:
+                    if not matched.all():
+                        bad = grid[~matched].ravel()[0]
+                        raise ValueError(
+                            f"reclassify: value {bad} not matched by any "
+                            "interval and no DEFAULT mapping set")
+                    default = grid
+                out = np.select(conds, choices, default=default)
+                out = R.round_to_dtype(out, np.dtype(out_dtype))
+                rows.append({
+                    "dataset_id": row["dataset_id"], "zoom": int(row["zoom"]),
+                    "gx": int(row["gx"]), "gy": int(row["gy"]),
+                    "band": int(row["band"]), "width": out.shape[1],
+                    "height": out.shape[0], "dtype": out_dtype,
+                    "nodata": row["nodata"], "crs": row["crs"],
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(kernel, TILE_SCHEMA)
+
+
+def scale_tiles(tiles: DataFrame, src_min: float, src_max: float,
+                dst_min: float, dst_max: float, exponent=None,
+                clip=True, out_dtype="float64") -> DataFrame:
+    """``gdal raster scale`` (apps/gdalalg_raster_scale.cpp →
+    VRTComplexSource power/linear scaling, frmts/vrt/vrtsources.cpp:
+    4041-4056): t = clip((v - srcMin)/(srcMax - srcMin), 0, 1) when clip;
+    out = (dstMax - dstMin) * t**exponent + dstMin. Linear (no exponent)
+    uses the gdal_translate ratio/offset form out = v*ratio + offset with
+    ratio = (dstMax-dstMin)/(srcMax-srcMin), offset = dstMin -
+    srcMin*ratio (apps/gdal_translate_lib.cpp -scale).
+
+    Integral exponents are computed by repeated multiplication (not libm
+    pow) so results are bit-exact across engines — mathematically equal
+    to the reference's pow() and reproducible by the SQL oracle."""
+    if exponent is not None:
+        exp_int = int(exponent) if float(exponent).is_integer() else None
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                v = parse_tile(row).astype(np.float64)
+                if exponent is None:
+                    ratio = (dst_max - dst_min) / (src_max - src_min)
+                    out = v * ratio + (dst_min - src_min * ratio)
+                else:
+                    t = (np.zeros_like(v) if src_min == src_max
+                         else (v - src_min) / (src_max - src_min))
+                    if clip:
+                        t = np.clip(t, 0.0, 1.0)
+                    if exp_int is not None and exp_int >= 0:
+                        p = np.ones_like(t)
+                        for _ in range(exp_int):
+                            p = p * t
+                    else:
+                        p = np.power(t, float(exponent))
+                    out = (dst_max - dst_min) * p + dst_min
+                out = R.round_to_dtype(out, np.dtype(out_dtype))
+                rows.append({
+                    "dataset_id": row["dataset_id"], "zoom": int(row["zoom"]),
+                    "gx": int(row["gx"]), "gy": int(row["gy"]),
+                    "band": int(row["band"]), "width": out.shape[1],
+                    "height": out.shape[0], "dtype": out_dtype,
+                    "nodata": row["nodata"], "crs": row["crs"],
+                    "pixels": out.tobytes(),
+                    "checksum": CK.checksum_image(out),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(kernel, TILE_SCHEMA)
+
+
+def update_tiles(base: DataFrame, patch: DataFrame, patch_nodata: float) -> DataFrame:
+    """``gdal raster update`` (apps/gdalalg_raster_update.cpp: warp new
+    content INTO an existing dataset; same-grid case): patch pixels
+    overwrite base pixels except where the patch is nodata. Tiles the
+    patch does not cover pass through NATIVELY (left-anti union — no
+    kernel touches them); only overlapping tiles run the per-tile
+    np.where composite."""
+    keys = ["zoom", "gx", "gy", "band"]
+    patch_keys = patch.select(*keys).distinct()
+    base_keys = base.select(*keys).distinct()
+    patched = base.join(patch_keys, keys, "left_semi")
+    untouched = base.join(patch_keys, keys, "left_anti")
+    # patch tiles outside the base extent are cropped away (the reference
+    # warps INTO the existing dataset's extent — no growth)
+    patch_in = patch.join(base_keys, keys, "left_semi")
+    u = patched.withColumn("_src", F.lit(0)).unionByName(
+        patch_in.withColumn("_src", F.lit(1)))
+
+    def kernel(key, pdf):
+        import pandas as pd
+
+        by_src = {int(r["_src"]): (r, parse_tile(r)) for _, r in pdf.iterrows()}
+        brow, bgrid = by_src[0]
+        _, pgrid = by_src[1]
+        out = np.where(pgrid.astype(np.float64) == patch_nodata, bgrid, pgrid)
+        out = out.astype(bgrid.dtype)
+        return pd.DataFrame([{
+            "dataset_id": brow["dataset_id"], "zoom": int(brow["zoom"]),
+            "gx": int(brow["gx"]), "gy": int(brow["gy"]),
+            "band": int(brow["band"]), "width": out.shape[1],
+            "height": out.shape[0], "dtype": brow["dtype"],
+            "nodata": brow["nodata"], "crs": brow["crs"],
+            "pixels": out.tobytes(), "checksum": CK.checksum_image(out),
+        }])
+
+    updated = u.groupBy(*keys).applyInPandas(kernel, TILE_SCHEMA)
+    return updated.unionByName(untouched)
+
+
+def stack_tiles(tile_tables: list, dataset_id="stack") -> DataFrame:
+    """``gdal raster stack`` (apps/gdalalg_raster_stack.cpp: concatenate
+    inputs as bands of one dataset). Pure NATIVE plan — a unionByName
+    with band renumbering (input i's band b becomes offset_i + b); no
+    Python kernel, no shuffle (band arithmetic is map-side)."""
+    out = None
+    offset = 0
+    for df in tile_tables:
+        n_bands = 1  # callers pass single-band tables; multiband inputs
+        # pre-explode via explode_pixels_banded semantics upstream
+        part = df.withColumn("band", F.col("band") + F.lit(offset)) \
+                 .withColumn("dataset_id", F.lit(dataset_id))
+        out = part if out is None else out.unionByName(part)
+        offset += n_bands
+    return out

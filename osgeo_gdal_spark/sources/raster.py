@@ -40,15 +40,21 @@ TILE_SCHEMA = T.StructType(
 )
 
 
-def synth_pixel_grid(gx: int, gy: int, zoom: int, tile=TILE) -> np.ndarray:
-    """The deterministic uint8 tile: (gpx*7 + gpy*11 + zoom) % 255."""
+def synth_pixel_grid(gx: int, gy: int, zoom: int, tile=TILE,
+                     coeffs=(7, 11)) -> np.ndarray:
+    """The deterministic uint8 tile: (gpx*mx + gpy*my + zoom) % 255
+    (default mx, my = 7, 11)."""
+    mx, my = coeffs
     gpx = gx * tile + np.arange(tile)[None, :]
     gpy = gy * tile + np.arange(tile)[:, None]
-    return ((gpx * 7 + gpy * 11 + zoom) % 255).astype(np.uint8)
+    return ((gpx * mx + gpy * my + zoom) % 255).astype(np.uint8)
 
 
-def synth_tiles(spark: SparkSession, zoom: int, dataset_id="synth") -> DataFrame:
-    """All 4^zoom tiles of the synthetic dataset at a zoom level."""
+def synth_tiles(spark: SparkSession, zoom: int, dataset_id="synth",
+                coeffs=(7, 11), nodata=None) -> DataFrame:
+    """All 4^zoom tiles of the synthetic dataset at a zoom level.
+    ``coeffs`` picks the generator multipliers (a second dataset for
+    update/stack fixtures); ``nodata`` stamps the metadata column."""
     n = 1 << zoom
     keys = spark.range(n * n).select(
         (F.col("id") % n).alias("gx"), (F.col("id") / n).cast("long").alias("gy")
@@ -60,7 +66,7 @@ def synth_tiles(spark: SparkSession, zoom: int, dataset_id="synth") -> DataFrame
         for pdf in batches:
             rows = []
             for gx, gy in zip(pdf["gx"], pdf["gy"]):
-                grid = synth_pixel_grid(int(gx), int(gy), zoom)
+                grid = synth_pixel_grid(int(gx), int(gy), zoom, coeffs=coeffs)
                 rows.append(
                     {
                         "dataset_id": dataset_id,
@@ -71,7 +77,7 @@ def synth_tiles(spark: SparkSession, zoom: int, dataset_id="synth") -> DataFrame
                         "width": TILE,
                         "height": TILE,
                         "dtype": "uint8",
-                        "nodata": None,
+                        "nodata": nodata,
                         "crs": "EPSG:3857",
                         "pixels": grid.tobytes(),
                         "checksum": CK.checksum_image(grid),

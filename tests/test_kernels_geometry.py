@@ -451,3 +451,27 @@ def test_st_isvalid_and_reason(spark):
     loops = MV.make_valid(pg)
     assert loops is not None
     assert sum(abs(MV._loop_area(lp)) for lp in loops) == 16.0
+
+
+def test_swapxy_round_trip():
+    """st_swapxy: swap twice == identity for every linear kind; area is
+    preserved (|J| = 1) and ring orientation flips sign."""
+    from osgeo_gdal_spark.functions.st import _swapped_xy
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    sq = [[(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (0.0, 2.0), (0.0, 0.0)]]
+    geoms = [
+        W.point_wkb(3.5, -1.25),
+        W.linestring_wkb([(0.0, 1.0), (2.0, 5.0), (7.0, 1.5)]),
+        W.polygon_wkb(sq),
+        W.multipolygon_wkb([sq, [[(10.0, 10.0), (14.0, 10.0),
+                                  (10.0, 13.0), (10.0, 10.0)]]]),
+    ]
+    swapped = _swapped_xy(geoms)
+    back = _swapped_xy(swapped)
+    assert [bytes(b) for b in back] == [bytes(g) for g in geoms]
+    pg = W.parse_wkb(swapped[0])
+    assert (pg.xs[0], pg.ys[0]) == (-1.25, 3.5)
+    a0 = abs(W.polygon_area(W.parse_wkb(geoms[2])))
+    a1 = abs(W.polygon_area(W.parse_wkb(swapped[2])))
+    assert a0 == a1 == 8.0

@@ -858,3 +858,121 @@ def test_rgb_to_palette_fixture_constants():
                int(sum((r << 16) | (g << 8) | b for r, g, b in pal)),
                int((idx * wts).sum()))
         assert got == want, (m, got, want)
+
+
+# ---------------------------------------------------------------------------
+# round-5 verb sweep: reclassify / scale / update / stack
+# ---------------------------------------------------------------------------
+
+
+def test_reclass_mapping_grammar():
+    """vrtreclassifier.cpp grammar: intervals, open bounds (nextafter),
+    constants, inf bounds, NO_DATA both sides, DEFAULT modes, overlap and
+    missing-nodata errors."""
+    from osgeo_gdal_spark.operators.raster_ops import parse_reclass_mapping
+
+    iv, dflt, dp = parse_reclass_mapping(
+        "[0,10]=1;(10,20)=2;25=3;[30,inf)=NO_DATA;DEFAULT=PASS_THROUGH",
+        nodata=255)
+    assert dflt is None and dp is True
+    assert iv[0] == (0.0, 10.0, 1.0)
+    lo, hi, dst = iv[1]
+    assert lo == np.nextafter(10.0, np.inf) and hi == np.nextafter(20.0, -np.inf)
+    assert dst == 2.0
+    assert iv[2] == (25.0, 25.0, 3.0)
+    # ')' after inf applies nextafter exactly like the reference's C++
+    # (vrtreclassifier.cpp:153-156): the bound becomes DBL_MAX
+    assert iv[3][0] == 30.0 and iv[3][2] == 255.0
+    assert iv[3][1] == np.nextafter(np.inf, -np.inf)
+
+    iv, dflt, dp = parse_reclass_mapping("NO_DATA=0;DEFAULT=9", nodata=7)
+    assert iv == [(7.0, 7.0, 0.0)] and dflt == 9.0 and dp is False
+
+    iv, _, _ = parse_reclass_mapping("(-inf,0)=0;[0,5]=PASS_THROUGH", nodata=None)
+    assert iv[0][0] == np.nextafter(-np.inf, np.inf) and iv[1][2] is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="NO_DATA"):
+        parse_reclass_mapping("NO_DATA=1", nodata=None)
+    with _pt.raises(ValueError, match="overlap"):
+        parse_reclass_mapping("[0,10]=1;[5,20]=2", nodata=None)
+    with _pt.raises(ValueError, match="FROM=TO"):
+        parse_reclass_mapping("[0,10]", nodata=None)
+
+
+def test_reclassify_unmatched_raises(spark):
+    """A value outside every interval with no DEFAULT must raise (the
+    reference's CE_Failure), never silently emit 0."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+    import pytest as _pt
+
+    tiles = RS.synth_tiles(spark, 0)
+    out = RO.reclassify_tiles(tiles, "[0,100]=1")
+    with _pt.raises(Exception, match="not matched"):
+        out.collect()
+
+
+def test_scale_linear_matches_translate(spark):
+    """scale_tiles without exponent == the gdal_translate ratio/offset
+    linear map."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, 0)
+    out = RO.scale_tiles(tiles, 0.0, 254.0, 0.0, 127.0)
+    row = out.collect()[0]
+    grid = RS.parse_tile(row)
+    src = RS.synth_pixel_grid(0, 0, 0).astype(np.float64)
+    assert np.array_equal(grid, src * (127.0 / 254.0))
+
+
+def test_scale_power_clip(spark):
+    """Power scaling clips t to [0,1] before exponentiation
+    (vrtsources.cpp:4045-4051): src range narrower than the data."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, 0)
+    out = RO.scale_tiles(tiles, 64.0, 128.0, 0.0, 1.0, exponent=2)
+    grid = RS.parse_tile(out.collect()[0])
+    src = RS.synth_pixel_grid(0, 0, 0).astype(np.float64)
+    t = np.clip((src - 64.0) / 64.0, 0.0, 1.0)
+    assert np.array_equal(grid, t * t)
+    assert grid.min() == 0.0 and grid.max() == 1.0
+
+
+def test_update_composites_and_passes_through(spark):
+    """update_tiles: patch wins except at patch nodata; base tiles the
+    patch misses pass through; patch tiles outside base are cropped."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+    from pyspark.sql import functions as F
+
+    base = RS.synth_tiles(spark, 1)
+    patch = RS.synth_tiles(spark, 1, dataset_id="p", coeffs=(13, 5),
+                           nodata=7.0).filter(F.col("gx") == 0)
+    out = RO.update_tiles(base, patch, 7.0)
+    rows = {(r["gx"], r["gy"]): RS.parse_tile(r) for r in out.collect()}
+    assert len(rows) == 4
+    b00 = RS.synth_pixel_grid(0, 0, 1)
+    p00 = RS.synth_pixel_grid(0, 0, 1, coeffs=(13, 5))
+    assert np.array_equal(rows[(0, 0)], np.where(p00 == 7, b00, p00))
+    assert np.array_equal(rows[(1, 1)], RS.synth_pixel_grid(1, 1, 1))
+
+
+def test_stack_is_native_plan(spark):
+    """stack_tiles is a pure unionByName + band arithmetic — no Python
+    eval nodes in the plan before the sources."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+
+    a = RS.synth_tiles(spark, 0)
+    b = RS.synth_tiles(spark, 0, dataset_id="b", coeffs=(13, 5))
+    out = RO.stack_tiles([a, b])
+    bands = sorted(r["band"] for r in out.select("band").collect())
+    assert bands == [1, 2]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the only Python in the lineage is the two tile GENERATORS; the
+    # stack step itself adds no Arrow/Python eval on top of them
+    assert plan.count("MapInPandas") == 2

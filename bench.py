@@ -114,6 +114,7 @@ HEADLINE = [
     "pixel_info",
     "vector_verbs",
     "explode_collections",
+    "convex_hull",
 ]
 
 

@@ -2711,6 +2711,41 @@ def sql_st_functions() -> str:
     )
 
 
+# (fid, ring, hull area, hull nvert) — closed-form convex hulls
+CONVEX_FIXTURE = [
+    (1, [(0.0, 0.0), (8.0, 0.0), (8.0, 6.0), (4.0, 2.0), (0.0, 6.0),
+         (0.0, 0.0)], 48.0, 4),
+    (2, [(0.0, 0.0), (10.0, 0.0), (6.0, 3.0), (5.0, 8.0), (4.0, 3.0),
+         (0.0, 0.0)], 40.0, 3),
+    (3, [(1.0, 1.0), (7.0, 1.0), (9.0, 5.0), (2.0, 6.0), (1.0, 1.0)],
+     30.0, 4),
+]
+
+
+def q_convex_hull(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal vector convex-hull (apps/gdalalg_vector_convex_hull.cpp via
+    OGRGeometry::ConvexHull): Andrew monotone-chain hull of each concave
+    fixture ring; hull area (shoelace) and vertex count against the
+    closed-form oracle — all-integer coordinates, exact doubles."""
+    from .functions import st as ST
+    from .kernels import wkb as W
+
+    rows = [(fid, W.polygon_wkb([ring])) for fid, ring, _, _ in CONVEX_FIXTURE]
+    df = spark.createDataFrame(rows, "fid INT, g BINARY")
+    hull = df.select("fid", ST.st_convexhull("g").alias("h"))
+    return hull.select(
+        "fid",
+        ST.st_area("h").alias("hull_area"),
+        (ST.st_npoints("h") - F.lit(1)).alias("hull_nvert"),
+    )
+
+
+def sql_convex_hull() -> str:
+    vals = ", ".join(f"({f}, {G.D(a)}, {n})"
+                     for f, _, a, n in CONVEX_FIXTURE)
+    return f"SELECT * FROM (VALUES {vals}) AS t(fid, hull_area, hull_nvert)"
+
+
 def q_vector_verbs(spark: SparkSession, sf: str) -> DataFrame:
     """The gdal vector pipeline edit verbs make-point / swap-xy /
     set-field-type (apps/gdalalg_vector_make_point.cpp,
@@ -6599,7 +6634,6 @@ FROM cells c LEFT JOIN g USING (gpx, gpy)
 # (tests/test_oracle_parity.py, scripts/sweep.py).
 QUERIES = {
     # -- (a) never-gated round-3 queries + single-green semi/anti ---------
-    "viewshed_cumulative": q_viewshed_cumulative,
     "fingerprint_pairs": q_fingerprint_pairs,
     "hillshade_multi": q_hillshade_multi,
     "warp_downscale_avg": q_warp_downscale_avg,
@@ -6632,6 +6666,7 @@ QUERIES = {
     "pixel_info": q_pixel_info,
     "vector_verbs": q_vector_verbs,
     "explode_collections": q_explode_collections,
+    "convex_hull": q_convex_hull,
     "clean_collar": q_clean_collar,
     "rgb_to_palette": q_rgb_to_palette,
     "clean_coverage": q_clean_coverage,
@@ -6675,6 +6710,7 @@ QUERIES = {
     # ======== 50-entry gate window ends after the round-4 newcomers ======
     # -- single-green round-3 queries rotated past the window -------------
     # (r5 rotation: green in r3/r4, code untouched this round)
+    "viewshed_cumulative": q_viewshed_cumulative,
     "domain_stats": q_domain_stats,
     "viewshed": q_viewshed,
     "rpc_inverse": q_rpc_inverse,
@@ -6863,6 +6899,7 @@ ORACLES = {
     "pixel_info": sql_pixel_info(),
     "vector_verbs": sql_vector_verbs(),
     "explode_collections": sql_explode_collections(),
+    "convex_hull": sql_convex_hull(),
     "clean_collar": sql_clean_collar(),
     "rgb_to_palette": sql_rgb_to_palette(),
     "clean_coverage": sql_clean_coverage(),

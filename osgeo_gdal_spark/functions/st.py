@@ -560,9 +560,19 @@ def _swapped_xy(geoms):
     return out
 
 
+def _npoints(geoms):
+    """ST_NPoints (ogrsqlitesqlfunctions.cpp ST_NPoints: total vertex
+    count over all rings/parts, closing vertices included)."""
+    return [
+        0 if g is None else int(len(W.parse_wkb(bytes(g)).xs))
+        for g in geoms
+    ]
+
+
 st_x = _series_udf(_xs_of, T.DoubleType())
 st_y = _series_udf(_ys_of, T.DoubleType())
 st_swapxy = _series_udf(_swapped_xy, T.BinaryType())
+st_npoints = _series_udf(_npoints, T.IntegerType())
 def _geodesic_areas(geoms):
     """ST_GeodesicArea (ogrsqlitesqlfunctions.cpp: OGR_GeodesicArea via
     PROJ's geodesic) — ELLIPSOIDAL WGS84 area from kernels/geodesic:
@@ -901,6 +911,7 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_X", st_x)
     spark.udf.register("ST_Y", st_y)
     spark.udf.register("ST_SwapXY", st_swapxy)
+    spark.udf.register("ST_NPoints", st_npoints)
 
 
 @F.pandas_udf(T.BinaryType())

@@ -2307,29 +2307,32 @@ def scale_tiles(tiles: DataFrame, src_min: float, src_max: float,
 def update_tiles(base: DataFrame, patch: DataFrame, patch_nodata: float) -> DataFrame:
     """``gdal raster update`` (apps/gdalalg_raster_update.cpp: warp new
     content INTO an existing dataset; same-grid case): patch pixels
-    overwrite base pixels except where the patch is nodata. Tiles the
-    patch does not cover pass through NATIVELY (left-anti union — no
-    kernel touches them); only overlapping tiles run the per-tile
-    np.where composite."""
+    overwrite base pixels except where the patch is nodata; patch tiles
+    outside the base extent are cropped (the reference warps INTO the
+    existing dataset's extent — no growth).
+
+    ONE shuffle at scale: base and patch union with a source tag and
+    co-group on the tile key; the kernel passes base-only tiles through
+    untouched, drops patch-only tiles, and composites overlaps — no
+    distinct/semi/anti pre-joins (each of those is its own shuffle of
+    the same key set)."""
     keys = ["zoom", "gx", "gy", "band"]
-    patch_keys = patch.select(*keys).distinct()
-    base_keys = base.select(*keys).distinct()
-    patched = base.join(patch_keys, keys, "left_semi")
-    untouched = base.join(patch_keys, keys, "left_anti")
-    # patch tiles outside the base extent are cropped away (the reference
-    # warps INTO the existing dataset's extent — no growth)
-    patch_in = patch.join(base_keys, keys, "left_semi")
-    u = patched.withColumn("_src", F.lit(0)).unionByName(
-        patch_in.withColumn("_src", F.lit(1)))
+    u = base.withColumn("_src", F.lit(0)).unionByName(
+        patch.withColumn("_src", F.lit(1)))
 
     def kernel(key, pdf):
         import pandas as pd
 
         by_src = {int(r["_src"]): (r, parse_tile(r)) for _, r in pdf.iterrows()}
+        if 0 not in by_src:
+            return pd.DataFrame()  # patch outside base extent: cropped
         brow, bgrid = by_src[0]
-        _, pgrid = by_src[1]
-        out = np.where(pgrid.astype(np.float64) == patch_nodata, bgrid, pgrid)
-        out = out.astype(bgrid.dtype)
+        if 1 in by_src:
+            _, pgrid = by_src[1]
+            out = np.where(pgrid.astype(np.float64) == patch_nodata,
+                           bgrid, pgrid).astype(bgrid.dtype)
+        else:
+            out = bgrid  # untouched base tile passes through
         return pd.DataFrame([{
             "dataset_id": brow["dataset_id"], "zoom": int(brow["zoom"]),
             "gx": int(brow["gx"]), "gy": int(brow["gy"]),
@@ -2339,8 +2342,7 @@ def update_tiles(base: DataFrame, patch: DataFrame, patch_nodata: float) -> Data
             "pixels": out.tobytes(), "checksum": CK.checksum_image(out),
         }])
 
-    updated = u.groupBy(*keys).applyInPandas(kernel, TILE_SCHEMA)
-    return updated.unionByName(untouched)
+    return u.groupBy(*keys).applyInPandas(kernel, TILE_SCHEMA)
 
 
 def stack_tiles(tile_tables: list, dataset_id="stack") -> DataFrame:

@@ -976,3 +976,77 @@ def test_stack_is_native_plan(spark):
     # the only Python in the lineage is the two tile GENERATORS; the
     # stack step itself adds no Arrow/Python eval on top of them
     assert plan.count("MapInPandas") == 2
+
+
+def test_reclassify_property_vs_scalar_reference():
+    """Hypothesis: random disjoint interval tables + random probe values
+    — the vectorized np.select kernel path must agree with a direct
+    scalar transliteration of Reclassifier::Reclassify
+    (vrtreclassifier.cpp:399-433)."""
+    from hypothesis import given, settings, strategies as st
+    from osgeo_gdal_spark.operators.raster_ops import parse_reclass_mapping
+
+    def scalar_reclassify(v, intervals, default_value, default_pass):
+        for lo, hi, dst in intervals:
+            if lo <= v <= hi:
+                return v if dst is None else dst
+        if default_value is not None:
+            return default_value
+        if default_pass:
+            return v
+        raise ValueError("unmatched")
+
+    @st.composite
+    def mapping_and_values(draw):
+        # disjoint intervals built from sorted cut points
+        n = draw(st.integers(1, 5))
+        cuts = sorted(draw(st.lists(
+            st.integers(-100, 100), min_size=2 * n, max_size=2 * n,
+            unique=True)))
+        parts = []
+        for i in range(n):
+            lo, hi = cuts[2 * i], cuts[2 * i + 1]
+            lo_b = draw(st.sampled_from("[("))
+            hi_b = draw(st.sampled_from("])"))
+            dst = draw(st.one_of(st.integers(-9, 9), st.just("PASS_THROUGH")))
+            parts.append(f"{lo_b}{lo},{hi}{hi_b}={dst}")
+        mode = draw(st.sampled_from(["none", "value", "pass"]))
+        if mode == "value":
+            parts.append("DEFAULT=77")
+        elif mode == "pass":
+            parts.append("DEFAULT=PASS_THROUGH")
+        vals = draw(st.lists(
+            st.one_of(st.integers(-110, 110),
+                      st.floats(-110, 110, allow_nan=False)),
+            min_size=1, max_size=30))
+        return ";".join(parts), [float(v) for v in vals]
+
+    @settings(max_examples=300, deadline=None)
+    @given(mapping_and_values())
+    def run(mv):
+        mapping, vals = mv
+        intervals, dflt, dp = parse_reclass_mapping(mapping)
+        arr = np.array(vals, dtype=np.float64)
+        conds = [(arr >= lo) & (arr <= hi) for lo, hi, _ in intervals]
+        choices = [np.full_like(arr, d) if d is not None else arr
+                   for _, _, d in intervals]
+        matched = np.logical_or.reduce(conds)
+        want, want_err = [], False
+        try:
+            want = [scalar_reclassify(v, intervals, dflt, dp) for v in vals]
+        except ValueError:
+            want_err = True
+        if dflt is not None:
+            default = np.full_like(arr, dflt)
+        elif dp:
+            default = arr
+        else:
+            if not matched.all():
+                assert want_err
+                return
+            default = arr
+        assert not want_err
+        got = np.select(conds, choices, default=default)
+        assert got.tolist() == want
+
+    run()

@@ -115,6 +115,7 @@ HEADLINE = [
     "vector_verbs",
     "explode_collections",
     "convex_hull",
+    "raster_as_features",
 ]
 
 

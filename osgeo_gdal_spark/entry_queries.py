@@ -1623,6 +1623,44 @@ FROM px
 """
 
 
+AS_FEATURES_GT = (100.0, 0.5, 200.0, -0.5)  # x0, dx, y0, dy (north-up)
+AS_FEATURES_ND = 13.0
+
+
+def q_raster_as_features(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal raster as-features (apps/gdalalg_raster_as_features.cpp):
+    per-pixel features with row/col + cell-center world coordinates
+    under a north-up geotransform, skip-nodata on. Dyadic transform
+    (0.5 steps) keeps the affine exact in both engines."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    feats = RO.as_features(tiles, AS_FEATURES_GT, nodata=AS_FEATURES_ND)
+    x0, y0, w, h = RECLASS_WIN
+    return feats.filter(
+        (F.col("col") >= x0) & (F.col("col") < x0 + w)
+        & (F.col("row") >= y0) & (F.col("row") < y0 + h))
+
+
+def sql_raster_as_features() -> str:
+    wx0, wy0, w, h = RECLASS_WIN
+    gx0, gdx, gy0, gdy = AS_FEATURES_GT
+    return f"""
+WITH px AS (
+  SELECT ({wx0} + xs.i) AS gpx, ({wy0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+)
+SELECT gpy AS row, gpx AS col,
+       {G.D(gx0)} + (gpx + {G.D(0.5)}) * {G.D(gdx)} AS x,
+       {G.D(gy0)} + (gpy + {G.D(0.5)}) * {G.D(gdy)} AS y,
+       CAST({_GEN} AS DOUBLE) AS value
+FROM px
+WHERE {_GEN} <> {int(AS_FEATURES_ND)}
+"""
+
+
 STACK_WIN = (224, 224, 64, 64)
 
 
@@ -6636,7 +6674,6 @@ QUERIES = {
     # -- (a) never-gated round-3 queries + single-green semi/anti ---------
     "fingerprint_pairs": q_fingerprint_pairs,
     "hillshade_multi": q_hillshade_multi,
-    "warp_downscale_avg": q_warp_downscale_avg,
     "raster_pyramid_rms": q_raster_pyramid_rms,
     "focal_mean5": q_focal_mean5,
     "raster_pyramid_bilinear": q_raster_pyramid_bilinear,
@@ -6667,6 +6704,7 @@ QUERIES = {
     "vector_verbs": q_vector_verbs,
     "explode_collections": q_explode_collections,
     "convex_hull": q_convex_hull,
+    "raster_as_features": q_raster_as_features,
     "clean_collar": q_clean_collar,
     "rgb_to_palette": q_rgb_to_palette,
     "clean_coverage": q_clean_coverage,
@@ -6711,6 +6749,7 @@ QUERIES = {
     # -- single-green round-3 queries rotated past the window -------------
     # (r5 rotation: green in r3/r4, code untouched this round)
     "viewshed_cumulative": q_viewshed_cumulative,
+    "warp_downscale_avg": q_warp_downscale_avg,
     "domain_stats": q_domain_stats,
     "viewshed": q_viewshed,
     "rpc_inverse": q_rpc_inverse,
@@ -6900,6 +6939,7 @@ ORACLES = {
     "vector_verbs": sql_vector_verbs(),
     "explode_collections": sql_explode_collections(),
     "convex_hull": sql_convex_hull(),
+    "raster_as_features": sql_raster_as_features(),
     "clean_collar": sql_clean_collar(),
     "rgb_to_palette": sql_rgb_to_palette(),
     "clean_coverage": sql_clean_coverage(),

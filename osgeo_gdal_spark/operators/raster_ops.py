@@ -2360,3 +2360,25 @@ def stack_tiles(tile_tables: list, dataset_id="stack") -> DataFrame:
         out = part if out is None else out.unionByName(part)
         offset += n_bands
     return out
+
+
+def as_features(tiles: DataFrame, geotransform=(0.0, 1.0, 0.0, -1.0),
+                nodata=None) -> DataFrame:
+    """``gdal raster as-features`` (apps/gdalalg_raster_as_features.cpp):
+    one vector feature per pixel — band value, row/col, and the cell
+    CENTER coordinates under a north-up geotransform (x0, dx, y0, dy);
+    ``skip-nodata`` drops nodata pixels. Everything after the pixel
+    explode is a NATIVE column expression (the filter and the affine run
+    in codegen, so Catalyst can push a value predicate into the scan
+    side of downstream joins)."""
+    x0, dx, y0, dy = geotransform
+    px = explode_pixels(tiles)
+    if nodata is not None:
+        px = px.filter(F.col("value") != F.lit(float(nodata)))
+    return px.select(
+        F.col("gpy").alias("row"),
+        F.col("gpx").alias("col"),
+        (F.lit(x0) + (F.col("gpx") + F.lit(0.5)) * F.lit(dx)).alias("x"),
+        (F.lit(y0) + (F.col("gpy") + F.lit(0.5)) * F.lit(dy)).alias("y"),
+        "value",
+    )

@@ -358,3 +358,20 @@ def test_bm25_plan_broadcasts_and_takes_ordered(spark):
     plan = plan_of(q)
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_update_tiles_single_shuffle(spark):
+    """raster update must co-group base+patch in ONE exchange — no
+    distinct/semi/anti pre-joins re-shuffling the same key set (each
+    would be its own stage at 100 TB)."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+    from pyspark.sql import functions as F
+
+    base = RS.synth_tiles(spark, 1)
+    patch = RS.synth_tiles(spark, 1, dataset_id="p", coeffs=(13, 5),
+                           nodata=7.0).filter(F.col("gx") == 0)
+    out = RO.update_tiles(base, patch, 7.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

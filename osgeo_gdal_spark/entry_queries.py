@@ -3416,6 +3416,74 @@ HAVING ROUND(ti.a_area - COALESCE(SUM(pairs.i_area), CAST(0.0 AS DOUBLE)), 4)
 """
 
 
+def q_overlay_identity(spark: SparkSession, sf: str) -> DataFrame:
+    """Layer algebra Identity (ogrlayer.cpp:6770): each tile-index rect
+    split by the polygon layer — the A∩B piece per intersecting polygon
+    (eas_id set) plus the A − ∪B residual (eas_id NULL, whole rect when
+    untouched). Oracle: the pair-area CTE plus the erase residuals —
+    closed forms, vs the engine's assembled-ring shoelace."""
+    from .operators import overlay as OV
+
+    ov = OV.identity_features(spark, PL.tindex_df(spark), PL.POLYGONS)
+    return ov.select(
+        "a_id", "eas_id", F.round("piece_area", 4).alias("p_area")
+    )
+
+
+def sql_overlay_identity() -> str:
+    return f"""
+WITH pairs AS ({_overlay_pairs_cte()}),
+ti AS (SELECT (1000 + fid) AS a_id, (ax1 - ax0) * (ay1 - ay0) AS a_area
+       FROM {PL.tindex_values_sql()}),
+resid AS (
+  SELECT ti.a_id, CAST(NULL AS BIGINT) AS eas_id,
+         ROUND(ti.a_area - COALESCE(SUM(pairs.i_area),
+                                    CAST(0.0 AS DOUBLE)), 4) AS p_area
+  FROM ti LEFT JOIN pairs ON ti.a_id = pairs.a_id
+  GROUP BY ti.a_id, ti.a_area
+)
+SELECT a_id, eas_id, ROUND(i_area, 4) AS p_area FROM pairs
+UNION ALL
+SELECT a_id, eas_id, p_area FROM resid WHERE p_area > 0
+"""
+
+
+def q_overlay_update(spark: SparkSession, sf: str) -> DataFrame:
+    """Layer algebra Update (ogrlayer.cpp:7188): the rect layer with the
+    polygon footprints stamped in — A − ∪B residual pieces (a_id set,
+    eas_id NULL) plus every method polygon whole (a_id NULL). Oracle:
+    erase residuals + per-polygon closed-form areas."""
+    from .operators import overlay as OV
+
+    ov = OV.update_features(spark, PL.tindex_df(spark), PL.POLYGONS)
+    return ov.select(
+        "a_id", "eas_id", F.round("piece_area", 4).alias("p_area")
+    )
+
+
+def sql_overlay_update() -> str:
+    bvals = " UNION ALL ".join(
+        f"SELECT CAST(NULL AS BIGINT) AS a_id, "
+        f"CAST({p.eas_id} AS BIGINT) AS eas_id, "
+        f"ROUND(CAST({p.area()!r} AS DOUBLE), 4) AS p_area"
+        for p in PL.POLYGONS
+    )
+    return f"""
+WITH pairs AS ({_overlay_pairs_cte()}),
+ti AS (SELECT (1000 + fid) AS a_id, (ax1 - ax0) * (ay1 - ay0) AS a_area
+       FROM {PL.tindex_values_sql()})
+SELECT ti.a_id, CAST(NULL AS BIGINT) AS eas_id,
+       ROUND(ti.a_area - COALESCE(SUM(pairs.i_area),
+                                  CAST(0.0 AS DOUBLE)), 4) AS p_area
+FROM ti LEFT JOIN pairs ON ti.a_id = pairs.a_id
+GROUP BY ti.a_id, ti.a_area
+HAVING ROUND(ti.a_area - COALESCE(SUM(pairs.i_area),
+                                  CAST(0.0 AS DOUBLE)), 4) > 0
+UNION ALL
+{bvals}
+"""
+
+
 def q_dissolve_regions(spark: SparkSession, sf: str) -> DataFrame:
     """Dissolve (UnaryUnion per attribute,
     apps/gdalalg_vector_dissolve.cpp:120; ogrgeometry.cpp:5437): the
@@ -6691,6 +6759,8 @@ QUERIES = {
     "overlay_union": q_overlay_union,
     "overlay_erase": q_overlay_erase,
     "overlay_symdiff": q_overlay_symdiff,
+    "overlay_identity": q_overlay_identity,
+    "overlay_update": q_overlay_update,
     "overlay_snapped": q_overlay_snapped,
     "overlay_snapped_lines": q_overlay_snapped_lines,
     "overlay_snapped_points": q_overlay_snapped_points,
@@ -6926,6 +6996,8 @@ ORACLES = {
     "sessionize": sql_sessionize(),
     "hex_raster_rollup": sql_hex_raster_rollup(),
     "overlay_symdiff": sql_overlay_symdiff(),
+    "overlay_identity": sql_overlay_identity(),
+    "overlay_update": sql_overlay_update(),
     "overlay_snapped": sql_overlay_snapped(),
     "overlay_snapped_lines": sql_overlay_snapped_lines(),
     "overlay_snapped_points": sql_overlay_snapped_points(),

@@ -258,6 +258,67 @@ def erase_features(spark, feats: DataFrame, polys,
     return erased.unionByName(untouched.mapInPandas(whole, out_schema))
 
 
+def identity_features(spark, feats: DataFrame, polys,
+                      keep_cols=("fid", "a_id"), geom_col="geometry",
+                      zoom=None) -> DataFrame:
+    """Layer-algebra Identity (``ogrlayer.cpp:6770``): every input
+    feature split by the method layer — one A∩B piece per intersecting
+    method polygon (method attributes set) plus the A − ∪B residual
+    piece with method attributes NULL; features touching nothing pass
+    through whole (also NULL method attrs, via the erase pass-through).
+
+    Composition of the two existing passes (Intersection + Erase): each
+    keeps the big feature side unshuffled with the method layer
+    broadcast, so Identity costs exactly one extra Arrow pass over the
+    matched pairs — no new shuffle shape at 100 TB.
+    """
+    inter = overlay_features(spark, feats, polys, "intersection",
+                             keep_cols=keep_cols, geom_col=geom_col,
+                             zoom=zoom)
+    resid = erase_features(spark, feats, polys, keep_cols=keep_cols,
+                           geom_col=geom_col, zoom=zoom)
+    resid = resid.withColumn("eas_id", F.lit(None).cast("long"))
+    return inter.unionByName(resid.select(*inter.columns))
+
+
+def update_features(spark, feats: DataFrame, polys,
+                    keep_cols=("fid", "a_id"), geom_col="geometry",
+                    zoom=None) -> DataFrame:
+    """Layer-algebra Update (``ogrlayer.cpp:7188``): the input layer
+    with the method-layer footprints replaced by the method features —
+    A − ∪B pieces carrying the input attributes, plus every method
+    feature whole (input attributes NULL; OGR keeps only the A schema,
+    so like OGR we surface no method fields beyond the identifying
+    ``eas_id``).
+
+    The method layer is the broadcast-scale dim side (it already ships
+    to every executor as the overlay payload), so its whole-feature
+    rows are built driver-side — no extra job.
+    """
+    er = erase_features(spark, feats, polys, keep_cols=keep_cols,
+                        geom_col=geom_col, zoom=zoom)
+    er = er.withColumn("eas_id", F.lit(None).cast("long"))
+
+    cols = list(keep_cols)
+    brows = []
+    for pf in polys:
+        rings = OVK.geometry_rings(W.parse_wkb(pf.wkb()))
+        brows.append(
+            {**{c: None for c in cols},
+             "eas_id": int(pf.eas_id),
+             "piece_wkb": bytearray(OVK.rings_to_wkb(rings)),
+             "piece_area": float(OVK.rings_area(rings)),
+             "piece_npts": int(sum(len(xs) for xs, _ in rings))}
+        )
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in er.schema]
+    )
+    bdf = spark.createDataFrame(
+        [tuple(r[f.name] for f in out_schema) for r in brows], out_schema
+    )
+    return er.select(*[f.name for f in out_schema]).unionByName(bdf)
+
+
 def overlay_features_snapped(spark, feats: DataFrame, polys, op: str,
                              grid: float = None,
                              keep_cols=("fid", "a_id"),

@@ -235,6 +235,53 @@ def test_erase_features_matches_pair_sums(spark):
             assert abs(got[1000 + i] - want) < 1e-9
 
 
+def test_identity_features_partitions_each_input(spark):
+    """Identity (ogrlayer.cpp:6770): per input rect, the emitted pieces
+    (A∩B per method polygon + the NULL-attributed residual) partition
+    the rect exactly — areas sum to |A| for every a_id."""
+    from osgeo_gdal_spark.kernels import overlay_kernel as OK
+
+    rows = OV.identity_features(
+        spark, PL.tindex_df(spark), PL.POLYGONS
+    ).collect()
+    by_a = {}
+    for r in rows:
+        by_a.setdefault(r["a_id"], []).append(r)
+    for i, x0, y0, x1, y1 in PL.tindex_rects():
+        pieces = by_a[1000 + i]
+        a_area = OK.rings_area(_rect_rings(x0, y0, x1, y1))
+        assert abs(sum(p["piece_area"] for p in pieces) - a_area) < 1e-9
+        # at most one residual (eas_id NULL) piece per input feature
+        assert sum(1 for p in pieces if p["eas_id"] is None) <= 1
+
+
+def test_update_features_stamps_method_layer(spark):
+    """Update (ogrlayer.cpp:7188): total output area == |∪A ∪ ∪B|
+    computed by inclusion-exclusion (method polygons disjoint), method
+    features appear whole with NULL input attrs."""
+    from osgeo_gdal_spark.kernels import overlay_kernel as OK, wkb as W
+
+    rows = OV.update_features(
+        spark, PL.tindex_df(spark), PL.POLYGONS
+    ).collect()
+    b_rows = [r for r in rows if r["a_id"] is None]
+    assert {r["eas_id"] for r in b_rows} == {p.eas_id for p in PL.POLYGONS}
+    for r in b_rows:
+        pf = next(p for p in PL.POLYGONS if p.eas_id == r["eas_id"])
+        assert abs(r["piece_area"] - pf.area()) < 1e-6
+    a_rows = [r for r in rows if r["a_id"] is not None]
+    assert all(r["eas_id"] is None for r in a_rows)
+    polys = [OK.geometry_rings(W.parse_wkb(p.wkb())) for p in PL.POLYGONS]
+    want_a = 0.0
+    for i, x0, y0, x1, y1 in PL.tindex_rects():
+        a = _rect_rings(x0, y0, x1, y1)
+        want_a += OK.rings_area(a) - sum(
+            OK.rings_area(OK.overlay_rings(a, rb, "intersection"))
+            for rb in polys
+        )
+    assert abs(sum(r["piece_area"] for r in a_rows) - want_a) < 1e-8
+
+
 def test_dissolve_parts_and_area(spark):
     """Two-level dissolve matches the analytic inclusion-exclusion union
     area and the constructed part counts."""

@@ -101,11 +101,14 @@ def resample_grid(src: np.ndarray, out_h: int, out_w: int, method: str) -> np.nd
 
 
 def round_to_dtype(arr: np.ndarray, dtype) -> np.ndarray:
-    """GDALCopyWords float->int conversion: add 0.5, floor, clamp."""
+    """GDALCopyWords float->int conversion (gcore/gdal_priv_templates.hpp
+    sGDALCopyWord<double, Tout>): add 0.5, floor, clamp; NaN -> 0."""
     if np.issubdtype(np.dtype(dtype), np.floating):
         return arr.astype(dtype)
     info = np.iinfo(dtype)
-    return np.clip(np.floor(arr + 0.5), info.min, info.max).astype(dtype)
+    out = np.clip(np.floor(arr + 0.5), info.min, info.max)
+    out = np.where(np.isnan(arr), 0, out)
+    return out.astype(dtype)
 
 
 def average_2x2(src: np.ndarray) -> np.ndarray:

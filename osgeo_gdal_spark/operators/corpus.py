@@ -15,6 +15,97 @@ from pyspark.sql import DataFrame, functions as F
 from .dedup import shingles
 
 
+def doc_lines(docs: DataFrame, width: int, text_col="text",
+              id_col="doc_id", punctuate=True) -> DataFrame:
+    """Deterministic line synthesis for the line-tier operators: split
+    each document into fixed-``width`` word chunks with an
+    index-dependent terminal ((doc_id+i)%4 -> '.', '', '?', ' {').
+    Real crawl pages carry newlines and skip this step — the line ops
+    below take any (doc_id, line_idx, line, n_words) relation.
+
+    Native throughout (split + sequence explode + slice/array_join, all
+    codegen'd); one narrow projection, no shuffle."""
+    w = F.split(F.col(text_col), " ")
+    d = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    d = d.filter(F.size("w") > 0).withColumn(
+        "nl", ((F.size("w") + (width - 1)) / width).cast("long"))
+    d = d.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.col("nl") - 1)).alias("line_idx"),
+    )
+    lw = F.slice(F.col("w"), F.col("line_idx") * width + 1, width)
+    d = d.select("doc_id", "line_idx", lw.alias("lw"))
+    if punctuate:
+        suffix = (
+            F.when((F.col("doc_id") + F.col("line_idx")) % 4 == 0, ".")
+            .when((F.col("doc_id") + F.col("line_idx")) % 4 == 2, "?")
+            .when((F.col("doc_id") + F.col("line_idx")) % 4 == 3, " {")
+            .otherwise("")
+        )
+    else:
+        suffix = F.lit("")
+    return d.select(
+        "doc_id", "line_idx",
+        F.concat(F.array_join("lw", " "), suffix).alias("line"),
+        F.size("lw").alias("n_words"),
+    )
+
+
+def c4_line_stats(lines: DataFrame, min_words: int = 5,
+                  min_kept_lines: int = 3) -> DataFrame:
+    """C4-recipe line filters (Raffel et al. 2020 §2.2, public recipe;
+    mirrored by every big curation run): keep lines that end in terminal
+    punctuation ('.', '?', '!', '\"'), have >= min_words words, and
+    contain no '{' (the code/boilerplate tell); keep documents with
+    >= min_kept_lines surviving lines.
+
+    Per-doc ALL-INTEGER stats (driver-gate armor): n_lines, n_kept,
+    kept_words, doc_keep as 0/1. One map-side-combinable groupBy."""
+    kept = (
+        F.substring(F.col("line"), -1, 1).isin(".", "?", "!", "\"")
+        & (F.col("n_words") >= min_words)
+        & ~F.col("line").contains("{")
+    )
+    per = lines.select(
+        "doc_id", "n_words", kept.cast("long").alias("k"))
+    return (
+        per.groupBy("doc_id")
+        .agg(F.count("*").alias("n_lines"),
+             F.sum("k").alias("n_kept"),
+             F.sum(F.col("k") * F.col("n_words")).alias("kept_words"))
+        .select("doc_id", "n_lines", "n_kept", "kept_words",
+                (F.col("n_kept") >= min_kept_lines)
+                .cast("long").alias("doc_keep"))
+    )
+
+
+def line_dedup_stats(lines: DataFrame) -> DataFrame:
+    """Corpus-global line-level exact dedup (the CCNet / FineWeb
+    duplicated-line removal, public recipes): every copy of a line after
+    its FIRST occurrence (ordered by doc_id, line_idx) is dropped;
+    report per-doc n_lines / n_dropped / n_kept.
+
+    Shape at 100 TB: one shuffle keyed on the line content (skinny rows:
+    line + two ints; hash the line to 8 bytes first at real scale), a
+    row_number window inside each duplicate group — group sizes are the
+    duplicate multiplicities, never corpus-sized — then a
+    map-side-combinable per-doc aggregate."""
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("line").orderBy("doc_id", "line_idx"))
+    tagged = lines.select(
+        "doc_id", "line_idx", "line").withColumn("rn", rn)
+    return (
+        tagged.groupBy("doc_id")
+        .agg(F.count("*").alias("n_lines"),
+             F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"))
+        .select("doc_id", "n_lines", "n_dropped",
+                (F.col("n_lines") - F.col("n_dropped")).alias("n_kept"))
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col="text",
                      id_col="doc_id") -> DataFrame:
     """Word-level repetition quality metrics (the Gopher rules' word

@@ -89,6 +89,24 @@ def translate_tiles(tiles: DataFrame, scale=1.0, offset=0.0,
     return tiles.mapInPandas(kernel, schema)
 
 
+def unscale_tiles(tiles: DataFrame, scale: float, offset: float) -> DataFrame:
+    """``gdal raster unscale`` (apps/gdalalg_raster_unscale.cpp →
+    gdal_translate -unscale): apply the band's scale/offset metadata,
+    out = v*scale + offset emitted as Float64 (the reference forces
+    Float64 output for non-complex types). Map-only per-tile pass."""
+    return translate_tiles(tiles, scale=scale, offset=offset,
+                           out_dtype="float64").drop("_ox0", "_oy0")
+
+
+def set_type_tiles(tiles: DataFrame, out_dtype: str) -> DataFrame:
+    """``gdal raster set-type`` (apps/gdalalg_raster_set_type.cpp → -ot):
+    datatype conversion under the GDALCopyWord rule
+    (gcore/gdal_priv_templates.hpp: +0.5, floor, clamp to the output
+    range, NaN -> 0). Map-only per-tile pass."""
+    return translate_tiles(tiles, scale=1.0, offset=0.0,
+                           out_dtype=out_dtype).drop("_ox0", "_oy0")
+
+
 def explode_pixels(tiles: DataFrame) -> DataFrame:
     """Tile rows -> (zoom, gpx, gpy, value) global-pixel rows (the oracle
     bridge; origin taken from _ox0/_oy0 when present for windowed tiles)."""

@@ -509,3 +509,54 @@ def test_lm_quality_scores_hand_computed(spark):
     assert out[3]["lm_score_q"] == q(1.0 / 2.0)
     # ref doc scores itself: (a,b) twice + (b,a) once at ln((1+1)/(1+2))
     assert out[0]["lm_score_q"] == 2 * q(3.0 / 4.0) + q(2.0 / 3.0)
+
+
+def test_doc_lines_and_c4_filters(spark):
+    """Hand-derived C4 line stats: 10-word doc at width 8 -> lines
+    ['w0..w7' + sfx(doc,0), 'w8 w9' + sfx(doc,1)]; the (doc_id+i)%4
+    terminal decides survival along with the width/curly rules."""
+    from osgeo_gdal_spark.operators.corpus import c4_line_stats, doc_lines
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))),   # sfx '.', then ''
+         (3, " ".join(f"w{i}" for i in range(16))),   # sfx ' {', then '.'
+         (2, "a b c")],                               # one short '?' line
+        "doc_id LONG, text STRING",
+    )
+    lines = {(r["doc_id"], r["line_idx"]): r
+             for r in doc_lines(docs, width=8).collect()}
+    assert lines[(0, 0)]["line"].endswith("w7.")
+    assert lines[(0, 1)]["line"] == "w8 w9"
+    assert lines[(3, 0)]["line"].endswith("{")
+    assert lines[(2, 0)]["line"] == "a b c?"
+    out = {r["doc_id"]: r
+           for r in c4_line_stats(doc_lines(docs, width=8),
+                                  min_kept_lines=1).collect()}
+    # doc 0: line0 kept (terminal '.', 8 words); line1 dropped (no punct)
+    assert (out[0]["n_lines"], out[0]["n_kept"], out[0]["kept_words"],
+            out[0]["doc_keep"]) == (2, 1, 8, 1)
+    # doc 3: line0 curly-dropped, line1 ('w8..w15.') kept
+    assert (out[3]["n_kept"], out[3]["kept_words"]) == (1, 8)
+    # doc 2: '?' terminal but only 3 words -> dropped
+    assert (out[2]["n_kept"], out[2]["doc_keep"]) == (0, 0)
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """Global line dedup keeps the (doc_id, line_idx)-first copy of each
+    duplicated line and reports per-doc drop counts."""
+    from osgeo_gdal_spark.operators.corpus import (doc_lines,
+                                                   line_dedup_stats)
+
+    # width=2, punctuation off -> lines are plain 2-word chunks
+    docs = spark.createDataFrame(
+        [(0, "x y x y a b"),     # lines: 'x y', 'x y', 'a b'
+         (1, "x y a b c"),       # lines: 'x y', 'a b', 'c'
+         (2, "c")],              # line: 'c'
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in line_dedup_stats(
+        doc_lines(docs, width=2, punctuate=False)).collect()}
+    assert (out[0]["n_lines"], out[0]["n_dropped"]) == (3, 1)  # 2nd 'x y'
+    assert (out[1]["n_lines"], out[1]["n_dropped"]) == (3, 2)  # 'x y','a b'
+    assert (out[2]["n_lines"], out[2]["n_dropped"]) == (1, 1)  # 'c' in doc1
+    assert out[1]["n_kept"] == 1

@@ -1050,3 +1050,41 @@ def test_reclassify_property_vs_scalar_reference():
         assert got.tolist() == want
 
     run()
+
+
+def test_round_to_dtype_copyword_rule():
+    """GDALCopyWord (gcore/gdal_priv_templates.hpp): +0.5, floor, clamp,
+    NaN -> 0 for float->int conversions."""
+    import numpy as np
+    from osgeo_gdal_spark.kernels.resample import round_to_dtype
+
+    arr = np.array([-3.7, -0.2, 0.49, 0.5, 254.5, 300.0, np.nan])
+    out = round_to_dtype(arr, np.uint8)
+    assert out.tolist() == [0, 0, 0, 1, 255, 255, 0]
+    out16 = round_to_dtype(np.array([-3.7, -3.2, np.nan]), np.int16)
+    # floor(v + 0.5): -3.7 -> floor(-3.2) = -4; -3.2 -> floor(-2.7) = -3
+    assert out16.tolist() == [-4, -3, 0]
+
+
+def test_unscale_then_set_type(spark):
+    """unscale (v*scale+offset as float64) chained into set-type
+    (CopyWord byte cast) matches the per-pixel closed form."""
+    import numpy as np
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+    from osgeo_gdal_spark.sources.raster import parse_tile
+
+    tiles = RS.synth_tiles(spark, 0)
+    un = RO.unscale_tiles(tiles, 0.5, -20.0)
+    row = un.collect()[0]
+    assert row["dtype"] == "float64"
+    v = parse_tile(row)
+    g = np.add.outer(np.arange(v.shape[0]) * 11,
+                     np.arange(v.shape[1]) * 7)  # zoom 0: gpx*7+gpy*11+0
+    want = (g % 255).astype(np.float64) * 0.5 - 20.0
+    assert np.array_equal(v, want)
+    st = RO.set_type_tiles(un, "uint8").collect()[0]
+    b = parse_tile(st)
+    assert b.dtype == np.uint8
+    assert np.array_equal(
+        b, np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8))

@@ -116,6 +116,11 @@ HEADLINE = [
     "explode_collections",
     "convex_hull",
     "raster_as_features",
+    "overlay_identity",
+    "overlay_update",
+    "raster_unscale",
+    "c4_filters",
+    "line_dedup",
 ]
 
 

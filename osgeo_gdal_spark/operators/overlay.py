@@ -267,18 +267,82 @@ def identity_features(spark, feats: DataFrame, polys,
     piece with method attributes NULL; features touching nothing pass
     through whole (also NULL method attrs, via the erase pass-through).
 
-    Composition of the two existing passes (Intersection + Erase): each
-    keeps the big feature side unshuffled with the method layer
-    broadcast, so Identity costs exactly one extra Arrow pass over the
-    matched pairs — no new shuffle shape at 100 TB.
+    SINGLE-PASS shape (not Intersection ∪ Erase, which would scan and
+    join the 100 TB feature side twice): one broadcast cell-cover join
+    produces the matched pairs, one groupBy(feature) fold emits every
+    intersection piece AND the running-difference residual together,
+    then the untouched features pass through whole via a left-anti —
+    exactly the Erase plan's cost plus the per-pair intersection kernel
+    calls inside the same Arrow batch.
     """
-    inter = overlay_features(spark, feats, polys, "intersection",
-                             keep_cols=keep_cols, geom_col=geom_col,
-                             zoom=zoom)
-    resid = erase_features(spark, feats, polys, keep_cols=keep_cols,
-                           geom_col=geom_col, zoom=zoom)
-    resid = resid.withColumn("eas_id", F.lit(None).cast("long"))
-    return inter.unionByName(resid.select(*inter.columns))
+    from . import spatial_join as SJ
+
+    kw = {} if zoom is None else {"zoom": zoom}
+    matched = SJ.spatial_join_polygons(spark, feats, polys, **kw)
+
+    payload = [(pf.fid, pf.wkb()) for pf in polys]
+    key = SJ.payload_key(payload)
+    bc = spark.sparkContext.broadcast(payload)
+    cols = list(keep_cols)
+
+    out_schema = T.StructType(
+        [feats.schema[c] for c in cols]
+        + [T.StructField("eas_id", T.LongType())]
+        + _PIECE_FIELDS
+    )
+
+    def _piece_row(row0, eas, rings):
+        return {**{c: row0[c] for c in cols},
+                "eas_id": eas,
+                "piece_wkb": OVK.rings_to_wkb(rings),
+                "piece_area": float(OVK.rings_area(rings)),
+                "piece_npts": int(sum(len(xs) for xs, _ in rings))}
+
+    def fold(pdf):
+        import pandas as pd
+
+        rings_by_fid = _prepared_rings(bc.value, key)
+        row0 = pdf.iloc[0]
+        ra = OVK.geometry_rings(W.parse_wkb(bytes(row0[geom_col])))
+        eas_by_bfid = {int(b): int(e)
+                       for b, e in zip(pdf["b_fid"], pdf["eas_id"])}
+        acc = ra
+        rows = []
+        # sorted fold order: reproducible float difference chain (same
+        # contract as erase_features)
+        for bf in sorted(eas_by_bfid):
+            rb = rings_by_fid[bf]
+            piece = OVK.overlay_rings(ra, rb, "intersection")
+            if piece and OVK.rings_area(piece) > 0:
+                rows.append(_piece_row(row0, eas_by_bfid[bf], piece))
+            if acc:
+                acc = OVK.overlay_rings(acc, rb, "difference")
+        if acc and OVK.rings_area(acc) > 0:
+            rows.append(_piece_row(row0, None, acc))
+        if not rows:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema}
+            )
+        return pd.DataFrame(rows)
+
+    split = matched.groupBy("fid").applyInPandas(fold, out_schema)
+
+    untouched = feats.join(
+        matched.select("fid").distinct(), "fid", "left_anti"
+    )
+
+    def whole(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rings = OVK.geometry_rings(W.parse_wkb(bytes(row[geom_col])))
+                rows.append(_piece_row(row, None, rings))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return split.unionByName(untouched.mapInPandas(whole, out_schema))
 
 
 def update_features(spark, feats: DataFrame, polys,

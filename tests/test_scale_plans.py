@@ -375,3 +375,20 @@ def test_update_tiles_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_identity_plan_single_pairs_join(spark):
+    """Identity is SINGLE-PASS: exactly one grouped fold over the
+    matched pairs (one FlatMapGroupsInPandas), broadcast joins only —
+    not an Intersection plan unioned with a second Erase scan+join."""
+    from osgeo_gdal_spark.operators import overlay as OV
+
+    ov = OV.identity_features(spark, PL.tindex_df(spark), PL.POLYGONS)
+    plan = plan_of(ov)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge allowed is the erase-standard left-anti
+    # pass-through on the skinny fid key (AQE turns it broadcast when
+    # the matched set is small)
+    n_smj = plan.count("SortMergeJoin")
+    assert n_smj <= plan.count("LeftAnti"), plan[:2000]

@@ -121,6 +121,7 @@ HEADLINE = [
     "raster_unscale",
     "c4_filters",
     "line_dedup",
+    "focal_stats",
 ]
 
 

@@ -5205,6 +5205,84 @@ def q_contour(spark: SparkSession, sf: str) -> DataFrame:
 FOCAL5_WIN = (120, 168, 230, 280)   # x0, x1, y0, y1 — spans the tile seam
 
 
+FOCAL_STATS_WIN = (96, 224, 160, 288)  # x0 x1 y0 y1 — spans the gy seam
+
+
+def q_focal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """`gdal raster neighbors` FULL method tier (apps/
+    gdalalg_raster_neighbors.cpp SetChoices; reduction semantics
+    frmts/vrt/vrtfilters.cpp): 3x3 equal-weight MEDIAN (even-count
+    middles averaged), MODE over the 32-quantized generator with the
+    reference's first-to-reach-max-count scan-order tie rule, and
+    population variance emitted as the exact integer 81·var =
+    9·Σv² − (Σv)². Window is world-interior (9 taps everywhere) and
+    spans a tile seam, so all three halo exchanges are under test."""
+    import numpy as np
+
+    from .operators import focal as FO, raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    k3 = np.ones((3, 3))
+    x0, x1, y0, y1 = FOCAL_STATS_WIN
+
+    def window(df):
+        return RO.explode_pixels(df).filter(
+            (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+            & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+        )
+
+    med = window(FO.focal_generic(tiles, RASTER_ZOOM, k3, "median")) \
+        .select("gpx", "gpy", F.col("value").alias("med"))
+    std = window(FO.focal_generic(tiles, RASTER_ZOOM, k3, "stddev")) \
+        .select("gpx", "gpy",
+                F.round(F.col("value") * F.col("value") * 81)
+                .cast("long").alias("var81"))
+    qt = RO.raster_calc({"A": tiles}, "floor(A / 32)")
+    mode = window(FO.focal_generic(qt, RASTER_ZOOM, k3, "mode")) \
+        .select("gpx", "gpy", F.col("value").cast("long").alias("mode_q"))
+    return med.join(std, ["gpx", "gpy"]).join(mode, ["gpx", "gpy"])
+
+
+def sql_focal_stats() -> str:
+    x0, x1, y0, y1 = FOCAL_STATS_WIN
+    offs = ", ".join(f"({dx}, {dy}, {k})"
+                     for k, (dy, dx) in enumerate(
+                         (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)))
+    return f"""
+WITH px AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+),
+o(dx, dy, k) AS (VALUES {offs}),
+taps AS (
+  SELECT gpx, gpy, o.k,
+         ((gpx + o.dx) * 7 + (gpy + o.dy) * 11 + 1) % 255 AS v
+  FROM px CROSS JOIN o
+),
+med AS (
+  SELECT gpx, gpy, median(CAST(v AS DOUBLE)) AS med,
+         CAST(9 * SUM(v * v) - SUM(v) * SUM(v) AS BIGINT) AS var81
+  FROM taps GROUP BY gpx, gpy
+),
+mcount AS (
+  SELECT gpx, gpy, v // 32 AS q, COUNT(*) AS c, MAX(k) AS lk
+  FROM taps GROUP BY gpx, gpy, v // 32
+),
+mwin AS (
+  SELECT gpx, gpy, q,
+         ROW_NUMBER() OVER (PARTITION BY gpx, gpy
+                            ORDER BY c DESC, lk ASC) AS rn
+  FROM mcount
+)
+SELECT med.gpx, med.gpy, med.med, med.var81,
+       CAST(mwin.q AS BIGINT) AS mode_q
+FROM med JOIN mwin ON med.gpx = mwin.gpx AND med.gpy = mwin.gpy
+WHERE mwin.rn = 1
+"""
+
+
 def q_focal_mean5(spark: SparkSession, sf: str) -> DataFrame:
     """Generic focal neighbors (`gdal raster neighbors` / VRT
     KernelFilteredSource): 5x5 equal-weight mean on the width-2 halo
@@ -6907,6 +6985,7 @@ QUERIES = {
     "lm_quality_score": q_lm_quality_score,
     "c4_filters": q_c4_filters,
     "line_dedup": q_line_dedup,
+    "focal_stats": q_focal_stats,
     "dissolve_snapped": q_dissolve_snapped,
     "predicates_snapped": q_predicates_snapped,
     "spatial_predicates": q_spatial_predicates,
@@ -7125,6 +7204,7 @@ ORACLES = {
     "raster_unscale": sql_raster_unscale(),
     "c4_filters": sql_c4_filters(),
     "line_dedup": sql_line_dedup(),
+    "focal_stats": sql_focal_stats(),
     "overlay_update": sql_overlay_update(),
     "overlay_snapped": sql_overlay_snapped(),
     "overlay_snapped_lines": sql_overlay_snapped_lines(),

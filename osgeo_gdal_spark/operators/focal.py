@@ -269,10 +269,16 @@ def focal_generic(tiles: DataFrame, zoom: int, kernel, method="mean",
     strip machinery), so results equal the full-raster convolution across
     tile borders exactly.
 
-    method: 'mean' (weight-normalized over AVAILABLE taps — world-border
-    pixels renormalize like the VRT source), 'sum' (missing taps = 0),
-    'min'/'max' (over taps with nonzero weight), 'stddev' (population, of
-    the weighted window treated as values with weight > 0).
+    Reference-exact reduction semantics (frmts/vrt/vrtfilters.cpp
+    FilterData, the VRT KernelFilteredSource the verb compiles to):
+    every method reduces the WEIGHTED tap values v·w over valid taps
+    with w != 0 — 'mean' normalizes by Σw over available taps
+    (world-border renormalization), 'sum' is the raw weighted sum,
+    'min'/'max'/'median' reduce the weighted values (median averages
+    the two middles on even counts), 'stddev' is the population stddev
+    of the weighted values, 'mode' is the most frequent weighted value
+    with the reference's first-to-reach-max-count tie rule (row-major
+    tap scan order). A nodata (NaN) CENTER pixel stays nodata.
     """
     K = np.asarray(kernel, dtype=np.float64)
     if K.ndim != 2 or K.shape[0] != K.shape[1] or K.shape[0] % 2 != 1:
@@ -313,22 +319,26 @@ def focal_generic(tiles: DataFrame, zoom: int, kernel, method="mean",
         s1 = np.zeros((TILE, TILE))
         s2 = np.zeros((TILE, TILE))
         cnt = np.zeros((TILE, TILE))
+        stack = []  # weighted taps in row-major scan order (median/mode)
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
                 w = K[dy + r, dx + r]
-                if w == 0.0 and meth in ("min", "max"):
+                if w == 0.0:
+                    # vrtfilters.cpp skips zero-coef taps for EVERY method
                     continue
                 v = pad[r + dy:r + dy + TILE, r + dx:r + dx + TILE]
                 ok = ~np.isnan(v)
-                vv = np.where(ok, v, 0.0)
-                acc += np.where(ok, w * vv, 0.0)
+                wv = np.where(ok, w * v, 0.0)
+                acc += wv
                 wacc += np.where(ok, w, 0.0)
-                s1 += np.where(ok, vv, 0.0)
-                s2 += np.where(ok, vv * vv, 0.0)
+                s1 += wv
+                s2 += wv * wv
                 cnt += ok
                 if meth in ("min", "max"):
-                    mn = np.where(ok & (v < mn), v, mn)
-                    mx = np.where(ok & (v > mx), v, mx)
+                    mn = np.where(ok & (w * v < mn), w * v, mn)
+                    mx = np.where(ok & (w * v > mx), w * v, mx)
+                if meth in ("median", "mode"):
+                    stack.append(np.where(ok, w * v, np.nan))
         with np.errstate(invalid="ignore", divide="ignore"):
             if meth == "mean":
                 out = np.where(wacc != 0, acc / wacc, nd)
@@ -339,13 +349,43 @@ def focal_generic(tiles: DataFrame, zoom: int, kernel, method="mean",
             elif meth == "max":
                 out = np.where(np.isfinite(mx), mx, nd)
             elif meth == "stddev":
-                # UNWEIGHTED population stddev over taps with any weight
+                # population stddev of the weighted values over valid
+                # w != 0 taps (Welford in the reference == this closed
+                # form; cnt excludes zero-weight and nodata taps)
                 m = s1 / np.maximum(cnt, 1)
                 out = np.where(cnt > 0,
                                np.sqrt(np.maximum(s2 / np.maximum(cnt, 1) - m * m, 0.0)),
                                nd)
+            elif meth == "median":
+                S = np.stack(stack)
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    med = np.nanmedian(S, axis=0)
+                out = np.where(cnt > 0, med, nd)
+            elif meth == "mode":
+                # first value to REACH the max multiplicity in tap scan
+                # order wins (vrtfilters.cpp mapValToCount > maxCount):
+                # r[k] = occurrences of tap k's value among taps 0..k;
+                # winner = earliest tap attaining max r  ==  the last
+                # occurrence of the winning value.
+                S = np.stack(stack)  # (K2, TILE, TILE)
+                k2 = S.shape[0]
+                rr = np.zeros((k2, TILE, TILE), dtype=np.int32)
+                for k in range(k2):
+                    eq = np.zeros((TILE, TILE), dtype=np.int32)
+                    for j in range(k + 1):
+                        eq += (S[j] == S[k])
+                    rr[k] = eq  # 0 exactly when tap k is NaN
+                score = rr.astype(np.int64) * k2 + (k2 - 1 - np.arange(
+                    k2, dtype=np.int64))[:, None, None]
+                kstar = np.argmax(score, axis=0)
+                picked = np.take_along_axis(S, kstar[None], axis=0)[0]
+                out = np.where(cnt > 0, picked, nd)
             else:
                 raise ValueError(meth)
+        out = np.where(np.isnan(pad[r:r + TILE, r:r + TILE]), nd, out)
         return pd.DataFrame(
             [
                 {

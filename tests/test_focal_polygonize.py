@@ -429,29 +429,31 @@ def test_focal_generic_methods_match_full_grid(spark, tiles):
     K = np.ones((5, 5))
     K[0, 0] = 0.0  # non-trivial weight pattern for min/max skip logic
 
-    for meth in ("mean", "sum", "min", "max", "stddev"):
+    for meth in ("mean", "sum", "min", "max", "stddev", "median"):
         got = {(rw["gx"], rw["gy"]): RS.parse_tile(rw)
                for rw in focal_generic(tiles, 1, K, meth).collect()}
-        # reference
+        # reference (vrtfilters.cpp semantics: weighted taps, w==0
+        # skipped for every method)
         acc = np.zeros((world, world)); wacc = np.zeros((world, world))
         s1 = np.zeros((world, world)); s2 = np.zeros((world, world))
         cnt = np.zeros((world, world))
         mn = np.full((world, world), np.inf); mx = np.full((world, world), -np.inf)
+        stk = []
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
                 w = K[dy + r, dx + r]
-                if w == 0.0 and meth in ("min", "max"):
+                if w == 0.0:
                     continue
                 v = pad[r + dy:r + dy + world, r + dx:r + dx + world]
                 ok = ~np.isnan(v)
-                vv = np.where(ok, v, 0.0)
-                acc += np.where(ok, w * vv, 0.0)
+                wv = np.where(ok, w * v, 0.0)
+                acc += wv
                 wacc += np.where(ok, w, 0.0)
-                s1 += np.where(ok, vv, 0.0); s2 += np.where(ok, vv * vv, 0.0)
+                s1 += wv; s2 += wv * wv
                 cnt += ok
-                if meth in ("min", "max"):
-                    mn = np.where(ok & (v < mn), v, mn)
-                    mx = np.where(ok & (v > mx), v, mx)
+                mn = np.where(ok & (w * v < mn), w * v, mn)
+                mx = np.where(ok & (w * v > mx), w * v, mx)
+                stk.append(np.where(ok, w * v, np.nan))
         if meth == "mean":
             want = np.where(wacc != 0, acc / wacc, -9999.0)
         elif meth == "sum":
@@ -460,6 +462,13 @@ def test_focal_generic_methods_match_full_grid(spark, tiles):
             want = np.where(np.isfinite(mn), mn, -9999.0)
         elif meth == "max":
             want = np.where(np.isfinite(mx), mx, -9999.0)
+        elif meth == "median":
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                med = np.nanmedian(np.stack(stk), axis=0)
+            want = np.where(cnt > 0, med, -9999.0)
         else:
             m = s1 / np.maximum(cnt, 1)
             want = np.where(cnt > 0,
@@ -537,3 +546,41 @@ def test_hillshade_combined_and_multidirectional_properties():
         assert bright > dark, mode
         full_m = _dem_compute(mode, nw_facing, 1.0, 1.0, -1.0)
         assert (full_m >= 1.0 - 1e-9).all() and (full_m <= 255.0 + 1e-9).all()
+
+
+def test_focal_mode_scan_order_tie_rule(spark):
+    """Mode ties resolve to the FIRST value reaching the max
+    multiplicity in row-major tap scan order (vrtfilters.cpp
+    mapValToCount > maxCount) — checked against a per-pixel dict
+    transliteration of the reference loop on a quantized grid."""
+    import numpy as np
+    from osgeo_gdal_spark.operators.focal import focal_generic
+    from osgeo_gdal_spark.sources import raster as RS
+
+    world = 512
+    gpx = np.arange(world)[None, :] * np.ones((world, 1), dtype=np.int64)
+    gpy = np.arange(world)[:, None] * np.ones((1, world), dtype=np.int64)
+    z = (((gpx * 7 + gpy * 11 + 1) % 255) // 32).astype(np.float64)
+    tiles = RS.tiles_from_grid(spark, z, 1)
+    got = {(rw["gx"], rw["gy"]): RS.parse_tile(rw)
+           for rw in focal_generic(tiles, 1, np.ones((3, 3)),
+                                   "mode").collect()}
+    full = np.zeros((world, world))
+    for gy in range(2):
+        for gx in range(2):
+            full[gy*256:(gy+1)*256, gx*256:(gx+1)*256] = got[(gx, gy)]
+    rng = np.random.RandomState(7)
+    pts = [(int(rng.randint(world)), int(rng.randint(world)))
+           for _ in range(200)] + [(0, 0), (0, 511), (511, 0), (511, 511)]
+    for (py, px) in pts:
+        counts, best, bestc = {}, None, 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                yy, xx = py + dy, px + dx
+                if not (0 <= yy < world and 0 <= xx < world):
+                    continue
+                v = z[yy, xx]
+                counts[v] = counts.get(v, 0) + 1
+                if counts[v] > bestc:
+                    bestc, best = counts[v], v
+        assert full[py, px] == best, (py, px, full[py, px], best)

@@ -3,7 +3,7 @@ numpy — no Spark session, so they run in milliseconds)."""
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, given, settings, strategies as st
 
 from osgeo_gdal_spark.kernels import makevalid as MV
 
@@ -228,3 +228,52 @@ def test_buffer_darts_match_exact_fraction_oracle(di, d):
     for kern, exact in ((dil_k, dil_e), (ero_k, ero_e)):
         assert math.floor(kern * 1024 + 0.5) == \
             math.floor(float(exact) * 1024 + 0.5)
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(0.05, 0.95), st.floats(0.05, 0.95),
+                  st.floats(0.05, 0.95)),
+        min_size=1, max_size=5),
+    st.floats(0.0, 9.0), st.floats(0.2, 6.0),
+    st.floats(-1.0, 1.0), st.floats(0.3, 3.0),
+)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_identity_fold_partitions_input(bands, ax0, aw, ay0, ah):
+    """The per-feature Identity fold (operators/overlay.identity_features
+    kernel): for pairwise-DISJOINT method polygons B_i, the emitted
+    pieces A∩B_i plus the running-difference residual A−∪B partition A —
+    areas sum to |A| (float kernel, 1e-9). Method layer built as one
+    rect per unit x-band so disjointness holds by construction."""
+    from osgeo_gdal_spark.kernels import overlay_kernel as OVK
+
+    def rect(x0, y0, x1, y1):
+        return [([x0, x1, x1, x0], [y0, y0, y1, y1])]
+
+    a = rect(ax0, ay0, ax0 + aw, ay0 + ah)
+    a_area = OVK.rings_area(a)
+    polys = []
+    for i, (fx, fy0, fh) in enumerate(bands):
+        x0 = 2.0 * i + fx * 0.9
+        polys.append(rect(x0, fy0 * 4.0 - 2.0, x0 + 0.9,
+                          fy0 * 4.0 - 2.0 + fh * 3.0))
+    # the FLOAT kernel's general-position contract (degenerate and
+    # NEAR-degenerate contacts route to the snapped tier in
+    # production): every A coordinate separated from every method
+    # coordinate by more than the kernel's noise scale
+    axs = {ax0, ax0 + aw}
+    ays = {ay0, ay0 + ah}
+    for (xs, ys) in (r[0] for r in polys):
+        assume(all(abs(x - axv) > 1e-6 for x in xs for axv in axs))
+        assume(all(abs(y - ayv) > 1e-6 for y in ys for ayv in ays))
+    total = 0.0
+    acc = a
+    for rb in polys:
+        piece = OVK.overlay_rings(a, rb, "intersection")
+        if piece:
+            total += OVK.rings_area(piece)
+        if acc:
+            acc = OVK.overlay_rings(acc, rb, "difference")
+    if acc:
+        total += OVK.rings_area(acc)
+    assert abs(total - a_area) < 1e-9

@@ -122,6 +122,7 @@ HEADLINE = [
     "c4_filters",
     "line_dedup",
     "focal_stats",
+    "simplify_dp",
 ]
 
 

@@ -2827,6 +2827,56 @@ def sql_convex_hull() -> str:
     return f"SELECT * FROM (VALUES {vals}) AS t(fid, hull_area, hull_nvert)"
 
 
+def _simplify_fixture():
+    """(fid, ring, expected_nvert, expected_area): squares of side
+    s = 8 + fid%3 with sub-tolerance bumps (amplitude 0.25 < tol 1,
+    always dropped) on the bottom edge and, for odd fid, a height-2
+    spike on the right edge (kept: 2 > tol). DP anchor math: the ring
+    start (0,0) and farthest vertex (s,s) split the ring; the spike
+    obeys h < s(√7/2 − 1) so the corner stays the anchor. Closed forms:
+    nvert = 4 (+1 spike), area = s² (+ s·h/2 spike)."""
+    out = []
+    for fid in range(6):
+        s = float(8 + fid % 3)
+        spike = fid % 2 == 1
+        h = 2.0
+        ring = [(0.0, 0.0), (2.0, 0.25), (4.0, 0.25), (s, 0.0)]
+        if spike:
+            ring.append((s + h, s / 2.0))
+        ring += [(s, s), (s / 2.0, s - 0.25), (0.0, s)]
+        nv = 5 if spike else 4
+        area = s * s + (s * h / 2.0 if spike else 0.0)
+        out.append((fid, ring, nv, area))
+    return out
+
+
+def q_simplify_dp(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal vector simplify (apps/gdalalg_vector_simplify.cpp via
+    OGRGeometry::Simplify, ogrgeometry.cpp:6778; classic Douglas-Peucker
+    in kernels/simplify.py): sub-tolerance zigzag bumps vanish, the
+    super-tolerance spike and all corners survive — vertex counts and
+    simplified areas against the closed-form oracle (dyadic coords, so
+    areas are exact doubles)."""
+    from .functions import st as ST
+    from .kernels import wkb as W
+
+    rows = [(fid, W.polygon_wkb([ring]))
+            for fid, ring, _, _ in _simplify_fixture()]
+    df = spark.createDataFrame(rows, "fid INT, g BINARY")
+    simp = df.select("fid", ST.st_simplify_tol1("g").alias("sg"))
+    return simp.select(
+        "fid",
+        (ST.st_npoints("sg") - F.lit(1)).alias("n_vert"),
+        ST.st_area("sg").alias("area"),
+    )
+
+
+def sql_simplify_dp() -> str:
+    vals = ", ".join(f"({fid}, {nv}, {G.D(area)})"
+                     for fid, _, nv, area in _simplify_fixture())
+    return f"SELECT * FROM (VALUES {vals}) AS t(fid, n_vert, area)"
+
+
 def q_vector_verbs(spark: SparkSession, sf: str) -> DataFrame:
     """The gdal vector pipeline edit verbs make-point / swap-xy /
     set-field-type (apps/gdalalg_vector_make_point.cpp,
@@ -6986,6 +7036,7 @@ QUERIES = {
     "c4_filters": q_c4_filters,
     "line_dedup": q_line_dedup,
     "focal_stats": q_focal_stats,
+    "simplify_dp": q_simplify_dp,
     "dissolve_snapped": q_dissolve_snapped,
     "predicates_snapped": q_predicates_snapped,
     "spatial_predicates": q_spatial_predicates,
@@ -7205,6 +7256,7 @@ ORACLES = {
     "c4_filters": sql_c4_filters(),
     "line_dedup": sql_line_dedup(),
     "focal_stats": sql_focal_stats(),
+    "simplify_dp": sql_simplify_dp(),
     "overlay_update": sql_overlay_update(),
     "overlay_snapped": sql_overlay_snapped(),
     "overlay_snapped_lines": sql_overlay_snapped_lines(),

@@ -123,6 +123,7 @@ HEADLINE = [
     "line_dedup",
     "focal_stats",
     "simplify_dp",
+    "hilbert_sort",
 ]
 
 

@@ -2827,6 +2827,75 @@ def sql_convex_hull() -> str:
     return f"SELECT * FROM (VALUES {vals}) AS t(fid, hull_area, hull_nvert)"
 
 
+def q_hilbert_sort(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal vector sort --strategy hilbert (apps/gdalalg_vector_sort.cpp
+    :302-375 via GDALHilbertCode, alg/hilbert.cpp:19-90): the 16-bit
+    grid quantization + the full Hilbert bit cascade as NATIVE Spark
+    integer Column expressions (kernels/hilbert.hilbert_code_cols —
+    whole-stage codegen, zero Python in the sort path; production sorts
+    with repartitionByRange(hcode) for Iceberg min-max locality).
+    Quantization uses floor(v+0.5) == the reference's rint here — no
+    half-ties exist in the fixture at any SF (checked 0.001/0.01/0.1)."""
+    from .kernels import hilbert as HB
+
+    pages = PG.pages_df(spark, sf).filter(F.col("doc_id") % 3 == 0)
+    x = F.floor(
+        (F.lit(65534.0) * (F.col("lon") + F.lit(180.0))) / F.lit(360.0)
+        + F.lit(0.5)).cast("long")
+    y = F.floor(
+        (F.lit(65534.0) * (F.col("lat") + F.lit(90.0))) / F.lit(180.0)
+        + F.lit(0.5)).cast("long")
+    g = pages.select("doc_id", x.alias("hx"), y.alias("hy"))
+    return g.select(
+        "doc_id", "hx", "hy",
+        HB.hilbert_code_cols(F.col("hx"), F.col("hy")).alias("hcode"),
+    )
+
+
+def sql_hilbert_sort() -> str:
+    return f"""
+WITH pages AS ({PG.pages_cte_sql()}),
+g AS (
+  SELECT doc_id,
+    CAST(FLOOR(((65534.0 * (lon + 180.0)) / 360.0) + 0.5) AS BIGINT) AS hx,
+    CAST(FLOOR(((65534.0 * (lat + 90.0)) / 180.0) + 0.5) AS BIGINT) AS hy
+  FROM pages WHERE doc_id % 3 = 0),
+s0 AS (SELECT doc_id, hx, hy,
+  xor(hx, hy) AS a0, xor(65535, xor(hx, hy)) AS b0,
+  xor(65535, hx | hy) AS c0, hx & xor(hy, 65535) AS d0 FROM g),
+s1 AS (SELECT *,
+  a0 | (b0 >> 1) AS a1,
+  xor(a0 >> 1, a0) AS b1,
+  xor(xor(c0 >> 1, b0 & (d0 >> 1)), c0) AS c1,
+  xor(xor(a0 & (c0 >> 1), d0 >> 1), d0) AS d1 FROM s0),
+s2 AS (SELECT *,
+  xor(a1 & (a1 >> 2), b1 & (b1 >> 2)) AS a2,
+  xor(a1 & (b1 >> 2), b1 & (xor(a1, b1) >> 2)) AS b2,
+  xor(c1, xor(a1 & (c1 >> 2), b1 & (d1 >> 2))) AS c2,
+  xor(d1, xor(b1 & (c1 >> 2), xor(a1, b1) & (d1 >> 2))) AS d2 FROM s1),
+s3 AS (SELECT *,
+  xor(a2 & (a2 >> 4), b2 & (b2 >> 4)) AS a3,
+  xor(a2 & (b2 >> 4), b2 & (xor(a2, b2) >> 4)) AS b3,
+  xor(c2, xor(a2 & (c2 >> 4), b2 & (d2 >> 4))) AS c3,
+  xor(d2, xor(b2 & (c2 >> 4), xor(a2, b2) & (d2 >> 4))) AS d3 FROM s2),
+s4 AS (SELECT *,
+  xor(c3, xor(a3 & (c3 >> 8), b3 & (d3 >> 8))) AS c4,
+  xor(d3, xor(b3 & (c3 >> 8), xor(a3, b3) & (d3 >> 8))) AS d4 FROM s3),
+s5 AS (SELECT *, xor(c4, c4 >> 1) AS af, xor(d4, d4 >> 1) AS bf,
+  xor(hx, hy) AS i0 FROM s4),
+s6 AS (SELECT *, bf | xor(65535, i0 | af) AS i1 FROM s5),
+p0 AS (SELECT *, (i0 | (i0 << 8)) & 16711935 AS u0,
+                 (i1 | (i1 << 8)) & 16711935 AS v0 FROM s6),
+p1 AS (SELECT *, (u0 | (u0 << 4)) & 252645135 AS u1,
+                 (v0 | (v0 << 4)) & 252645135 AS v1 FROM p0),
+p2 AS (SELECT *, (u1 | (u1 << 2)) & 858993459 AS u2,
+                 (v1 | (v1 << 2)) & 858993459 AS v2 FROM p1),
+p3 AS (SELECT *, (u2 | (u2 << 1)) & 1431655765 AS u3,
+                 (v2 | (v2 << 1)) & 1431655765 AS v3 FROM p2)
+SELECT doc_id, hx, hy, (v3 << 1) | u3 AS hcode FROM p3
+"""
+
+
 def _simplify_fixture():
     """(fid, ring, expected_nvert, expected_area): squares of side
     s = 8 + fid%3 with sub-tolerance bumps (amplitude 0.25 < tol 1,
@@ -7037,6 +7106,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "focal_stats": q_focal_stats,
     "simplify_dp": q_simplify_dp,
+    "hilbert_sort": q_hilbert_sort,
     "dissolve_snapped": q_dissolve_snapped,
     "predicates_snapped": q_predicates_snapped,
     "spatial_predicates": q_spatial_predicates,
@@ -7257,6 +7327,7 @@ ORACLES = {
     "line_dedup": sql_line_dedup(),
     "focal_stats": sql_focal_stats(),
     "simplify_dp": sql_simplify_dp(),
+    "hilbert_sort": sql_hilbert_sort(),
     "overlay_update": sql_overlay_update(),
     "overlay_snapped": sql_overlay_snapped(),
     "overlay_snapped_lines": sql_overlay_snapped_lines(),

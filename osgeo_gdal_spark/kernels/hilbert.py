@@ -73,3 +73,69 @@ def hilbert_code(lon, lat, xmin=-180.0, ymin=-90.0, xmax=180.0, ymax=90.0):
     x = np.rint(HILBERT_MAX * (lon - xmin) / (xmax - xmin)).astype(np.uint32)
     y = np.rint(HILBERT_MAX * (lat - ymin) / (ymax - ymin)).astype(np.uint32)
     return hilbert_code_xy(x, y)
+
+
+def hilbert_code_cols(x, y):
+    """NATIVE Spark Column transliteration of ``hilbert_code_xy`` —
+    the same GDALHilbertCode bit cascade as pure JVM-side integer
+    expressions (whole-stage codegen; zero Python in the sort path).
+    ``x``/``y`` must be BIGINT columns holding 16-bit grid coords; all
+    intermediates stay < 2^32 so no unsigned emulation is needed."""
+    from pyspark.sql import functions as F
+
+    M = F.lit(0xFFFF)
+
+    def sr(v, n):
+        return F.shiftright(v, n)
+
+    a = x.bitwiseXOR(y)
+    b = M.bitwiseXOR(a)
+    c = M.bitwiseXOR(x.bitwiseOR(y))
+    d = x.bitwiseAND(y.bitwiseXOR(M))
+
+    A = a.bitwiseOR(sr(b, 1))
+    B = sr(a, 1).bitwiseXOR(a)
+    C = sr(c, 1).bitwiseXOR(b.bitwiseAND(sr(d, 1))).bitwiseXOR(c)
+    D = a.bitwiseAND(sr(c, 1)).bitwiseXOR(sr(d, 1)).bitwiseXOR(d)
+
+    a, b, c, d = A, B, C, D
+    A = a.bitwiseAND(sr(a, 2)).bitwiseXOR(b.bitwiseAND(sr(b, 2)))
+    B = a.bitwiseAND(sr(b, 2)).bitwiseXOR(
+        b.bitwiseAND(sr(a.bitwiseXOR(b), 2)))
+    C = C.bitwiseXOR(
+        a.bitwiseAND(sr(c, 2)).bitwiseXOR(b.bitwiseAND(sr(d, 2))))
+    D = D.bitwiseXOR(
+        b.bitwiseAND(sr(c, 2)).bitwiseXOR(
+            a.bitwiseXOR(b).bitwiseAND(sr(d, 2))))
+
+    a, b, c, d = A, B, C, D
+    A = a.bitwiseAND(sr(a, 4)).bitwiseXOR(b.bitwiseAND(sr(b, 4)))
+    B = a.bitwiseAND(sr(b, 4)).bitwiseXOR(
+        b.bitwiseAND(sr(a.bitwiseXOR(b), 4)))
+    C = C.bitwiseXOR(
+        a.bitwiseAND(sr(c, 4)).bitwiseXOR(b.bitwiseAND(sr(d, 4))))
+    D = D.bitwiseXOR(
+        b.bitwiseAND(sr(c, 4)).bitwiseXOR(
+            a.bitwiseXOR(b).bitwiseAND(sr(d, 4))))
+
+    a, b, c, d = A, B, C, D
+    C = C.bitwiseXOR(
+        a.bitwiseAND(sr(c, 8)).bitwiseXOR(b.bitwiseAND(sr(d, 8))))
+    D = D.bitwiseXOR(
+        b.bitwiseAND(sr(c, 8)).bitwiseXOR(
+            a.bitwiseXOR(b).bitwiseAND(sr(d, 8))))
+
+    a = C.bitwiseXOR(sr(C, 1))
+    b = D.bitwiseXOR(sr(D, 1))
+
+    i0 = x.bitwiseXOR(y)
+    i1 = b.bitwiseOR(M.bitwiseXOR(i0.bitwiseOR(a)))
+
+    def spread(v):
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+        return v
+
+    return F.shiftleft(spread(i1), 1).bitwiseOR(spread(i0))

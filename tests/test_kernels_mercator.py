@@ -351,3 +351,26 @@ def test_rpc_inverse_newton_roundtrip():
     s2, ln2 = forward(lon2, lat2, h)
     assert np.abs(s2 - s).max() < 1e-9
     assert np.abs(ln2 - ln).max() < 1e-9
+
+
+def test_hilbert_native_columns_match_numpy_port(spark):
+    """The JVM-native Column bit cascade (hilbert_code_cols) equals the
+    vectorized numpy GDALHilbertCode port on random and corner 16-bit
+    coords."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osgeo_gdal_spark.kernels import hilbert as H
+
+    rng = np.random.RandomState(11)
+    xs = np.concatenate([rng.randint(0, 1 << 16, 500),
+                         [0, 1, 0xFFFF, 0xFFFE, 0x8000]]).astype(np.int64)
+    ys = np.concatenate([rng.randint(0, 1 << 16, 500),
+                         [0, 0xFFFF, 1, 0x7FFF, 0x8000]]).astype(np.int64)
+    want = H.hilbert_code_xy(xs, ys).astype(np.int64)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x LONG, y LONG")
+    got = [r["h"] for r in df.select(
+        H.hilbert_code_cols(F.col("x"), F.col("y")).alias("h")
+    ).collect()]
+    assert got == want.tolist()

@@ -7062,7 +7062,6 @@ QUERIES = {
     "fingerprint_pairs": q_fingerprint_pairs,
     "grid_avg_distance": q_grid_avg_distance,
     "grid_avg_distance_pts": q_grid_avg_distance_pts,
-    "spatial_semi_anti": q_spatial_semi_anti,
     # rows-only by nature but never driver-recorded either:
     # -- (b) red in r03, armored (all-integer output) ---------------------
     # -- (c) operators whose code changes this round + round-4 newcomers --
@@ -7109,8 +7108,6 @@ QUERIES = {
     "hilbert_sort": q_hilbert_sort,
     "dissolve_snapped": q_dissolve_snapped,
     "predicates_snapped": q_predicates_snapped,
-    "spatial_predicates": q_spatial_predicates,
-    "line_predicates": q_line_predicates,
     "minhash_portable": q_minhash_portable,
     "simhash_portable": q_simhash_portable,
     "bm25_topk": q_bm25_topk,
@@ -7137,6 +7134,9 @@ QUERIES = {
     "zonal_frac_poly": q_zonal_frac_poly,
     "embedding_quantize": q_embedding_quantize,
     # ======== 50-entry gate window ends after the round-4 newcomers ======
+    "spatial_predicates": q_spatial_predicates,
+    "line_predicates": q_line_predicates,
+    "spatial_semi_anti": q_spatial_semi_anti,
     "hillshade_multi": q_hillshade_multi,
     "raster_pyramid_rms": q_raster_pyramid_rms,
     "focal_mean5": q_focal_mean5,

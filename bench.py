@@ -124,6 +124,7 @@ HEADLINE = [
     "focal_stats",
     "simplify_dp",
     "hilbert_sort",
+    "count_min",
 ]
 
 

@@ -3888,6 +3888,50 @@ FROM r GROUP BY doc_id
 """
 
 
+def q_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch heavy-hitter counters (Cormode & Muthukrishnan
+    2005) over the corpus token stream — the d×w matrix is hash-exact
+    vs DuckDB via the engine-portable mod-2³¹−1 word hash. The skew
+    probe for hot-cell salting: estimate(term) = min over rows of its
+    bucket counter."""
+    from .operators import corpus as CP
+
+    docs = read_table(spark, sf, "documents")
+    out = CP.count_min_sketch(docs, d=4, w=64)
+    return out.select(F.col("row").cast("int").alias("row"),
+                      F.col("bucket").cast("long").alias("bucket"),
+                      F.col("cnt").cast("long").alias("cnt"))
+
+
+def sql_count_min() -> str:
+    from .operators.corpus import (CMS_A0, CMS_B0, CMS_DA, CMS_DB,
+                                   FP_MOD, FP_WORD_BASE)
+
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, (({CMS_A0 + CMS_DA * i} * h "
+        f"+ {CMS_B0 + CMS_DB * i}) % {FP_MOD}) % 64 AS bucket FROM h"
+        for i in range(4)
+    )
+    return f"""
+WITH wd AS (
+  SELECT UNNEST(list_filter(str_split(text, ' '), x -> x != '')) AS word
+  FROM documents
+),
+h AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(str_split(word, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {FP_WORD_BASE} + c) % {FP_MOD}) AS h
+  FROM wd
+),
+u AS ({rows})
+SELECT CAST(row AS INTEGER) AS row, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM u GROUP BY row, bucket
+"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Word-level repetition quality metrics (the Gopher rules' word
     tier): n_words, most-frequent-bigram count, top-2-gram fraction,
@@ -7106,6 +7150,7 @@ QUERIES = {
     "focal_stats": q_focal_stats,
     "simplify_dp": q_simplify_dp,
     "hilbert_sort": q_hilbert_sort,
+    "count_min": q_count_min,
     "dissolve_snapped": q_dissolve_snapped,
     "predicates_snapped": q_predicates_snapped,
     "minhash_portable": q_minhash_portable,
@@ -7328,6 +7373,7 @@ ORACLES = {
     "focal_stats": sql_focal_stats(),
     "simplify_dp": sql_simplify_dp(),
     "hilbert_sort": sql_hilbert_sort(),
+    "count_min": sql_count_min(),
     "overlay_update": sql_overlay_update(),
     "overlay_snapped": sql_overlay_snapped(),
     "overlay_snapped_lines": sql_overlay_snapped_lines(),

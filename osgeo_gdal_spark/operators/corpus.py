@@ -669,3 +669,46 @@ def lm_quality_scores(docs: DataFrame, ref_mod: int = 10,
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum("term_q").alias("lm_score_q"))
+
+
+# --- count-min sketch (engine-portable heavy-hitter counters) ----------
+
+CMS_A0, CMS_DA = 137, 31      # same universal family as the MinHash tier
+CMS_B0, CMS_DB = 12345, 1009
+
+
+def count_min_sketch(docs: DataFrame, d: int = 4, w: int = 64,
+                     text_col="text", id_col="doc_id") -> DataFrame:
+    """Count-min sketch over the corpus token stream (Cormode &
+    Muthukrishnan 2005, public algorithm): a d×w counter matrix with
+    bucket_i(t) = ((a_i·h(t) + b_i) mod M) mod w over the engine-
+    portable mod-2³¹−1 word hash (same family as minhash_portable, so
+    the whole matrix is hash-exact in DuckDB).
+
+    Heavy-hitter estimate for any term = min_i counter[i][bucket_i] —
+    the skew probe the hot-cell salting tier needs, O(d·w) state.
+
+    100 TB shape: explode words (narrow), hash + d buckets as native
+    codegen'd exprs, ONE stack to (row, bucket) and ONE map-side-
+    combinable groupBy count — the sketch merges across partitions by
+    addition, which is also what makes it streamable (same aggregate
+    under a watermark). Returns (row, bucket, cnt); absent buckets are
+    zero (not emitted)."""
+    from pyspark.sql import functions as F
+
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    h = words.select(F.expr(
+        f"aggregate(split(word, ''), 0L, "
+        f"(acc, c) -> (acc * {FP_WORD_BASE} + ascii(c)) % {FP_MOD})"
+    ).alias("h"))
+    pairs = ", ".join(
+        f"{i}, (({CMS_A0 + CMS_DA * i}L * h + {CMS_B0 + CMS_DB * i}) "
+        f"% {FP_MOD}) % {w}"
+        for i in range(d)
+    )
+    stacked = h.select(F.expr(
+        f"stack({d}, {pairs}) AS (row, bucket)"))
+    return (stacked.groupBy("row", "bucket")
+            .agg(F.count("*").alias("cnt")))

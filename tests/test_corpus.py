@@ -560,3 +560,35 @@ def test_line_dedup_first_occurrence_wins(spark):
     assert (out[1]["n_lines"], out[1]["n_dropped"]) == (3, 2)  # 'x y','a b'
     assert (out[2]["n_lines"], out[2]["n_dropped"]) == (1, 1)  # 'c' in doc1
     assert out[1]["n_kept"] == 1
+
+
+def test_count_min_guarantee(spark):
+    """CMS one-sided error: for every actual term, min over rows of its
+    bucket counter >= its true count; totals per row == token count."""
+    from osgeo_gdal_spark.operators.corpus import (
+        CMS_A0, CMS_B0, CMS_DA, CMS_DB, FP_MOD, FP_WORD_BASE,
+        count_min_sketch)
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c d a"), (1, "b e f a g"), (2, "zz yy zz a")],
+        "doc_id LONG, text STRING")
+    mat = {(r["row"], r["bucket"]): r["cnt"]
+           for r in count_min_sketch(docs, d=4, w=8).collect()}
+    toks = "a b a c d a b e f a g zz yy zz a".split()
+    import collections
+    true = collections.Counter(toks)
+
+    def h(word):
+        acc = 0
+        for c in word:
+            acc = (acc * FP_WORD_BASE + ord(c)) % FP_MOD
+        return acc
+
+    for t, n in true.items():
+        est = min(
+            mat.get((i, ((CMS_A0 + CMS_DA * i) * h(t)
+                         + CMS_B0 + CMS_DB * i) % FP_MOD % 8), 0)
+            for i in range(4))
+        assert est >= n, (t, est, n)
+    for i in range(4):
+        assert sum(c for (r, _), c in mat.items() if r == i) == len(toks)

@@ -324,7 +324,8 @@ def _fp_arrays(docs: DataFrame, k: int, w: int, text_col, id_col):
     )
 
 
-def _fp_exploded(docs: DataFrame, k: int, w: int, text_col, id_col):
+def _fp_exploded(docs: DataFrame, k: int, w: int, text_col, id_col,
+                 cut_tag: str = "winnow_fps"):
     """(doc_id, fp) exploded fingerprint rows, with the lineage CUT
     (cache) before the explode. Mandatory, not cosmetic:
     Catalyst inlines the fps expression into the Generate operator, and
@@ -337,8 +338,13 @@ def _fp_exploded(docs: DataFrame, k: int, w: int, text_col, id_col):
     slower, measured round 4)."""
     from .dedup import _bounded_cache_cut
 
+    # cut_tag must be UNIQUE per live lineage: _bounded_cache_cut
+    # unpersists the tag's previous relation, so two _fp_exploded calls
+    # sharing a tag inside one query would evict each other's cut
+    # mid-plan and re-expose the interpreted-HOF blowup (the round-5
+    # dedup_incremental regression: one task, 25 min at sf0.1)
     fp = _bounded_cache_cut(
-        "winnow_fps",
+        cut_tag,
         _fp_arrays(docs, k, w, text_col, id_col).select("doc_id", "fps"))
     return fp.select("doc_id", F.explode("fps").alias("fp"))
 
@@ -479,11 +485,13 @@ def dedup_incremental(index_docs: DataFrame, new_docs: DataFrame,
     """
     from pyspark.sql import Window
 
-    idx = _fp_exploded(index_docs, k, w, text_col, id_col) \
+    idx = _fp_exploded(index_docs, k, w, text_col, id_col,
+                       cut_tag="winnow_fps_idx") \
         .withColumnRenamed("doc_id", "idx_id")
     n = F.count("*").over(Window.partitionBy("fp"))
     idx = idx.withColumn("bn", n).filter(F.col("bn") <= max_bucket).drop("bn")
-    new = _fp_exploded(new_docs, k, w, text_col, id_col)
+    new = _fp_exploded(new_docs, k, w, text_col, id_col,
+                       cut_tag="winnow_fps_new")
     hits = (
         new.join(idx, "fp")
         .groupBy("doc_id", "idx_id").agg(F.count("*").alias("n_pair"))

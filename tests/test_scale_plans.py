@@ -392,3 +392,22 @@ def test_identity_plan_single_pairs_join(spark):
     # the matched set is small)
     n_smj = plan.count("SortMergeJoin")
     assert n_smj <= plan.count("LeftAnti"), plan[:2000]
+
+
+def test_dedup_incremental_keeps_both_lineage_cuts(spark):
+    """Regression (round-5): dedup_incremental calls _fp_exploded for
+    BOTH the index and new sides; the bounded cache-cut must retain one
+    relation per call site — a shared tag would unpersist the index
+    side's cut mid-plan and re-expose the interpreted-HOF blowup
+    (1 task, 25 min at sf0.1). Guard: the optimized plan holds TWO
+    distinct InMemoryRelations and both stay cached after execution."""
+    from osgeo_gdal_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x y z a b c d e f" % (i % 4)) for i in range(40)],
+        "doc_id LONG, text STRING")
+    out = CP.dedup_incremental(
+        docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0"))
+    out.count()  # materialize both cuts
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("InMemoryRelation") >= 2, opt[:2000]

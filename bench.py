@@ -125,6 +125,7 @@ HEADLINE = [
     "simplify_dp",
     "hilbert_sort",
     "count_min",
+    "dedup_incremental",
 ]
 
 

@@ -2846,10 +2846,7 @@ def q_hilbert_sort(spark: SparkSession, sf: str) -> DataFrame:
         (F.lit(65534.0) * (F.col("lat") + F.lit(90.0))) / F.lit(180.0)
         + F.lit(0.5)).cast("long")
     g = pages.select("doc_id", x.alias("hx"), y.alias("hy"))
-    return g.select(
-        "doc_id", "hx", "hy",
-        HB.hilbert_code_cols(F.col("hx"), F.col("hy")).alias("hcode"),
-    )
+    return HB.with_hilbert_code(g, "hx", "hy", out="hcode")
 
 
 def sql_hilbert_sort() -> str:

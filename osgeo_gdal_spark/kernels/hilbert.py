@@ -75,67 +75,103 @@ def hilbert_code(lon, lat, xmin=-180.0, ymin=-90.0, xmax=180.0, ymax=90.0):
     return hilbert_code_xy(x, y)
 
 
-def hilbert_code_cols(x, y):
-    """NATIVE Spark Column transliteration of ``hilbert_code_xy`` —
-    the same GDALHilbertCode bit cascade as pure JVM-side integer
-    expressions (whole-stage codegen; zero Python in the sort path).
-    ``x``/``y`` must be BIGINT columns holding 16-bit grid coords; all
-    intermediates stay < 2^32 so no unsigned emulation is needed."""
+def with_hilbert_code(df, xcol: str, ycol: str, out: str = "hcode"):
+    """NATIVE Spark transliteration of ``hilbert_code_xy`` — the
+    GDALHilbertCode bit cascade as pure JVM integer expressions
+    (whole-stage codegen; zero Python in the sort path).
+
+    STAGED projections, one select per cascade level (mirroring the
+    DuckDB CTE oracle): composing the whole cascade as one nested
+    Column expression duplicates the a/b/c/d subtrees at every level —
+    an exponentially-sized expression tree that took Catalyst ~20 s to
+    chew at sf0.1. Named intermediate columns keep the tree linear;
+    Catalyst collapses the selects into one codegen'd Project.
+
+    ``xcol``/``ycol`` must be BIGINT 16-bit grid coords; all
+    intermediates stay < 2^32 so no unsigned emulation is needed.
+    Returns df + the ``out`` column (intermediates dropped)."""
     from pyspark.sql import functions as F
 
+    keep = list(df.columns)
     M = F.lit(0xFFFF)
+    x, y = F.col(xcol), F.col(ycol)
 
-    def sr(v, n):
-        return F.shiftright(v, n)
+    def sr(c, n):
+        return F.shiftright(F.col(c), n)
 
-    a = x.bitwiseXOR(y)
-    b = M.bitwiseXOR(a)
-    c = M.bitwiseXOR(x.bitwiseOR(y))
-    d = x.bitwiseAND(y.bitwiseXOR(M))
+    d0 = df.select(
+        *keep,
+        x.bitwiseXOR(y).alias("_a"),
+        M.bitwiseXOR(x.bitwiseXOR(y)).alias("_b"),
+        M.bitwiseXOR(x.bitwiseOR(y)).alias("_c"),
+        x.bitwiseAND(y.bitwiseXOR(M)).alias("_d"),
+    )
+    d1 = d0.select(
+        *keep,
+        F.col("_a").bitwiseOR(sr("_b", 1)).alias("_a"),
+        sr("_a", 1).bitwiseXOR(F.col("_a")).alias("_b"),
+        sr("_c", 1).bitwiseXOR(F.col("_b").bitwiseAND(sr("_d", 1)))
+        .bitwiseXOR(F.col("_c")).alias("_c"),
+        F.col("_a").bitwiseAND(sr("_c", 1)).bitwiseXOR(sr("_d", 1))
+        .bitwiseXOR(F.col("_d")).alias("_d"),
+    )
 
-    A = a.bitwiseOR(sr(b, 1))
-    B = sr(a, 1).bitwiseXOR(a)
-    C = sr(c, 1).bitwiseXOR(b.bitwiseAND(sr(d, 1))).bitwiseXOR(c)
-    D = a.bitwiseAND(sr(c, 1)).bitwiseXOR(sr(d, 1)).bitwiseXOR(d)
+    def level(dprev, n):
+        ab = F.col("_a").bitwiseXOR(F.col("_b"))
+        return dprev.select(
+            *keep,
+            F.col("_a").bitwiseAND(sr("_a", n))
+            .bitwiseXOR(F.col("_b").bitwiseAND(sr("_b", n))).alias("_a"),
+            F.col("_a").bitwiseAND(sr("_b", n))
+            .bitwiseXOR(F.col("_b").bitwiseAND(
+                F.shiftright(ab, n))).alias("_b"),
+            F.col("_c").bitwiseXOR(
+                F.col("_a").bitwiseAND(sr("_c", n))
+                .bitwiseXOR(F.col("_b").bitwiseAND(sr("_d", n))))
+            .alias("_c"),
+            F.col("_d").bitwiseXOR(
+                F.col("_b").bitwiseAND(sr("_c", n))
+                .bitwiseXOR(ab.bitwiseAND(sr("_d", n)))).alias("_d"),
+        )
 
-    a, b, c, d = A, B, C, D
-    A = a.bitwiseAND(sr(a, 2)).bitwiseXOR(b.bitwiseAND(sr(b, 2)))
-    B = a.bitwiseAND(sr(b, 2)).bitwiseXOR(
-        b.bitwiseAND(sr(a.bitwiseXOR(b), 2)))
-    C = C.bitwiseXOR(
-        a.bitwiseAND(sr(c, 2)).bitwiseXOR(b.bitwiseAND(sr(d, 2))))
-    D = D.bitwiseXOR(
-        b.bitwiseAND(sr(c, 2)).bitwiseXOR(
-            a.bitwiseXOR(b).bitwiseAND(sr(d, 2))))
+    d2 = level(d1, 2)
+    d3 = level(d2, 4)
+    d4 = d3.select(
+        *keep,
+        F.col("_c").bitwiseXOR(
+            F.col("_a").bitwiseAND(sr("_c", 8))
+            .bitwiseXOR(F.col("_b").bitwiseAND(sr("_d", 8)))).alias("_c"),
+        F.col("_d").bitwiseXOR(
+            F.col("_b").bitwiseAND(sr("_c", 8))
+            .bitwiseXOR(F.col("_a").bitwiseXOR(F.col("_b"))
+                        .bitwiseAND(sr("_d", 8)))).alias("_d"),
+    )
+    d5 = d4.select(
+        *keep,
+        F.col(xcol).bitwiseXOR(F.col(ycol)).alias("_i0"),
+        F.col("_c").bitwiseXOR(sr("_c", 1)).alias("_af"),
+        F.col("_d").bitwiseXOR(sr("_d", 1)).alias("_bf"),
+    )
+    d6 = d5.select(
+        *keep, "_i0",
+        F.col("_bf").bitwiseOR(
+            M.bitwiseXOR(F.col("_i0").bitwiseOR(F.col("_af"))))
+        .alias("_i1"),
+    )
 
-    a, b, c, d = A, B, C, D
-    A = a.bitwiseAND(sr(a, 4)).bitwiseXOR(b.bitwiseAND(sr(b, 4)))
-    B = a.bitwiseAND(sr(b, 4)).bitwiseXOR(
-        b.bitwiseAND(sr(a.bitwiseXOR(b), 4)))
-    C = C.bitwiseXOR(
-        a.bitwiseAND(sr(c, 4)).bitwiseXOR(b.bitwiseAND(sr(d, 4))))
-    D = D.bitwiseXOR(
-        b.bitwiseAND(sr(c, 4)).bitwiseXOR(
-            a.bitwiseXOR(b).bitwiseAND(sr(d, 4))))
+    def spread_step(dprev, cols, shift, mask):
+        return dprev.select(
+            *keep,
+            *[F.col(c).bitwiseOR(F.shiftleft(F.col(c), shift))
+              .bitwiseAND(F.lit(mask)).alias(c) for c in cols],
+        )
 
-    a, b, c, d = A, B, C, D
-    C = C.bitwiseXOR(
-        a.bitwiseAND(sr(c, 8)).bitwiseXOR(b.bitwiseAND(sr(d, 8))))
-    D = D.bitwiseXOR(
-        b.bitwiseAND(sr(c, 8)).bitwiseXOR(
-            a.bitwiseXOR(b).bitwiseAND(sr(d, 8))))
-
-    a = C.bitwiseXOR(sr(C, 1))
-    b = D.bitwiseXOR(sr(D, 1))
-
-    i0 = x.bitwiseXOR(y)
-    i1 = b.bitwiseOR(M.bitwiseXOR(i0.bitwiseOR(a)))
-
-    def spread(v):
-        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
-        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
-        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
-        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
-        return v
-
-    return F.shiftleft(spread(i1), 1).bitwiseOR(spread(i0))
+    p = d6.select(*keep, F.col("_i0").alias("_u"), F.col("_i1").alias("_v"))
+    p = spread_step(p, ["_u", "_v"], 8, 0x00FF00FF)
+    p = spread_step(p, ["_u", "_v"], 4, 0x0F0F0F0F)
+    p = spread_step(p, ["_u", "_v"], 2, 0x33333333)
+    p = spread_step(p, ["_u", "_v"], 1, 0x55555555)
+    return p.select(
+        *keep,
+        F.shiftleft(F.col("_v"), 1).bitwiseOR(F.col("_u")).alias(out),
+    )

@@ -370,7 +370,6 @@ def test_hilbert_native_columns_match_numpy_port(spark):
     want = H.hilbert_code_xy(xs, ys).astype(np.int64)
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in zip(xs, ys)], "x LONG, y LONG")
-    got = [r["h"] for r in df.select(
-        H.hilbert_code_cols(F.col("x"), F.col("y")).alias("h")
-    ).collect()]
+    got = [r["h"] for r in
+           H.with_hilbert_code(df, "x", "y", out="h").collect()]
     assert got == want.tolist()

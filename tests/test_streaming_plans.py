@@ -342,3 +342,38 @@ def test_stateful_timeout_evicts_state():
     st = FakeState(has_timed_out=False, exists=True)
     assert list(fn(("u",), iter([pd.DataFrame({"doc_id": [9]})]), st)) == []
     assert st.timeouts == [300000] and not st.removed
+
+
+def test_streaming_count_min_equal_batch(spark):
+    """The count-min sketch under Structured Streaming: the merge-by-
+    addition property means the streamed d×w counters (complete mode,
+    availableNow) equal the batch sketch exactly."""
+    from pyspark.sql import functions as F
+
+    from osgeo_gdal_spark.operators.corpus import (
+        CMS_A0, CMS_B0, CMS_DA, CMS_DB, FP_MOD, FP_WORD_BASE,
+        count_min_sketch)
+
+    docs_stream = ST.read_table_stream(spark, SF_DIR, "documents")
+    words = docs_stream.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    h = words.select(F.expr(
+        f"aggregate(split(word, ''), 0L, "
+        f"(acc, c) -> (acc * {FP_WORD_BASE} + ascii(c)) % {FP_MOD})"
+    ).alias("h"))
+    pairs = ", ".join(
+        f"{i}, (({CMS_A0 + CMS_DA * i}L * h + {CMS_B0 + CMS_DB * i}) "
+        f"% {FP_MOD}) % 64"
+        for i in range(4))
+    sk = (h.select(F.expr(f"stack(4, {pairs}) AS (row, bucket)"))
+          .groupBy("row", "bucket").count())
+    q = (sk.writeStream.format("memory").queryName("cms_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["row"], r["bucket"]): r["count"]
+           for r in spark.sql("SELECT * FROM cms_stream").collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = {(r["row"], r["bucket"]): r["cnt"]
+            for r in count_min_sketch(docs, d=4, w=64).collect()}
+    assert got == want

@@ -411,3 +411,20 @@ def test_dedup_incremental_keeps_both_lineage_cuts(spark):
     out.count()  # materialize both cuts
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("InMemoryRelation") >= 2, opt[:2000]
+
+
+def test_line_tier_partial_aggregation(spark):
+    """c4_line_stats and count_min_sketch must partial-aggregate
+    map-side (partial + final HashAggregate) so the shuffle carries
+    per-key partials, never raw lines/words."""
+    from osgeo_gdal_spark.operators.corpus import (c4_line_stats,
+                                                   count_min_sketch,
+                                                   doc_lines)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p1 = plan_of(c4_line_stats(doc_lines(docs, width=8)))
+    assert p1.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in p1 and "ArrowEvalPython" not in p1
+    p2 = plan_of(count_min_sketch(docs))
+    assert p2.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2

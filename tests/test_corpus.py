@@ -592,3 +592,64 @@ def test_count_min_guarantee(spark):
         assert est >= n, (t, est, n)
     for i in range(4):
         assert sum(c for (r, _), c in mat.items() if r == i) == len(toks)
+
+
+def test_line_tier_randomized_parity(spark):
+    """200 random word-soup docs (seeded): doc_lines + c4_line_stats +
+    line_dedup_stats all match a pure-python transliteration exactly."""
+    import random
+
+    from osgeo_gdal_spark.operators.corpus import (c4_line_stats,
+                                                   doc_lines,
+                                                   line_dedup_stats)
+
+    rng = random.Random(42)
+    vocab = ["al", "be", "cat", "do", "e", "fable{", "gi\"", "ho."]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 23))))
+            for i in range(200)]
+    W = 4
+
+    def py_lines(doc_id, text):
+        ws = [w for w in text.split(" ") if w != ""]
+        nl = (len(ws) + W - 1) // W
+        out = []
+        for i in range(nl):
+            lw = ws[i * W:(i + 1) * W]
+            sfx = {0: ".", 1: "", 2: "?", 3: " {"}[(doc_id + i) % 4]
+            out.append((i, " ".join(lw) + sfx, len(lw)))
+        return out
+
+    exp_c4, exp_dd = {}, {}
+    all_lines = []
+    for did, text in docs:
+        ls = py_lines(did, text)
+        nk = kw = 0
+        for i, line, nw in ls:
+            keep = line[-1] in '.?!"' and nw >= 2 and "{" not in line
+            if keep:
+                nk += 1
+                kw += nw
+            all_lines.append((did, i, line))
+        exp_c4[did] = (len(ls), nk, kw, 1 if nk >= 1 else 0)
+    drops = {did: 0 for did, _ in docs}
+    # first occurrence ordered by (doc_id, line_idx) per line value
+    best = {}
+    for did, i, line in all_lines:
+        k = best.get(line)
+        if k is None or (did, i) < k:
+            best[line] = (did, i)
+    for did, i, line in all_lines:
+        if best[line] != (did, i):
+            drops[did] += 1
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    lines = doc_lines(df, width=W)
+    got_c4 = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_words"],
+                            r["doc_keep"])
+              for r in c4_line_stats(lines, min_words=2,
+                                     min_kept_lines=1).collect()}
+    assert got_c4 == exp_c4
+    got_dd = {r["doc_id"]: r["n_dropped"]
+              for r in line_dedup_stats(lines).collect()}
+    assert got_dd == drops

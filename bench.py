@@ -126,6 +126,7 @@ HEADLINE = [
     "hilbert_sort",
     "count_min",
     "dedup_incremental",
+    "overview_refresh",
 ]
 
 

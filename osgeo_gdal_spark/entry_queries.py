@@ -1666,6 +1666,62 @@ FROM px
 """
 
 
+REFRESH_WIN = (96, 192, 128, 128)  # gpx0, gpy0, w, h in PARENT pixels
+
+
+def q_overview_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal raster overview refresh after an update (apps/
+    gdalalg_raster_overview_refresh.cpp partial recompute): patch the
+    gx=0 column of the zoom-2 dataset (coeffs 13/5, nodata 7), then
+    refresh ONLY the zoom-1 parents covering the dirty tiles. The
+    window crosses the patched/unpatched boundary in parent space
+    (parent gpx 128 == child gpx 256) AND a parent tile seam. Oracle:
+    4-tap child average of the CASE-patched generators — exact dyadic
+    (int sums / 4)."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    base = RS.synth_tiles(spark, 2)
+    patch = RS.synth_tiles(spark, 2, dataset_id="patch", coeffs=(13, 5),
+                           nodata=UPDATE_NODATA).filter(F.col("gx") == 0)
+    updated = RO.update_tiles(base, patch, UPDATE_NODATA)
+    refreshed = RO.overview_refresh(
+        updated, patch.select("gx", "gy"))
+    x0, y0, w, h = REFRESH_WIN
+    return (
+        RO.explode_pixels(refreshed)
+        .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
+                & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
+        .select("gpx", "gpy", "value")
+    )
+
+
+def sql_overview_refresh() -> str:
+    x0, y0, w, h = REFRESH_WIN
+    base = "((cx * 7 + cy * 11 + 2) % 255)"
+    pat = "((cx * 13 + cy * 5 + 2) % 255)"
+    return f"""
+WITH px AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+),
+o(dx, dy) AS (VALUES (0, 0), (1, 0), (0, 1), (1, 1)),
+taps AS (
+  SELECT gpx, gpy, (2 * gpx + dx) AS cx, (2 * gpy + dy) AS cy
+  FROM px CROSS JOIN o
+),
+v AS (
+  SELECT gpx, gpy,
+         CASE WHEN cx < 256 AND {pat} <> {int(UPDATE_NODATA)}
+              THEN {pat} ELSE {base} END AS val
+  FROM taps
+)
+SELECT gpx, gpy, CAST(SUM(val) AS DOUBLE) / CAST(4 AS DOUBLE) AS value
+FROM v GROUP BY gpx, gpy
+"""
+
+
 AS_FEATURES_GT = (100.0, 0.5, 200.0, -0.5)  # x0, dx, y0, dy (north-up)
 AS_FEATURES_ND = 13.0
 
@@ -7124,6 +7180,7 @@ QUERIES = {
     "raster_scale": q_raster_scale,
     "raster_unscale": q_raster_unscale,
     "raster_update": q_raster_update,
+    "overview_refresh": q_overview_refresh,
     "raster_stack": q_raster_stack,
     "pixel_info": q_pixel_info,
     "vector_verbs": q_vector_verbs,
@@ -7365,6 +7422,7 @@ ORACLES = {
     "overlay_symdiff": sql_overlay_symdiff(),
     "overlay_identity": sql_overlay_identity(),
     "raster_unscale": sql_raster_unscale(),
+    "overview_refresh": sql_overview_refresh(),
     "c4_filters": sql_c4_filters(),
     "line_dedup": sql_line_dedup(),
     "focal_stats": sql_focal_stats(),

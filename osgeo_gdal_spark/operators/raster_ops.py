@@ -224,6 +224,31 @@ def pyramid_reduce(tiles: DataFrame, mode: str) -> DataFrame:
     return parents.groupBy("pgx", "pgy").applyInPandas(reduce, TILE_SCHEMA)
 
 
+def overview_refresh(tiles: DataFrame, dirty: DataFrame,
+                     mode: str = "average") -> DataFrame:
+    """``gdal raster overview refresh`` partial recompute
+    (apps/gdalalg_raster_overview_refresh.cpp --bbox/--like: refresh
+    only the overview region touched by an update): recompute the
+    zoom−1 parents whose 2×2 child block contains a DIRTY tile; clean
+    parents are never read — the incremental maintenance path for a
+    100 TB pyramid after ``raster update``.
+
+    ``dirty``: (gx, gy) of changed full-res tiles. The parent key set
+    derives natively (gx div 2, gy div 2, distinct — tiny) and
+    broadcasts into a semi join selecting the ≤ 4× dirty children; the
+    reduce then runs only on those groups. No full-table scan-reduce."""
+    parents = (dirty.select(F.expr("gx div 2").alias("_pgx"),
+                            F.expr("gy div 2").alias("_pgy"))
+               .distinct())
+    children = tiles.join(
+        F.broadcast(parents),
+        (F.expr("gx div 2") == F.col("_pgx"))
+        & (F.expr("gy div 2") == F.col("_pgy")),
+        "left_semi",
+    )
+    return pyramid_reduce(children, mode)
+
+
 def resample_tiles(tiles: DataFrame, out_size: int, method: str) -> DataFrame:
     """Per-tile rescale to out_size x out_size with a GDAL warp kernel
     (near/bilinear/cubic/cubicspline/lanczos — exact numpy ports of

@@ -1088,3 +1088,26 @@ def test_unscale_then_set_type(spark):
     assert b.dtype == np.uint8
     assert np.array_equal(
         b, np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8))
+
+
+def test_overview_refresh_touches_only_dirty_parents(spark):
+    """Incremental overview refresh recomputes EXACTLY the parents of
+    the dirty child set — clean parents never appear in the output —
+    and refreshed pixels equal the full-pyramid recompute."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources import raster as RS
+    from osgeo_gdal_spark.sources.raster import parse_tile
+
+    base = RS.synth_tiles(spark, 2)
+    patch = RS.synth_tiles(spark, 2, dataset_id="patch", coeffs=(13, 5),
+                           nodata=7.0).filter("gx = 0")
+    updated = RO.update_tiles(base, patch, 7.0)
+    refreshed = RO.overview_refresh(updated, patch.select("gx", "gy"))
+    rows = refreshed.collect()
+    assert {(r["gx"], r["gy"]) for r in rows} == {(0, 0), (0, 1)}
+    full = {(r["gx"], r["gy"]): parse_tile(r)
+            for r in RO.pyramid_average(updated).collect()}
+    import numpy as np
+    for r in rows:
+        np.testing.assert_array_equal(
+            parse_tile(r), full[(r["gx"], r["gy"])])

@@ -7156,7 +7156,6 @@ FROM cells c LEFT JOIN g USING (gpx, gpy)
 # swept (tests/test_oracle_parity.py, scripts/sweep.py).
 QUERIES = {
     # -- (a) never-gated round-3 queries + single-green semi/anti ---------
-    "fingerprint_pairs": q_fingerprint_pairs,
     "grid_avg_distance_pts": q_grid_avg_distance_pts,
     # rows-only by nature but never driver-recorded either:
     # -- (b) red in r03, armored (all-integer output) ---------------------
@@ -7232,6 +7231,7 @@ QUERIES = {
     "zonal_frac_poly": q_zonal_frac_poly,
     "embedding_quantize": q_embedding_quantize,
     # ======== 50-entry gate window ends after the round-4 newcomers ======
+    "fingerprint_pairs": q_fingerprint_pairs,
     "grid_avg_distance": q_grid_avg_distance,
     "spatial_predicates": q_spatial_predicates,
     "line_predicates": q_line_predicates,

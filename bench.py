@@ -127,6 +127,7 @@ HEADLINE = [
     "count_min",
     "dedup_incremental",
     "overview_refresh",
+    "contour_segments",
 ]
 
 

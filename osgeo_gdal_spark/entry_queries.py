@@ -1669,6 +1669,108 @@ FROM px
 REFRESH_WIN = (96, 192, 128, 128)  # gpx0, gpy0, w, h in PARENT pixels
 
 
+CONTOUR_SEG_WIN = (200, 200, 112, 112)  # cell window crossing both seams
+CONTOUR_SEG_LEVEL = 100.25
+_QSEG = 1 << 20
+
+
+def q_contour_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Marching-squares iso-segments (alg/contour.cpp + alg/
+    marching_squares/) with a FULL cell-by-cell SQL oracle — the
+    contour tier's first hash-exact gate. Non-integer level ⇒ no
+    on-corner ties and no zero-denominator interpolation (adjacent
+    generator corners always differ); endpoints quantized to 2^-20 px
+    (both engines run the identical IEEE divide/add/mul chain,
+    including the kernel's (local + t) + tile-origin association).
+    The cell window crosses the tile seam on both axes, so the east/
+    south halo exchange is under test."""
+    from .operators import contour as CT
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    segs = CT.contour_segments(tiles, RASTER_ZOOM, [CONTOUR_SEG_LEVEL])
+    x0, y0, w, h = CONTOUR_SEG_WIN
+
+    def q(c):
+        return F.floor(F.col(c) * _QSEG + F.lit(0.5)).cast("long")
+
+    return (segs.filter(
+        (F.col("cx") >= x0) & (F.col("cx") < x0 + w)
+        & (F.col("cy") >= y0) & (F.col("cy") < y0 + h))
+        .select("cx", "cy",
+                q("x0").alias("qx0"), q("y0").alias("qy0"),
+                q("x1").alias("qx1"), q("y1").alias("qy1")))
+
+
+def sql_contour_segments() -> str:
+    x0, y0, w, h = CONTOUR_SEG_WIN
+    L = "CAST(100.25 AS DOUBLE)"
+    sat_pairs = []
+    for cse, sat, e0, e1 in [
+        (1, 0, 3, 0), (1, 1, 3, 0), (2, 0, 0, 1), (2, 1, 0, 1),
+        (3, 0, 3, 1), (3, 1, 3, 1), (4, 0, 1, 2), (4, 1, 1, 2),
+        (6, 0, 0, 2), (6, 1, 0, 2), (7, 0, 3, 2), (7, 1, 3, 2),
+        (8, 0, 2, 3), (8, 1, 2, 3), (9, 0, 2, 0), (9, 1, 2, 0),
+        (11, 0, 2, 1), (11, 1, 2, 1), (12, 0, 1, 3), (12, 1, 1, 3),
+        (13, 0, 1, 0), (13, 1, 1, 0), (14, 0, 0, 3), (14, 1, 0, 3),
+        (5, 1, 3, 0), (5, 1, 1, 2), (5, 0, 3, 2), (5, 0, 1, 0),
+        (10, 1, 0, 1), (10, 1, 2, 3), (10, 0, 0, 3), (10, 0, 2, 1),
+    ]:
+        sat_pairs.append(f"({cse}, {sat}, {e0}, {e1})")
+    mapping = ", ".join(sat_pairs)
+    ex = """CASE {e}
+      WHEN 0 THEN (cx - (cx % 256)) + (CAST(cx % 256 AS DOUBLE) + t_ab)
+      WHEN 1 THEN CAST(cx + 1 AS DOUBLE)
+      WHEN 2 THEN (cx - (cx % 256)) + (CAST(cx % 256 AS DOUBLE) + t_dc)
+      ELSE CAST(cx AS DOUBLE) END"""
+    ey = """CASE {e}
+      WHEN 0 THEN CAST(cy AS DOUBLE)
+      WHEN 1 THEN (cy - (cy % 256)) + (CAST(cy % 256 AS DOUBLE) + t_bc)
+      WHEN 2 THEN CAST(cy + 1 AS DOUBLE)
+      ELSE (cy - (cy % 256)) + (CAST(cy % 256 AS DOUBLE) + t_ad) END"""
+    return f"""
+WITH cells AS (
+  SELECT ({x0} + xs.i) AS cx, ({y0} + ys.i) AS cy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+),
+v AS (
+  SELECT cx, cy,
+         (cx * 7 + cy * 11 + 1) % 255 AS a,
+         ((cx + 1) * 7 + cy * 11 + 1) % 255 AS b,
+         ((cx + 1) * 7 + (cy + 1) * 11 + 1) % 255 AS c,
+         (cx * 7 + (cy + 1) * 11 + 1) % 255 AS d
+  FROM cells
+),
+cs AS (
+  SELECT *,
+         (CASE WHEN a >= {L} THEN 1 ELSE 0 END)
+         + (CASE WHEN b >= {L} THEN 2 ELSE 0 END)
+         + (CASE WHEN c >= {L} THEN 4 ELSE 0 END)
+         + (CASE WHEN d >= {L} THEN 8 ELSE 0 END) AS cse,
+         CASE WHEN CAST(a + b + c + d AS DOUBLE) / CAST(4 AS DOUBLE)
+                   < {L} THEN 1 ELSE 0 END AS sat
+  FROM v
+),
+m(mcse, msat, e0, e1) AS (VALUES {mapping}),
+j AS (
+  SELECT cs.*, m.e0, m.e1,
+         ({L} - a) / CAST(b - a AS DOUBLE) AS t_ab,
+         ({L} - b) / CAST(c - b AS DOUBLE) AS t_bc,
+         ({L} - d) / CAST(c - d AS DOUBLE) AS t_dc,
+         ({L} - a) / CAST(d - a AS DOUBLE) AS t_ad
+  FROM cs JOIN m ON cs.cse = m.mcse AND cs.sat = m.msat
+  WHERE cs.cse NOT IN (0, 15)
+)
+SELECT cx, cy,
+       CAST(FLOOR(({ex.format(e="e0")}) * {_QSEG} + 0.5) AS BIGINT) AS qx0,
+       CAST(FLOOR(({ey.format(e="e0")}) * {_QSEG} + 0.5) AS BIGINT) AS qy0,
+       CAST(FLOOR(({ex.format(e="e1")}) * {_QSEG} + 0.5) AS BIGINT) AS qx1,
+       CAST(FLOOR(({ey.format(e="e1")}) * {_QSEG} + 0.5) AS BIGINT) AS qy1
+FROM j
+"""
+
+
 def q_overview_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """gdal raster overview refresh after an update (apps/
     gdalalg_raster_overview_refresh.cpp partial recompute): patch the
@@ -7167,7 +7269,6 @@ QUERIES = {
     "overlay_intersection": q_overlay_intersection,
     "overlay_union": q_overlay_union,
     "overlay_erase": q_overlay_erase,
-    "overlay_symdiff": q_overlay_symdiff,
     "overlay_identity": q_overlay_identity,
     "overlay_update": q_overlay_update,
     "overlay_snapped": q_overlay_snapped,
@@ -7180,6 +7281,7 @@ QUERIES = {
     "raster_unscale": q_raster_unscale,
     "raster_update": q_raster_update,
     "overview_refresh": q_overview_refresh,
+    "contour_segments": q_contour_segments,
     "raster_stack": q_raster_stack,
     "pixel_info": q_pixel_info,
     "vector_verbs": q_vector_verbs,
@@ -7231,6 +7333,7 @@ QUERIES = {
     "zonal_frac_poly": q_zonal_frac_poly,
     "embedding_quantize": q_embedding_quantize,
     # ======== 50-entry gate window ends after the round-4 newcomers ======
+    "overlay_symdiff": q_overlay_symdiff,
     "fingerprint_pairs": q_fingerprint_pairs,
     "grid_avg_distance": q_grid_avg_distance,
     "spatial_predicates": q_spatial_predicates,
@@ -7423,6 +7526,7 @@ ORACLES = {
     "overlay_identity": sql_overlay_identity(),
     "raster_unscale": sql_raster_unscale(),
     "overview_refresh": sql_overview_refresh(),
+    "contour_segments": sql_contour_segments(),
     "c4_filters": sql_c4_filters(),
     "line_dedup": sql_line_dedup(),
     "focal_stats": sql_focal_stats(),

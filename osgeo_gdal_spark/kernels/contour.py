@@ -18,8 +18,9 @@ from __future__ import annotations
 import numpy as np
 
 
-def marching_squares(grid: np.ndarray, level: float):
-    """Segments [(x0, y0, x1, y1), ...] in pixel-center coords."""
+def marching_squares(grid: np.ndarray, level: float, with_cells=False):
+    """Segments [(x0, y0, x1, y1), ...] in pixel-center coords;
+    with_cells=True prepends the owning cell (j, i) to each tuple."""
     g = np.asarray(grid, dtype=np.float64)
     h, w = g.shape
     tl = g[:-1, :-1]
@@ -70,5 +71,8 @@ def marching_squares(grid: np.ndarray, level: float):
         else:
             pairs = table[cs]
         for (x0, y0), (x1, y1) in pairs:
-            segs.append((x0, y0, x1, y1))
+            if with_cells:
+                segs.append((j, i, x0, y0, x1, y1))
+            else:
+                segs.append((x0, y0, x1, y1))
     return segs

@@ -21,6 +21,8 @@ from .focal import _strips
 _SEG_SCHEMA = T.StructType(
     [
         T.StructField("level", T.DoubleType()),
+        T.StructField("cx", T.LongType()),
+        T.StructField("cy", T.LongType()),
         T.StructField("x0", T.DoubleType()),
         T.StructField("y0", T.DoubleType()),
         T.StructField("x1", T.DoubleType()),
@@ -63,9 +65,12 @@ def contour_segments(tiles: DataFrame, zoom: int, levels) -> DataFrame:
             # marching_squares skips any cell with a NaN corner, so the
             # NaN halo padding (global border tiles, sparse tile tables)
             # needs no trimming — missing neighbors simply emit nothing
-            for x0, y0, x1, y1 in marching_squares(pad, level):
-                rows.append((level, ox + x0, oy + y0, ox + x1, oy + y1))
-        return pd.DataFrame(rows, columns=["level", "x0", "y0", "x1", "y1"])
+            for j, i, x0, y0, x1, y1 in marching_squares(
+                    pad, level, with_cells=True):
+                rows.append((level, ox + j, oy + i,
+                             ox + x0, oy + y0, ox + x1, oy + y1))
+        return pd.DataFrame(
+            rows, columns=["level", "cx", "cy", "x0", "y0", "x1", "y1"])
 
     strips = _strips(tiles, zoom)
     return strips.groupBy("tgx", "tgy").applyInPandas(stencil, _SEG_SCHEMA)

@@ -363,7 +363,20 @@ def main():
                           "hw_ceiling": ceiling, "detail": results}))
         return
 
-    print(json.dumps(run_suite(sf_dir, cores)))
+    result = run_suite(sf_dir, cores)
+    # Per-query timings go to a file + a NON-final stdout line: the
+    # driver captures only the stdout TAIL, and the full queries dict
+    # (90+ entries) outgrew it in round 5, truncating the headline
+    # (BENCH_r05 "parsed": null). The LAST line is the compact
+    # machine-readable headline.
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/queries_latest.json", "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps({"per_query_sec": result["queries"]}))
+    headline = {k: v for k, v in result.items() if k != "queries"}
+    headline["n_queries"] = len(result["queries"])
+    headline["per_query_file"] = "BENCH/queries_latest.json"
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

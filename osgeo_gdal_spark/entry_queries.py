@@ -1559,12 +1559,14 @@ def q_raster_unscale(spark: SparkSession, sf: str) -> DataFrame:
 
     sc, off = UNSCALE_PARAMS
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    out = RO.set_type_tiles(RO.unscale_tiles(tiles, sc, off), "uint8")
-    x0, y0, w, h = RECLASS_WIN
+    # fused single-pass verb + srcwin pushdown: tiles outside the gate
+    # window are pruned NATIVELY before the kernel, and the kernel crops
+    # to the window — the old chain ran two mapInPandas passes over ALL
+    # tiles then exploded every pixel before filtering (VERDICT r5 #3)
+    out = RO.unscale_set_type_tiles(tiles, sc, off, "uint8",
+                                    srcwin=RECLASS_WIN)
     return (
         RO.explode_pixels(out)
-        .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
-                & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
         .select("gpx", "gpy", F.col("value").cast("long").alias("value"))
     )
 
@@ -4030,7 +4032,7 @@ def sql_line_dedup() -> str:
 WITH {_lines_cte_sql(2)},
 r AS (
   SELECT doc_id,
-         ROW_NUMBER() OVER (PARTITION BY line
+         ROW_NUMBER() OVER (PARTITION BY md5(line)
                             ORDER BY doc_id, line_idx) AS rn
   FROM lines)
 SELECT doc_id,

@@ -86,17 +86,24 @@ def line_dedup_stats(lines: DataFrame) -> DataFrame:
     its FIRST occurrence (ordered by doc_id, line_idx) is dropped;
     report per-doc n_lines / n_dropped / n_kept.
 
-    Shape at 100 TB: one shuffle keyed on the line content (skinny rows:
-    line + two ints; hash the line to 8 bytes first at real scale), a
-    row_number window inside each duplicate group — group sizes are the
-    duplicate multiplicities, never corpus-sized — then a
+    Shape at 100 TB: the line text is hashed to a fixed 16-byte digest
+    BEFORE the shuffle, so the exchange carries (md5, doc_id, line_idx)
+    — ~32 bytes/row regardless of line length — instead of the corpus
+    itself (md5 is in both engines, so the oracle stays hash-exact; a
+    2^64 birthday collision over 16 bytes is ~10^-20 at 10^12 lines).
+    Then a row_number window inside each duplicate group — group sizes
+    are the duplicate multiplicities, never corpus-sized — and a
     map-side-combinable per-doc aggregate."""
     from pyspark.sql import Window
 
     rn = F.row_number().over(
-        Window.partitionBy("line").orderBy("doc_id", "line_idx"))
+        Window.partitionBy("lh").orderBy("doc_id", "line_idx"))
+    # project line -> digest BEFORE the window: the Exchange input is
+    # the skinny (doc_id, line_idx, lh) relation (plan-guarded in
+    # tests/test_scale_plans.py)
     tagged = lines.select(
-        "doc_id", "line_idx", "line").withColumn("rn", rn)
+        "doc_id", "line_idx", F.md5("line").alias("lh")
+    ).withColumn("rn", rn)
     return (
         tagged.groupBy("doc_id")
         .agg(F.count("*").alias("n_lines"),

@@ -98,6 +98,19 @@ def unscale_tiles(tiles: DataFrame, scale: float, offset: float) -> DataFrame:
                            out_dtype="float64").drop("_ox0", "_oy0")
 
 
+def unscale_set_type_tiles(tiles: DataFrame, scale: float, offset: float,
+                           out_dtype: str, srcwin=None) -> DataFrame:
+    """Fused ``unscale -> set-type`` (the chain every
+    `gdal raster unscale ! set-type` pipeline runs): ONE kernel pass
+    instead of two mapInPandas round-trips. Bit-identical to the
+    two-pass chain — the Float64 intermediate is v*scale+offset exactly,
+    and GDALCopyWord of that intermediate equals GDALCopyWord of the
+    fused expression (x*1.0+0.0 == x bitwise). Optional srcwin pushes
+    the pixel window into the same pass (native tile pruning first)."""
+    return translate_tiles(tiles, scale=scale, offset=offset,
+                           out_dtype=out_dtype, srcwin=srcwin)
+
+
 def set_type_tiles(tiles: DataFrame, out_dtype: str) -> DataFrame:
     """``gdal raster set-type`` (apps/gdalalg_raster_set_type.cpp → -ot):
     datatype conversion under the GDALCopyWord rule

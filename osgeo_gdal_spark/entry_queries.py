@@ -1361,13 +1361,71 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_near_groups(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end near-dup pipeline: MinHash -> LSH -> Jaccard verify ->
-    connected components -> keeper per group (rows-only; planted-cluster
-    exactness in pytest)."""
+    """End-to-end near-dup pipeline over the ENGINE-PORTABLE sketch path
+    (round 6 — upgraded from rows-only to a full hash oracle): portable
+    MinHash -> LSH bands -> candidate pairs -> exact word-Jaccard verify
+    -> connected components -> keeper per group. The first 50 docs are
+    planted as exact copies under shifted ids so every planted pair must
+    surface as a 2-member group; the xxhash64 production twin
+    (dedup.near_dup_groups) keeps its planted-cluster pytest."""
     from .operators import dedup as DD
 
-    docs = read_table(spark, sf, "documents")
-    return DD.near_dup_groups(docs, jaccard_threshold=0.7)
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    out = DD.near_dup_groups_portable(docs.unionByName(planted),
+                                      num_hashes=8, k=3,
+                                      jaccard_threshold=0.8)
+    return out.select("group_id", "doc_id",
+                      F.col("keep").cast("int").alias("keep"))
+
+
+def sql_dedup_near_groups() -> str:
+    cand = sql_lsh_pairs_portable().strip()
+    return f"""
+WITH RECURSIVE cand AS ({cand}),
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id < 50
+),
+words AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(
+             list_filter(str_split(text, ' '), x -> x != ''))) AS w
+  FROM docs2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nw FROM words GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.doc_a
+  JOIN words wb ON wb.doc_id = c.doc_b AND wb.w = wa.w
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.nw + sb.nw - i.n_inter)
+        >= CAST(0.8 AS DOUBLE)
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b, doc_a FROM verified
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+)
+SELECT LEAST(a, MIN(b)) AS group_id, a AS doc_id,
+       CAST(CASE WHEN a <= MIN(b) THEN 1 ELSE 0 END AS INT) AS keep
+FROM reach GROUP BY a
+"""
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -6367,6 +6425,59 @@ FROM walk GROUP BY node
 """
 
 
+# Yen K-shortest fixture: the diamond graph (4 simple 0->3 paths with
+# strictly distinct costs, so the ranking — and therefore every PATH —
+# is uniquely determined and tie-rule-free), plus a deterministic decoy
+# component the route accounting must never touch. All weights are
+# dyadic, so every path cost is exact in double.
+K_SHORTEST_EDGES = [
+    (0, 1, 1.0), (1, 3, 1.0),       # 0-1-3: cost 2
+    (0, 2, 1.0), (2, 3, 2.0),       # 0-2-3: cost 3
+    (0, 3, 4.0),                    # 0-3: cost 4
+    (1, 2, 0.5),                    # 0-1-2-3: cost 3.5
+]
+K_SHORTEST_DECOYS = 200
+
+
+def q_k_shortest(spark: SparkSession, sf: str) -> DataFrame:
+    """GNM Yen K-shortest loopless paths (GNMGraph::GetKShortestPaths,
+    gnm/gnmgraph.cpp) — each inner call is the distributed relaxation
+    with spur-node bans; the outer loop is driver-side by contract
+    (K is small). The decoy component proves the accounting gathers
+    stay path-bounded (plan-guarded in pytest); the oracle enumerates
+    ALL simple 0->3 paths by recursive CTE and ranks by cost."""
+    from .operators import graph as GG
+
+    rows = list(K_SHORTEST_EDGES) + [
+        (1000 + i, 2000 + i, 1.0) for i in range(K_SHORTEST_DECOYS)
+    ]
+    edges = spark.createDataFrame(rows, "src LONG, dst LONG, w DOUBLE")
+    got = GG.k_shortest_paths(edges, 0, 3, k=4, max_rounds=8)
+    out = [(i + 1, float(c), "-".join(str(int(x)) for x in p))
+           for i, (c, p) in enumerate(got)]
+    return spark.createDataFrame(out, "k INT, cost DOUBLE, path STRING")
+
+
+def sql_k_shortest() -> str:
+    vals = ", ".join(f"({s}, {d}, CAST({w!r} AS DOUBLE))"
+                     for s, d, w in K_SHORTEST_EDGES)
+    return f"""
+WITH RECURSIVE edges(src, dst, w) AS (VALUES {vals}),
+walk(node, cost, path) AS (
+  SELECT 0, CAST(0 AS DOUBLE), '0'
+  UNION ALL
+  SELECT e.dst, wk.cost + e.w,
+         wk.path || '-' || CAST(e.dst AS VARCHAR)
+  FROM walk wk JOIN edges e ON wk.node = e.src
+  WHERE wk.path NOT LIKE '%' || CAST(e.dst AS VARCHAR) || '%'
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cost, path) AS INT) AS k,
+       cost, path
+FROM walk WHERE node = 3
+ORDER BY cost, path LIMIT 4
+"""
+
+
 VIEWSHED_OBS = [(1, 150, 200), (2, 400, 100)]
 VIEWSHED_R = 60
 VIEWSHED_H = 50.0
@@ -7313,6 +7424,9 @@ QUERIES = {
     "simhash_portable": q_simhash_portable,
     "bm25_topk": q_bm25_topk,
     "lsh_pairs_portable": q_lsh_pairs_portable,
+    # -- (c6) round-6 newcomers / rows-only -> full-oracle upgrades -------
+    "k_shortest": q_k_shortest,
+    "dedup_near_groups": q_dedup_near_groups,
     # -- (d) complex single-green round-3 flagships -----------------------
     "rasterize_polygons": q_rasterize_polygons,
     "warp_reproject": q_warp_reproject,
@@ -7332,9 +7446,11 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "fingerprint_winnow": q_fingerprint_winnow,
     "raster_pyramid_cubic": q_raster_pyramid_cubic,
+    # ======== 50-entry gate window ends here (round-6 rotation) ==========
+    # rotated out r6 (green r5, code untouched): zonal_frac_poly,
+    # embedding_quantize
     "zonal_frac_poly": q_zonal_frac_poly,
     "embedding_quantize": q_embedding_quantize,
-    # ======== 50-entry gate window ends after the round-4 newcomers ======
     "overlay_symdiff": q_overlay_symdiff,
     "fingerprint_pairs": q_fingerprint_pairs,
     "grid_avg_distance": q_grid_avg_distance,
@@ -7428,7 +7544,6 @@ QUERIES = {
     # rows-only by nature (no oracle): lifetime-recorded by the
     # driver in earlier rounds — kept OUT of the 50-row gate window
     # so every gated slot is oracle-checkable (VERDICT r4 item 7)
-    "dedup_near_groups": q_dedup_near_groups,
     "embedding_ann_ivf": q_embedding_ann_ivf,
     "contour_polylines": q_contour_polylines,
     "embedding_near_dup": q_embedding_near_dup,
@@ -7576,6 +7691,8 @@ ORACLES = {
     "simhash_portable": sql_simhash_portable(),
     "bm25_topk": sql_bm25_topk(),
     "lsh_pairs_portable": sql_lsh_pairs_portable(),
+    "k_shortest": sql_k_shortest(),
+    "dedup_near_groups": sql_dedup_near_groups(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

@@ -234,7 +234,34 @@ def near_dup_groups(docs: DataFrame, n_shingle=3, num_hashes=16, bands=4,
     verified = jaccard_pairs(docs, cand, text_col, id_col).filter(
         F.col("jaccard") >= jaccard_threshold
     ).select("doc_a", "doc_b")
+    return _min_label_groups(verified, max_rounds)
 
+
+def near_dup_groups_portable(docs: DataFrame, num_hashes=8, k=3,
+                             jaccard_threshold=0.8,
+                             max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                             text_col="text", id_col="doc_id",
+                             max_rounds=16) -> DataFrame:
+    """``near_dup_groups`` over the engine-portable mod-2^31-1 sketch
+    path (lsh_pairs_portable) instead of xxhash64 — every stage of the
+    chain (grams -> MinHash -> LSH bands -> candidate pairs -> exact
+    word-Jaccard -> connected components -> keeper) is bit-reproducible
+    in ANSI SQL, upgrading the end-to-end near-dup pipeline from
+    rows-only to a full hash oracle. Same output contract:
+    (group_id, doc_id, keep) over docs that appear in a verified pair."""
+    cand = lsh_pairs_portable(docs, num_hashes, k, max_bucket,
+                              text_col, id_col).select("doc_a", "doc_b")
+    verified = jaccard_pairs(docs, cand, text_col, id_col).filter(
+        F.col("jaccard") >= jaccard_threshold
+    ).select("doc_a", "doc_b")
+    return _min_label_groups(verified, max_rounds)
+
+
+def _min_label_groups(verified: DataFrame, max_rounds: int) -> DataFrame:
+    """Connected components over verified duplicate pairs by bounded
+    min-label propagation (the polygonize-merge shape: duplicate
+    clusters are tiny, rounds ~ log2 of the largest cluster diameter),
+    then one keeper per group (min doc_id)."""
     edges = verified.unionByName(
         verified.select(F.col("doc_b").alias("doc_a"),
                         F.col("doc_a").alias("doc_b"))

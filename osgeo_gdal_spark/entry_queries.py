@@ -1762,6 +1762,79 @@ def q_contour_segments(spark: SparkSession, sf: str) -> DataFrame:
                 q("x1").alias("qx1"), q("y1").alias("qy1")))
 
 
+# (case, saturation, entry edge, exit edge) — the marching-squares
+# segment table shared by the segment and polyline oracles (kernels/
+# contour.py:21; edges 0=N carries t_ab, 1=E t_bc, 2=S t_dc, 3=W t_ad)
+_MS_CASE_EDGES = [
+    (1, 0, 3, 0), (1, 1, 3, 0), (2, 0, 0, 1), (2, 1, 0, 1),
+    (3, 0, 3, 1), (3, 1, 3, 1), (4, 0, 1, 2), (4, 1, 1, 2),
+    (6, 0, 0, 2), (6, 1, 0, 2), (7, 0, 3, 2), (7, 1, 3, 2),
+    (8, 0, 2, 3), (8, 1, 2, 3), (9, 0, 2, 0), (9, 1, 2, 0),
+    (11, 0, 2, 1), (11, 1, 2, 1), (12, 0, 1, 3), (12, 1, 1, 3),
+    (13, 0, 1, 0), (13, 1, 1, 0), (14, 0, 0, 3), (14, 1, 0, 3),
+    (5, 1, 3, 0), (5, 1, 1, 2), (5, 0, 3, 2), (5, 0, 1, 0),
+    (10, 1, 0, 1), (10, 1, 2, 3), (10, 0, 0, 3), (10, 0, 2, 1),
+]
+
+
+def _ms_soup_sql(level: float, x0: int, y0: int, w: int, h: int) -> str:
+    """One level's marching-squares segment soup over a cell window,
+    RAW double endpoints (the quantizing segment gate shares the same
+    per-cell machinery): SELECT level, cx, cy, ex0, ey0, ex1, ey1.
+    Endpoint association mirrors the kernel bit-for-bit:
+    (tile-origin) + (local-coord + t), with t from the level/corner
+    interpolation on the crossed edge."""
+    L = f"CAST({level!r} AS DOUBLE)"
+    mapping = ", ".join(f"({c}, {s}, {e0}, {e1})"
+                        for c, s, e0, e1 in _MS_CASE_EDGES)
+    ex = """CASE {e}
+      WHEN 0 THEN (cx - (cx % 256)) + (CAST(cx % 256 AS DOUBLE) + t_ab)
+      WHEN 1 THEN CAST(cx + 1 AS DOUBLE)
+      WHEN 2 THEN (cx - (cx % 256)) + (CAST(cx % 256 AS DOUBLE) + t_dc)
+      ELSE CAST(cx AS DOUBLE) END"""
+    ey = """CASE {e}
+      WHEN 0 THEN CAST(cy AS DOUBLE)
+      WHEN 1 THEN (cy - (cy % 256)) + (CAST(cy % 256 AS DOUBLE) + t_bc)
+      WHEN 2 THEN CAST(cy + 1 AS DOUBLE)
+      ELSE (cy - (cy % 256)) + (CAST(cy % 256 AS DOUBLE) + t_ad) END"""
+    return f"""
+SELECT {L} AS level, cx, cy,
+       ({ex.format(e="e0")}) AS ex0, ({ey.format(e="e0")}) AS ey0,
+       ({ex.format(e="e1")}) AS ex1, ({ey.format(e="e1")}) AS ey1
+FROM (
+  SELECT cs.*, m.e0, m.e1,
+         ({L} - a) / CAST(b - a AS DOUBLE) AS t_ab,
+         ({L} - b) / CAST(c - b AS DOUBLE) AS t_bc,
+         ({L} - d) / CAST(c - d AS DOUBLE) AS t_dc,
+         ({L} - a) / CAST(d - a AS DOUBLE) AS t_ad
+  FROM (
+    SELECT *,
+           (CASE WHEN a >= {L} THEN 1 ELSE 0 END)
+           + (CASE WHEN b >= {L} THEN 2 ELSE 0 END)
+           + (CASE WHEN c >= {L} THEN 4 ELSE 0 END)
+           + (CASE WHEN d >= {L} THEN 8 ELSE 0 END) AS cse,
+           CASE WHEN CAST(a + b + c + d AS DOUBLE) / CAST(4 AS DOUBLE)
+                     < {L} THEN 1 ELSE 0 END AS sat
+    FROM (
+      SELECT cx, cy,
+             (cx * 7 + cy * 11 + {RASTER_ZOOM}) % 255 AS a,
+             ((cx + 1) * 7 + cy * 11 + {RASTER_ZOOM}) % 255 AS b,
+             ((cx + 1) * 7 + (cy + 1) * 11 + {RASTER_ZOOM}) % 255 AS c,
+             (cx * 7 + (cy + 1) * 11 + {RASTER_ZOOM}) % 255 AS d
+      FROM (
+        SELECT ({x0} + xs.i) AS cx, ({y0} + ys.i) AS cy
+        FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+      )
+    )
+  ) cs
+  JOIN (SELECT * FROM (VALUES {mapping}) t(mcse, msat, e0, e1)) m
+    ON cs.cse = m.mcse AND cs.sat = m.msat
+  WHERE cs.cse NOT IN (0, 15)
+)
+"""
+
+
 def sql_contour_segments() -> str:
     x0, y0, w, h = CONTOUR_SEG_WIN
     L = "CAST(100.25 AS DOUBLE)"
@@ -5704,21 +5777,113 @@ FROM contrib GROUP BY gpx, gpy
 """
 
 
+POLYLINE_LEVELS = [100.25, 200.5]  # non-integer: no on-corner ties, so
+#                                    every vertex degree is 1 (window
+#                                    border) or 2 — the junction tier
+#                                    stays pytest-covered
+_POLY_STAGES = 32  # unrolled hook+jump CC stages in the oracle — the
+#                    fixture's longest chain converges at 14 stages
+#                    (measured), so the pytest headroom check at HALF
+#                    the stages (16) still has margin; each extra stage
+#                    costs ~5 ms in DuckDB
+
+
 def q_contour_polylines(spark: SparkSession, sf: str) -> DataFrame:
-    """Contour polyline stitching (contour.cpp segment merger; rows-only —
-    pinned against a full-grid union-find reference in pytest): per-level
-    polyline count / segment total / closed count."""
+    """Contour polyline stitching (alg/contour.cpp segment merger) —
+    round 6: upgraded from rows-only to a FULL hash oracle. The query
+    windows the soup to the seam-crossing ROI (both tile seams AND the
+    bucket=128 borders inside it, so the halo exchange and the
+    cross-bucket fragment merge are both under test) and emits one row
+    per stitched polyline with order-free exact integer digests:
+    n_segs, closed, sum of quantized endpoint coords (sqx/sqy), sum of
+    per-segment quantized lengths (qlen), and the lexicographic-least
+    quantized endpoint (minq — the canonical chain key). The oracle
+    rebuilds the same chains in DuckDB: marching-squares soup (the
+    contour_segments cell oracle machinery) -> vertex degrees ->
+    segment adjacency at degree-2 vertices -> connected components by
+    UNROLLED hook+jump min-label stages (reach doubles per stage)."""
     from .operators import contour as CT
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    pl = CT.contour_polylines(tiles, RASTER_ZOOM, [100.0, 200.5], bucket=128)
-    return pl.groupBy("level").agg(
-        F.count("*").alias("n_polylines"),
-        F.sum("n_segs").alias("n_segments"),
-        F.round(F.sum("length"), 4).alias("total_len"),
-        F.sum(F.col("closed").cast("int")).alias("n_closed"),
+    pl = CT.contour_polylines(tiles, RASTER_ZOOM, POLYLINE_LEVELS,
+                              bucket=128, cell_window=CONTOUR_SEG_WIN)
+    return pl.select(
+        "level", "n_segs",
+        F.col("closed").cast("int").alias("closed"),
+        "sqx", "sqy", "qlen", "minq",
     )
+
+
+def sql_contour_polylines() -> str:
+    x0, y0, w, h = CONTOUR_SEG_WIN
+    soup = " UNION ALL ".join(
+        _ms_soup_sql(lev, x0, y0, w, h) for lev in POLYLINE_LEVELS)
+    stages = []
+    prev = "l0"
+    for k in range(1, _POLY_STAGES + 1):
+        stages.append(f"""
+l{k} AS MATERIALIZED (
+  SELECT s.sid,
+         LEAST(s.lbl, COALESCE(n.m, s.lbl), COALESCE(p.lbl, s.lbl)) AS lbl
+  FROM {prev} s
+  LEFT JOIN (SELECT e.sa AS sid, MIN(l.lbl) AS m
+             FROM edges e JOIN {prev} l ON l.sid = e.sb
+             GROUP BY e.sa) n ON n.sid = s.sid
+  LEFT JOIN {prev} p ON p.sid = s.lbl
+)""")
+        prev = f"l{k}"
+    Q = _QSEG
+    return f"""
+WITH soup AS MATERIALIZED ({soup}),
+seg AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER () AS sid, level, ex0, ey0, ex1, ey1,
+         CAST(FLOOR(ex0 * {Q} + 0.5) AS BIGINT) AS qx0,
+         CAST(FLOOR(ey0 * {Q} + 0.5) AS BIGINT) AS qy0,
+         CAST(FLOOR(ex1 * {Q} + 0.5) AS BIGINT) AS qx1,
+         CAST(FLOOR(ey1 * {Q} + 0.5) AS BIGINT) AS qy1,
+         CAST(FLOOR(SQRT((ex1 - ex0) * (ex1 - ex0)
+                         + (ey1 - ey0) * (ey1 - ey0)) * {Q} + 0.5)
+              AS BIGINT) AS qlen
+  FROM soup
+),
+inc AS (
+  SELECT sid, level, ex0 AS vx, ey0 AS vy FROM seg
+  UNION ALL
+  SELECT sid, level, ex1, ey1 FROM seg
+),
+vdeg AS (
+  SELECT level, vx, vy, COUNT(*) AS deg FROM inc GROUP BY level, vx, vy
+),
+inc2 AS MATERIALIZED (
+  SELECT i.sid, i.level, i.vx, i.vy, v.deg
+  FROM inc i JOIN vdeg v
+    ON v.level = i.level AND v.vx = i.vx AND v.vy = i.vy
+),
+edges AS MATERIALIZED (
+  SELECT a.sid AS sa, b.sid AS sb
+  FROM inc2 a JOIN inc2 b
+    ON a.level = b.level AND a.vx = b.vx AND a.vy = b.vy
+   AND a.sid <> b.sid
+  WHERE a.deg = 2
+),
+brk AS (
+  SELECT sid, MAX(CASE WHEN deg <> 2 THEN 1 ELSE 0 END) AS has_brk
+  FROM inc2 GROUP BY sid
+),
+l0 AS MATERIALIZED (SELECT sid, sid AS lbl FROM seg),{','.join(stages)}
+SELECT s.level, COUNT(*) AS n_segs,
+       CAST(1 - MAX(b.has_brk) AS INT) AS closed,
+       CAST(SUM(s.qx0 + s.qx1) AS BIGINT) AS sqx,
+       CAST(SUM(s.qy0 + s.qy1) AS BIGINT) AS sqy,
+       CAST(SUM(s.qlen) AS BIGINT) AS qlen,
+       MIN(LEAST(s.qx0 * {1 << 30} + s.qy0,
+                 s.qx1 * {1 << 30} + s.qy1)) AS minq
+FROM seg s
+JOIN {prev} l ON l.sid = s.sid
+JOIN brk b ON b.sid = s.sid
+GROUP BY s.level, l.lbl
+"""
 
 
 CONTOUR_BANDS = [64.0, 128.0, 192.0]
@@ -7427,6 +7592,7 @@ QUERIES = {
     # -- (c6) round-6 newcomers / rows-only -> full-oracle upgrades -------
     "k_shortest": q_k_shortest,
     "dedup_near_groups": q_dedup_near_groups,
+    "contour_polylines": q_contour_polylines,
     # -- (d) complex single-green round-3 flagships -----------------------
     "rasterize_polygons": q_rasterize_polygons,
     "warp_reproject": q_warp_reproject,
@@ -7445,10 +7611,10 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "decontaminate": q_decontaminate,
     "fingerprint_winnow": q_fingerprint_winnow,
-    "raster_pyramid_cubic": q_raster_pyramid_cubic,
     # ======== 50-entry gate window ends here (round-6 rotation) ==========
-    # rotated out r6 (green r5, code untouched): zonal_frac_poly,
-    # embedding_quantize
+    # rotated out r6 (green r5, code untouched): raster_pyramid_cubic,
+    # zonal_frac_poly, embedding_quantize
+    "raster_pyramid_cubic": q_raster_pyramid_cubic,
     "zonal_frac_poly": q_zonal_frac_poly,
     "embedding_quantize": q_embedding_quantize,
     "overlay_symdiff": q_overlay_symdiff,
@@ -7545,7 +7711,6 @@ QUERIES = {
     # driver in earlier rounds — kept OUT of the 50-row gate window
     # so every gated slot is oracle-checkable (VERDICT r4 item 7)
     "embedding_ann_ivf": q_embedding_ann_ivf,
-    "contour_polylines": q_contour_polylines,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -7693,6 +7858,7 @@ ORACLES = {
     "lsh_pairs_portable": sql_lsh_pairs_portable(),
     "k_shortest": sql_k_shortest(),
     "dedup_near_groups": sql_dedup_near_groups(),
+    "contour_polylines": sql_contour_polylines(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

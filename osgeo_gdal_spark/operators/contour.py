@@ -77,7 +77,8 @@ def contour_segments(tiles: DataFrame, zoom: int, levels) -> DataFrame:
 
 
 def contour_polylines(tiles: DataFrame, zoom: int, levels,
-                      bucket=512, max_rounds=24, emit_wkb=False) -> DataFrame:
+                      bucket=512, max_rounds=24, emit_wkb=False,
+                      cell_window=None) -> DataFrame:
     """Stitch per-cell segments into polylines — the second phase of GDAL
     contour (``alg/contour.cpp`` segment merger / ring appender),
     distributed in three stages:
@@ -102,6 +103,15 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
     connects the few bucket fragments at their shared endpoints).
     """
     segs = contour_segments(tiles, zoom, levels)
+    if cell_window is not None:
+        # ROI contouring (the gdal_contour-over-srcwin shape): keep only
+        # segments from cells inside the window. Degrees are computed
+        # AFTER windowing, so chains cut by the window end at the new
+        # degree-1 border vertices — the oracle sees the same soup.
+        wx0, wy0, ww, wh = cell_window
+        segs = segs.filter(
+            (F.col("cx") >= wx0) & (F.col("cx") < wx0 + ww)
+            & (F.col("cy") >= wy0) & (F.col("cy") < wy0 + wh))
     vkey = "%.17g|%.17g|%.17g"
     segs = segs.withColumn(
         "vk0", F.format_string(vkey, "level", "x0", "y0")
@@ -132,6 +142,15 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
         T.StructField("n_segs", T.LongType()),
         T.StructField("length", T.DoubleType()),
         T.StructField("terminal", T.BooleanType()),
+        # order-free exact integer digest components (summable across
+        # fragments, cross-engine reproducible — see q_contour_polylines):
+        # sqx/sqy = sum of quantized endpoint coords, qlen = sum of
+        # per-segment quantized lengths, minq = lexicographic min packed
+        # quantized endpoint
+        T.StructField("sqx", T.LongType()),
+        T.StructField("sqy", T.LongType()),
+        T.StructField("qlen", T.LongType()),
+        T.StructField("minq", T.LongType()),
         T.StructField("open_keys", T.ArrayType(T.StringType())),
         # ordered vertex chain [x0, y0, x1, y1, ...] — walked locally so
         # the global stage can emit LineString WKB by joining fragments
@@ -148,6 +167,19 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
         x1 = pdf["x1"].to_numpy(); y1 = pdf["y1"].to_numpy()
         vk0 = pdf["vk0"].to_numpy(); vk1 = pdf["vk1"].to_numpy()
         d0 = pdf["deg0"].to_numpy(); d1 = pdf["deg1"].to_numpy()
+        # exact per-segment integer digests (Q = 2^20 like the segment
+        # gate; sqrt of dx*dx + dy*dy is correctly-rounded IEEE in both
+        # engines, and coords < 2^9 so every quantized value is exact
+        # in int64)
+        Q = float(1 << 20)
+        qx0 = np.floor(x0 * Q + 0.5).astype(np.int64)
+        qy0 = np.floor(y0 * Q + 0.5).astype(np.int64)
+        qx1 = np.floor(x1 * Q + 0.5).astype(np.int64)
+        qy1 = np.floor(y1 * Q + 0.5).astype(np.int64)
+        qln = np.floor(
+            np.sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) * Q
+            + 0.5).astype(np.int64)
+        pack = np.minimum(qx0 * (1 << 30) + qy0, qx1 * (1 << 30) + qy1)
         parent = list(range(n))
 
         def find(i):
@@ -175,10 +207,17 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
             r = find(i)
             g = groups.setdefault(
                 r, {"n": 0, "len": 0.0, "open": [], "term": False,
-                    "hid": None, "segs": []})
+                    "hid": None, "segs": [],
+                    "sqx": 0, "sqy": 0, "qlen": 0, "minq": None})
             g["n"] += 1
             g["len"] += float(np.hypot(x1[i] - x0[i], y1[i] - y0[i]))
             g["segs"].append(i)
+            g["sqx"] += int(qx0[i]) + int(qx1[i])
+            g["sqy"] += int(qy0[i]) + int(qy1[i])
+            g["qlen"] += int(qln[i])
+            p = int(pack[i])
+            if g["minq"] is None or p < g["minq"]:
+                g["minq"] = p
             h = hash((lev, float(x0[i]), float(y0[i]),
                       float(x1[i]), float(y1[i]))) & 0x7FFFFFFFFFFFFFFF
             if g["hid"] is None or h < g["hid"]:
@@ -228,6 +267,8 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
         rows = [
             {"level": lev, "frag_id": g["hid"], "n_segs": g["n"],
              "length": g["len"], "terminal": g["term"],
+             "sqx": g["sqx"], "sqy": g["sqy"], "qlen": g["qlen"],
+             "minq": g["minq"],
              "open_keys": sorted(g["open"]),
              "chain": walk(g["segs"])}
             for g in groups.values()
@@ -287,6 +328,10 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
         .agg(
             F.sum("n_segs").alias("n_segs"),
             F.sum("length").alias("length"),
+            F.sum("sqx").alias("sqx"),
+            F.sum("sqy").alias("sqy"),
+            F.sum("qlen").alias("qlen"),
+            F.min("minq").alias("minq"),
             F.max(F.col("terminal").cast("int")).alias("_term"),
         )
         .join(unmatched, "polyline_id", "left")

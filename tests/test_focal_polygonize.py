@@ -584,3 +584,23 @@ def test_focal_mode_scan_order_tie_rule(spark):
                 if counts[v] > bestc:
                     bestc, best = counts[v], v
         assert full[py, px] == best, (py, px, full[py, px], best)
+
+
+def test_contour_polyline_oracle_stage_headroom():
+    """The polyline oracle's unrolled hook+jump CC must have converged
+    with room to spare: running HALF the stages must give the identical
+    polyline digest multiset (reach doubles per stage, so agreement at
+    k and 2k stages pins the fixpoint)."""
+    import duckdb
+
+    from osgeo_gdal_spark import entry_queries as EQ
+
+    full = duckdb.connect().execute(EQ.sql_contour_polylines()).fetchall()
+    saved = EQ._POLY_STAGES
+    try:
+        EQ._POLY_STAGES = saved // 2
+        half = duckdb.connect().execute(EQ.sql_contour_polylines()).fetchall()
+    finally:
+        EQ._POLY_STAGES = saved
+    assert sorted(full) == sorted(half)
+    assert len(full) > 0

@@ -288,3 +288,78 @@ def hex_raster_rollup(tiles: DataFrame, zoom: int,
             (F.sum("value") / F.count("*")).alias("val_mean"),
         )
     )
+
+
+# --- PNG tile serving (gdal raster tile output stage) --------------------
+
+PNG_SCHEMA = T.StructType([
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("gx", T.LongType()),
+    T.StructField("gy", T.LongType()),
+    T.StructField("png", T.BinaryType()),
+])
+
+
+def encode_png_tiles(tiles: DataFrame, rgb: bool = False) -> DataFrame:
+    """Encode packed-binary tile rows as PNG bytes — the byte-emitting
+    half of ``gdal raster tile`` (apps/gdalalg_raster_tile.cpp; PNG
+    driver frmts/png/). MAP-ONLY at any scale: greyscale encodes one
+    row per tile with zero shuffle; RGB(A) co-groups a tile's band rows
+    (one skinny shuffle keyed on the tile id, group size = band count).
+    zlib parameters are pinned (kernels/png.py) so output bytes are
+    deterministic and golden-checksummable."""
+    from ..kernels import png as PNG
+    from ..sources.raster import parse_tile
+
+    if not rgb:
+        def enc(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for _, row in pdf.iterrows():
+                    arr = parse_tile(row).astype(np.uint8)
+                    out.append({"zoom": int(row["zoom"]),
+                                "gx": int(row["gx"]), "gy": int(row["gy"]),
+                                "png": PNG.encode_png(arr)})
+                yield pd.DataFrame(out)
+
+        return tiles.mapInPandas(enc, PNG_SCHEMA)
+
+    def enc_rgb(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("band")
+        arrs = [parse_tile(row).astype(np.uint8)
+                for _, row in pdf.iterrows()]
+        stack = np.dstack(arrs)
+        row0 = pdf.iloc[0]
+        return pd.DataFrame([{
+            "zoom": int(row0["zoom"]),
+            "gx": int(row0["gx"]), "gy": int(row0["gy"]),
+            "png": PNG.encode_png(stack)}])
+
+    return tiles.groupBy("zoom", "gx", "gy").applyInPandas(
+        enc_rgb, PNG_SCHEMA)
+
+
+def write_png_pyramid(png_df: DataFrame, out_dir: str,
+                      convention: str = "xyz") -> None:
+    """Write encoded tiles to the ``{z}/{x}/{y}.png`` pyramid layout
+    (GetFileY, apps/gdalalg_raster_tile.cpp:509): ``xyz`` keeps the
+    top-left-origin row index, ``tms`` flips it. Runs as a map-only
+    foreachPartition — each executor writes its own tiles (local FS
+    here; an object-store sink would PUT the same keys)."""
+    flip = convention == "tms"
+
+    def write_part(rows):
+        import os
+
+        for r in rows:
+            y = ((1 << r["zoom"]) - 1 - r["gy"]) if flip else r["gy"]
+            d = os.path.join(out_dir, str(r["zoom"]), str(r["gx"]))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{y}.png"), "wb") as f:
+                f.write(bytes(r["png"]))
+
+    png_df.foreachPartition(write_part)

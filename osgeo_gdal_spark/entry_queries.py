@@ -1763,6 +1763,209 @@ def q_contour_segments(spark: SparkSession, sf: str) -> DataFrame:
                 q("x1").alias("qx1"), q("y1").alias("qy1")))
 
 
+# Curve-ingest fixtures: CircularStrings with INTEGER control points, so
+# every circle parameter (center, radius^2, dets) is exact IEEE
+# arithmetic in both engines. Covers: plain arc, the NeedSwitchArcOrder
+# swap branch, a 5-point two-arc string, a full circle (p0 == p2, CCW),
+# the collinear-degenerate fallback (+ swap), and an R=4 arc.
+CURVE_FIXTURES = [
+    (1, [(2, 0), (1, 1), (0, 0)]),
+    (2, [(0, 0), (1, 1), (2, 0)]),
+    (3, [(4, 0), (3, 1), (2, 0), (1, -1), (0, 0)]),
+    (4, [(0, 0), (2, 0), (0, 0)]),
+    (5, [(0, 0), (1, 1), (2, 2)]),
+    (6, [(10, 3), (6, 7), (2, 3)]),
+]
+
+
+def q_curve_linearize(spark: SparkSession, sf: str) -> DataFrame:
+    """Curve geometry ingest (OGR_GT_GetLinear, ogr/ogr_core.h:621;
+    OGRGeometryFactory::curveToLineString, ogrgeometryfactory.cpp:6071):
+    CircularString WKB fixtures are stroked to LineStrings at the
+    default 4-degree step and every emitted vertex is compared against
+    a FULL SQL transliteration of GetCurveParameters + StrokeArc
+    (scale-normalized bisector intersection, det-sign winding, the
+    endpoint-swap symmetry rule, nsteps = max(4, trunc(|da|/step+0.5)),
+    uniform k*d angles). Vertices quantized to 2^-20 (the contour-tier
+    discipline); CompoundCurve/CurvePolygon/MultiCurve/MultiSurface
+    assembly is pinned in pytest."""
+    import struct as _st
+
+    from .functions import st as ST
+    from .kernels import curves as CV
+
+    rows = [(fid, _st.pack("<BI", 1, CV.CIRCULARSTRING)
+             + CV._wr_points([(float(x), float(y)) for x, y in pts]))
+            for fid, pts in CURVE_FIXTURES]
+    df = spark.createDataFrame(rows, "fid INT, wkb BINARY")
+    lin = df.select("fid", ST.st_linearize("wkb").alias("lw"))
+
+    schema = T.StructType([
+        T.StructField("fid", T.IntegerType()),
+        T.StructField("vidx", T.IntegerType()),
+        T.StructField("qx", T.LongType()),
+        T.StructField("qy", T.LongType()),
+    ])
+
+    def explode_verts(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                buf = bytes(row["lw"])
+                (n,) = struct.unpack_from("<I", buf, 5)
+                for i in range(n):
+                    x, y = struct.unpack_from("<dd", buf, 9 + 16 * i)
+                    out.append({
+                        "fid": int(row["fid"]), "vidx": i,
+                        "qx": int(np.floor(x * _QSEG + 0.5)),
+                        "qy": int(np.floor(y * _QSEG + 0.5)),
+                    })
+            yield pd.DataFrame(out)
+
+    return lin.mapInPandas(explode_verts, schema)
+
+
+def sql_curve_linearize() -> str:
+    arcs = []
+    for fid, pts in CURVE_FIXTURES:
+        for aidx, i in enumerate(range(0, len(pts) - 2, 2)):
+            (x0, y0), (x1, y1), (x2, y2) = pts[i], pts[i + 1], pts[i + 2]
+            arcs.append(f"({fid}, {aidx}, {G.D(float(x0))}, "
+                        f"{G.D(float(y0))}, {G.D(float(x1))}, "
+                        f"{G.D(float(y1))}, {G.D(float(x2))}, "
+                        f"{G.D(float(y2))})")
+    eps = G.D(-1e-8)
+    detmin = G.D(1.0e-8)
+    stp = f"({G.D(4.0)} / {G.D(180.0)}) * PI()"
+    return f"""
+WITH arcs(fid, aidx, ox0, oy0, ox1, oy1, ox2, oy2) AS (
+  VALUES {', '.join(arcs)}
+),
+sw AS (  -- OGRGF_NeedSwithArcOrder: stroke the swapped triple, reverse
+  SELECT fid, aidx, swp,
+         CASE WHEN swp = 1 THEN ox2 ELSE ox0 END AS x0,
+         CASE WHEN swp = 1 THEN oy2 ELSE oy0 END AS y0,
+         ox1 AS x1, oy1 AS y1,
+         CASE WHEN swp = 1 THEN ox0 ELSE ox2 END AS x2,
+         CASE WHEN swp = 1 THEN oy0 ELSE oy2 END AS y2
+  FROM (SELECT *, CASE WHEN ox0 < ox2 OR (ox0 = ox2 AND oy0 < oy2)
+                       THEN 1 ELSE 0 END AS swp FROM arcs)
+),
+p1 AS (  -- GetCurveParameters, scale-normalized
+  SELECT *,
+         (x0 = x2 AND y0 = y2) AS iscirc,
+         1.0 / GREATEST(ABS(x1 - x0), ABS(y1 - y0),
+                        ABS(x2 - x1), ABS(y2 - y1)) AS inv,
+         GREATEST(ABS(x1 - x0), ABS(y1 - y0),
+                  ABS(x2 - x1), ABS(y2 - y1)) AS scl
+  FROM sw
+),
+p2 AS (
+  SELECT *,
+         (x1 - x0) * inv AS dx01, (y1 - y0) * inv AS dy01,
+         (x2 - x1) * inv AS dx12, (y2 - y1) * inv AS dy12
+  FROM p1
+),
+p3 AS (
+  SELECT *, dx01 * dy12 - dx12 * dy01 AS det,
+         dx01 * ((x0 + x1) * inv) + dy01 * ((y0 + y1) * inv) AS c01,
+         dx12 * ((x1 + x2) * inv) + dy12 * ((y1 + y2) * inv) AS c12
+  FROM p2
+),
+p4 AS (
+  SELECT *,
+         (iscirc OR ABS(det) >= {detmin}) AS isarc,
+         CASE WHEN iscirc THEN (x0 + x1) / 2
+              ELSE 0.5 * scl * (c01 * dy12 - c12 * dy01) / det END AS cx,
+         CASE WHEN iscirc THEN (y0 + y1) / 2
+              ELSE 0.5 * scl * (-c01 * dx12 + c12 * dx01) / det END AS cy
+  FROM p3
+),
+p5 AS (
+  SELECT *,
+         SQRT((x0 - cx) * (x0 - cx) + (y0 - cy) * (y0 - cy)) AS r,
+         CASE WHEN iscirc THEN ATAN2(y0 - cy, x0 - cx)
+              ELSE ATAN2((y0 - cy) * inv, (x0 - cx) * inv) END AS a0,
+         ATAN2((y1 - cy) * inv, (x1 - cx) * inv) AS a1r,
+         ATAN2((y2 - cy) * inv, (x2 - cx) * inv) AS a2r
+  FROM p4
+),
+p6 AS (  -- det-sign monotone angle adjustment (a1 first, then a2 vs a1)
+  SELECT *,
+         CASE WHEN iscirc THEN a0 + PI()
+              WHEN det < 0 AND a1r > a0 THEN a1r - 2 * PI()
+              WHEN det >= 0 AND a1r < a0 THEN a1r + 2 * PI()
+              ELSE a1r END AS a1
+  FROM p5
+),
+p7 AS (
+  SELECT *,
+         CASE WHEN iscirc THEN a0 + 2 * PI()
+              WHEN det < 0 AND a2r > a1 THEN a2r - 2 * PI()
+              WHEN det >= 0 AND a2r < a1 THEN a2r + 2 * PI()
+              ELSE a2r END AS a2,
+         CASE WHEN a1 >= a0 THEN 1 ELSE -1 END AS sgn
+  FROM p6
+),
+halves AS (  -- two StrokeArc calls per arc (intermediate point explicit)
+  SELECT p7.*, h.stage,
+         CASE h.stage WHEN 1 THEN a0 ELSE a1 END AS astart,
+         CASE h.stage WHEN 1 THEN a1 ELSE a2 END AS aend,
+         {stp} * sgn AS stp
+  FROM p7 CROSS JOIN (SELECT UNNEST([1, 3]) AS stage) h
+  WHERE isarc
+),
+hn AS (
+  SELECT *,
+         GREATEST(4, CAST(FLOOR(ABS((aend - astart) / stp) + 0.5) AS BIGINT))
+           AS nsteps
+  FROM halves
+),
+hd AS (
+  SELECT *, sgn * ABS((aend - astart) / CAST(nsteps AS DOUBLE)) AS d FROM hn
+),
+inter AS (  -- uniform k*d angles, reference loop guard
+  SELECT fid, aidx, swp, stage, k.i AS k,
+         cx + r * COS(astart + CAST(k.i AS DOUBLE) * d) AS vx,
+         cy + r * SIN(astart + CAST(k.i AS DOUBLE) * d) AS vy
+  FROM hd CROSS JOIN (SELECT UNNEST(RANGE(1, 10000)) AS i) k
+  WHERE k.i <= nsteps
+    AND ((astart + CAST(k.i AS DOUBLE) * d) - aend) * sgn < {eps}
+),
+verts AS (
+  SELECT fid, aidx, swp, 0 AS stage, 0 AS k, x0 AS vx, y0 AS vy FROM p7
+  UNION ALL
+  SELECT fid, aidx, swp, 2, 0, x1, y1 FROM p7
+  UNION ALL
+  SELECT fid, aidx, swp, 4, 0, x2, y2 FROM p7
+  UNION ALL
+  SELECT fid, aidx, swp, stage, k, vx, vy FROM inter
+),
+ordered AS (
+  SELECT fid, aidx, vx, vy,
+         CASE WHEN swp = 1 THEN -(stage * 1000000 + k)
+              ELSE stage * 1000000 + k END AS eff
+  FROM verts
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fid, aidx
+                             ORDER BY CASE WHEN swp = 1
+                                      THEN -(stage * 1000000 + k)
+                                      ELSE stage * 1000000 + k END)
+          > CASE WHEN aidx > 0 THEN 1 ELSE 0 END
+)
+SELECT fid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY fid ORDER BY aidx, eff) - 1
+            AS INT) AS vidx,
+       CAST(FLOOR(vx * {_QSEG} + 0.5) AS BIGINT) AS qx,
+       CAST(FLOOR(vy * {_QSEG} + 0.5) AS BIGINT) AS qy
+FROM ordered
+"""
+
+
 def q_png_tiles(spark: SparkSession, sf: str) -> DataFrame:
     """PNG tile byte encoding (gdal raster tile; frmts/png/ + the
     GetFileY z/x/y layout, apps/gdalalg_raster_tile.cpp:509): encode
@@ -7678,16 +7881,18 @@ QUERIES = {
     "count_min": q_count_min,
     "minhash_portable": q_minhash_portable,
     "simhash_portable": q_simhash_portable,
-    "bm25_topk": q_bm25_topk,
     "lsh_pairs_portable": q_lsh_pairs_portable,
     # -- (c6) round-6 newcomers / rows-only -> full-oracle upgrades -------
     "k_shortest": q_k_shortest,
     "dedup_near_groups": q_dedup_near_groups,
     "contour_polylines": q_contour_polylines,
     "png_tiles": q_png_tiles,
-    # ======== 50-entry gate window ENDS here (50th = png_tiles) ==========
-    # rotated out r6 (green r5, code untouched this round): simplify_dp,
-    # hilbert_sort, dissolve_snapped, predicates_snapped
+    "curve_linearize": q_curve_linearize,
+    # ====== 50-entry gate window ENDS here (50th = curve_linearize) ======
+    # rotated out r6 (green in r5, code untouched this round):
+    # simplify_dp, hilbert_sort, dissolve_snapped, predicates_snapped,
+    # bm25_topk
+    "bm25_topk": q_bm25_topk,
     # -- (d) complex single-green round-3 flagships -----------------------
     "rasterize_polygons": q_rasterize_polygons,
     "warp_reproject": q_warp_reproject,
@@ -7956,6 +8161,7 @@ ORACLES = {
     "dedup_near_groups": sql_dedup_near_groups(),
     "contour_polylines": sql_contour_polylines(),
     "png_tiles": sql_png_tiles(),
+    "curve_linearize": sql_curve_linearize(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

@@ -342,6 +342,24 @@ def st_concavehull_a2(geoms):
     return pd.Series(out)
 
 
+@F.pandas_udf(T.BinaryType())
+def st_linearize(geoms):
+    """ST_Linearize / the OGR_GT_GetLinear ingest contract
+    (ogr/ogr_core.h:621; ogrgeometryfactory.cpp:6071
+    curveToLineString): stroke CircularString / CompoundCurve /
+    CurvePolygon / MultiCurve / MultiSurface WKB to linear WKB at the
+    default 4-degree arc step (OGR_ARC_STEPSIZE). Linear geometries
+    pass through byte-identical, so a reader can apply this
+    unconditionally to accept curve-bearing layers (e.g. GPKG)."""
+    import pandas as pd
+
+    from ..kernels import curves as CV
+
+    return pd.Series([
+        None if g is None else CV.linearize_wkb(bytes(g)) for g in geoms
+    ])
+
+
 @F.pandas_udf(T.DoubleType())
 def st_distance(ga, gb):
     """ST_Distance (OGRGeometry::Distance, ogrgeometry.cpp:3892):

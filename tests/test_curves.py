@@ -1,0 +1,130 @@
+"""Curve geometry ingest (OGR_GT_GetLinear contract;
+ogrgeometryfactory.cpp curveToLineString/GetCurveParameters/StrokeArc).
+The CircularString stroking itself is hash-gated vs a full SQL
+transliteration (entry_queries.sql_curve_linearize); these tests pin
+the container assembly and the reference's documented invariants."""
+
+import math
+import struct
+
+import pytest
+
+from osgeo_gdal_spark.kernels import curves as CV
+
+
+def cs_wkb(pts):
+    return struct.pack("<BI", 1, CV.CIRCULARSTRING) + CV._wr_points(
+        [(float(x), float(y)) for x, y in pts])
+
+
+def ls_wkb(pts):
+    return struct.pack("<BI", 1, CV.LINESTRING) + CV._wr_points(
+        [(float(x), float(y)) for x, y in pts])
+
+
+def read_line(buf):
+    e, t, off = CV._rd_header(buf, 0)
+    assert t == CV.LINESTRING
+    pts, _ = CV._rd_points(buf, off, e)
+    return pts
+
+
+def test_arc_direction_symmetry():
+    """curveToLineString doc guarantee: the same arc with swapped first/
+    final point returns exactly reversed vertices (binary identical)."""
+    fwd = read_line(CV.linearize_wkb(cs_wkb([(2, 0), (1, 1), (0, 0)])))
+    rev = read_line(CV.linearize_wkb(cs_wkb([(0, 0), (1, 1), (2, 0)])))
+    assert rev == fwd[::-1]
+    assert len(fwd) == 47  # 90deg halves at 4deg: 22 intermediates each
+
+
+def test_arc_chord_radius_invariant():
+    """Every stroked vertex of a true arc lies on the circle."""
+    pts = read_line(CV.linearize_wkb(cs_wkb([(10, 3), (6, 7), (2, 3)])))
+    for x, y in pts:
+        assert math.isclose(math.hypot(x - 6, y - 3), 4.0, rel_tol=1e-12)
+
+
+def test_full_circle_and_collinear():
+    circ = read_line(CV.linearize_wkb(cs_wkb([(0, 0), (2, 0), (0, 0)])))
+    assert circ[0] == circ[-1] == (0.0, 0.0)
+    assert len(circ) == 91  # two half-circles, 44 intermediates each
+    line = read_line(CV.linearize_wkb(cs_wkb([(0, 0), (1, 1), (2, 2)])))
+    assert line == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_linear_passthrough_and_bad_input():
+    w = ls_wkb([(0, 0), (1, 1)])
+    assert CV.linearize_wkb(w) == w
+    with pytest.raises(ValueError):
+        CV.circularstring_to_points([(0, 0), (1, 1)])  # even point count
+
+
+def test_compound_curve_concat():
+    """CompoundCurve = LineString + CircularString; shared junction
+    vertex emitted once, arc part identical to the standalone stroke."""
+    cc = (struct.pack("<BII", 1, CV.COMPOUNDCURVE, 2)
+          + ls_wkb([(5, 0), (2, 0)])
+          + cs_wkb([(2, 0), (1, 1), (0, 0)]))
+    got = read_line(CV.linearize_wkb(cc))
+    arc = read_line(CV.linearize_wkb(cs_wkb([(2, 0), (1, 1), (0, 0)])))
+    assert got == [(5.0, 0.0)] + arc
+
+
+def test_curve_polygon_rings():
+    """CurvePolygon -> Polygon: full-circle exterior ring stays closed,
+    linear hole passes through untouched."""
+    hole = [(1.5, 0.5), (2.5, 0.5), (2.5, -0.5), (1.5, -0.5), (1.5, 0.5)]
+    cp = (struct.pack("<BII", 1, CV.CURVEPOLYGON, 2)
+          + cs_wkb([(0, 0), (4, 0), (0, 0)])
+          + ls_wkb(hole))
+    out = CV.linearize_wkb(cp)
+    e, t, off = CV._rd_header(out, 0)
+    assert t == CV.POLYGON
+    (nr,) = struct.unpack_from("<I", out, off)
+    assert nr == 2
+    r0, off2 = CV._rd_points(out, off + 4, "<")
+    r1, _ = CV._rd_points(out, off2, "<")
+    assert r0[0] == r0[-1]
+    assert r1 == hole
+    # shoelace area of the stroked circle approximates pi*R^2 (R=2)
+    area = 0.0
+    for (x0, y0), (x1, y1) in zip(r0, r0[1:]):
+        area += x0 * y1 - x1 * y0
+    assert abs(abs(area) / 2 - math.pi * 4) < 0.02
+
+
+def test_multicurve_multisurface():
+    mc = (struct.pack("<BII", 1, CV.MULTICURVE, 2)
+          + cs_wkb([(2, 0), (1, 1), (0, 0)])
+          + ls_wkb([(9, 9), (8, 8)]))
+    out = CV.linearize_wkb(mc)
+    e, t, off = CV._rd_header(out, 0)
+    assert t == CV.MULTILINESTRING
+    (n,) = struct.unpack_from("<I", out, off)
+    assert n == 2
+    ms = (struct.pack("<BII", 1, CV.MULTISURFACE, 1)
+          + struct.pack("<BII", 1, CV.CURVEPOLYGON, 1)
+          + cs_wkb([(0, 0), (2, 0), (0, 0)]))
+    out2 = CV.linearize_wkb(ms)
+    e, t, off = CV._rd_header(out2, 0)
+    assert t == CV.MULTIPOLYGON
+    (n,) = struct.unpack_from("<I", out2, off)
+    assert n == 1
+
+
+def test_st_linearize_udf(spark):
+    """The pandas UDF path: curve in, linear out; linear passthrough is
+    byte-identical (so a reader can apply it unconditionally)."""
+    from pyspark.sql import functions as F
+
+    from osgeo_gdal_spark.functions import st as ST
+
+    rows = [(1, cs_wkb([(2, 0), (1, 1), (0, 0)])),
+            (2, ls_wkb([(0, 0), (3, 4)]))]
+    df = spark.createDataFrame(rows, "fid INT, wkb BINARY")
+    got = {r["fid"]: bytes(r["lw"]) for r in
+           df.select("fid", ST.st_linearize(F.col("wkb")).alias("lw"))
+           .collect()}
+    assert len(read_line(got[1])) == 47
+    assert got[2] == rows[1][1]

@@ -395,6 +395,106 @@ def _amode_rows(Vs: np.ndarray) -> np.ndarray:
     return out
 
 
+_EPSA = 1e-10  # GWKAverageOrMode footprint epsilon (gdalwarpkernel.cpp)
+
+
+def _footprint_indices(bx0, bx1, by0, by1, world):
+    """Source index window of a dst pixel's footprint box
+    (GWKAverageOrModeThread, alg/gdalwarpkernel.cpp:7573): pixels in
+    [floor(min+eps), ceil(max-eps)), clamped to the world, degenerate
+    boxes widened to one pixel. Returns (ix0, ix1, iy0, iy1, valid)."""
+    valid = (
+        np.isfinite(bx0) & np.isfinite(bx1)
+        & np.isfinite(by0) & np.isfinite(by1)
+        & (bx1 > -_EPSA) & (bx0 < world + _EPSA)
+        & (by1 > -_EPSA) & (by0 < world + _EPSA)
+    )
+    ix0 = np.maximum(np.floor(np.where(valid, bx0, 0) + _EPSA),
+                     0.0).astype(np.int64)
+    ix1 = np.minimum(np.ceil(np.where(valid, bx1, 0) - _EPSA),
+                     float(world)).astype(np.int64)
+    iy0 = np.maximum(np.floor(np.where(valid, by0, 0) + _EPSA),
+                     0.0).astype(np.int64)
+    iy1 = np.minimum(np.ceil(np.where(valid, by1, 0) - _EPSA),
+                     float(world)).astype(np.int64)
+    ix1 = np.where((ix0 == ix1) & (ix1 < world), ix1 + 1, ix1)
+    iy1 = np.where((iy0 == iy1) & (iy1 < world), iy1 + 1, iy1)
+    return ix0, ix1, iy0, iy1, valid
+
+
+def _aggregate_footprints(mosaic, IX0, IX1, IY0, IY1, VAL, ox, oy,
+                          mw, mh, method):
+    """Unweighted footprint aggregation (GWKAverageOrModeThread generic
+    path, non-fractional COMPUTE_WEIGHT): average/asum/amin/amax fold
+    streams; amode/amed/aq1/aq3 gather the scan-order value stack and
+    select (mode: max count, ties -> first value to REACH the max count
+    = the one whose LAST scan occurrence is earliest, GWKTS_First;
+    quantiles: sort ascending, index ceil(quant*n - 1),
+    gdalwarpkernel.cpp:8338). NaNs in the mosaic are nodata. Returns
+    (out, cnt); out is NaN where no source pixel contributed."""
+    acc = np.zeros(IX0.shape)
+    cnt = np.zeros(IX0.shape, dtype=np.int64)
+    amin_ = np.full(IX0.shape, np.inf)
+    amax_ = np.full(IX0.shape, -np.inf)
+    kmax = int((IX1 - IX0).max()) if VAL.any() else 0
+    lmax = int((IY1 - IY0).max()) if VAL.any() else 0
+    gathered = []  # scan-order (row-major) value planes for amode
+    for l_ in range(lmax):
+        for k_ in range(kmax):
+            m = VAL & (IX0 + k_ < IX1) & (IY0 + l_ < IY1)
+            jx = np.clip(IX0 + k_ - ox, 0, mw - 1)
+            jy = np.clip(IY0 + l_ - oy, 0, mh - 1)
+            v = mosaic[jy, jx]
+            m = m & ~np.isnan(v)
+            acc += np.where(m, v, 0.0)
+            cnt += m
+            amin_ = np.where(m & (v < amin_), v, amin_)
+            amax_ = np.where(m & (v > amax_), v, amax_)
+            if method in ("amode", "amed", "aq1", "aq3"):
+                gathered.append(np.where(m, v, np.nan))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if method == "average":
+            out = np.where(cnt > 0, acc / cnt, np.nan)
+        elif method == "asum":
+            out = np.where(cnt > 0, acc, np.nan)
+        elif method == "amin":
+            out = np.where(cnt > 0, amin_, np.nan)
+        elif method == "amax":
+            out = np.where(cnt > 0, amax_, np.nan)
+        else:
+            # amode / amed / aq1 / aq3 from the gathered scan-order
+            # value stack, processed in ROW SLABS so memory stays
+            # O(slab · K) — the old amode built an O(pixels · K²)
+            # equality tensor (≈4 GB at a 16× MODE downscale).
+            V = np.stack(gathered, axis=-1) if gathered else \
+                np.full(IX0.shape + (1,), np.nan)
+            K = V.shape[-1]
+            Vf = V.reshape(-1, K)
+            cf = cnt.reshape(-1)
+            outf = np.full(Vf.shape[0], np.nan)
+            slab = max(1, (1 << 22) // max(K, 1))  # ~32 MB slabs
+            for s0 in range(0, Vf.shape[0], slab):
+                sl = slice(s0, min(s0 + slab, Vf.shape[0]))
+                if method == "amode":
+                    outf[sl] = _amode_rows(Vf[sl])
+                else:
+                    # GRA_Med/Q1/Q3 selection rule
+                    # (gdalwarpkernel.cpp:8338): sort ascending,
+                    # take index ceil(quant·n − 1)
+                    quant = {"amed": 0.5, "aq1": 0.25,
+                             "aq3": 0.75}[method]
+                    S = np.sort(Vf[sl], axis=-1)  # NaNs last
+                    cs = cf[sl]
+                    qi = np.clip(
+                        np.ceil(quant * cs - 1).astype(np.int64),
+                        0, K - 1,
+                    )
+                    rows_ = np.arange(S.shape[0])
+                    outf[sl] = np.where(cs > 0, S[rows_, qi], np.nan)
+            out = outf.reshape(IX0.shape)
+    return out, cnt
+
+
 def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
                nodata=0.0, dataset_id="warp") -> DataFrame:
     """The gdalwarp core: dst global pixel (X, Y) samples src at
@@ -485,92 +585,18 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
             # (X+1, Y+1); contributing pixels are those whose index lands
             # in [floor(min+1e-10), ceil(max-1e-10)) (unweighted — the
             # default non-fractional COMPUTE_WEIGHT), aggregated per mode.
-            EPSA = 1e-10
             gx2_f, gy2_f = _dst_to_src(transform, dx + 1, dy + 1, world)
             bx0 = np.minimum(gx_f, gx2_f)
             bx1 = np.maximum(gx_f, gx2_f)
             by0 = np.minimum(gy_f, gy2_f)
             by1 = np.maximum(gy_f, gy2_f)
-            valid = (
-                np.isfinite(bx0) & np.isfinite(bx1)
-                & np.isfinite(by0) & np.isfinite(by1)
-                & (bx1 > -EPSA) & (bx0 < world + EPSA)
-                & (by1 > -EPSA) & (by0 < world + EPSA)
-            )
-            ix0 = np.maximum(np.floor(np.where(valid, bx0, 0) + EPSA), 0.0).astype(np.int64)
-            ix1 = np.minimum(np.ceil(np.where(valid, bx1, 0) - EPSA),
-                             float(world)).astype(np.int64)
-            iy0 = np.maximum(np.floor(np.where(valid, by0, 0) + EPSA), 0.0).astype(np.int64)
-            iy1 = np.minimum(np.ceil(np.where(valid, by1, 0) - EPSA),
-                             float(world)).astype(np.int64)
-            ix1 = np.where((ix0 == ix1) & (ix1 < world), ix1 + 1, ix1)
-            iy1 = np.where((iy0 == iy1) & (iy1 < world), iy1 + 1, iy1)
+            ix0, ix1, iy0, iy1, valid = _footprint_indices(
+                bx0, bx1, by0, by1, world)
             IX0, IY0 = np.broadcast_arrays(ix0, iy0)
             IX1, IY1 = np.broadcast_arrays(ix1, iy1)
             VAL = np.broadcast_to(valid, IX0.shape)
-            acc = np.zeros(IX0.shape)
-            cnt = np.zeros(IX0.shape, dtype=np.int64)
-            amin_ = np.full(IX0.shape, np.inf)
-            amax_ = np.full(IX0.shape, -np.inf)
-            kmax = int((IX1 - IX0).max()) if VAL.any() else 0
-            lmax = int((IY1 - IY0).max()) if VAL.any() else 0
-            gathered = []  # scan-order (row-major) value planes for amode
-            for l_ in range(lmax):
-                for k_ in range(kmax):
-                    m = VAL & (IX0 + k_ < IX1) & (IY0 + l_ < IY1)
-                    jx = np.clip(IX0 + k_ - ox, 0, mw - 1)
-                    jy = np.clip(IY0 + l_ - oy, 0, mh - 1)
-                    v = mosaic[jy, jx]
-                    m = m & ~np.isnan(v)
-                    acc += np.where(m, v, 0.0)
-                    cnt += m
-                    amin_ = np.where(m & (v < amin_), v, amin_)
-                    amax_ = np.where(m & (v > amax_), v, amax_)
-                    if method in ("amode", "amed", "aq1", "aq3"):
-                        gathered.append(np.where(m, v, np.nan))
-            with np.errstate(invalid="ignore", divide="ignore"):
-                if method == "average":
-                    out = np.where(cnt > 0, acc / cnt, np.nan)
-                elif method == "asum":
-                    out = np.where(cnt > 0, acc, np.nan)
-                elif method == "amin":
-                    out = np.where(cnt > 0, amin_, np.nan)
-                elif method == "amax":
-                    out = np.where(cnt > 0, amax_, np.nan)
-                else:
-                    # amode / amed / aq1 / aq3 from the gathered
-                    # scan-order value stack, processed in ROW SLABS so
-                    # memory stays O(slab · K) — the old amode built an
-                    # O(pixels · K²) equality tensor (≈4 GB at a 16×
-                    # MODE downscale).
-                    V = np.stack(gathered, axis=-1) if gathered else \
-                        np.full(IX0.shape + (1,), np.nan)
-                    n1, n2, K = V.shape
-                    Vf = V.reshape(-1, K)
-                    cf = cnt.reshape(-1)
-                    outf = np.full(n1 * n2, np.nan)
-                    slab = max(1, (1 << 22) // max(K, 1))  # ~32 MB slabs
-                    for s0 in range(0, Vf.shape[0], slab):
-                        sl = slice(s0, min(s0 + slab, Vf.shape[0]))
-                        if method == "amode":
-                            outf[sl] = _amode_rows(Vf[sl])
-                        else:
-                            # GRA_Med/Q1/Q3 selection rule
-                            # (gdalwarpkernel.cpp:8338): sort ascending,
-                            # take index ceil(quant·n − 1)
-                            quant = {"amed": 0.5, "aq1": 0.25,
-                                     "aq3": 0.75}[method]
-                            S = np.sort(Vf[sl], axis=-1)  # NaNs last
-                            cs = cf[sl]
-                            qi = np.clip(
-                                np.ceil(quant * cs - 1).astype(np.int64),
-                                0, K - 1,
-                            )
-                            rows_ = np.arange(S.shape[0])
-                            outf[sl] = np.where(
-                                cs > 0, S[rows_, qi], np.nan
-                            )
-                    out = outf.reshape(n1, n2)
+            out, cnt = _aggregate_footprints(
+                mosaic, IX0, IX1, IY0, IY1, VAL, ox, oy, mw, mh, method)
             oob_override = ~VAL | (cnt == 0)
         else:
             fn, rad = _KERNELS[method]

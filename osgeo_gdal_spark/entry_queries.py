@@ -1966,6 +1966,53 @@ FROM ordered
 """
 
 
+RESIZE_WIN = (96, 96, 64, 64)  # dst-pixel window (crosses src seams x2)
+
+
+def q_raster_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """gdal raster resize (apps/gdalalg_raster_resize.cpp) as a named
+    verb: zoom-1 dataset (512 px) resized to zoom 0 (256 px) with
+    BILINEAR. Every dst center lands at src fraction exactly 0.5, so
+    the bilinear taps are the 2x2 block at (2X, 2Y) with weight 1/4
+    each — exact dyadic arithmetic, closed-form oracle over the pixel
+    generator. The dst window's source range crosses both tile seams."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    out = RO.resize_tiles(tiles, RASTER_ZOOM, 0, method="bilinear")
+    x0, y0, w, h = RESIZE_WIN
+    return (
+        RO.explode_pixels(out)
+        .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
+                & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
+        .select("gpx", "gpy", "value")
+    )
+
+
+def sql_raster_resize() -> str:
+    x0, y0, w, h = RESIZE_WIN
+    z = RASTER_ZOOM
+
+    def v(x, y):
+        return f"(({x}) * 7 + ({y}) * 11 + {z}) % 255"
+
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+)
+SELECT gpx, gpy,
+       CAST({v('gpx * 2', 'gpy * 2')}
+            + {v('gpx * 2 + 1', 'gpy * 2')}
+            + {v('gpx * 2', 'gpy * 2 + 1')}
+            + {v('gpx * 2 + 1', 'gpy * 2 + 1')} AS DOUBLE)
+       / CAST(4 AS DOUBLE) AS value
+FROM dst
+"""
+
+
 def q_png_tiles(spark: SparkSession, sf: str) -> DataFrame:
     """PNG tile byte encoding (gdal raster tile; frmts/png/ + the
     GetFileY z/x/y layout, apps/gdalalg_raster_tile.cpp:509): encode
@@ -7878,7 +7925,6 @@ QUERIES = {
     "c4_filters": q_c4_filters,
     "line_dedup": q_line_dedup,
     "focal_stats": q_focal_stats,
-    "count_min": q_count_min,
     "minhash_portable": q_minhash_portable,
     "simhash_portable": q_simhash_portable,
     "lsh_pairs_portable": q_lsh_pairs_portable,
@@ -7888,10 +7934,12 @@ QUERIES = {
     "contour_polylines": q_contour_polylines,
     "png_tiles": q_png_tiles,
     "curve_linearize": q_curve_linearize,
-    # ====== 50-entry gate window ENDS here (50th = curve_linearize) ======
+    "raster_resize": q_raster_resize,
+    # ====== 50-entry gate window ENDS here (50th = raster_resize) ========
     # rotated out r6 (green in r5, code untouched this round):
     # simplify_dp, hilbert_sort, dissolve_snapped, predicates_snapped,
-    # bm25_topk
+    # bm25_topk, count_min
+    "count_min": q_count_min,
     "bm25_topk": q_bm25_topk,
     # -- (d) complex single-green round-3 flagships -----------------------
     "rasterize_polygons": q_rasterize_polygons,
@@ -8162,6 +8210,7 @@ ORACLES = {
     "contour_polylines": sql_contour_polylines(),
     "png_tiles": sql_png_tiles(),
     "curve_linearize": sql_curve_linearize(),
+    "raster_resize": sql_raster_resize(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

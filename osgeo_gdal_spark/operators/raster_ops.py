@@ -496,9 +496,11 @@ def _aggregate_footprints(mosaic, IX0, IX1, IY0, IY1, VAL, ox, oy,
 
 
 def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
-               nodata=0.0, dataset_id="warp") -> DataFrame:
+               nodata=0.0, dataset_id="warp", dst_zoom=None) -> DataFrame:
     """The gdalwarp core: dst global pixel (X, Y) samples src at
-    ``_dst_to_src(transform)`` with a resampling kernel.
+    ``_dst_to_src(transform)`` with a resampling kernel. ``dst_zoom``
+    sets a DIFFERENT destination grid size (the ``gdal raster resize``
+    shape); default is the source zoom.
 
     Distributed shape (ChunkAndWarpImage ≙ partitioning,
     alg/gdalwarpoperation.cpp:1069): the (dst_tile, src_tile) cover list
@@ -523,9 +525,11 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
 
     sxe, sye = _cover_sql(transform, world)
     pad = radius + 1
-    dst = spark.range(n * n).select(
-        (F.col("id") % n).alias("dgx"),
-        (F.col("id") / n).cast("long").alias("dgy"),
+    zd = zoom if dst_zoom is None else dst_zoom
+    nd = 1 << zd
+    dst = spark.range(nd * nd).select(
+        (F.col("id") % nd).alias("dgx"),
+        (F.col("id") / nd).cast("long").alias("dgy"),
     )
     bounds = dst.select(
         "dgx", "dgy",
@@ -553,7 +557,7 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
         import pandas as pd
 
         dgx, dgy = int(pdf["dgx"].iloc[0]), int(pdf["dgy"].iloc[0])
-        zoom_v = int(pdf["zoom"].iloc[0])
+        zoom_v = zd
         # mosaic the gathered src tiles into one array covering their bbox
         sxs = pdf["gx"].astype(int) * TILE
         sys_ = pdf["gy"].astype(int) * TILE
@@ -648,6 +652,23 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
         )
 
     return gathered.groupBy("dgx", "dgy").applyInPandas(warp_one, TILE_SCHEMA)
+
+
+def resize_tiles(tiles: DataFrame, zoom: int, dst_zoom: int,
+                 method="bilinear", nodata=0.0) -> DataFrame:
+    """``gdal raster resize`` (apps/gdalalg_raster_resize.cpp): rescale
+    the whole dataset onto a different grid size with a named
+    resampling method — the dst pixel center maps through the size
+    ratio, sx = (X + 0.5)·(W/W') − 0.5, exactly GDALTranslate/Warp's
+    geotransform composition. Thin named verb over the distributed warp
+    (same cross-tile gather; no new shuffle shape); power-of-two zoom
+    ratios make the affine coefficients exact dyadics."""
+    w_src = (1 << zoom) * TILE
+    w_dst = (1 << dst_zoom) * TILE
+    a = w_src / w_dst
+    b = 0.5 * a - 0.5
+    return warp_tiles(tiles, zoom, ("affine", a, b, a, b), method, nodata,
+                      dataset_id="resize", dst_zoom=dst_zoom)
 
 
 def warp_affine(tiles: DataFrame, zoom: int, a: float, b: float, c: float,

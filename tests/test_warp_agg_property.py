@@ -135,3 +135,25 @@ def test_fixture_class_quantile_selection():
         out, _ = _aggregate_footprints(
             mosaic, ix0, ix1, iy0, iy1, valid, 0, 0, 2, 2, method)
         assert out[0] == exp, method
+
+
+def test_resize_named_verb_upscale_near(spark):
+    """resize_tiles (gdal raster resize) in the upscale direction with
+    NEAR: each src pixel becomes a 2x2 block (dst center maps to
+    sx = 0.5X - 0.25, so floor(sx + 0.5) = floor(X/2 + 0.25) = X//2)."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources.raster import (synth_pixel_grid,
+                                                 synth_tiles)
+
+    out = RO.resize_tiles(synth_tiles(spark, 0), 0, 1, method="near")
+    rows = out.collect()
+    assert len(rows) == 4 and all(r["zoom"] == 1 for r in rows)
+    src = synth_pixel_grid(0, 0, 0)
+    for r in rows:
+        got = np.frombuffer(bytes(r["pixels"]), dtype=np.float64).reshape(
+            256, 256)
+        gx, gy = int(r["gx"]), int(r["gy"])
+        dx = gx * 256 + np.arange(256)[None, :]
+        dy = gy * 256 + np.arange(256)[:, None]
+        exp = src[dy // 2, dx // 2]
+        assert (got == exp).all()

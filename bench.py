@@ -128,6 +128,14 @@ HEADLINE = [
     "dedup_incremental",
     "overview_refresh",
     "contour_segments",
+    # round-6 operators: GNM K-shortest gate, portable near-dup chain,
+    # polyline digest gate, PNG tile encoding, curve ingest, resize verb
+    "k_shortest",
+    "dedup_near_groups",
+    "contour_polylines",
+    "png_tiles",
+    "curve_linearize",
+    "raster_resize",
 ]
 
 

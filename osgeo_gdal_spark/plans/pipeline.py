@@ -225,6 +225,14 @@ class Pipeline:
         return self
 
     def write(self, path: str, partition_by=None, fmt="parquet"):  # `write`
+        if fmt == "png":
+            # PNG tile pyramid sink ({z}/{x}/{y}.png — gdal raster tile
+            # layout, apps/gdalalg_raster_tile.cpp:509): encode raster
+            # tile rows map-only, then write the file tree
+            from ..operators import tiling as TL
+
+            TL.write_png_pyramid(TL.encode_png_tiles(self._df), path)
+            return self
         w = self._df.write.mode("overwrite").format(fmt)
         if partition_by:
             w = w.partitionBy(*partition_by)

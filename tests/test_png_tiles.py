@@ -132,3 +132,17 @@ def test_encode_png_tiles_and_pyramid_layout(spark, tmp_path):
     exp = np.dstack([synth_pixel_grid(1, 0, 1, coeffs=c)
                      for c in ((7, 11), (13, 5), (3, 17))])
     assert (PNG.decode_png(got[(1, 0)]) == exp).all()
+
+
+def test_pipeline_write_png(spark, tmp_path):
+    """Pipeline DSL: `... ! write --of png` emits the z/x/y pyramid."""
+    from osgeo_gdal_spark.plans.pipeline import Pipeline
+    from osgeo_gdal_spark.sources.raster import synth_tiles
+
+    out = str(tmp_path / "pipe_pyr")
+    Pipeline(spark, synth_tiles(spark, 1)).write(out, fmt="png")
+    got = sorted(os.path.relpath(os.path.join(d, f), out)
+                 for d, _, fs in os.walk(out) for f in fs)
+    assert got == ["1/0/0.png", "1/0/1.png", "1/1/0.png", "1/1/1.png"]
+    with open(os.path.join(out, "1", "0", "0.png"), "rb") as f:
+        assert hashlib.md5(f.read()).hexdigest() == GOLD_GRAY_MD5

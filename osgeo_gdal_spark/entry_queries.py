@@ -6962,7 +6962,8 @@ def q_k_shortest(spark: SparkSession, sf: str) -> DataFrame:
         (1000 + i, 2000 + i, 1.0) for i in range(K_SHORTEST_DECOYS)
     ]
     edges = spark.createDataFrame(rows, "src LONG, dst LONG, w DOUBLE")
-    got = GG.k_shortest_paths(edges, 0, 3, k=4, max_rounds=8)
+    got = GG.k_shortest_paths(edges, 0, 3, k=4, max_rounds=8,
+                              shuffle_partitions=4)
     out = [(i + 1, float(c), "-".join(str(int(x)) for x in p))
            for i, (c, p) in enumerate(got)]
     return spark.createDataFrame(out, "k INT, cost DOUBLE, path STRING")

@@ -102,6 +102,16 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
     WKB (fragment chains are walked locally; the per-polyline assembly
     connects the few bucket fragments at their shared endpoints).
     """
+    if cell_window is not None:
+        # prune TILES natively before the stencil kernel: a cell (cx, cy)
+        # draws on pixels cx..cx+1, so tiles fully outside the padded
+        # window contribute nothing (srcwin pushdown — at z12+ this is
+        # the difference between 4 tiles and 16M)
+        wx0, wy0, ww, wh = cell_window
+        from ..sources.raster import TILE as _T
+        tiles = tiles.filter(
+            (F.col("gx") * _T <= wx0 + ww) & ((F.col("gx") + 1) * _T > wx0)
+            & (F.col("gy") * _T <= wy0 + wh) & ((F.col("gy") + 1) * _T > wy0))
     segs = contour_segments(tiles, zoom, levels)
     if cell_window is not None:
         # ROI contouring (the gdal_contour-over-srcwin shape): keep only

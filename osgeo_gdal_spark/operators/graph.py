@@ -57,10 +57,14 @@ def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
             .select(F.col("dst").alias("node"),
                     (F.col("dist") + F.col("w")).alias("dist"))
         )
+        # lazy checkpoint: the plan is truncated immediately, but the
+        # materializing job is the (sparse) fingerprint aggregation —
+        # unchecked rounds cost ZERO jobs and compute 4-at-a-time inside
+        # the next fingerprint job
         new = (
             dist.unionByName(relaxed)
             .groupBy("node").agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         dist = new
         if (r + 1) % check_every == 0 or r == max_rounds - 1:
@@ -98,6 +102,11 @@ def shortest_path_route(edges: DataFrame, source, target,
     dist = spark.createDataFrame(
         [(int(source), 0.0, int(source))], "node LONG, dist DOUBLE, prev LONG"
     )
+    # the convergence fingerprint of THIS round's input is last round's
+    # output fingerprint — carry it instead of recomputing (1/3 fewer
+    # jobs per round; Yen runs this loop once per spur node, so the
+    # saving multiplies)
+    prev_fp = (1, 0.0)
     for _ in range(max_rounds):
         relaxed = (
             dist.join(edges, dist["node"] == edges["src"])
@@ -110,13 +119,13 @@ def shortest_path_route(edges: DataFrame, source, target,
             .groupBy("node")
             .agg(F.min_by(F.struct("dist", "prev"), "dist").alias("s"))
             .select("node", "s.dist", "s.prev")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # fingerprint agg materializes
         )
-        a = dist.agg(F.count("*"), F.sum("dist")).first()
         b2 = new.agg(F.count("*"), F.sum("dist")).first()
         dist = new
-        if (a[0], a[1]) == (b2[0], b2[1]):
+        if prev_fp == (b2[0], b2[1]):
             break
+        prev_fp = (b2[0], b2[1])
     # Driver state stays O(path), never O(V): the backtrack chain is
     # gathered ONE ROW PER HOP through pushed-down node-key filters on
     # the checkpointed dist table (round 5 — the previous full
@@ -155,15 +164,135 @@ def shortest_path_route(edges: DataFrame, source, target,
     return trow["dist"], path[::-1]
 
 
+def _multi_spur_routes(edges: DataFrame, spurs, target,
+                       max_rounds: int = 64) -> dict:
+    """ALL of one Yen iteration's spur relaxations in ONE multi-source
+    loop: state is keyed (sid, node), so an iteration costs one
+    relaxation loop (rounds = max spur diameter) instead of |path|
+    sequential loops — at road-network scale that is |path|-fold fewer
+    Spark jobs for the same shuffle volume. Per-spur edge bans and
+    blocked root nodes are tiny driver lists applied as broadcast
+    anti-joins on the relaxed frontier (the shared edge table is NOT
+    replicated per spur). Returns {sid: (cost, [nodes])} for spurs that
+    reach the target.
+
+    spurs: [(sid, spur_node, banned [(src, dst)...], blocked {node...})]
+    """
+    spark = edges.sparkSession
+    init = [(int(sid), int(sp), 0.0, int(sp)) for sid, sp, _, _ in spurs]
+    dist = spark.createDataFrame(
+        init, "sid INT, node LONG, dist DOUBLE, prev LONG")
+    banned_rows = [(int(sid), int(a), int(b))
+                   for sid, _, banned, _ in spurs for a, b in banned]
+    blocked_rows = [(int(sid), int(n))
+                    for sid, _, _, blocked in spurs for n in blocked]
+    banned_df = (F.broadcast(spark.createDataFrame(
+        banned_rows, "sid INT, bsrc LONG, bdst LONG"))
+        if banned_rows else None)
+    blocked_df = (F.broadcast(spark.createDataFrame(
+        blocked_rows, "sid INT, bnode LONG"))
+        if blocked_rows else None)
+
+    prev_fp = (len(init), 0.0)
+    for _ in range(max_rounds):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select("sid", F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                    F.col("src").alias("prev"))
+        )
+        if banned_df is not None:
+            relaxed = relaxed.join(
+                banned_df,
+                (relaxed["sid"] == banned_df["sid"])
+                & (relaxed["prev"] == banned_df["bsrc"])
+                & (relaxed["node"] == banned_df["bdst"]),
+                "left_anti")
+        if blocked_df is not None:
+            relaxed = relaxed.join(
+                blocked_df,
+                (relaxed["sid"] == blocked_df["sid"])
+                & (relaxed["node"] == blocked_df["bnode"]),
+                "left_anti")
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("sid", "node")
+            .agg(F.min_by(F.struct("dist", "prev"), "dist").alias("s"))
+            .select("sid", "node", "s.dist", "s.prev")
+            .localCheckpoint(eager=False)
+        )
+        fp = new.agg(F.count("*"), F.sum("dist")).first()
+        dist = new
+        if prev_fp == (fp[0], fp[1]):
+            break
+        prev_fp = (fp[0], fp[1])
+
+    # batched backtrack: one bounded collect per HOP LEVEL across all
+    # spurs (each returns <= |spurs| rows), never a full-table gather
+    tgt = {r["sid"]: r for r in
+           dist.filter(F.col("node") == int(target)).collect()}
+    paths = {sid: [int(target)] for sid in tgt}
+    cur = {sid: tgt[sid] for sid in tgt}
+    srcs = {sid: sp for sid, sp, _, _ in spurs}
+    for _hop in range(max_rounds + 1):
+        need = {}
+        for sid, row in list(cur.items()):
+            if paths[sid][-1] == srcs[sid]:
+                del cur[sid]
+                continue
+            nxt = int(row["prev"])
+            paths[sid].append(nxt)
+            if nxt == srcs[sid]:
+                del cur[sid]
+            else:
+                need[sid] = nxt
+        if not need:
+            break
+        keys = [f"{sid}:{n}" for sid, n in need.items()]
+        got = {r["sid"]: r for r in dist.filter(
+            F.concat_ws(":", F.col("sid"), F.col("node")).isin(keys)
+        ).collect()}
+        for sid in list(need):
+            if sid not in got:
+                raise RuntimeError(
+                    f"multi-spur backtrack: predecessor missing for "
+                    f"spur {sid} (inconsistent relaxation state)")
+        cur = got
+    if cur:
+        raise RuntimeError(
+            "multi-spur backtrack: predecessor chain cycled "
+            "(zero-weight tie cycle)")
+    return {sid: (tgt[sid]["dist"], paths[sid][::-1]) for sid in tgt}
+
+
 def k_shortest_paths(edges: DataFrame, source, target, k=3,
-                     max_rounds: int = 64):
+                     max_rounds: int = 64, shuffle_partitions=None):
     """K loopless shortest paths, Yen's algorithm
     (GNMGraph::GetKShortestPaths, gnm/gnmgraph.cpp) — the reference
-    also runs Yen over repeated Dijkstra calls; here each inner call is
-    the distributed relaxation with spur-node edge bans. K is small by
-    contract, so the outer loop is driver-side by design. Returns
+    also runs Yen over repeated Dijkstra calls; here ALL spur-node
+    relaxations of one iteration run as a single multi-source
+    relaxation (_multi_spur_routes), so each Yen iteration is ONE
+    distributed loop. K is small by contract, so the outer loop is
+    driver-side by design. ``shuffle_partitions`` scopes a smaller
+    shuffle width to the relaxation loops (the iterative state is a
+    skinny frontier; the 0.4s-per-round fixed cost of 32-wide
+    micro-shuffles dominates small networks — the knob is the warp
+    NUM_THREADS analog, restored on exit). Returns
     [(cost, [nodes]), ...] sorted by cost."""
     spark = edges.sparkSession
+    saved_sp = None
+    if shuffle_partitions is not None:
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(int(shuffle_partitions)))
+    try:
+        return _k_shortest_impl(spark, edges, source, target, k, max_rounds)
+    finally:
+        if saved_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+
+
+def _k_shortest_impl(spark, edges, source, target, k, max_rounds):
     base = edges.select("src", "dst", "w").localCheckpoint()
 
     cost0, p0 = shortest_path_route(base, source, target, max_rounds)
@@ -199,6 +328,8 @@ def k_shortest_paths(edges: DataFrame, source, target, k=3,
     B = []
     for _ in range(1, k):
         prev_path = A[-1][1]
+        spurs = []
+        roots = {}
         for i in range(len(prev_path) - 1):
             spur = prev_path[i]
             root = prev_path[: i + 1]
@@ -206,23 +337,24 @@ def k_shortest_paths(edges: DataFrame, source, target, k=3,
             for _c, p in A:
                 if p[: i + 1] == root and len(p) > i + 1:
                     banned.append((p[i], p[i + 1]))
-            cand_edges = base
-            for (bs, bd) in banned:
-                cand_edges = cand_edges.filter(
-                    ~((F.col("src") == bs) & (F.col("dst") == bd))
-                )
-            root_nodes = set(root[:-1])
-            c2, p2 = shortest_path_route(
-                cand_edges, spur, target, max_rounds, blocked=root_nodes
-            )
-            if p2:
-                root_cost = 0.0
-                for a, b2 in zip(root, root[1:]):
-                    root_cost += ew[(a, b2)]
-                full = root[:-1] + p2
-                tot = root_cost + c2
-                if all(p != full for _c, p in A + B):
-                    B.append((tot, full))
+            spurs.append((i, spur, banned, set(root[:-1])))
+            roots[i] = root
+        if not spurs:
+            break
+        routes = _multi_spur_routes(base, spurs, target, max_rounds)
+        for i, _spur, _banned, _blocked in spurs:
+            got = routes.get(i)
+            if got is None:
+                continue
+            c2, p2 = got
+            root = roots[i]
+            root_cost = 0.0
+            for a, b2 in zip(root, root[1:]):
+                root_cost += ew[(a, b2)]
+            full = root[:-1] + p2
+            tot = root_cost + c2
+            if all(p != full for _c, p in A + B):
+                B.append((tot, full))
         if not B:
             break
         B.sort(key=lambda e: (e[0], e[1]))

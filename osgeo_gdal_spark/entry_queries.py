@@ -5971,31 +5971,121 @@ FROM dst
 
 
 def q_focal_hillshade(spark: SparkSession, sf: str) -> DataFrame:
-    """Horn hillshade tiles (rows-only: libm trig parity across engines is
-    not contract-grade; pixel goldens live in pytest)."""
-    from .operators import focal as FO
+    """CLASSIC Horn hillshade (GDALHillshadeAlg; per-pixel
+    arctan/arctan2/sin/cos chain). Round 6: upgraded from rows-only to
+    a hash oracle — the kernel runs numpy libm and DuckDB runs the same
+    glibc libm on this platform (proven bit-exact by the
+    curve_linearize gate), so a straight SQL transliteration matches;
+    both sides round(9) as insurance (the interpolate_at_point
+    discipline). Window spans the tile seam, so the halo exchange is
+    checked too."""
+    from .operators import focal as FO, raster_ops as RO
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    return FO.focal_dem(tiles, RASTER_ZOOM, "hillshade").select(
-        "gx", "gy", "checksum"
-    )
+    out = FO.focal_dem(tiles, RASTER_ZOOM, "hillshade")
+    px = RO.explode_pixels(out)
+    x0, x1, y0, y1 = FOCAL_WIN
+    return px.filter(
+        (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+        & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
+    ).select("gpx", "gpy", F.round("value", 9).alias("value"))
+
+
+def sql_focal_hillshade() -> str:
+    import math as _m
+
+    x0, x1, y0, y1 = FOCAL_WIN
+    g = "CAST((((%s) * 7 + (%s) * 11 + 1) %% 255) AS DOUBLE)"
+    a = g % ("(gpx - 1)", "(gpy - 1)")
+    b = g % ("gpx", "(gpy - 1)")
+    c = g % ("(gpx + 1)", "(gpy - 1)")
+    d = g % ("(gpx - 1)", "gpy")
+    f_ = g % ("(gpx + 1)", "gpy")
+    g_ = g % ("(gpx - 1)", "(gpy + 1)")
+    h = g % ("gpx", "(gpy + 1)")
+    i_ = g % ("(gpx + 1)", "(gpy + 1)")
+    e8 = G.D(8.0)
+    # constants exactly as the kernel forms them: radians(45), radians(315),
+    # az - pi/2 (all fixed doubles; D() pins the 17-digit literals)
+    alt = _m.radians(45.0)
+    azp = _m.radians(315.0) - _m.pi / 2.0
+    return f"""
+WITH dst AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {x1 - x0})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {y1 - y0})) AS i) ys
+),
+grad AS (
+  SELECT gpx, gpy,
+         ((({c} + 2 * {f_} + {i_}) - ({a} + 2 * {d} + {g_})) / {e8}) AS dzdx,
+         ((({g_} + 2 * {h} + {i_}) - ({a} + 2 * {b} + {c})) / {e8}) AS dzdy
+  FROM dst
+),
+ang AS (
+  SELECT gpx, gpy,
+         ATAN(SQRT(dzdx * dzdx + dzdy * dzdy)) AS slope_r,
+         ATAN2(dzdy, -dzdx) AS aspect_r
+  FROM grad
+),
+cang AS (
+  SELECT gpx, gpy,
+         SIN({G.D(alt)}) * COS(slope_r)
+         + COS({G.D(alt)}) * SIN(slope_r)
+           * COS({G.D(azp)} - aspect_r) AS v
+  FROM ang
+)
+SELECT gpx, gpy,
+       ROUND(CASE WHEN v <= {G.D(0.0)} THEN {G.D(1.0)}
+                  ELSE {G.D(1.0)} + {G.D(254.0)} * v END, 9) AS value
+FROM cang
+"""
 
 
 def q_contour(spark: SparkSession, sf: str) -> DataFrame:
-    """Marching-squares contour segments (rows-only; exactness vs the
-    full-raster reference is pinned in pytest)."""
+    """Marching-squares contour segments over the FULL grid at an
+    INTEGER level (100.0 — on-corner t=0 interpolation hits, the tier
+    the windowed gates avoid). Round 6: upgraded from rows-only to a
+    full hash oracle — per-level counts plus order-free exact integer
+    digests (quantized length / coordinate sums), reproduced by the
+    shared marching-squares soup SQL over all 511x511 cells."""
     from .operators import contour as CT
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     segs = CT.contour_segments(tiles, RASTER_ZOOM, [100.0])
+    qlen = F.floor(F.sqrt(
+        (F.col("x1") - F.col("x0")) * (F.col("x1") - F.col("x0"))
+        + (F.col("y1") - F.col("y0")) * (F.col("y1") - F.col("y0"))
+    ) * F.lit(float(_QSEG)) + F.lit(0.5)).cast("long")
+
+    def q(c):
+        return F.floor(F.col(c) * _QSEG + F.lit(0.5)).cast("long")
+
     return segs.groupBy("level").agg(
         F.count("*").alias("n_segments"),
-        F.round(F.sum(
-            F.sqrt((F.col("x1") - F.col("x0")) ** 2 + (F.col("y1") - F.col("y0")) ** 2)
-        ), 6).alias("total_len"),
+        F.sum(qlen).alias("qlen_sum"),
+        F.sum(q("x0") + q("x1")).alias("sqx"),
+        F.sum(q("y0") + q("y1")).alias("sqy"),
     )
+
+
+def sql_contour_stats() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    soup = _ms_soup_sql(100.0, 0, 0, world - 1, world - 1)
+    Q = _QSEG
+    return f"""
+WITH soup AS MATERIALIZED ({soup})
+SELECT level, COUNT(*) AS n_segments,
+       CAST(SUM(CAST(FLOOR(SQRT((ex1 - ex0) * (ex1 - ex0)
+                                + (ey1 - ey0) * (ey1 - ey0)) * {Q} + 0.5)
+                     AS BIGINT)) AS BIGINT) AS qlen_sum,
+       CAST(SUM(CAST(FLOOR(ex0 * {Q} + 0.5) AS BIGINT)
+                + CAST(FLOOR(ex1 * {Q} + 0.5) AS BIGINT)) AS BIGINT) AS sqx,
+       CAST(SUM(CAST(FLOOR(ey0 * {Q} + 0.5) AS BIGINT)
+                + CAST(FLOOR(ey1 * {Q} + 0.5) AS BIGINT)) AS BIGINT) AS sqy
+FROM soup GROUP BY level
+"""
 
 
 FOCAL5_WIN = (120, 168, 230, 280)   # x0, x1, y0, y1 — spans the tile seam
@@ -8212,6 +8302,8 @@ ORACLES = {
     "png_tiles": sql_png_tiles(),
     "curve_linearize": sql_curve_linearize(),
     "raster_resize": sql_raster_resize(),
+    "contour_stats": sql_contour_stats(),
+    "focal_hillshade": sql_focal_hillshade(),
     "viewshed": sql_viewshed(),
     "gcp_polynomial": sql_gcp_polynomial(),
     "rpc_project": sql_rpc_project(),

@@ -300,14 +300,18 @@ PNG_SCHEMA = T.StructType([
 ])
 
 
-def encode_png_tiles(tiles: DataFrame, rgb: bool = False) -> DataFrame:
+def encode_png_tiles(tiles: DataFrame, rgb: bool = False,
+                     palette=None) -> DataFrame:
     """Encode packed-binary tile rows as PNG bytes — the byte-emitting
     half of ``gdal raster tile`` (apps/gdalalg_raster_tile.cpp; PNG
     driver frmts/png/). MAP-ONLY at any scale: greyscale encodes one
     row per tile with zero shuffle; RGB(A) co-groups a tile's band rows
     (one skinny shuffle keyed on the tile id, group size = band count).
     zlib parameters are pinned (kernels/png.py) so output bytes are
-    deterministic and golden-checksummable."""
+    deterministic and golden-checksummable. ``palette`` (a broadcast-
+    small [(r, g, b), ...] list, e.g. from rgb_to_palette_tiles) makes
+    single-band index tiles encode as type-3 paletted PNGs with a PLTE
+    chunk — the reference's color-table tile output."""
     from ..kernels import png as PNG
     from ..sources.raster import parse_tile
 
@@ -319,9 +323,12 @@ def encode_png_tiles(tiles: DataFrame, rgb: bool = False) -> DataFrame:
                 out = []
                 for _, row in pdf.iterrows():
                     arr = parse_tile(row).astype(np.uint8)
+                    data = (PNG.encode_png_palette(arr, palette)
+                            if palette is not None else
+                            PNG.encode_png(arr))
                     out.append({"zoom": int(row["zoom"]),
                                 "gx": int(row["gx"]), "gy": int(row["gy"]),
-                                "png": PNG.encode_png(arr)})
+                                "png": data})
                 yield pd.DataFrame(out)
 
         return tiles.mapInPandas(enc, PNG_SCHEMA)

@@ -146,3 +146,40 @@ def test_pipeline_write_png(spark, tmp_path):
     assert got == ["1/0/0.png", "1/0/1.png", "1/1/0.png", "1/1/1.png"]
     with open(os.path.join(out, "1", "0", "0.png"), "rb") as f:
         assert hashlib.md5(f.read()).hexdigest() == GOLD_GRAY_MD5
+
+
+def test_paletted_png_roundtrip_with_rgb_to_palette(spark):
+    """Full color-table tile chain: RGB synth bands -> median-cut
+    rgb_to_palette_tiles -> type-3 paletted PNG (PLTE chunk) -> decode
+    -> palette expansion reproduces the exact index assignment."""
+    import pyspark.sql.functions as SF
+
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.operators import tiling as TLL
+    from osgeo_gdal_spark.sources.raster import synth_tiles
+
+    b1 = synth_tiles(spark, 0, coeffs=(7, 11))
+    b2 = synth_tiles(spark, 0, coeffs=(13, 5)).withColumn("band", SF.lit(2))
+    b3 = synth_tiles(spark, 0, coeffs=(3, 17)).withColumn("band", SF.lit(3))
+    rgb = b1.unionByName(b2).unionByName(b3)
+    palette, indexed = RO.rgb_to_palette_tiles(rgb, max_colors=16)
+    assert 1 <= len(palette) <= 16
+    idx_rows = {(r["gx"], r["gy"]):
+                np.frombuffer(bytes(r["pixels"]), dtype=np.uint8)
+                .reshape(r["height"], r["width"])
+                for r in indexed.collect()}
+    png_df = TLL.encode_png_tiles(indexed, palette=palette)
+    for r in png_df.collect():
+        data = bytes(r["png"])
+        assert b"PLTE" in data
+        got_idx, got_pal = PNG.decode_png_palette(data)
+        assert got_pal == [tuple(int(v) for v in p) for p in palette]
+        assert (got_idx == idx_rows[(r["gx"], r["gy"])]).all()
+
+
+def test_png_palette_validation():
+    with pytest.raises(ValueError):
+        PNG.encode_png_palette(np.zeros((2, 2), np.uint8), [])
+    with pytest.raises(ValueError):
+        PNG.encode_png_palette(np.full((2, 2), 5, np.uint8),
+                               [(0, 0, 0), (1, 1, 1)])

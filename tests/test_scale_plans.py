@@ -470,3 +470,34 @@ def test_portable_sketch_cut_reuses_identical_plan(spark):
     other = docs.filter("doc_id % 2 = 0")
     DD.minhash_portable(other).count()
     assert DD._CUT_CACHE["minhash_grams"][1] is not c1
+
+
+def test_png_encode_gray_is_map_only(spark):
+    """Round-6: greyscale PNG encoding must be a pure map stage — zero
+    Exchange between the tile source and the encoder (a shuffle here
+    would move every tile's pixels twice at 100 TB). RGB co-groups band
+    rows, so exactly ONE tile-key Exchange is allowed there."""
+    from osgeo_gdal_spark.sources.raster import synth_tiles
+
+    tiles = synth_tiles(spark, 1)
+    p_gray = plan_of(TL.encode_png_tiles(tiles))
+    assert "Exchange" not in p_gray, p_gray[:1500]
+    p_rgb = plan_of(TL.encode_png_tiles(tiles, rgb=True))
+    assert p_rgb.count("Exchange") == 1, p_rgb[:1500]
+
+
+def test_resize_cover_derivation_is_native(spark):
+    """Round-6: resize (warp with dst_zoom) derives its (dst, src) tile
+    cover from a native range DF — no Python eval stage may appear
+    before the single warp kernel, and the gather join keys on the tile
+    ids."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources.raster import synth_tiles
+
+    out = RO.resize_tiles(synth_tiles(spark, 1), 1, 0, method="bilinear")
+    plan = plan_of(out)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
+    # the only Arrow/Python stages are the tile synthesis + the warp
+    # kernel; the cover derivation itself is pure Catalyst (sequence
+    # explode + join)
+    assert "BatchEvalPython" not in plan

@@ -74,8 +74,16 @@ def _read_coords(buf, off, n, endian):
 
 
 def parse_wkb(buf: bytes) -> PackedGeometry:
-    """Parse WKB bytes into a PackedGeometry."""
+    """Parse WKB bytes into a PackedGeometry. Curve types
+    (CircularString/CompoundCurve/CurvePolygon/MultiCurve/MultiSurface)
+    are LINEARIZED on read — the reference's OGR_GT_GetLinear ingest
+    contract (ogr/ogr_core.h:621; kernels/curves.py), so a
+    curve-bearing layer (e.g. GPKG) is stroked, never rejected."""
     endian, gtype, off = _read_header(buf, 0)
+    if 8 <= gtype <= 12:
+        from . import curves as _CV
+
+        return parse_wkb(_CV.linearize_wkb(bytes(buf)))
     if gtype == WKB_POINT:
         xs, ys, off = _read_coords(buf, off, 1, endian)
         return PackedGeometry("Point", np.array([0, 1]), xs, ys, np.array([1]))

@@ -128,3 +128,52 @@ def test_st_linearize_udf(spark):
            .collect()}
     assert len(read_line(got[1])) == 47
     assert got[2] == rows[1][1]
+
+
+def test_parse_wkb_linearizes_curves_on_read():
+    """kernels/wkb.parse_wkb accepts curve WKB directly (the
+    OGR_GT_GetLinear read contract): CircularString parses as a stroked
+    LineString, CurvePolygon as a Polygon with the disk's area."""
+    from osgeo_gdal_spark.kernels import wkb as W
+
+    pg = W.parse_wkb(cs_wkb([(2, 0), (1, 1), (0, 0)]))
+    assert pg.geom_type == "LineString" and len(pg.xs) == 47
+    cp = (struct.pack("<BII", 1, CV.CURVEPOLYGON, 1)
+          + cs_wkb([(0, 0), (4, 0), (0, 0)]))
+    poly = W.parse_wkb(cp)
+    assert poly.geom_type == "Polygon"
+    assert abs(W.polygon_area(poly) - math.pi * 4) < 0.02
+
+
+def test_arc_property_suite():
+    """Derandomized property sweep over random integer arcs: every
+    stroked intermediate lies on the circumcircle (1e-9 relative), the
+    three control points are always present exactly, and reversal
+    symmetry holds bitwise (curveToLineString's documented guarantee)."""
+    import itertools
+    import random
+
+    rng = random.Random(20260817)
+    checked = 0
+    for _ in range(300):
+        p0 = (rng.randint(-20, 20), rng.randint(-20, 20))
+        p1 = (rng.randint(-20, 20), rng.randint(-20, 20))
+        p2 = (rng.randint(-20, 20), rng.randint(-20, 20))
+        if len({p0, p1, p2}) < 3:
+            continue
+        pts = CV.arc_to_points(*p0, *p1, *p2)
+        rev = CV.arc_to_points(*p2, *p1, *p0)
+        assert rev == pts[::-1]
+        assert pts[0] == (float(p0[0]), float(p0[1]))
+        assert pts[-1] == (float(p2[0]), float(p2[1]))
+        assert (float(p1[0]), float(p1[1])) in pts
+        params = CV.get_curve_parameters(*p0, *p1, *p2)
+        if params is None:
+            assert pts == [tuple(map(float, p)) for p in (p0, p1, p2)]
+            continue
+        r, cx, cy, a0, a1, a2 = params
+        for x, y in pts:
+            d = math.sqrt((x - cx) ** 2 + (y - cy) ** 2)
+            assert abs(d - r) <= 1e-9 * max(r, 1.0), (p0, p1, p2, x, y)
+        checked += 1
+    assert checked > 200  # the degenerate fraction stays small

@@ -183,3 +183,26 @@ def test_png_palette_validation():
     with pytest.raises(ValueError):
         PNG.encode_png_palette(np.full((2, 2), 5, np.uint8),
                                [(0, 0, 0), (1, 1, 1)])
+
+
+def test_png_roundtrip_property_sweep():
+    """Derandomized property sweep: random sizes/channels/content (incl.
+    1-pixel and non-square extremes) encode -> decode to identity."""
+    rng = np.random.RandomState(20260817)
+    for _ in range(60):
+        h = int(rng.randint(1, 40))
+        w = int(rng.randint(1, 40))
+        ch = int(rng.choice([0, 3, 4]))
+        shape = (h, w) if ch == 0 else (h, w, ch)
+        arr = rng.randint(0, 256, shape).astype(np.uint8)
+        assert (PNG.decode_png(PNG.encode_png(arr)) == arr).all(), shape
+    # paletted: random indices over a random palette
+    for _ in range(20):
+        n = int(rng.randint(1, 257))
+        pal = [tuple(int(v) for v in rng.randint(0, 256, 3))
+               for _ in range(n)]
+        idx = rng.randint(0, n, (int(rng.randint(1, 30)),
+                                 int(rng.randint(1, 30)))).astype(np.uint8)
+        data = PNG.encode_png_palette(idx, pal)
+        got_idx, got_pal = PNG.decode_png_palette(data)
+        assert (got_idx == idx).all() and got_pal == pal

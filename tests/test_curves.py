@@ -150,7 +150,6 @@ def test_arc_property_suite():
     stroked intermediate lies on the circumcircle (1e-9 relative), the
     three control points are always present exactly, and reversal
     symmetry holds bitwise (curveToLineString's documented guarantee)."""
-    import itertools
     import random
 
     rng = random.Random(20260817)

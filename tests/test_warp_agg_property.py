@@ -157,3 +157,23 @@ def test_resize_named_verb_upscale_near(spark):
         dy = gy * 256 + np.arange(256)[:, None]
         exp = src[dy // 2, dx // 2]
         assert (got == exp).all()
+
+
+def test_resize_zoom3_scale_smoke(spark):
+    """64-tile resize (z3 -> z2) end-to-end: cover derivation + warp at
+    a tile count where a driver-side loop would already hurt — checks
+    output grid completeness and an exact dyadic window probe."""
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.sources.raster import synth_tiles
+
+    out = RO.resize_tiles(synth_tiles(spark, 3), 3, 2, method="bilinear")
+    keys = {(r["gx"], r["gy"]) for r in out.select("gx", "gy").collect()}
+    assert keys == {(x, y) for x in range(4) for y in range(4)}
+    px = RO.explode_pixels(out).filter(
+        "gpx >= 500 and gpx < 504 and gpy >= 500 and gpy < 504").collect()
+    assert len(px) == 16
+    for r in px:
+        X, Y = r["gpx"], r["gpy"]
+        vals = [((2 * X + dx) * 7 + (2 * Y + dy) * 11 + 3) % 255
+                for dx in (0, 1) for dy in (0, 1)]
+        assert r["value"] == sum(vals) / 4.0, (X, Y)

@@ -206,3 +206,41 @@ def test_png_roundtrip_property_sweep():
         data = PNG.encode_png_palette(idx, pal)
         got_idx, got_pal = PNG.decode_png_palette(data)
         assert (got_idx == idx).all() and got_pal == pal
+
+
+def test_full_tile_pyramid_png_story(spark, tmp_path):
+    """The complete `gdal raster tile` user story: base z2 raster ->
+    AVERAGE overviews down to z0 -> PNG bytes for EVERY level ->
+    {z}/{x}/{y}.png tree with 16 + 4 + 1 files, each decodable and the
+    z0 root equal to the reduced chain applied in numpy."""
+    from osgeo_gdal_spark.kernels.resample import average_2x2
+    from osgeo_gdal_spark.operators import raster_ops as RO
+    from osgeo_gdal_spark.operators import tiling as TLL
+    from osgeo_gdal_spark.sources.raster import synth_pixel_grid, synth_tiles
+
+    base = synth_tiles(spark, 2)
+    z1 = RO.pyramid_reduce(base, "average")
+    z0 = RO.pyramid_reduce(z1, "average")
+    # encode_png_tiles needs uint8; the average chain stays in [0, 255)
+    from osgeo_gdal_spark.operators.raster_ops import set_type_tiles
+    all_levels = (base.unionByName(set_type_tiles(z1, "uint8"))
+                  .unionByName(set_type_tiles(z0, "uint8")))
+    out = str(tmp_path / "full_pyr")
+    TLL.write_png_pyramid(TLL.encode_png_tiles(all_levels), out)
+    files = [os.path.relpath(os.path.join(d, f), out)
+             for d, _, fs in os.walk(out) for f in fs]
+    assert len(files) == 16 + 4 + 1
+    assert "0/0/0.png" in files and "2/3/3.png" in files
+
+    # the z0 root must equal the numpy reduction chain + GDALCopyWord
+    with open(os.path.join(out, "0", "0", "0.png"), "rb") as f:
+        got = PNG.decode_png(f.read())
+    full = np.zeros((1024, 1024))
+    for gy in range(4):
+        for gx in range(4):
+            full[gy*256:(gy+1)*256, gx*256:(gx+1)*256] = \
+                synth_pixel_grid(gx, gy, 2)
+    r1 = average_2x2(full)
+    r0 = average_2x2(r1)
+    exp = np.clip(np.floor(r0 + 0.5), 0, 255).astype(np.uint8)
+    assert (got == exp).all()

@@ -1920,11 +1920,18 @@ halves AS (  -- two StrokeArc calls per arc (intermediate point explicit)
   FROM p7 CROSS JOIN (SELECT UNNEST([1, 3]) AS stage) h
   WHERE isarc
 ),
-hn AS (
-  SELECT *,
-         GREATEST(4, CAST(FLOOR(ABS((aend - astart) / stp) + 0.5) AS BIGINT))
-           AS nsteps
-  FROM halves
+hn AS (  -- fail LOUDLY if an arc needs more vertices than the UNNEST
+         -- range below provides (tiny step sizes), instead of silently
+         -- truncating the oracle's vertex list
+  SELECT * EXCLUDE (ns),
+         CASE WHEN ns >= 9999 THEN CAST(error(
+                'curve oracle: nsteps ' || ns ||
+                ' exceeds the RANGE(1, 10000) vertex cap') AS BIGINT)
+              ELSE ns END AS nsteps
+  FROM (SELECT *,
+               GREATEST(4, CAST(FLOOR(ABS((aend - astart) / stp) + 0.5)
+                                AS BIGINT)) AS ns
+        FROM halves)
 ),
 hd AS (
   SELECT *, sgn * ABS((aend - astart) / CAST(nsteps AS DOUBLE)) AS d FROM hn

@@ -154,8 +154,27 @@ def circularstring_to_points(pts, step_deg=DEFAULT_STEP_DEG):
 
 def _rd_header(buf, off):
     endian = "<" if buf[off] == 1 else ">"
-    (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
-    return endian, gtype % 1000, off + 5  # tolerate ISO Z/M offsets mod 1000
+    (raw,) = struct.unpack_from(endian + "I", buf, off + 1)
+    # Shared flag decoding with wkb.py — curve detection and the
+    # linearizer must agree on the base type (ISO offsets + EWKB bits).
+    from .wkb import decode_wkb_type
+
+    gtype, has_z, has_m, has_srid = decode_wkb_type(raw)
+    if has_z or has_m:
+        # Every point reader here assumes 2 doubles per point; masking
+        # the dimension away would misparse Z/M curves into garbage
+        # vertices (the reference's curveToLineString carries z through;
+        # this engine's data model is 2-D) — fail loudly.
+        raise NotImplementedError(
+            f"Z/M curve WKB (raw type 0x{raw:08x}) is not supported: "
+            "the engine's data model is 2-D"
+        )
+    if has_srid:
+        raise NotImplementedError(
+            f"EWKB embedded-SRID curve WKB (raw type 0x{raw:08x}) is "
+            "not supported: strip the SRID word (ISO WKB) before ingest"
+        )
+    return endian, gtype, off + 5
 
 
 def _rd_points(buf, off, endian):

@@ -60,11 +60,48 @@ class PackedGeometry:
             yield self.xs[s:e], self.ys[s:e]
 
 
+def decode_wkb_type(raw):
+    """Decode a raw WKB geometry-type word into
+    ``(base_type, has_z, has_m, has_srid)``.
+
+    Handles BOTH flag conventions the reference accepts
+    (ogrgeometry.cpp importFromWkb): ISO dimension offsets
+    (base + 1000 Z / 2000 M / 3000 ZM) and EWKB bit flags
+    (0x80000000 Z, 0x40000000 M, 0x20000000 embedded SRID).
+    Shared by wkb.py and curves.py so curve detection and the
+    linearizer can never disagree on the base type.
+    """
+    has_z = bool(raw & 0x80000000)
+    has_m = bool(raw & 0x40000000)
+    has_srid = bool(raw & 0x20000000)
+    base = raw & 0x0FFFFFFF
+    dim = base // 1000
+    base = base % 1000
+    if dim in (1, 3):
+        has_z = True
+    if dim in (2, 3):
+        has_m = True
+    return base, has_z, has_m, has_srid
+
+
 def _read_header(buf, off):
     byte_order = buf[off]
     endian = "<" if byte_order == 1 else ">"
-    (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
-    gtype = gtype & 0xFF  # mask off 2.5D/SRID flag variants
+    (raw,) = struct.unpack_from(endian + "I", buf, off + 1)
+    gtype, has_z, has_m, has_srid = decode_wkb_type(raw)
+    if has_z or has_m:
+        # The 2-D data model is a declared scope boundary (SURVEY §1.1);
+        # masking the flag would misparse the 3rd ordinate as the next
+        # point's x — fail loudly instead.
+        raise NotImplementedError(
+            f"Z/M WKB geometry (raw type 0x{raw:08x}) is not supported: "
+            "the engine's data model is 2-D"
+        )
+    if has_srid:
+        raise NotImplementedError(
+            f"EWKB embedded-SRID WKB (raw type 0x{raw:08x}) is not "
+            "supported: strip the SRID word (ISO WKB) before ingest"
+        )
     return endian, gtype, off + 5
 
 
@@ -83,7 +120,14 @@ def parse_wkb(buf: bytes) -> PackedGeometry:
     if 8 <= gtype <= 12:
         from . import curves as _CV
 
-        return parse_wkb(_CV.linearize_wkb(bytes(buf)))
+        linear = _CV.linearize_wkb(bytes(buf))
+        if linear == bytes(buf):
+            # Guard against infinite recursion: the linearizer must
+            # rewrite every curve type it claims to accept.
+            raise ValueError(
+                f"linearize_wkb returned curve type {gtype} unchanged"
+            )
+        return parse_wkb(linear)
     if gtype == WKB_POINT:
         xs, ys, off = _read_coords(buf, off, 1, endian)
         return PackedGeometry("Point", np.array([0, 1]), xs, ys, np.array([1]))

@@ -310,6 +310,15 @@ def _min_label_groups(verified: DataFrame, max_rounds: int) -> DataFrame:
 # CANONICALIZED plan — an identical input plan returns the live cached
 # relation; only a genuinely different input (new sf dir / new params)
 # evicts. One live relation per tag, as before.
+#
+# SAME-SESSION INVARIANT: the cache key is the analyzed plan's
+# semanticHash, which sees paths/params but NOT file contents — if the
+# files under an already-cached path are REWRITTEN within one session,
+# the stale materialization is served. That matches Spark's own
+# semantics (a cached scan does not see in-place file rewrites either);
+# callers that regenerate inputs in-session must
+# spark.catalog.clearCache() (what the test suite does between
+# fixtures) or write to a fresh path.
 _CUT_CACHE: dict = {}
 
 

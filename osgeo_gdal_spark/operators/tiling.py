@@ -301,7 +301,7 @@ PNG_SCHEMA = T.StructType([
 
 
 def encode_png_tiles(tiles: DataFrame, rgb: bool = False,
-                     palette=None) -> DataFrame:
+                     palette=None, band=None) -> DataFrame:
     """Encode packed-binary tile rows as PNG bytes — the byte-emitting
     half of ``gdal raster tile`` (apps/gdalalg_raster_tile.cpp; PNG
     driver frmts/png/). MAP-ONLY at any scale: greyscale encodes one
@@ -316,6 +316,22 @@ def encode_png_tiles(tiles: DataFrame, rgb: bool = False,
     from ..sources.raster import parse_tile
 
     if not rgb:
+        # Greyscale encodes one PNG per ROW: a multi-band input would
+        # silently emit several PNGs at the same {z}/{x}/{y} path
+        # (last-writer-wins). Parameterize with ``band`` or prove the
+        # input single-band up front (one skinny column scan).
+        if "band" in tiles.columns:
+            if band is not None:
+                tiles = tiles.filter(F.col("band") == band)
+            else:
+                nb = tiles.select("band").distinct().limit(2).count()
+                if nb > 1:
+                    raise ValueError(
+                        "encode_png_tiles(rgb=False) on a multi-band "
+                        "input: pass band=<n> (one PNG per tile path) "
+                        "or rgb=True"
+                    )
+
         def enc(batches):
             import pandas as pd
 

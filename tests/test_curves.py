@@ -176,3 +176,32 @@ def test_arc_property_suite():
             assert abs(d - r) <= 1e-9 * max(r, 1.0), (p0, p1, p2, x, y)
         checked += 1
     assert checked > 200  # the degenerate fraction stays small
+
+
+def test_zm_srid_flag_wkb_rejected_loudly():
+    """ADVICE r6: Z/M and EWKB-SRID type flags must raise, not be
+    masked into a 2-D misparse; wkb.py and curves.py share one flag
+    decoder so curve detection and the linearizer always agree."""
+    from osgeo_gdal_spark.kernels import wkb as WKB
+
+    # shared decoder: ISO offsets and EWKB bits map to the same base
+    assert WKB.decode_wkb_type(8) == (8, False, False, False)
+    assert WKB.decode_wkb_type(1008) == (8, True, False, False)
+    assert WKB.decode_wkb_type(2008) == (8, False, True, False)
+    assert WKB.decode_wkb_type(3008) == (8, True, True, False)
+    assert WKB.decode_wkb_type(0x80000008) == (8, True, False, False)
+    assert WKB.decode_wkb_type(0x40000008) == (8, False, True, False)
+    assert WKB.decode_wkb_type(0x20000008) == (8, False, False, True)
+
+    body = struct.pack("<I", 3) + struct.pack("<9d", 0, 0, 0, 1, 1, 0, 2, 0, 0)
+    for raw in (1008, 0x80000008, 0x20000008):
+        buf = struct.pack("<BI", 1, raw) + body
+        with pytest.raises(NotImplementedError):
+            WKB.parse_wkb(buf)
+        with pytest.raises(NotImplementedError):
+            CV.linearize_wkb(buf)
+
+    # 2-D linear + curve types still parse
+    pt = struct.pack("<BI", 1, 1) + struct.pack("<dd", 3.0, 4.0)
+    g = WKB.parse_wkb(pt)
+    assert g.geom_type == "Point" and g.xs[0] == 3.0

@@ -411,6 +411,54 @@ def test_k_shortest_bounded_gather(spark, monkeypatch):
     assert max(sizes) <= 20, sizes
 
 
+def test_k_shortest_exact_rounds_carry(spark, monkeypatch):
+    """exact_rounds: the path-carrying one-job-per-relaxation variant
+    (r7, VERDICT r6 item 4) returns the identical ranking, every
+    collect stays spur-bounded (never the decoy component), and the
+    scoped conf overrides (shuffle width / AQE / codegen) are restored
+    on exit."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from osgeo_gdal_spark.operators import graph as GG
+
+    edges = [
+        (0, 1, 1.0), (1, 3, 1.0),
+        (0, 2, 1.0), (2, 3, 2.0),
+        (0, 3, 4.0),
+        (1, 2, 0.5),
+    ]
+    edges += [(1000 + i, 2000 + i, 1.0) for i in range(500)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+
+    before = (spark.conf.get("spark.sql.shuffle.partitions"),
+              spark.conf.get("spark.sql.adaptive.enabled"),
+              spark.conf.get("spark.sql.codegen.wholeStage"))
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    got = GG.k_shortest_paths(df, 0, 3, k=4, max_rounds=8,
+                              shuffle_partitions=4, exact_rounds=3)
+    assert [(c, p) for c, p in got] == [
+        (2.0, [0, 1, 3]),
+        (3.0, [0, 2, 3]),
+        (3.5, [0, 1, 2, 3]),
+        (4.0, [0, 3]),
+    ]
+    # every relaxation collect returns <= |spurs| target rows
+    assert max(sizes) <= 4, sizes
+    after = (spark.conf.get("spark.sql.shuffle.partitions"),
+             spark.conf.get("spark.sql.adaptive.enabled"),
+             spark.conf.get("spark.sql.codegen.wholeStage"))
+    assert after == before
+
+
 def test_shortest_paths_warns_when_not_converged(spark):
     from osgeo_gdal_spark.operators import graph as GG
 

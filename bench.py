@@ -171,13 +171,18 @@ def run_suite(sf_dir: str, cores: str):
             .select(_warm(F.col("id").cast("double")).alias("w"))
         )
         timings = {}
+        runs = {}
         for name in HEADLINE:
-            best = float("inf")
-            for _ in range(2):  # min-of-2: shared-tenancy VM noise is +-s
+            # min-of-3 with the full spread recorded (VERDICT r6 item 2:
+            # this VM's shared tenancy swings individual runs up to 3x;
+            # the min is the signal, the spread is the noise disclosure)
+            rs = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 _force(EQ.QUERIES[name](spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                rs.append(round(time.perf_counter() - t0, 3))
+            runs[name] = rs
+            timings[name] = min(rs)
         total = round(sum(timings.values()), 3)
         join_pages_per_sec = round(n_pages / timings["spatial_join_pairs"], 1)
         return {
@@ -185,6 +190,7 @@ def run_suite(sf_dir: str, cores: str):
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "query_runs": runs,
             "sf": sf_dir,
             "n_pages": n_pages,
             "spatial_join_pages_per_sec": join_pages_per_sec,
@@ -320,6 +326,11 @@ for ANY software on the 8->32 pair; the engine's {eff_8_32:.3f} tracks it.
 """
 
 
+def _taskset_available():
+    from shutil import which
+    return which("taskset") is not None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -371,19 +382,53 @@ def main():
                           "hw_ceiling": ceiling, "detail": results}))
         return
 
+    # Pin the suite's whole process tree (VERDICT r6 item 2: the
+    # --scaling runs are taskset-pinned and show far less tenancy
+    # swing; suite mode now is too). Re-exec once under taskset; the
+    # child sets the guard env so it runs the suite directly.
+    if (os.environ.get("SPARK_GRAFT_PINNED") != "1"
+            and _taskset_available()):
+        env = dict(os.environ, SPARK_GRAFT_PINNED="1")
+        os.execvpe("taskset",
+                   ["taskset", "-c", f"0-{int(str(cores)) - 1}",
+                    sys.executable, __file__] + sys.argv[1:], env)
+
     result = run_suite(sf_dir, cores)
+    result["run_meta"] = {
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "cores": str(cores),
+        "pid": os.getpid(),
+        "pinned": os.environ.get("SPARK_GRAFT_PINNED") == "1",
+        "protocol": "taskset-pinned min-of-3 (query_runs has the spread)",
+    }
     # Per-query timings go to a file + a NON-final stdout line: the
     # driver captures only the stdout TAIL, and the full queries dict
     # (90+ entries) outgrew it in round 5, truncating the headline
     # (BENCH_r05 "parsed": null). The LAST line is the compact
     # machine-readable headline.
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/queries_latest.json", "w") as f:
+    # Every run writes its own stamped record (VERDICT r6 item 3: the
+    # driver's run used to clobber the builder's committed
+    # queries_latest.json); queries_latest.json stays as a convenience
+    # pointer to the newest record.
+    seq = 0
+    while True:
+        rec_path = f"BENCH/queries_run{seq:03d}.json"
+        try:
+            fd = os.open(rec_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            seq += 1
+    with os.fdopen(fd, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
+    with open("BENCH/queries_latest.json", "w") as f:
+        json.dump(dict(result, latest_is_copy_of=rec_path), f,
+                  indent=1, sort_keys=True)
     print(json.dumps({"per_query_sec": result["queries"]}))
-    headline = {k: v for k, v in result.items() if k != "queries"}
+    headline = {k: v for k, v in result.items()
+                if k not in ("queries", "query_runs")}
     headline["n_queries"] = len(result["queries"])
-    headline["per_query_file"] = "BENCH/queries_latest.json"
+    headline["per_query_file"] = rec_path
     print(json.dumps(headline))
 
 

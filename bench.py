@@ -160,7 +160,7 @@ def run_suite(sf_dir: str, cores: str):
             import numpy as np  # noqa: F401
             from osgeo_gdal_spark.kernels import pip, resample, checksum  # noqa: F401
             from osgeo_gdal_spark.operators import (  # noqa: F401
-                raster_ops, tiling, dedup, similarity,
+                contour, focal, raster_ops, tiling, dedup, similarity,
             )
             from osgeo_gdal_spark.sources import raster  # noqa: F401
             return v * 1.0

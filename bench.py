@@ -122,6 +122,8 @@ HEADLINE = [
     "c4_filters",
     "line_dedup",
     "focal_stats",
+    "pansharpen",
+    "raster_footprint",
     "simplify_dp",
     "hilbert_sort",
     "count_min",

@@ -1973,6 +1973,145 @@ FROM ordered
 """
 
 
+PANSHARP_WIN = (224, 224, 64, 64)  # crosses the zoom-1 tile seam x2
+PANSHARP_W = (0.25, 0.5, 0.25)     # dyadic Brovey weights -> exact pseudo-pan
+
+
+def q_pansharpen(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp
+    GDALPansharpenOperation::ProcessRegion; weights default
+    1/nbands, here the DYADIC triple (0.25, 0.5, 0.25) so pseudo_pan =
+    w1*b1 + w2*b2 + w3*b3 is EXACT in double for uint8 bands):
+    out = band * pan / pseudo_pan. Each output value then costs exactly
+    two IEEE roundings (the divide and the multiply), both
+    correctly-rounded cross-engine, so the oracle replays the formula
+    verbatim in SQL; outputs are pinned as floor(out * 2^20) BIGINTs
+    (driver-comparator armor). raster_ops.pansharpen: one equi-join on
+    the tile key + one applyInPandas kernel, all pixel math
+    task-local."""
+    from .operators import raster_ops as RO
+    from .sources import raster as RS
+
+    band_coeffs = {1: (7, 11), 2: (5, 13), 3: (3, 17)}
+    rgb = None
+    for b, cf in band_coeffs.items():
+        t = (RS.synth_tiles(spark, RASTER_ZOOM, dataset_id=f"b{b}",
+                            coeffs=cf)
+             .withColumn("band", F.lit(b)))
+        rgb = t if rgb is None else rgb.unionByName(t)
+    pan = RS.synth_tiles(spark, RASTER_ZOOM, dataset_id="pan",
+                         coeffs=(2, 9))
+    out = RO.pansharpen(pan, rgb, weights=PANSHARP_W)
+    x0, y0, w, h = PANSHARP_WIN
+    return (
+        RO.explode_pixels_banded(out)
+        .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
+                & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
+        .select("band", "gpx", "gpy",
+                F.floor(F.col("value") * F.lit(1048576.0))
+                .cast("long").alias("q20"))
+    )
+
+
+def sql_pansharpen() -> str:
+    x0, y0, w, h = PANSHARP_WIN
+    z = RASTER_ZOOM
+    band_coeffs = {1: (7, 11), 2: (5, 13), 3: (3, 17)}
+
+    def gen(mx, my):
+        return f"CAST((gpx * {mx} + gpy * {my} + {z}) % 255 AS DOUBLE)"
+
+    w1, w2, w3 = PANSHARP_W
+    pseudo = " + ".join(
+        f"CAST({wi!r} AS DOUBLE) * {gen(*band_coeffs[i + 1])}"
+        for i, wi in enumerate((w1, w2, w3)))
+    pan = gen(2, 9)
+    rows = []
+    for b, cf in band_coeffs.items():
+        rows.append(f"""
+  SELECT {b} AS band, gpx, gpy,
+         CAST(FLOOR(
+           {gen(*cf)} *
+           (CASE WHEN ({pseudo}) > CAST(0.0 AS DOUBLE)
+                 THEN {pan} / ({pseudo})
+                 ELSE CAST(0.0 AS DOUBLE) END)
+           * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS q20
+  FROM px""")
+    union = "\n  UNION ALL\n".join(rows)
+    return f"""
+WITH px AS (
+  SELECT ({x0} + xs.i) AS gpx, ({y0} + ys.i) AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {w})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {h})) AS i) ys
+)
+{union}
+"""
+
+
+def q_raster_footprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster footprint (apps/gdal_footprint_lib.cpp): polygonize the
+    validity mask, keep the valid regions. Fixture: the categorical
+    block dataset with valid := value == 1 — valid 96-px blocks touch
+    only diagonally ((bx+by)%3 changes by 1 across every edge), so
+    each is its own 4-connected region and the digest (1 ring, 4
+    corners, area = pixel count, with edge-clipped blocks at the world
+    boundary) is closed-form. Exercises the full chain: mask
+    mapInPandas -> distributed polygonize (cross-tile union-find) ->
+    ring assembly -> validity filter."""
+    from .kernels import wkb as W
+    from .operators import polygonize as PZ
+    from .sources import raster as RS
+
+    tiles = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
+    polys = PZ.footprint(tiles, RASTER_ZOOM, lambda g: g == 1)
+
+    @F.pandas_udf("n_pts int, area double")
+    def ring_digest(wkbs):
+        import pandas as pd
+
+        n_pts, areas = [], []
+        for wkb in wkbs:
+            g = W.parse_wkb(bytes(wkb))
+            rs, re = g.ring_offsets[0], g.ring_offsets[1]
+            xs, ys = g.xs[rs:re], g.ys[rs:re]
+            n_pts.append(int(re - rs - 1))
+            areas.append(abs(float(W.shoelace_area(xs, ys))))
+        return pd.DataFrame({"n_pts": n_pts, "area": areas})
+
+    return polys.select(
+        "region_id", "n_rings", ring_digest("wkb").alias("d")
+    ).select(
+        "region_id", "n_rings",
+        F.col("d.n_pts").alias("n_exterior_pts"),
+        F.col("d.area").alias("exterior_area"),
+    )
+
+
+def sql_raster_footprint() -> str:
+    world = (1 << RASTER_ZOOM) * 256
+    block = 96
+    return f"""
+WITH px AS (
+  SELECT xs.i AS gpx, ys.i AS gpy
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+blocks AS (
+  SELECT CAST(FLOOR(gpx / CAST({block} AS DOUBLE)) AS BIGINT) AS bx,
+         CAST(FLOOR(gpy / CAST({block} AS DOUBLE)) AS BIGINT) AS by,
+         gpx, gpy
+  FROM px
+)
+SELECT MIN(gpy) * {world} + MIN(gpx) AS region_id,
+       1 AS n_rings,
+       4 AS n_exterior_pts,
+       CAST(COUNT(*) AS DOUBLE) AS exterior_area
+FROM blocks
+WHERE (bx + by) % 3 = 1
+GROUP BY bx, by
+"""
+
+
 RESIZE_WIN = (96, 96, 64, 64)  # dst-pixel window (crosses src seams x2)
 
 
@@ -7984,13 +8123,10 @@ FROM cells c LEFT JOIN g USING (gpx, gpy)
 # swept (tests/test_oracle_parity.py, scripts/sweep.py).
 QUERIES = {
     # -- (a) never-gated round-3 queries + single-green semi/anti ---------
-    "grid_avg_distance_pts": q_grid_avg_distance_pts,
-    # rows-only by nature but never driver-recorded either:
     # -- (b) red in r03, armored (all-integer output) ---------------------
     # -- (c) operators whose code changes this round + round-4 newcomers --
     "make_valid": q_make_valid,
     "st_buffer": q_st_buffer,
-    "grid_linear": q_grid_linear,
     "shortest_paths": q_shortest_paths,
     "overlay_intersection": q_overlay_intersection,
     "overlay_union": q_overlay_union,
@@ -8038,10 +8174,17 @@ QUERIES = {
     "png_tiles": q_png_tiles,
     "curve_linearize": q_curve_linearize,
     "raster_resize": q_raster_resize,
-    # ====== 50-entry gate window ENDS here (50th = raster_resize) ========
+    # -- (c7) round-7 newcomers (pytest-only -> driver-gated) -------------
+    "pansharpen": q_pansharpen,
+    "raster_footprint": q_raster_footprint,
+    # ====== 50-entry gate window ENDS here (50th = raster_footprint) =====
+    # rotated out r7 (judge-verified hash-exact at sf0.01 AND sf0.1 in r6,
+    # code untouched this round): grid_avg_distance_pts, grid_linear
     # rotated out r6 (green in r5, code untouched this round):
     # simplify_dp, hilbert_sort, dissolve_snapped, predicates_snapped,
     # bm25_topk, count_min
+    "grid_avg_distance_pts": q_grid_avg_distance_pts,
+    "grid_linear": q_grid_linear,
     "count_min": q_count_min,
     "bm25_topk": q_bm25_topk,
     # -- (d) complex single-green round-3 flagships -----------------------
@@ -8314,6 +8457,8 @@ ORACLES = {
     "png_tiles": sql_png_tiles(),
     "curve_linearize": sql_curve_linearize(),
     "raster_resize": sql_raster_resize(),
+    "pansharpen": sql_pansharpen(),
+    "raster_footprint": sql_raster_footprint(),
     "contour_stats": sql_contour_stats(),
     "focal_hillshade": sql_focal_hillshade(),
     "viewshed": sql_viewshed(),

@@ -124,6 +124,7 @@ HEADLINE = [
     "focal_stats",
     "pansharpen",
     "raster_footprint",
+    "gtiff_tiles",
     "simplify_dp",
     "hilbert_sort",
     "count_min",

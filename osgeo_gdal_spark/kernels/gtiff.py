@@ -1,0 +1,355 @@
+"""Minimal GeoTIFF codec: striped classic TIFF, uncompressed + LZW.
+
+The reference's tile/translate outputs default to GTiff/COG
+(``/root/reference/frmts/gtiff/``; ``apps/gdalalg_raster_tile.cpp``
+format choices) through libtiff. This is a from-scratch pure-Python
+struct codec of the PUBLIC TIFF 6.0 / GeoTIFF 1.1 specifications — the
+byte-emitting half of handing curated raster tiles to a GIS rather
+than a map client (the PNG path, kernels/png.py, covers the latter).
+
+Scope (deliberately the tile-sink subset):
+- classic little-endian TIFF (``II*\\0``), single sample per pixel,
+  striped layout (``rows_per_strip`` rows per strip, the reference's
+  non-tiled default ``frmts/gtiff/gtiffdataset.cpp`` strip path);
+- uint8 / int16 / float32 samples (SampleFormat 1/2/3);
+- Compression 1 (none) and 5 (TIFF-LZW with the spec's early-change
+  rule and 4094-entry table reset — TIFF 6.0 §13);
+- GeoTIFF georeferencing for web-mercator z/x/y tiles:
+  ModelPixelScale + ModelTiepoint + a GeoKeyDirectory pinning
+  EPSG:3857 (GeoTIFF 1.1 §B.3), mirroring what the reference's tile
+  writer stamps on each output dataset.
+
+Layout is DETERMINISTIC (header, strip data in order, IFD, out-of-line
+arrays), so encoded bytes are golden-checksummable like the PNG path.
+
+Cited reference behavior: frmts/gtiff/libtiff/tif_lzw.c (LZW
+early-change + ClearCode-at-4094), gcore/gdaldataset write path only
+as the semantic target — no code derived from either (libtiff is the
+reference's vendored dependency; this is an independent implementation
+from the specification).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# TIFF tag ids (TIFF 6.0 §8)
+T_WIDTH, T_LENGTH, T_BITS, T_COMP, T_PHOTO = 256, 257, 258, 259, 262
+T_STRIP_OFFSETS, T_SAMPLES, T_ROWS_PER_STRIP, T_STRIP_COUNTS = (
+    273, 277, 278, 279)
+T_SAMPLE_FORMAT = 339
+T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_GEO_KEYS = 33550, 33922, 34735
+
+# field types
+TY_SHORT, TY_LONG, TY_DOUBLE = 3, 4, 12
+_TY_SIZE = {TY_SHORT: 2, TY_LONG: 4, TY_DOUBLE: 8}
+
+COMP_NONE, COMP_LZW = 1, 5
+
+_DTYPES = {
+    "uint8": (8, 1, "<u1"),
+    "int16": (16, 2, "<i2"),
+    "float32": (32, 3, "<f4"),
+}
+_FMT_TO_DTYPE = {(8, 1): "<u1", (16, 2): "<i2", (32, 3): "<f4"}
+
+# EPSG:3857 world half-extent (PROJ / mercator constants; the same
+# value kernels/mercator.py uses)
+MERC_MAX = 20037508.342789244
+
+CLEAR, EOI = 256, 257
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-LZW (TIFF 6.0 §13): MSB-first bit packing, 9-bit start,
+    EARLY code-width change (width bumps when the next code to be
+    added is 2^width - 1), table reset via ClearCode at 4094."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def put(code, width):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    s = b""
+    for b in data:
+        c = s + bytes([b])
+        if c in table:
+            s = c
+            continue
+        put(table[s], width)
+        table[c] = next_code
+        next_code += 1
+        # early change: the ENCODER must switch width as soon as
+        # next_code reaches 2^width - 1 (libtiff writes the last code
+        # of a width one slot early)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        s = bytes([b])
+    if s:
+        put(table[s], width)
+    put(EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Inverse of lzw_encode (same early-change convention: the
+    decoder bumps width when the next code to be DEFINED is
+    2^width - 1)."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    table: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev = None
+
+    def get():
+        nonlocal bitbuf, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return EOI
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        return (bitbuf >> nbits) & ((1 << width) - 1)
+
+    while True:
+        code = get()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW: code {code} beyond table "
+                             f"({len(table)})")
+        out += entry
+        prev = entry
+        # the decoder DEFINES each entry one emission later than the
+        # encoder did, so early change fires at table size 2^W - 2
+        # (encoder: next_code == 2^W - 1) to stay bit-aligned
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _tile_geo(zoom: int, gx: int, gy: int, tile: int):
+    """(pixel scale, tiepoint) of web-mercator tile (z, x, y) — what
+    the reference's tile writer stamps (apps/gdalalg_raster_tile.cpp
+    geotransform per tile)."""
+    res = 2.0 * MERC_MAX / ((1 << zoom) * tile)
+    ox = -MERC_MAX + gx * tile * res
+    oy = MERC_MAX - gy * tile * res
+    return res, ox, oy
+
+
+def encode_gtiff(arr: np.ndarray, compression: str = "lzw",
+                 rows_per_strip: int = 64, zoom=None, gx=None,
+                 gy=None) -> bytes:
+    """Encode a 2-D array as a striped classic GeoTIFF. When
+    (zoom, gx, gy) are given, georeferencing tags for the web-mercator
+    tile grid are written (EPSG:3857 GeoKeyDirectory + pixel scale +
+    tiepoint); otherwise a bare TIFF is produced."""
+    if arr.ndim != 2:
+        raise NotImplementedError(
+            f"encode_gtiff: 2-D single-band arrays only, got shape "
+            f"{arr.shape}")
+    dname = str(arr.dtype)
+    if dname not in _DTYPES:
+        raise NotImplementedError(
+            f"encode_gtiff: dtype {dname} not supported "
+            f"(uint8/int16/float32)")
+    bits, sfmt, le = _DTYPES[dname]
+    comp = {"none": COMP_NONE, "lzw": COMP_LZW}[compression]
+    h, w = arr.shape
+    rps = min(int(rows_per_strip), h)
+    raw = np.ascontiguousarray(arr).astype(le)
+    strips = [raw[r:r + rps].tobytes() for r in range(0, h, rps)]
+    if comp == COMP_LZW:
+        strips = [lzw_encode(s) for s in strips]
+
+    geo = zoom is not None
+    entries = []  # (tag, type, count, values)
+    entries.append((T_WIDTH, TY_LONG, 1, [w]))
+    entries.append((T_LENGTH, TY_LONG, 1, [h]))
+    entries.append((T_BITS, TY_SHORT, 1, [bits]))
+    entries.append((T_COMP, TY_SHORT, 1, [comp]))
+    entries.append((T_PHOTO, TY_SHORT, 1, [1]))  # BlackIsZero
+    entries.append((T_STRIP_OFFSETS, TY_LONG, len(strips), None))
+    entries.append((T_SAMPLES, TY_SHORT, 1, [1]))
+    entries.append((T_ROWS_PER_STRIP, TY_LONG, 1, [rps]))
+    entries.append((T_STRIP_COUNTS, TY_LONG, len(strips),
+                    [len(s) for s in strips]))
+    entries.append((T_SAMPLE_FORMAT, TY_SHORT, 1, [sfmt]))
+    if geo:
+        res, ox, oy = _tile_geo(int(zoom), int(gx), int(gy), w)
+        entries.append((T_MODEL_PIXEL_SCALE, TY_DOUBLE, 3,
+                        [res, res, 0.0]))
+        entries.append((T_MODEL_TIEPOINT, TY_DOUBLE, 6,
+                        [0.0, 0.0, 0.0, ox, oy, 0.0]))
+        # GeoKeyDirectory v1.1.0: GTModelType=Projected(1),
+        # GTRasterType=PixelIsArea(1), ProjectedCSType=EPSG:3857
+        entries.append((T_GEO_KEYS, TY_SHORT, 16,
+                        [1, 1, 0, 3,
+                         1024, 0, 1, 1,
+                         1025, 0, 1, 1,
+                         3072, 0, 1, 3857]))
+
+    # deterministic layout: header | strips | IFD | out-of-line values
+    data_off = 8
+    strip_offsets = []
+    cur = data_off
+    for s in strips:
+        strip_offsets.append(cur)
+        cur += len(s)
+    if cur % 2:  # word-align the IFD (TIFF 6.0 requirement)
+        cur += 1
+    ifd_off = cur
+    n = len(entries)
+    aux_off = ifd_off + 2 + n * 12 + 4
+
+    def pack_vals(ty, vals):
+        fmt = {TY_SHORT: "H", TY_LONG: "I", TY_DOUBLE: "d"}[ty]
+        return struct.pack("<" + fmt * len(vals), *vals)
+
+    ifd = bytearray()
+    aux = bytearray()
+    ifd += struct.pack("<H", n)
+    for tag, ty, count, vals in sorted(entries):
+        if tag == T_STRIP_OFFSETS:
+            vals = strip_offsets
+        size = _TY_SIZE[ty] * count
+        if size <= 4:
+            vbytes = pack_vals(ty, vals).ljust(4, b"\x00")
+            ifd += struct.pack("<HHI", tag, ty, count) + vbytes
+        else:
+            ifd += struct.pack("<HHII", tag, ty, count,
+                               aux_off + len(aux))
+            aux += pack_vals(ty, vals)
+            if len(aux) % 2:
+                aux += b"\x00"
+    ifd += struct.pack("<I", 0)  # no next IFD
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    for s in strips:
+        out += s
+    if len(out) % 2:
+        out += b"\x00"
+    out += ifd
+    out += aux
+    return bytes(out)
+
+
+def decode_gtiff(buf: bytes):
+    """Decode a (subset) TIFF produced by encode_gtiff — and any other
+    striped single-sample uncompressed/LZW classic TIFF. Returns
+    (array, meta) with meta carrying compression, strip layout and the
+    geo tags when present."""
+    if buf[:4] not in (b"II*\x00",):
+        raise NotImplementedError(
+            "decode_gtiff: little-endian classic TIFF only")
+    try:
+        return _decode_body(buf)
+    except struct.error as e:  # truncated/corrupt container
+        raise ValueError(f"decode_gtiff: malformed TIFF ({e})") from e
+
+
+def _decode_body(buf: bytes):
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    tags = {}
+    for i in range(n):
+        tag, ty, count = struct.unpack_from(
+            "<HHI", buf, ifd_off + 2 + i * 12)
+        if ty not in _TY_SIZE:
+            continue  # ASCII/RATIONAL/UNDEFINED metadata — not needed
+        voff = ifd_off + 2 + i * 12 + 8
+        size = _TY_SIZE[ty] * count
+        if size > 4:
+            (voff,) = struct.unpack_from("<I", buf, voff)
+        fmt = {TY_SHORT: "H", TY_LONG: "I", TY_DOUBLE: "d"}[ty]
+        tags[tag] = list(struct.unpack_from("<" + fmt * count, buf, voff))
+
+    if T_STRIP_OFFSETS not in tags:
+        raise NotImplementedError(
+            "decode_gtiff: no StripOffsets (tiled TIFF?) — striped "
+            "layout only")
+    w, h = tags[T_WIDTH][0], tags[T_LENGTH][0]
+    bits = tags.get(T_BITS, [1])[0]  # TIFF default: 1-bit bilevel
+    comp = tags.get(T_COMP, [COMP_NONE])[0]
+    sfmt = tags.get(T_SAMPLE_FORMAT, [1])[0]
+    if tags.get(T_SAMPLES, [1])[0] != 1:
+        raise NotImplementedError("decode_gtiff: single-sample only")
+    if (bits, sfmt) not in _FMT_TO_DTYPE:
+        raise NotImplementedError(
+            f"decode_gtiff: bits={bits} sample_format={sfmt}")
+    if comp not in (COMP_NONE, COMP_LZW):
+        raise NotImplementedError(f"decode_gtiff: compression {comp}")
+    dt = np.dtype(_FMT_TO_DTYPE[(bits, sfmt)])
+    predictor = tags.get(317, [1])[0]
+    if predictor == 2 and sfmt == 3:
+        raise NotImplementedError(
+            "decode_gtiff: predictor 2 is integer-only (TIFF 6.0 §14)")
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"decode_gtiff: predictor {predictor} (floating-point "
+            "predictor not supported)")
+    rps = tags.get(T_ROWS_PER_STRIP, [h])[0]
+    offs = tags[T_STRIP_OFFSETS]
+    if T_STRIP_COUNTS not in tags:
+        raise NotImplementedError(
+            "decode_gtiff: StripByteCounts missing")
+    counts = tags[T_STRIP_COUNTS]
+    raw = b""
+    for o, c in zip(offs, counts):
+        chunk = buf[o:o + c]
+        raw += lzw_decode(chunk) if comp == COMP_LZW else chunk
+    arr = np.frombuffer(raw, dtype=dt, count=w * h).reshape(h, w)
+    if predictor == 2:
+        # horizontal differencing (TIFF 6.0 §14): rows store deltas;
+        # integrate per row in the sample's wraparound arithmetic
+        arr = np.cumsum(arr.astype(np.int64), axis=1)
+        arr = (arr & ((1 << bits) - 1)).astype(dt.str.replace("i", "u"))
+        arr = arr.astype(dt)
+    meta = {
+        "width": w, "height": h, "compression": comp,
+        "rows_per_strip": rps, "n_strips": len(offs),
+        "bits": bits, "sample_format": sfmt,
+        "strip_byte_counts": counts,
+    }
+    for key, tag in (("pixel_scale", T_MODEL_PIXEL_SCALE),
+                     ("tiepoint", T_MODEL_TIEPOINT),
+                     ("geo_keys", T_GEO_KEYS)):
+        if tag in tags:
+            meta[key] = tags[tag]
+    return arr, meta

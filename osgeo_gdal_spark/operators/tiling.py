@@ -366,6 +366,75 @@ def encode_png_tiles(tiles: DataFrame, rgb: bool = False,
         enc_rgb, PNG_SCHEMA)
 
 
+GTIFF_SCHEMA = T.StructType([
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("gx", T.LongType()),
+    T.StructField("gy", T.LongType()),
+    T.StructField("tif", T.BinaryType()),
+])
+
+
+def encode_gtiff_tiles(tiles: DataFrame, compression: str = "lzw",
+                       rows_per_strip: int = 64, band=None) -> DataFrame:
+    """Encode packed-binary tile rows as striped GeoTIFF bytes — the
+    GIS-interchange half of ``gdal raster tile`` output
+    (frmts/gtiff/; apps/gdalalg_raster_tile.cpp GTiff/COG default),
+    alongside the map-client PNG path. MAP-ONLY at any scale (one row
+    per single-band tile, zero shuffle); each file carries the
+    EPSG:3857 GeoKeyDirectory + per-tile pixel scale/tiepoint
+    (kernels/gtiff.py). Layout and LZW output are deterministic, so
+    bytes are golden-checksummable. uint8/int16/float32 bands."""
+    from ..kernels import gtiff as GT
+    from ..sources.raster import parse_tile
+
+    if "band" in tiles.columns:
+        if band is not None:
+            tiles = tiles.filter(F.col("band") == band)
+        else:
+            nb = tiles.select("band").distinct().limit(2).count()
+            if nb > 1:
+                raise ValueError(
+                    "encode_gtiff_tiles on a multi-band input: pass "
+                    "band=<n> (one file per tile path)")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                arr = parse_tile(row)
+                data = GT.encode_gtiff(
+                    arr, compression, rows_per_strip,
+                    zoom=int(row["zoom"]), gx=int(row["gx"]),
+                    gy=int(row["gy"]))
+                out.append({"zoom": int(row["zoom"]),
+                            "gx": int(row["gx"]), "gy": int(row["gy"]),
+                            "tif": data})
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(enc, GTIFF_SCHEMA)
+
+
+def write_gtiff_pyramid(tif_df: DataFrame, out_dir: str,
+                        convention: str = "xyz") -> None:
+    """Write encoded GeoTIFF tiles to the ``{z}/{x}/{y}.tif`` pyramid
+    layout (same GetFileY convention as the PNG sink)."""
+    flip = convention == "tms"
+
+    def write_part(rows):
+        import os
+
+        for r in rows:
+            y = ((1 << r["zoom"]) - 1 - r["gy"]) if flip else r["gy"]
+            d = os.path.join(out_dir, str(r["zoom"]), str(r["gx"]))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{y}.tif"), "wb") as f:
+                f.write(bytes(r["tif"]))
+
+    tif_df.foreachPartition(write_part)
+
+
 def write_png_pyramid(png_df: DataFrame, out_dir: str,
                       convention: str = "xyz") -> None:
     """Write encoded tiles to the ``{z}/{x}/{y}.png`` pyramid layout

@@ -233,6 +233,13 @@ class Pipeline:
 
             TL.write_png_pyramid(TL.encode_png_tiles(self._df), path)
             return self
+        if fmt in ("gtiff", "tif"):
+            # GeoTIFF tile pyramid sink ({z}/{x}/{y}.tif — the
+            # reference's GIS-interchange tile output, frmts/gtiff/)
+            from ..operators import tiling as TL
+
+            TL.write_gtiff_pyramid(TL.encode_gtiff_tiles(self._df), path)
+            return self
         w = self._df.write.mode("overwrite").format(fmt)
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -1,0 +1,161 @@
+"""GeoTIFF tile codec (kernels/gtiff.py + operators/tiling.py sinks).
+
+Parity targets: frmts/gtiff/ (libtiff-backed writer),
+apps/gdalalg_raster_tile.cpp GTiff tile output. Interop is pinned
+against REAL files from the reference tree: byte.tif must decode to
+the canonical GDAL checksum 4672, and byte_LZW.tif (libtiff LZW with
+predictor 2) must decode bit-identical to its uncompressed twin.
+"""
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from osgeo_gdal_spark.kernels import checksum as CK
+from osgeo_gdal_spark.kernels import gtiff as GT
+
+REF = "/root/reference/autotest/gcore/data"
+
+
+def test_roundtrip_dtypes_compressions():
+    rng = np.random.default_rng(7)
+    for dt in ("uint8", "int16", "float32"):
+        for comp in ("none", "lzw"):
+            for shape in ((256, 256), (64, 64), (100, 37), (1, 1)):
+                if dt == "uint8":
+                    a = rng.integers(0, 255, shape).astype(dt)
+                elif dt == "int16":
+                    a = rng.integers(-32768, 32767, shape).astype(dt)
+                else:
+                    a = rng.random(shape).astype(dt)
+                buf = GT.encode_gtiff(a, comp, zoom=3, gx=2, gy=5)
+                b, meta = GT.decode_gtiff(buf)
+                assert b.dtype == a.dtype
+                assert np.array_equal(a, b), (dt, comp, shape)
+                assert meta["compression"] == (1 if comp == "none" else 5)
+
+
+def test_lzw_stress_and_table_reset():
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        b"\x00",
+        b"A" * 100000,                      # deep single-symbol chains
+        bytes(rng.integers(0, 256, 100000)),  # incompressible
+        bytes(range(256)) * 600,            # cycles through table resets
+        bytes(rng.integers(0, 4, 300000)),  # low-entropy, many resets
+    ]
+    for data in cases:
+        assert GT.lzw_decode(GT.lzw_encode(data)) == data
+
+
+def test_deterministic_bytes_golden_md5():
+    a = (np.arange(65536) % 255).reshape(256, 256).astype("uint8")
+    b1 = GT.encode_gtiff(a, "lzw", zoom=1, gx=0, gy=0)
+    assert b1 == GT.encode_gtiff(a, "lzw", zoom=1, gx=0, gy=0)
+    # pinned: layout and LZW output are deterministic by construction
+    assert hashlib.md5(b1).hexdigest() == "18afc44d1983feac4931851de2feb23b"
+    assert len(GT.encode_gtiff(a, "none", zoom=1, gx=0, gy=0)) == 65842
+
+
+def test_reference_interop_byte_tif():
+    """Decode REAL GDAL/libtiff output: byte.tif's canonical checksum
+    is 4672 (pinned across the reference's own test suite), and
+    byte_LZW.tif exercises libtiff LZW + predictor 2."""
+    arr, meta = GT.decode_gtiff(open(f"{REF}/byte.tif", "rb").read())
+    assert arr.shape == (20, 20) and arr.dtype == np.uint8
+    assert CK.checksum_image(arr) == 4672
+    lzw, meta2 = GT.decode_gtiff(
+        open(f"{REF}/gtiff/byte_LZW.tif", "rb").read())
+    assert meta2["compression"] == 5
+    assert np.array_equal(arr, lzw)
+
+
+def test_reference_interop_corpus():
+    """Every small striped single-sample little-endian classic TIFF in
+    the reference's gcore data set must either decode or raise a
+    NAMED NotImplementedError — never crash or silently misparse."""
+    n_ok = 0
+    for f in sorted(glob.glob(f"{REF}/**/*.tif", recursive=True)):
+        if os.path.getsize(f) > 200000:
+            continue
+        try:
+            arr, meta = GT.decode_gtiff(open(f, "rb").read())
+            assert arr.size == meta["width"] * meta["height"]
+            n_ok += 1
+        except NotImplementedError:
+            pass
+        except ValueError:
+            pass  # truncated/corrupt fixtures exist in the corpus
+    assert n_ok >= 40, n_ok
+
+
+def test_geo_tags():
+    a = np.zeros((256, 256), dtype="uint8")
+    buf = GT.encode_gtiff(a, "none", zoom=2, gx=1, gy=3)
+    _, meta = GT.decode_gtiff(buf)
+    res = 2 * GT.MERC_MAX / (4 * 256)
+    assert meta["pixel_scale"] == [res, res, 0.0]
+    assert meta["tiepoint"][3] == -GT.MERC_MAX + 1 * 256 * res
+    assert meta["tiepoint"][4] == GT.MERC_MAX - 3 * 256 * res
+    assert meta["geo_keys"][-1] == 3857
+    # bare TIFF: no geo tags
+    _, meta2 = GT.decode_gtiff(GT.encode_gtiff(a, "none"))
+    assert "pixel_scale" not in meta2
+
+
+def test_unsupported_inputs_raise():
+    with pytest.raises(NotImplementedError):
+        GT.encode_gtiff(np.zeros((4, 4, 3), dtype="uint8"))
+    with pytest.raises(NotImplementedError):
+        GT.encode_gtiff(np.zeros((4, 4), dtype="float64"))
+    with pytest.raises(NotImplementedError):
+        GT.decode_gtiff(b"MM\x00*" + b"\x00" * 16)  # big-endian
+
+
+def test_tile_sink_pyramid_layout(spark, tmp_path):
+    from osgeo_gdal_spark.operators import tiling as TLL
+    from osgeo_gdal_spark.sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, 1)
+    tif_df = TLL.encode_gtiff_tiles(tiles, compression="lzw")
+    out = str(tmp_path / "pyr")
+    TLL.write_gtiff_pyramid(tif_df, out)
+    files = sorted(glob.glob(out + "/**/*.tif", recursive=True))
+    assert len(files) == 4
+    arr, meta = GT.decode_gtiff(open(files[0], "rb").read())
+    gx, gy = int(files[0].split("/")[-2]), int(
+        files[0].split("/")[-1].split(".")[0])
+    expect = RS.synth_pixel_grid(gx, gy, 1)
+    assert np.array_equal(arr, expect)
+    assert meta["geo_keys"][-1] == 3857
+
+    # tms convention flips y
+    out2 = str(tmp_path / "tms")
+    TLL.write_gtiff_pyramid(tif_df, out2, convention="tms")
+    files2 = sorted(glob.glob(out2 + "/**/*.tif", recursive=True))
+    assert len(files2) == 4
+
+    # multi-band greyscale input is rejected (same rule as PNG)
+    two = tiles.unionByName(tiles.withColumn("band", F_lit2()))
+    with pytest.raises(ValueError):
+        TLL.encode_gtiff_tiles(two)
+
+
+def F_lit2():
+    from pyspark.sql import functions as F
+
+    return F.lit(2)
+
+
+def test_pipeline_gtiff_sink(spark, tmp_path):
+    from osgeo_gdal_spark.plans.pipeline import Pipeline
+    from osgeo_gdal_spark.sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, 1)
+    out = str(tmp_path / "p")
+    Pipeline(spark, tiles).write(out, fmt="gtiff")
+    assert len(glob.glob(out + "/**/*.tif", recursive=True)) == 4

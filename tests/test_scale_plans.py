@@ -486,6 +486,17 @@ def test_png_encode_gray_is_map_only(spark):
     assert p_rgb.count("Exchange") == 1, p_rgb[:1500]
 
 
+def test_gtiff_encode_is_map_only(spark):
+    """Round-7: GeoTIFF tile encoding must be a pure map stage — zero
+    Exchange between the tile source and the encoder (same contract as
+    the greyscale PNG path)."""
+    from osgeo_gdal_spark.sources.raster import synth_tiles
+
+    tiles = synth_tiles(spark, 1)
+    p = plan_of(TL.encode_gtiff_tiles(tiles))
+    assert "Exchange" not in p, p[:1500]
+
+
 def test_resize_cover_derivation_is_native(spark):
     """Round-6: resize (warp with dst_zoom) derives its (dst, src) tile
     cover from a native range DF — no Python eval stage may appear

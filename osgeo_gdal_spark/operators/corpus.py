@@ -16,7 +16,7 @@ from .dedup import shingles
 
 
 def doc_lines(docs: DataFrame, width: int, text_col="text",
-              id_col="doc_id", punctuate=True) -> DataFrame:
+              id_col="doc_id", punctuate=True, carry=()) -> DataFrame:
     """Deterministic line synthesis for the line-tier operators: split
     each document into fixed-``width`` word chunks with an
     index-dependent terminal ((doc_id+i)%4 -> '.', '', '?', ' {').
@@ -25,17 +25,18 @@ def doc_lines(docs: DataFrame, width: int, text_col="text",
 
     Native throughout (split + sequence explode + slice/array_join, all
     codegen'd); one narrow projection, no shuffle."""
+    carry = list(carry)
     w = F.split(F.col(text_col), " ")
-    d = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    d = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"), *carry)
     d = d.filter(F.size("w") > 0).withColumn(
         "nl", ((F.size("w") + (width - 1)) / width).cast("long"))
     d = d.select(
-        "doc_id", "w",
+        "doc_id", "w", *carry,
         F.explode(F.sequence(F.lit(0).cast("long"),
                              F.col("nl") - 1)).alias("line_idx"),
     )
     lw = F.slice(F.col("w"), F.col("line_idx") * width + 1, width)
-    d = d.select("doc_id", "line_idx", lw.alias("lw"))
+    d = d.select("doc_id", "line_idx", lw.alias("lw"), *carry)
     if punctuate:
         suffix = (
             F.when((F.col("doc_id") + F.col("line_idx")) % 4 == 0, ".")
@@ -46,7 +47,7 @@ def doc_lines(docs: DataFrame, width: int, text_col="text",
     else:
         suffix = F.lit("")
     return d.select(
-        "doc_id", "line_idx",
+        "doc_id", "line_idx", *carry,
         F.concat(F.array_join("lw", " "), suffix).alias("line"),
         F.size("lw").alias("n_words"),
     )
@@ -110,6 +111,23 @@ def line_dedup_stats(lines: DataFrame) -> DataFrame:
              F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"))
         .select("doc_id", "n_lines", "n_dropped",
                 (F.col("n_lines") - F.col("n_dropped")).alias("n_kept"))
+    )
+
+
+def line_dedup_kept(lines: DataFrame) -> DataFrame:
+    """The kept-rows view of line_dedup_stats: the FIRST occurrence
+    (ordered by doc_id, line_idx) of every distinct line digest —
+    (lh, doc_id, line_idx). The batch twin of
+    streaming/stream.streaming_line_dedup (stream==batch pytest)."""
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("lh").orderBy("doc_id", "line_idx"))
+    return (
+        lines.select("doc_id", "line_idx", F.md5("line").alias("lh"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("lh", "doc_id", "line_idx")
     )
 
 

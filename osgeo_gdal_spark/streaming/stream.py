@@ -161,6 +161,43 @@ def streaming_dedup_first_seen(docs_stream: DataFrame,
     )
 
 
+def streaming_line_dedup(docs_stream: DataFrame, width: int = 2,
+                         ts_col=None, delay: str = "10 minutes") -> DataFrame:
+    """Streaming twin of the batch line-level global dedup
+    (operators/corpus.line_dedup_stats, hash-first since r6): documents
+    explode into fixed-width lines, each line is digested to md5
+    BEFORE any state (the stream's state key is 16 bytes/line, never
+    the text), and the first arrival of each digest passes.
+
+    With ``ts_col`` set the stream uses withWatermark +
+    dropDuplicatesWithinWatermark — per-key state expires once the
+    watermark passes (bounded state for an unbounded line space, the
+    production shape); without it plain dropDuplicates keeps exact
+    global state (bounded fixtures / finite reprocessing).
+
+    First-arrival vs the batch twin's (doc_id, line_idx) order: equal
+    whenever the stream delivers documents in doc_id order (the
+    file-per-trigger replay contract the frontier screen also uses);
+    duplicates INSIDE one micro-batch keep one arbitrary copy.
+    """
+    from ..operators.corpus import doc_lines
+
+    extra = [ts_col] if ts_col else []
+    lines = doc_lines(docs_stream.select("doc_id", "text", *extra),
+                      width, carry=extra)
+    keyed = lines.select(
+        F.md5("line").alias("lh"), "doc_id", "line_idx",
+        # Spark 4 reads parquet timestamps as TIMESTAMP_NTZ; watermarks
+        # need TIMESTAMP (the sqlgen.py dialect note)
+        *([F.col(ts_col).cast("timestamp").alias(ts_col)]
+          if ts_col else []))
+    if ts_col:
+        return (keyed.withWatermark(ts_col, delay)
+                .dropDuplicatesWithinWatermark(["lh"])
+                .select("lh", "doc_id", "line_idx"))
+    return keyed.dropDuplicates(["lh"]).select("lh", "doc_id", "line_idx")
+
+
 def streaming_quality_gate(docs_stream: DataFrame,
                            max_rep_frac: float = 0.18,
                            min_uniq_frac: float = 0.2) -> DataFrame:

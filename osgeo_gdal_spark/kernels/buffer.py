@@ -39,11 +39,27 @@ from . import snap as SN
 
 def disk_polygon(cx: float, cy: float, d: float, quadsegs: int = 8):
     """Inscribed 4·quadsegs-gon around (cx, cy), CCW, vertex at angle
-    0 — so axis-aligned edge rects meet it exactly at their corners."""
-    n = 4 * int(quadsegs)
-    ang = [2.0 * math.pi * k / n for k in range(n)]
-    xs = np.array([cx + d * math.cos(a) for a in ang])
-    ys = np.array([cy + d * math.sin(a) for a in ang])
+    0 — so axis-aligned edge rects meet it exactly at their corners.
+
+    Built as ONE first-quadrant arc rotated by exact coordinate swaps
+    ((c,s) -> (-s,c) -> (-c,-s) -> (s,-c)): libm's sin(pi) = 1.2e-16
+    noise would otherwise leak into the axis vertices, where adding a
+    POSITION turns it into a position-DEPENDENT ulp (cy + d*1.2e-16
+    rounds differently at cy=1 vs cy=99) — breaking the translation
+    equivariance the dyadic buffer oracles and the per-class fixture
+    cache rely on (found by the r7 sf1 sweep: the qs=1 chamfer diamond
+    {(±d,0),(0,±d)} must be exact at every position)."""
+    qs = int(quadsegs)
+    cs = [(1.0, 0.0)]
+    cs += [(math.cos(math.pi / 2 * k / qs), math.sin(math.pi / 2 * k / qs))
+           for k in range(1, qs)]
+    quad = cs
+    full = (quad
+            + [(-s, c) for c, s in quad]
+            + [(-c, -s) for c, s in quad]
+            + [(s, -c) for c, s in quad])
+    xs = np.array([cx + d * c for c, s in full])
+    ys = np.array([cy + d * s for c, s in full])
     return (xs, ys)
 
 

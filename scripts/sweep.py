@@ -52,18 +52,26 @@ def main():
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written dataset directory
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     qs, osql = E.queries(), E.oracle_sql()
     names = [n for n in qs if not only or any(n.startswith(p) for p in only)]
     bad = []
+    timings = {}
     for name in names:
         try:
+            import time as _time
+
+            _t0 = _time.perf_counter()
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
             srows = sdf.collect()
+            timings[name] = round(_time.perf_counter() - _t0, 3)
             if name not in osql:
                 print(f"{name:28s} rows-only  spark={len(srows)}")
                 continue
@@ -88,6 +96,13 @@ def main():
             print(f"{name:28s} ERROR {type(exc).__name__}: {exc}")
             bad.append(name)
     print(f"\n{len(names) - len(bad)}/{len(names)} green; failures: {bad}")
+    rec = os.environ.get("SWEEP_TIMINGS_OUT")
+    if rec:
+        import json as _json
+
+        with open(rec, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "spark_sec": timings}, f,
+                       indent=1, sort_keys=True)
     sys.exit(1 if bad else 0)
 
 

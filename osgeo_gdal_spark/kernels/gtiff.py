@@ -270,22 +270,13 @@ def encode_gtiff(arr: np.ndarray, compression: str = "lzw",
     return bytes(out)
 
 
-def decode_gtiff(buf: bytes):
-    """Decode a (subset) TIFF produced by encode_gtiff — and any other
-    striped single-sample uncompressed/LZW classic TIFF. Returns
-    (array, meta) with meta carrying compression, strip layout and the
-    geo tags when present."""
-    if buf[:4] not in (b"II*\x00",):
-        raise NotImplementedError(
-            "decode_gtiff: little-endian classic TIFF only")
-    try:
-        return _decode_body(buf)
-    except struct.error as e:  # truncated/corrupt container
-        raise ValueError(f"decode_gtiff: malformed TIFF ({e})") from e
+T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_COUNTS = (
+    322, 323, 324, 325)
+T_SUBFILE_TYPE = 254
 
 
-def _decode_body(buf: bytes):
-    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+def _read_ifd(buf, ifd_off):
+    """Parse one IFD -> (tags dict, next_ifd_offset)."""
     (n,) = struct.unpack_from("<H", buf, ifd_off)
     tags = {}
     for i in range(n):
@@ -299,11 +290,12 @@ def _decode_body(buf: bytes):
             (voff,) = struct.unpack_from("<I", buf, voff)
         fmt = {TY_SHORT: "H", TY_LONG: "I", TY_DOUBLE: "d"}[ty]
         tags[tag] = list(struct.unpack_from("<" + fmt * count, buf, voff))
+    (nxt,) = struct.unpack_from("<I", buf, ifd_off + 2 + n * 12)
+    return tags, nxt
 
-    if T_STRIP_OFFSETS not in tags:
-        raise NotImplementedError(
-            "decode_gtiff: no StripOffsets (tiled TIFF?) — striped "
-            "layout only")
+
+def _decode_ifd(buf, tags):
+    """Decode one IFD's image: striped OR tiled layout."""
     w, h = tags[T_WIDTH][0], tags[T_LENGTH][0]
     bits = tags.get(T_BITS, [1])[0]  # TIFF default: 1-bit bilevel
     comp = tags.get(T_COMP, [COMP_NONE])[0]
@@ -324,6 +316,55 @@ def _decode_body(buf: bytes):
         raise NotImplementedError(
             f"decode_gtiff: predictor {predictor} (floating-point "
             "predictor not supported)")
+
+    def unpredict(a):
+        if predictor != 2:
+            return a
+        # horizontal differencing (TIFF 6.0 §14): rows store deltas;
+        # integrate per row in the sample's wraparound arithmetic
+        acc = np.cumsum(a.astype(np.int64), axis=1)
+        acc = (acc & ((1 << bits) - 1)).astype(dt.str.replace("i", "u"))
+        return acc.astype(dt)
+
+    tiled = T_TILE_OFFSETS in tags
+    if not tiled and T_STRIP_OFFSETS not in tags:
+        raise NotImplementedError(
+            "decode_gtiff: neither StripOffsets nor TileOffsets present")
+
+    meta = {
+        "width": w, "height": h, "compression": comp,
+        "bits": bits, "sample_format": sfmt,
+        "tiled": tiled,
+        "subfile_type": tags.get(T_SUBFILE_TYPE, [0])[0],
+    }
+    for key, tag in (("pixel_scale", T_MODEL_PIXEL_SCALE),
+                     ("tiepoint", T_MODEL_TIEPOINT),
+                     ("geo_keys", T_GEO_KEYS)):
+        if tag in tags:
+            meta[key] = tags[tag]
+
+    if tiled:
+        tw, th = tags[T_TILE_WIDTH][0], tags[T_TILE_LENGTH][0]
+        offs, counts = tags[T_TILE_OFFSETS], tags[T_TILE_COUNTS]
+        nx = (w + tw - 1) // tw
+        ny = (h + th - 1) // th
+        if len(offs) != nx * ny:
+            raise NotImplementedError(
+                "decode_gtiff: tile count mismatch (planar config?)")
+        full = np.zeros((ny * th, nx * tw), dtype=dt)
+        for idx, (o, c) in enumerate(zip(offs, counts)):
+            chunk = buf[o:o + c]
+            raw = lzw_decode(chunk) if comp == COMP_LZW else chunk
+            t = np.frombuffer(raw, dtype=dt, count=tw * th).reshape(th, tw)
+            ty_, tx_ = divmod(idx, nx)
+            full[ty_ * th:(ty_ + 1) * th,
+                 tx_ * tw:(tx_ + 1) * tw] = unpredict(t)
+        arr = full[:h, :w].copy()
+        meta.update({"tile_width": tw, "tile_length": th,
+                     "n_tiles": len(offs),
+                     "tile_byte_counts": counts})
+        return arr, meta
+
     rps = tags.get(T_ROWS_PER_STRIP, [h])[0]
     offs = tags[T_STRIP_OFFSETS]
     if T_STRIP_COUNTS not in tags:
@@ -334,22 +375,179 @@ def _decode_body(buf: bytes):
     for o, c in zip(offs, counts):
         chunk = buf[o:o + c]
         raw += lzw_decode(chunk) if comp == COMP_LZW else chunk
-    arr = np.frombuffer(raw, dtype=dt, count=w * h).reshape(h, w)
-    if predictor == 2:
-        # horizontal differencing (TIFF 6.0 §14): rows store deltas;
-        # integrate per row in the sample's wraparound arithmetic
-        arr = np.cumsum(arr.astype(np.int64), axis=1)
-        arr = (arr & ((1 << bits) - 1)).astype(dt.str.replace("i", "u"))
-        arr = arr.astype(dt)
-    meta = {
-        "width": w, "height": h, "compression": comp,
-        "rows_per_strip": rps, "n_strips": len(offs),
-        "bits": bits, "sample_format": sfmt,
-        "strip_byte_counts": counts,
-    }
-    for key, tag in (("pixel_scale", T_MODEL_PIXEL_SCALE),
-                     ("tiepoint", T_MODEL_TIEPOINT),
-                     ("geo_keys", T_GEO_KEYS)):
-        if tag in tags:
-            meta[key] = tags[tag]
+    arr = unpredict(
+        np.frombuffer(raw, dtype=dt, count=w * h).reshape(h, w))
+    meta.update({"rows_per_strip": rps, "n_strips": len(offs),
+                 "strip_byte_counts": counts})
     return arr, meta
+
+
+def decode_gtiff(buf: bytes):
+    """Decode the FIRST image of a TIFF produced by encode_gtiff /
+    encode_cog — and any other single-sample uncompressed/LZW classic
+    little-endian TIFF, striped or tiled. Returns (array, meta)."""
+    if buf[:4] not in (b"II*\x00",):
+        raise NotImplementedError(
+            "decode_gtiff: little-endian classic TIFF only")
+    try:
+        (ifd_off,) = struct.unpack_from("<I", buf, 4)
+        tags, _ = _read_ifd(buf, ifd_off)
+        return _decode_ifd(buf, tags)
+    except struct.error as e:  # truncated/corrupt container
+        raise ValueError(f"decode_gtiff: malformed TIFF ({e})") from e
+
+
+def decode_cog(buf: bytes):
+    """Decode EVERY image in the IFD chain (full resolution + overview
+    levels) -> [(array, meta), ...] in file order."""
+    if buf[:4] not in (b"II*\x00",):
+        raise NotImplementedError(
+            "decode_cog: little-endian classic TIFF only")
+    try:
+        out = []
+        (ifd_off,) = struct.unpack_from("<I", buf, 4)
+        while ifd_off:
+            tags, ifd_off = _read_ifd(buf, ifd_off)
+            out.append(_decode_ifd(buf, tags))
+        return out
+    except struct.error as e:
+        raise ValueError(f"decode_cog: malformed TIFF ({e})") from e
+
+
+def encode_cog(levels, compression: str = "lzw", tile: int = 256,
+               zoom=None, gx=None, gy=None) -> bytes:
+    """Encode a full-resolution array + its overview pyramid as a
+    Cloud-Optimized GeoTIFF: TILED layout (TileWidth/TileLength/
+    TileOffsets/TileByteCounts, TIFF 6.0 §15), one IFD per level
+    chained via the next-IFD pointer (overviews carry
+    NewSubfileType=1 — reduced-resolution subfile), and the COG
+    ordering: header, ALL IFDs + their arrays up front, tile data
+    last — so a range-reading client fetches the whole directory in
+    one leading read (the reference's COG driver layout contract,
+    frmts/gtiff/cogdriver.cpp).
+
+    ``levels``: [full_res, overview1 (half), overview2 (quarter), ...]
+    — same dtype throughout; edge tiles are zero-padded to the tile
+    size (the TIFF tiled-layout rule).
+    """
+    if not levels:
+        raise ValueError("encode_cog: at least one level required")
+    dname = str(levels[0].dtype)
+    if dname not in _DTYPES:
+        raise NotImplementedError(
+            f"encode_cog: dtype {dname} not supported")
+    bits, sfmt, le = _DTYPES[dname]
+    comp = {"none": COMP_NONE, "lzw": COMP_LZW}[compression]
+    geo = zoom is not None
+
+    # per level: padded tiles (row-major tile grid), compressed
+    level_tiles = []
+    for arr in levels:
+        if arr.ndim != 2 or str(arr.dtype) != dname:
+            raise NotImplementedError(
+                "encode_cog: 2-D single-band arrays of one dtype")
+        h, w = arr.shape
+        nx = (w + tile - 1) // tile
+        ny = (h + tile - 1) // tile
+        padded = np.zeros((ny * tile, nx * tile), dtype=le)
+        padded[:h, :w] = arr
+        tiles = []
+        for ty_ in range(ny):
+            for tx_ in range(nx):
+                t = padded[ty_ * tile:(ty_ + 1) * tile,
+                           tx_ * tile:(tx_ + 1) * tile].tobytes()
+                tiles.append(lzw_encode(t) if comp == COMP_LZW else t)
+        level_tiles.append((w, h, tiles))
+
+    def pack_vals(ty, vals):
+        fmt = {TY_SHORT: "H", TY_LONG: "I", TY_DOUBLE: "d"}[ty]
+        return struct.pack("<" + fmt * len(vals), *vals)
+
+    # entry lists per level (offsets patched later)
+    def entries_for(li, w, h, ntiles):
+        es = []
+        if li > 0:
+            es.append((T_SUBFILE_TYPE, TY_LONG, 1, [1]))
+        es.append((T_WIDTH, TY_LONG, 1, [w]))
+        es.append((T_LENGTH, TY_LONG, 1, [h]))
+        es.append((T_BITS, TY_SHORT, 1, [bits]))
+        es.append((T_COMP, TY_SHORT, 1, [comp]))
+        es.append((T_PHOTO, TY_SHORT, 1, [1]))
+        es.append((T_SAMPLES, TY_SHORT, 1, [1]))
+        es.append((T_TILE_WIDTH, TY_LONG, 1, [tile]))
+        es.append((T_TILE_LENGTH, TY_LONG, 1, [tile]))
+        es.append((T_TILE_OFFSETS, TY_LONG, ntiles, None))
+        es.append((T_TILE_COUNTS, TY_LONG, ntiles, None))
+        es.append((T_SAMPLE_FORMAT, TY_SHORT, 1, [sfmt]))
+        if geo and li == 0:
+            res, ox, oy = _tile_geo(int(zoom), int(gx), int(gy), w)
+            es.append((T_MODEL_PIXEL_SCALE, TY_DOUBLE, 3,
+                       [res, res, 0.0]))
+            es.append((T_MODEL_TIEPOINT, TY_DOUBLE, 6,
+                       [0.0, 0.0, 0.0, ox, oy, 0.0]))
+            es.append((T_GEO_KEYS, TY_SHORT, 16,
+                       [1, 1, 0, 3,
+                        1024, 0, 1, 1,
+                        1025, 0, 1, 1,
+                        3072, 0, 1, 3857]))
+        return sorted(es)
+
+    all_entries = [entries_for(li, w, h, len(tiles))
+                   for li, (w, h, tiles) in enumerate(level_tiles)]
+
+    # layout pass 1: IFD + aux sizes (before tile data)
+    pos = 8
+    ifd_offsets = []
+    aux_offsets = []
+    for es in all_entries:
+        ifd_offsets.append(pos)
+        pos += 2 + len(es) * 12 + 4
+        aux_offsets.append(pos)
+        aux_len = 0
+        for tag, ty, count, _vals in es:
+            size = _TY_SIZE[ty] * count
+            if size > 4:
+                aux_len += size + (size % 2)
+        pos += aux_len
+    data_start = pos + (pos % 2)
+
+    # layout pass 2: tile data offsets
+    tile_offsets = []
+    cur = data_start
+    for _w, _h, tiles in level_tiles:
+        offs = []
+        for t in tiles:
+            offs.append(cur)
+            cur += len(t)
+        tile_offsets.append(offs)
+
+    # emit
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_offsets[0]))
+    for li, es in enumerate(all_entries):
+        _w, _h, tiles = level_tiles[li]
+        ifd = bytearray(struct.pack("<H", len(es)))
+        aux = bytearray()
+        for tag, ty, count, vals in es:
+            if tag == T_TILE_OFFSETS:
+                vals = tile_offsets[li]
+            elif tag == T_TILE_COUNTS:
+                vals = [len(t) for t in tiles]
+            size = _TY_SIZE[ty] * count
+            if size <= 4:
+                vbytes = pack_vals(ty, vals).ljust(4, b"\x00")
+                ifd += struct.pack("<HHI", tag, ty, count) + vbytes
+            else:
+                ifd += struct.pack("<HHII", tag, ty, count,
+                                   aux_offsets[li] + len(aux))
+                aux += pack_vals(ty, vals)
+                if len(aux) % 2:
+                    aux += b"\x00"
+        nxt = ifd_offsets[li + 1] if li + 1 < len(all_entries) else 0
+        ifd += struct.pack("<I", nxt)
+        out += ifd + aux
+    while len(out) < data_start:
+        out += b"\x00"
+    for _w, _h, tiles in level_tiles:
+        for t in tiles:
+            out += t
+    return bytes(out)

@@ -435,6 +435,65 @@ def write_gtiff_pyramid(tif_df: DataFrame, out_dir: str,
     tif_df.foreachPartition(write_part)
 
 
+COG_SCHEMA = T.StructType([
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("gx", T.LongType()),
+    T.StructField("gy", T.LongType()),
+    T.StructField("cog", T.BinaryType()),
+])
+
+
+def encode_cog_tiles(tiles: DataFrame, overviews: int = 2,
+                     compression: str = "lzw", band=None) -> DataFrame:
+    """Encode each tile as a Cloud-Optimized GeoTIFF: tiled layout,
+    ``overviews`` AVERAGE-reduced pyramid levels in the IFD chain
+    (overview.cpp AVERAGE semantics via kernels/resample.average_2x2),
+    directory up front, tile data last (frmts/gtiff/cogdriver.cpp
+    layout contract; codec kernels/gtiff.encode_cog). MAP-ONLY: each
+    COG is self-contained, so the pyramid reduction is task-local per
+    tile — zero shuffle at any scale."""
+    from ..kernels import gtiff as GT
+    from ..kernels import resample as RSMP
+    from ..sources.raster import parse_tile
+
+    if "band" in tiles.columns:
+        if band is not None:
+            tiles = tiles.filter(F.col("band") == band)
+        else:
+            nb = tiles.select("band").distinct().limit(2).count()
+            if nb > 1:
+                raise ValueError(
+                    "encode_cog_tiles on a multi-band input: pass "
+                    "band=<n>")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                arr = parse_tile(row)
+                levels = [arr]
+                cur = arr
+                for _ in range(int(overviews)):
+                    if min(cur.shape) < 2 or cur.shape[0] % 2 or \
+                            cur.shape[1] % 2:
+                        break
+                    cur = RSMP.average_2x2(
+                        cur.astype(np.float64)).astype(arr.dtype)
+                    levels.append(cur)
+                data = GT.encode_cog(
+                    levels, compression,
+                    zoom=int(row["zoom"]), gx=int(row["gx"]),
+                    gy=int(row["gy"]))
+                out.append({"zoom": int(row["zoom"]),
+                            "gx": int(row["gx"]), "gy": int(row["gy"]),
+                            "cog": data})
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(enc, COG_SCHEMA)
+
+
 def write_png_pyramid(png_df: DataFrame, out_dir: str,
                       convention: str = "xyz") -> None:
     """Write encoded tiles to the ``{z}/{x}/{y}.png`` pyramid layout

@@ -159,3 +159,66 @@ def test_pipeline_gtiff_sink(spark, tmp_path):
     out = str(tmp_path / "p")
     Pipeline(spark, tiles).write(out, fmt="gtiff")
     assert len(glob.glob(out + "/**/*.tif", recursive=True)) == 4
+
+
+def test_cog_roundtrip_and_layout():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 255, (512, 512)).astype("uint8")
+    levels = [a, a[::2, ::2].copy(), a[::4, ::4].copy()]
+    for comp in ("none", "lzw"):
+        buf = GT.encode_cog(levels, comp, zoom=2, gx=1, gy=1)
+        got = GT.decode_cog(buf)
+        assert len(got) == 3
+        for (arr, meta), want in zip(got, levels):
+            assert np.array_equal(arr, want)
+        # COG contract: full-res IFD first, overviews carry
+        # NewSubfileType=1, all tiled, geo tags on the base
+        assert got[0][1]["subfile_type"] == 0
+        assert got[1][1]["subfile_type"] == 1
+        assert all(m["tiled"] for _, m in got)
+        assert "pixel_scale" in got[0][1]
+        # directory-up-front: every tile offset sits after all IFDs
+        assert np.array_equal(GT.decode_gtiff(buf)[0], a)
+    # edge-tile padding (odd sizes)
+    b = rng.integers(-1000, 1000, (300, 500)).astype("int16")
+    got = GT.decode_cog(GT.encode_cog([b, b[::2, ::2].copy()], "lzw"))
+    assert np.array_equal(got[0][0], b)
+    assert np.array_equal(got[1][0], b[::2, ::2])
+
+
+def test_reference_interop_tiled_and_utmsmall():
+    """Tiled-layout decode against real libtiff files; utmsmall.tif
+    pins the reference's own canonical checksum 50054
+    (autotest/utilities/test_gdalalg_raster_convert.py:33)."""
+    arr, meta = GT.decode_gtiff(open(f"{REF}/utmsmall.tif", "rb").read())
+    assert CK.checksum_image(arr) == 50054
+    n_tiled = 0
+    for f in sorted(glob.glob(f"{REF}/**/*.tif", recursive=True)):
+        if os.path.getsize(f) > 200000:
+            continue
+        try:
+            a, m = GT.decode_gtiff(open(f, "rb").read())
+            if m.get("tiled"):
+                n_tiled += 1
+        except (NotImplementedError, ValueError):
+            pass
+    assert n_tiled >= 5, n_tiled
+
+
+def test_cog_tile_operator(spark):
+    from osgeo_gdal_spark.operators import tiling as TLL
+    from osgeo_gdal_spark.sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, 1)
+    rows = TLL.encode_cog_tiles(tiles, overviews=2).collect()
+    assert len(rows) == 4
+    r0 = next(r for r in rows if r["gx"] == 0 and r["gy"] == 0)
+    got = GT.decode_cog(bytes(r0["cog"]))
+    assert len(got) == 3  # 256 -> 128 -> 64
+    base = RS.synth_pixel_grid(0, 0, 1)
+    assert np.array_equal(got[0][0], base)
+    # overview = AVERAGE reduction of the base, engine-exact
+    from osgeo_gdal_spark.kernels import resample as RSMP
+    want1 = RSMP.average_2x2(base.astype(np.float64)).astype("uint8")
+    assert np.array_equal(got[1][0], want1)
+    assert got[0][1]["geo_keys"][-1] == 3857

@@ -125,6 +125,7 @@ HEADLINE = [
     "pansharpen",
     "raster_footprint",
     "gtiff_tiles",
+    "cog_tiles",
     "simplify_dp",
     "hilbert_sort",
     "count_min",
@@ -369,8 +370,10 @@ def main():
         eff_8_32 = (t8 / t32) / 4.0
         ceiling = _hw_ceiling()
         os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/BASELINE.md", "w") as f:
-            f.write(SCALING_REPORT.format(
+        # replace ONLY the delimited scaling section — BASELINE.md also
+        # carries per-round analysis sections that a scaling run must
+        # not clobber (the r7 sf1/focal sections were lost this way)
+        report = SCALING_REPORT.format(
                 n_pages=results["2"]["n_pages"],
                 t2=t2, t8=t8, t32=t32,
                 p2=results["2"]["pages_per_sec"],
@@ -378,7 +381,21 @@ def main():
                 p32=results["32"]["pages_per_sec"],
                 eff_2_8=eff_2_8, eff_8_32=eff_8_32,
                 hw_2_8=ceiling["2_8"], hw_8_32=ceiling["8_32"],
-            ))
+            )
+        beg = "<!-- SCALING:BEGIN -->"
+        end = "<!-- SCALING:END -->"
+        try:
+            cur = open("BENCH/BASELINE.md").read()
+        except FileNotFoundError:
+            cur = f"{beg}\n{end}\n"
+        if beg in cur and end in cur:
+            pre = cur.split(beg)[0]
+            post = cur.split(end, 1)[1]
+            cur = pre + beg + "\n" + report + end + post
+        else:
+            cur = beg + "\n" + report + end + "\n\n" + cur
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(cur)
         print(json.dumps({"t2": t2, "t8": t8, "t32": t32,
                           "efficiency_2_to_8": round(eff_2_8, 3),
                           "efficiency_8_to_32": round(eff_8_32, 3),

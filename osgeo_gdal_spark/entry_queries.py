@@ -2075,6 +2075,96 @@ FROM px GROUP BY gx, gy
 """
 
 
+def q_cog_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Cloud-Optimized GeoTIFF tile encoding (frmts/gtiff/cogdriver.cpp
+    layout contract; codec kernels/gtiff.encode_cog): each zoom-1 tile
+    becomes a tiled-layout COG with TWO AVERAGE overview levels
+    (256 -> 128 -> 64, overview.cpp AVERAGE semantics) in one IFD
+    chain. The gate DECODES every level back and emits per-level
+    integer digests; the oracle reproduces the overview pixels by two
+    nested 2x2 FLOOR-mean reductions of the generator (uint8 astype
+    truncation == FLOOR for non-negative means), so encode∘decode ==
+    identity is pinned across the whole pyramid. Exact COG bytes are
+    pinned by pytest round-trips (deterministic layout + LZW)."""
+    from .sources import raster as RS
+
+    tiles = RS.synth_tiles(spark, RASTER_ZOOM)
+    cog_df = TL.encode_cog_tiles(tiles, overviews=2, compression="lzw")
+
+    schema = T.StructType([
+        T.StructField("gx", T.LongType()),
+        T.StructField("gy", T.LongType()),
+        T.StructField("lvl", T.IntegerType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("subfile", T.LongType()),
+        T.StructField("n_tiles", T.LongType()),
+        T.StructField("psum", T.LongType()),
+        T.StructField("ddig", T.LongType()),
+    ])
+
+    def digest(batches):
+        import numpy as np
+        import pandas as pd
+
+        from osgeo_gdal_spark.kernels import gtiff as GT
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                for lvl, (arr, meta) in enumerate(
+                        GT.decode_cog(bytes(row["cog"]))):
+                    v = arr.astype(np.int64)
+                    idx = np.arange(v.size, dtype=np.int64).reshape(v.shape)
+                    out.append({
+                        "gx": int(row["gx"]), "gy": int(row["gy"]),
+                        "lvl": lvl, "w": int(meta["width"]),
+                        "subfile": int(meta["subfile_type"]),
+                        "n_tiles": int(meta["n_tiles"]),
+                        "psum": int(v.sum()),
+                        "ddig": int(((idx + 1) * v).sum()),
+                    })
+            yield pd.DataFrame(out)
+
+    return cog_df.mapInPandas(digest, schema)
+
+
+def sql_cog_tiles() -> str:
+    z = RASTER_ZOOM
+    world = (1 << z) * 256
+    return f"""
+WITH px AS (
+  SELECT xs.i // 256 AS gx, ys.i // 256 AS gy,
+         xs.i % 256 AS lx, ys.i % 256 AS ly,
+         (xs.i * 7 + ys.i * 11 + {z}) % 255 AS v
+  FROM (SELECT UNNEST(RANGE(0, {world})) AS i) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {world})) AS i) ys
+),
+l1 AS (  -- AVERAGE 2x2, uint8 astype truncation == FLOOR (v >= 0)
+  SELECT gx, gy, lx // 2 AS lx, ly // 2 AS ly,
+         CAST(FLOOR(SUM(v) / 4.0) AS BIGINT) AS v
+  FROM px GROUP BY gx, gy, lx // 2, ly // 2
+),
+l2 AS (
+  SELECT gx, gy, lx // 2 AS lx, ly // 2 AS ly,
+         CAST(FLOOR(SUM(v) / 4.0) AS BIGINT) AS v
+  FROM l1 GROUP BY gx, gy, lx // 2, ly // 2
+),
+lv AS (
+  SELECT gx, gy, 0 AS lvl, 256 AS w, 0 AS subfile, lx, ly, v FROM px
+  UNION ALL
+  SELECT gx, gy, 1, 128, 1, lx, ly, v FROM l1
+  UNION ALL
+  SELECT gx, gy, 2, 64, 1, lx, ly, v FROM l2
+)
+SELECT gx, gy, lvl, CAST(w AS BIGINT) AS w,
+       CAST(subfile AS BIGINT) AS subfile,
+       CAST(1 AS BIGINT) AS n_tiles,
+       CAST(SUM(v) AS BIGINT) AS psum,
+       CAST(SUM((ly * w + lx + 1) * v) AS BIGINT) AS ddig
+FROM lv GROUP BY gx, gy, lvl, w, subfile
+"""
+
+
 PANSHARP_WIN = (224, 224, 64, 64)  # crosses the zoom-1 tile seam x2
 PANSHARP_W = (0.25, 0.5, 0.25)     # dyadic Brovey weights -> exact pseudo-pan
 
@@ -8257,7 +8347,6 @@ QUERIES = {
     "check_coverage": q_check_coverage,
     "check_geometry": q_check_geometry,
     "simplify_coverage": q_simplify_coverage,
-    "raster_compare": q_raster_compare,
     "pii_scrub": q_pii_scrub,
     "geodesic_area": q_geodesic_area,
     "dedup_substring_spans": q_dedup_substring_spans,
@@ -8279,13 +8368,16 @@ QUERIES = {
     "pansharpen": q_pansharpen,
     "raster_footprint": q_raster_footprint,
     "gtiff_tiles": q_gtiff_tiles,
+    "cog_tiles": q_cog_tiles,
     # ====== 50-entry gate window ENDS here (50th = raster_footprint) =====
     # rotated out r7 (judge-verified hash-exact at sf0.01 AND sf0.1 in r6,
     # code untouched this round): grid_avg_distance_pts, grid_linear,
-    # overlay_union (7 other overlay-machinery gates stay in-window)
+    # overlay_union (7 other overlay-machinery gates stay in-window),
+    # raster_compare (green r5+r6, code untouched)
     # rotated out r6 (green in r5, code untouched this round):
     # simplify_dp, hilbert_sort, dissolve_snapped, predicates_snapped,
     # bm25_topk, count_min
+    "raster_compare": q_raster_compare,
     "grid_avg_distance_pts": q_grid_avg_distance_pts,
     "grid_linear": q_grid_linear,
     "overlay_union": q_overlay_union,
@@ -8564,6 +8656,7 @@ ORACLES = {
     "pansharpen": sql_pansharpen(),
     "raster_footprint": sql_raster_footprint(),
     "gtiff_tiles": sql_gtiff_tiles(),
+    "cog_tiles": sql_cog_tiles(),
     "contour_stats": sql_contour_stats(),
     "focal_hillshade": sql_focal_hillshade(),
     "viewshed": sql_viewshed(),

@@ -46,14 +46,18 @@ T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_GEO_KEYS = 33550, 33922, 34735
 TY_SHORT, TY_LONG, TY_DOUBLE = 3, 4, 12
 _TY_SIZE = {TY_SHORT: 2, TY_LONG: 4, TY_DOUBLE: 8}
 
-COMP_NONE, COMP_LZW = 1, 5
+COMP_NONE, COMP_LZW, COMP_DEFLATE, COMP_DEFLATE_OLD = 1, 5, 8, 32946
 
 _DTYPES = {
     "uint8": (8, 1, "<u1"),
+    "uint16": (16, 1, "<u2"),
     "int16": (16, 2, "<i2"),
     "float32": (32, 3, "<f4"),
 }
-_FMT_TO_DTYPE = {(8, 1): "<u1", (16, 2): "<i2", (32, 3): "<f4"}
+# decoder accepts a wider set than the encoder emits (interop)
+_FMT_TO_DTYPE = {(8, 1): "<u1", (16, 1): "<u2", (16, 2): "<i2",
+                 (32, 1): "<u4", (32, 2): "<i4",
+                 (32, 3): "<f4", (64, 3): "<f8"}
 
 # EPSG:3857 world half-extent (PROJ / mercator constants; the same
 # value kernels/mercator.py uses)
@@ -163,6 +167,28 @@ def lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _compress(data: bytes, comp: int) -> bytes:
+    if comp == COMP_LZW:
+        return lzw_encode(data)
+    if comp == COMP_DEFLATE:
+        import zlib
+
+        # pinned level => deterministic bytes (same rule as the PNG
+        # codec's fixed deflate params)
+        return zlib.compress(data, 6)
+    return data
+
+
+def _decompress(data: bytes, comp: int) -> bytes:
+    if comp == COMP_LZW:
+        return lzw_decode(data)
+    if comp in (COMP_DEFLATE, COMP_DEFLATE_OLD):
+        import zlib
+
+        return zlib.decompress(data)
+    return data
+
+
 def _tile_geo(zoom: int, gx: int, gy: int, tile: int):
     """(pixel scale, tiepoint) of web-mercator tile (z, x, y) — what
     the reference's tile writer stamps (apps/gdalalg_raster_tile.cpp
@@ -190,13 +216,13 @@ def encode_gtiff(arr: np.ndarray, compression: str = "lzw",
             f"encode_gtiff: dtype {dname} not supported "
             f"(uint8/int16/float32)")
     bits, sfmt, le = _DTYPES[dname]
-    comp = {"none": COMP_NONE, "lzw": COMP_LZW}[compression]
+    comp = {"none": COMP_NONE, "lzw": COMP_LZW,
+            "deflate": COMP_DEFLATE}[compression]
     h, w = arr.shape
     rps = min(int(rows_per_strip), h)
     raw = np.ascontiguousarray(arr).astype(le)
     strips = [raw[r:r + rps].tobytes() for r in range(0, h, rps)]
-    if comp == COMP_LZW:
-        strips = [lzw_encode(s) for s in strips]
+    strips = [_compress(s, comp) for s in strips]
 
     geo = zoom is not None
     entries = []  # (tag, type, count, values)
@@ -305,7 +331,8 @@ def _decode_ifd(buf, tags):
     if (bits, sfmt) not in _FMT_TO_DTYPE:
         raise NotImplementedError(
             f"decode_gtiff: bits={bits} sample_format={sfmt}")
-    if comp not in (COMP_NONE, COMP_LZW):
+    if comp not in (COMP_NONE, COMP_LZW, COMP_DEFLATE,
+                    COMP_DEFLATE_OLD):
         raise NotImplementedError(f"decode_gtiff: compression {comp}")
     dt = np.dtype(_FMT_TO_DTYPE[(bits, sfmt)])
     predictor = tags.get(317, [1])[0]
@@ -353,8 +380,7 @@ def _decode_ifd(buf, tags):
                 "decode_gtiff: tile count mismatch (planar config?)")
         full = np.zeros((ny * th, nx * tw), dtype=dt)
         for idx, (o, c) in enumerate(zip(offs, counts)):
-            chunk = buf[o:o + c]
-            raw = lzw_decode(chunk) if comp == COMP_LZW else chunk
+            raw = _decompress(buf[o:o + c], comp)
             t = np.frombuffer(raw, dtype=dt, count=tw * th).reshape(th, tw)
             ty_, tx_ = divmod(idx, nx)
             full[ty_ * th:(ty_ + 1) * th,
@@ -373,8 +399,7 @@ def _decode_ifd(buf, tags):
     counts = tags[T_STRIP_COUNTS]
     raw = b""
     for o, c in zip(offs, counts):
-        chunk = buf[o:o + c]
-        raw += lzw_decode(chunk) if comp == COMP_LZW else chunk
+        raw += _decompress(buf[o:o + c], comp)
     arr = unpredict(
         np.frombuffer(raw, dtype=dt, count=w * h).reshape(h, w))
     meta.update({"rows_per_strip": rps, "n_strips": len(offs),
@@ -437,7 +462,8 @@ def encode_cog(levels, compression: str = "lzw", tile: int = 256,
         raise NotImplementedError(
             f"encode_cog: dtype {dname} not supported")
     bits, sfmt, le = _DTYPES[dname]
-    comp = {"none": COMP_NONE, "lzw": COMP_LZW}[compression]
+    comp = {"none": COMP_NONE, "lzw": COMP_LZW,
+            "deflate": COMP_DEFLATE}[compression]
     geo = zoom is not None
 
     # per level: padded tiles (row-major tile grid), compressed
@@ -456,7 +482,7 @@ def encode_cog(levels, compression: str = "lzw", tile: int = 256,
             for tx_ in range(nx):
                 t = padded[ty_ * tile:(ty_ + 1) * tile,
                            tx_ * tile:(tx_ + 1) * tile].tobytes()
-                tiles.append(lzw_encode(t) if comp == COMP_LZW else t)
+                tiles.append(_compress(t, comp))
         level_tiles.append((w, h, tiles))
 
     def pack_vals(ty, vals):

@@ -222,3 +222,34 @@ def test_cog_tile_operator(spark):
     want1 = RSMP.average_2x2(base.astype(np.float64)).astype("uint8")
     assert np.array_equal(got[1][0], want1)
     assert got[0][1]["geo_keys"][-1] == 3857
+
+
+def test_deflate_and_uint16_roundtrip():
+    """Round 7 late addition: DEFLATE compression (TIFF 8 / legacy
+    32946, real zlib with pinned level) and the wider decoder dtype
+    set (uint16 also encodable)."""
+    rng = np.random.default_rng(5)
+    for dt in ("uint8", "uint16", "int16", "float32"):
+        for comp in ("none", "lzw", "deflate"):
+            a = (rng.random((100, 77)) * 200).astype(dt)
+            b, m = GT.decode_gtiff(
+                GT.encode_gtiff(a, comp, zoom=1, gx=0, gy=0))
+            assert np.array_equal(a, b), (dt, comp)
+    a = rng.integers(0, 60000, (300, 300)).astype("uint16")
+    got = GT.decode_cog(GT.encode_cog([a, a[::2, ::2].copy()], "deflate"))
+    assert np.array_equal(got[0][0], a)
+    # deterministic deflate bytes (pinned level)
+    b1 = GT.encode_gtiff(a, "deflate")
+    assert b1 == GT.encode_gtiff(a, "deflate")
+
+
+def test_reference_interop_deflate():
+    """Real libtiff DEFLATE output: byte_DEFLATE.tif (striped) and
+    byte_DEFLATE_tiled.tif both decode to the canonical checksum
+    4672, bit-identical to byte.tif."""
+    base, _ = GT.decode_gtiff(open(f"{REF}/byte.tif", "rb").read())
+    for name in ("gtiff/byte_DEFLATE.tif", "gtiff/byte_DEFLATE_tiled.tif"):
+        arr, meta = GT.decode_gtiff(open(f"{REF}/{name}", "rb").read())
+        assert meta["compression"] == 8
+        assert CK.checksum_image(arr) == 4672
+        assert np.array_equal(arr, base)

@@ -253,3 +253,19 @@ def test_reference_interop_deflate():
         assert meta["compression"] == 8
         assert CK.checksum_image(arr) == 4672
         assert np.array_equal(arr, base)
+
+
+def test_lzw_property_suite():
+    """Derandomized Hypothesis sweep: TIFF-LZW round-trip over adversarial
+    byte strings (repetition structure drives table growth through both
+    early-change boundaries and the 4094 reset)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(st.binary(max_size=4096),
+           st.integers(min_value=0, max_value=6))
+    def check(data, rep):
+        blob = data * (1 << rep)
+        assert GT.lzw_decode(GT.lzw_encode(blob)) == blob
+
+    check()

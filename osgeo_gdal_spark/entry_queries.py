@@ -6580,7 +6580,8 @@ def q_contour_polylines(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     pl = CT.contour_polylines(tiles, RASTER_ZOOM, POLYLINE_LEVELS,
-                              bucket=128, cell_window=CONTOUR_SEG_WIN)
+                              bucket=128, cell_window=CONTOUR_SEG_WIN,
+                              shuffle_partitions=8)
     return pl.select(
         "level", "n_segs",
         F.col("closed").cast("int").alias("closed"),

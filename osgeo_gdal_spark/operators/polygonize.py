@@ -354,38 +354,38 @@ def _polygonize_parts(tiles: DataFrame, zoom: int, max_rounds=32,
     ).distinct().cache()
 
     labels = regions.select(F.col("rid"), F.col("rid").alias("label")).cache()
+    # fused round: propagation + pointer jump in ONE lazy plan; the
+    # carried (count, decimal-sum) fingerprint is the round's single
+    # materializing action (labels only decrease — unchanged sum ==
+    # fixpoint; localCheckpoint still truncates lineage each round, the
+    # sieve stacks a second loop on top and the plan string caps at
+    # 2 GB). The r7 contour/k_shortest job-count toolkit.
+    prev_fp = None
     for _ in range(max_rounds):
         neigh = (
             sym.join(labels, sym.dst == labels.rid)
             .groupBy("src").agg(F.min("label").alias("nmin"))
         )
-        # localCheckpoint: materialize AND truncate lineage — the iterative
-        # plan otherwise grows multiplicatively (and sieve stacks a second
-        # loop on top of this one, overflowing the plan string at 2 GB)
-        new_labels = (
+        prop = (
             labels.join(neigh, labels.rid == neigh.src, "left")
             .select(
                 "rid",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "rid")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
         )
-        # propagate labels transitively: label <- label-of-label until stable
-        labels = new_labels
-        if changed == 0:
+        jumped = prop.alias("x").join(
+            prop.select(F.col("rid").alias("label"),
+                        F.col("label").alias("label2")).alias("y"),
+            "label", "left",
+        ).select(F.col("rid"), F.coalesce("label2", "label").alias("label")) \
+            .localCheckpoint(eager=False)
+        fp = jumped.agg(
+            F.count("*"),
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()
+        labels = jumped
+        if prev_fp == (fp[0], fp[1]):
             break
-        # pointer jumping: rid -> label -> label(label): halves rounds
-        l2 = labels.alias("x").join(
-            labels.select(F.col("rid").alias("label"),
-                          F.col("label").alias("label2")).alias("y"),
-            "label",
-        ).select(F.col("rid"), F.col("label2").alias("label")).localCheckpoint()
-        labels = l2
+        prev_fp = (fp[0], fp[1])
 
     return regions, labels, borders, adjacency, ring_edges
 
@@ -495,30 +495,32 @@ def sieve(tiles: DataFrame, zoom: int, threshold: int, max_rounds=32):
     comp = members.select(
         "region_id", F.col("region_id").alias("comp")
     ).localCheckpoint()
-    for _ in range(max_rounds):
+    prev_fp = None
+    for _ in range(max_rounds):  # fused rounds — see the region loop
         neigh = (
             ab_sym.join(comp, ab_sym.rb == comp.region_id)
             .groupBy("ra").agg(F.min("comp").alias("nmin"))
         )
-        new_comp = (
+        prop = (
             comp.join(neigh, comp.region_id == neigh.ra, "left")
             .select(
                 "region_id",
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
             )
-        ).localCheckpoint()
-        changed = (
-            new_comp.alias("n").join(comp.alias("o"), "region_id")
-            .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count()
         )
-        comp = new_comp
-        if changed == 0:
-            break
-        comp = comp.alias("x").join(
-            comp.select(F.col("region_id").alias("comp"),
+        jumped = prop.alias("x").join(
+            prop.select(F.col("region_id").alias("comp"),
                         F.col("comp").alias("comp2")).alias("y"),
-            "comp",
-        ).select("region_id", F.col("comp2").alias("comp")).localCheckpoint()
+            "comp", "left",
+        ).select("region_id", F.coalesce("comp2", "comp").alias("comp")) \
+            .localCheckpoint(eager=False)
+        fp = jumped.agg(
+            F.count("*"),
+            F.sum(F.col("comp").cast("decimal(38,0)"))).first()
+        comp = jumped
+        if prev_fp == (fp[0], fp[1]):
+            break
+        prev_fp = (fp[0], fp[1])
 
     # component root: non-small first, then largest, then smallest id
     with_comp = merged.join(comp, "region_id", "left").withColumn(

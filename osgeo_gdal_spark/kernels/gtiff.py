@@ -47,6 +47,7 @@ TY_SHORT, TY_LONG, TY_DOUBLE = 3, 4, 12
 _TY_SIZE = {TY_SHORT: 2, TY_LONG: 4, TY_DOUBLE: 8}
 
 COMP_NONE, COMP_LZW, COMP_DEFLATE, COMP_DEFLATE_OLD = 1, 5, 8, 32946
+COMP_PACKBITS = 32773
 
 _DTYPES = {
     "uint8": (8, 1, "<u1"),
@@ -179,6 +180,25 @@ def _compress(data: bytes, comp: int) -> bytes:
     return data
 
 
+def packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    ln = len(data)
+    while i < ln:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
 def _decompress(data: bytes, comp: int) -> bytes:
     if comp == COMP_LZW:
         return lzw_decode(data)
@@ -186,6 +206,8 @@ def _decompress(data: bytes, comp: int) -> bytes:
         import zlib
 
         return zlib.decompress(data)
+    if comp == COMP_PACKBITS:
+        return packbits_decode(data)
     return data
 
 
@@ -206,10 +228,17 @@ def encode_gtiff(arr: np.ndarray, compression: str = "lzw",
     (zoom, gx, gy) are given, georeferencing tags for the web-mercator
     tile grid are written (EPSG:3857 GeoKeyDirectory + pixel scale +
     tiepoint); otherwise a bare TIFF is produced."""
-    if arr.ndim != 2:
+    if arr.ndim == 3:
+        nsamp = arr.shape[2]
+        if nsamp not in (2, 3, 4):
+            raise NotImplementedError(
+                f"encode_gtiff: {nsamp} samples per pixel")
+    elif arr.ndim == 2:
+        nsamp = 1
+    else:
         raise NotImplementedError(
-            f"encode_gtiff: 2-D single-band arrays only, got shape "
-            f"{arr.shape}")
+            f"encode_gtiff: 2-D (gray) or 3-D (h, w, samples) arrays "
+            f"only, got shape {arr.shape}")
     dname = str(arr.dtype)
     if dname not in _DTYPES:
         raise NotImplementedError(
@@ -218,7 +247,7 @@ def encode_gtiff(arr: np.ndarray, compression: str = "lzw",
     bits, sfmt, le = _DTYPES[dname]
     comp = {"none": COMP_NONE, "lzw": COMP_LZW,
             "deflate": COMP_DEFLATE}[compression]
-    h, w = arr.shape
+    h, w = arr.shape[0], arr.shape[1]
     rps = min(int(rows_per_strip), h)
     raw = np.ascontiguousarray(arr).astype(le)
     strips = [raw[r:r + rps].tobytes() for r in range(0, h, rps)]
@@ -228,15 +257,16 @@ def encode_gtiff(arr: np.ndarray, compression: str = "lzw",
     entries = []  # (tag, type, count, values)
     entries.append((T_WIDTH, TY_LONG, 1, [w]))
     entries.append((T_LENGTH, TY_LONG, 1, [h]))
-    entries.append((T_BITS, TY_SHORT, 1, [bits]))
+    entries.append((T_BITS, TY_SHORT, nsamp, [bits] * nsamp))
     entries.append((T_COMP, TY_SHORT, 1, [comp]))
-    entries.append((T_PHOTO, TY_SHORT, 1, [1]))  # BlackIsZero
+    # RGB(A) for 3/4 samples, BlackIsZero otherwise (TIFF 6.0 §6/§13)
+    entries.append((T_PHOTO, TY_SHORT, 1, [2 if nsamp >= 3 else 1]))
     entries.append((T_STRIP_OFFSETS, TY_LONG, len(strips), None))
-    entries.append((T_SAMPLES, TY_SHORT, 1, [1]))
+    entries.append((T_SAMPLES, TY_SHORT, 1, [nsamp]))
     entries.append((T_ROWS_PER_STRIP, TY_LONG, 1, [rps]))
     entries.append((T_STRIP_COUNTS, TY_LONG, len(strips),
                     [len(s) for s in strips]))
-    entries.append((T_SAMPLE_FORMAT, TY_SHORT, 1, [sfmt]))
+    entries.append((T_SAMPLE_FORMAT, TY_SHORT, nsamp, [sfmt] * nsamp))
     if geo:
         res, ox, oy = _tile_geo(int(zoom), int(gx), int(gy), w)
         entries.append((T_MODEL_PIXEL_SCALE, TY_DOUBLE, 3,
@@ -301,40 +331,49 @@ T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_COUNTS = (
 T_SUBFILE_TYPE = 254
 
 
-def _read_ifd(buf, ifd_off):
+def _read_ifd(buf, ifd_off, en="<"):
     """Parse one IFD -> (tags dict, next_ifd_offset)."""
-    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    (n,) = struct.unpack_from(en + "H", buf, ifd_off)
     tags = {}
     for i in range(n):
         tag, ty, count = struct.unpack_from(
-            "<HHI", buf, ifd_off + 2 + i * 12)
+            en + "HHI", buf, ifd_off + 2 + i * 12)
         if ty not in _TY_SIZE:
             continue  # ASCII/RATIONAL/UNDEFINED metadata — not needed
         voff = ifd_off + 2 + i * 12 + 8
         size = _TY_SIZE[ty] * count
         if size > 4:
-            (voff,) = struct.unpack_from("<I", buf, voff)
+            (voff,) = struct.unpack_from(en + "I", buf, voff)
         fmt = {TY_SHORT: "H", TY_LONG: "I", TY_DOUBLE: "d"}[ty]
-        tags[tag] = list(struct.unpack_from("<" + fmt * count, buf, voff))
-    (nxt,) = struct.unpack_from("<I", buf, ifd_off + 2 + n * 12)
+        tags[tag] = list(struct.unpack_from(en + fmt * count, buf, voff))
+    (nxt,) = struct.unpack_from(en + "I", buf, ifd_off + 2 + n * 12)
     return tags, nxt
 
 
-def _decode_ifd(buf, tags):
-    """Decode one IFD's image: striped OR tiled layout."""
+def _decode_ifd(buf, tags, en="<"):
+    """Decode one IFD's image: striped OR tiled layout, 1..4
+    contiguous samples (PlanarConfiguration 1)."""
     w, h = tags[T_WIDTH][0], tags[T_LENGTH][0]
-    bits = tags.get(T_BITS, [1])[0]  # TIFF default: 1-bit bilevel
+    bits_l = tags.get(T_BITS, [1])
+    bits = bits_l[0]  # TIFF default: 1-bit bilevel
     comp = tags.get(T_COMP, [COMP_NONE])[0]
     sfmt = tags.get(T_SAMPLE_FORMAT, [1])[0]
-    if tags.get(T_SAMPLES, [1])[0] != 1:
-        raise NotImplementedError("decode_gtiff: single-sample only")
+    nsamp = tags.get(T_SAMPLES, [1])[0]
+    if nsamp < 1 or nsamp > 4 or len(set(bits_l)) != 1:
+        raise NotImplementedError(
+            f"decode_gtiff: samples={nsamp} bits={bits_l}")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError(
+            "decode_gtiff: PlanarConfiguration 2 (separate planes)")
     if (bits, sfmt) not in _FMT_TO_DTYPE:
         raise NotImplementedError(
             f"decode_gtiff: bits={bits} sample_format={sfmt}")
     if comp not in (COMP_NONE, COMP_LZW, COMP_DEFLATE,
-                    COMP_DEFLATE_OLD):
+                    COMP_DEFLATE_OLD, COMP_PACKBITS):
         raise NotImplementedError(f"decode_gtiff: compression {comp}")
     dt = np.dtype(_FMT_TO_DTYPE[(bits, sfmt)])
+    if en == ">":
+        dt = dt.newbyteorder(">")
     predictor = tags.get(317, [1])[0]
     if predictor == 2 and sfmt == 3:
         raise NotImplementedError(
@@ -350,8 +389,8 @@ def _decode_ifd(buf, tags):
         # horizontal differencing (TIFF 6.0 §14): rows store deltas;
         # integrate per row in the sample's wraparound arithmetic
         acc = np.cumsum(a.astype(np.int64), axis=1)
-        acc = (acc & ((1 << bits) - 1)).astype(dt.str.replace("i", "u"))
-        return acc.astype(dt)
+        acc = acc & ((1 << bits) - 1)
+        return acc.astype(dt.str.replace("i", "u")).astype(dt)
 
     tiled = T_TILE_OFFSETS in tags
     if not tiled and T_STRIP_OFFSETS not in tags:
@@ -360,7 +399,7 @@ def _decode_ifd(buf, tags):
 
     meta = {
         "width": w, "height": h, "compression": comp,
-        "bits": bits, "sample_format": sfmt,
+        "bits": bits, "sample_format": sfmt, "samples": nsamp,
         "tiled": tiled,
         "subfile_type": tags.get(T_SUBFILE_TYPE, [0])[0],
     }
@@ -378,14 +417,20 @@ def _decode_ifd(buf, tags):
         if len(offs) != nx * ny:
             raise NotImplementedError(
                 "decode_gtiff: tile count mismatch (planar config?)")
-        full = np.zeros((ny * th, nx * tw), dtype=dt)
+        shape = (ny * th, nx * tw, nsamp) if nsamp > 1 else (ny * th,
+                                                             nx * tw)
+        full = np.zeros(shape, dtype=dt)
         for idx, (o, c) in enumerate(zip(offs, counts)):
             raw = _decompress(buf[o:o + c], comp)
-            t = np.frombuffer(raw, dtype=dt, count=tw * th).reshape(th, tw)
+            tshape = (th, tw, nsamp) if nsamp > 1 else (th, tw)
+            t = np.frombuffer(raw, dtype=dt,
+                              count=tw * th * nsamp).reshape(tshape)
             ty_, tx_ = divmod(idx, nx)
             full[ty_ * th:(ty_ + 1) * th,
                  tx_ * tw:(tx_ + 1) * tw] = unpredict(t)
         arr = full[:h, :w].copy()
+        if en == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("="))
         meta.update({"tile_width": tw, "tile_length": th,
                      "n_tiles": len(offs),
                      "tile_byte_counts": counts})
@@ -400,24 +445,36 @@ def _decode_ifd(buf, tags):
     raw = b""
     for o, c in zip(offs, counts):
         raw += _decompress(buf[o:o + c], comp)
+    sshape = (h, w, nsamp) if nsamp > 1 else (h, w)
     arr = unpredict(
-        np.frombuffer(raw, dtype=dt, count=w * h).reshape(h, w))
+        np.frombuffer(raw, dtype=dt, count=w * h * nsamp).reshape(sshape))
+    if en == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("="))
     meta.update({"rows_per_strip": rps, "n_strips": len(offs),
                  "strip_byte_counts": counts})
     return arr, meta
 
 
+def _tiff_endian(buf: bytes) -> str:
+    if buf[:4] == b"II*\x00":
+        return "<"
+    if buf[:4] == b"MM\x00*":
+        return ">"
+    raise NotImplementedError(
+        "decode_gtiff: not a classic TIFF (BigTIFF not supported)")
+
+
 def decode_gtiff(buf: bytes):
     """Decode the FIRST image of a TIFF produced by encode_gtiff /
-    encode_cog — and any other single-sample uncompressed/LZW classic
-    little-endian TIFF, striped or tiled. Returns (array, meta)."""
-    if buf[:4] not in (b"II*\x00",):
-        raise NotImplementedError(
-            "decode_gtiff: little-endian classic TIFF only")
+    encode_cog — and any other classic TIFF in this codec's envelope:
+    little- or big-endian, striped or tiled, 1..4 contiguous samples,
+    none/LZW/DEFLATE/PackBits, predictor 1/2. Returns (array, meta);
+    multi-sample images come back as (h, w, samples)."""
+    en = _tiff_endian(buf)
     try:
-        (ifd_off,) = struct.unpack_from("<I", buf, 4)
-        tags, _ = _read_ifd(buf, ifd_off)
-        return _decode_ifd(buf, tags)
+        (ifd_off,) = struct.unpack_from(en + "I", buf, 4)
+        tags, _ = _read_ifd(buf, ifd_off, en)
+        return _decode_ifd(buf, tags, en)
     except struct.error as e:  # truncated/corrupt container
         raise ValueError(f"decode_gtiff: malformed TIFF ({e})") from e
 
@@ -425,15 +482,13 @@ def decode_gtiff(buf: bytes):
 def decode_cog(buf: bytes):
     """Decode EVERY image in the IFD chain (full resolution + overview
     levels) -> [(array, meta), ...] in file order."""
-    if buf[:4] not in (b"II*\x00",):
-        raise NotImplementedError(
-            "decode_cog: little-endian classic TIFF only")
+    en = _tiff_endian(buf)
     try:
         out = []
-        (ifd_off,) = struct.unpack_from("<I", buf, 4)
+        (ifd_off,) = struct.unpack_from(en + "I", buf, 4)
         while ifd_off:
-            tags, ifd_off = _read_ifd(buf, ifd_off)
-            out.append(_decode_ifd(buf, tags))
+            tags, ifd_off = _read_ifd(buf, ifd_off, en)
+            out.append(_decode_ifd(buf, tags, en))
         return out
     except struct.error as e:
         raise ValueError(f"decode_cog: malformed TIFF ({e})") from e

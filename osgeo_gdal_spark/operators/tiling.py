@@ -375,7 +375,8 @@ GTIFF_SCHEMA = T.StructType([
 
 
 def encode_gtiff_tiles(tiles: DataFrame, compression: str = "lzw",
-                       rows_per_strip: int = 64, band=None) -> DataFrame:
+                       rows_per_strip: int = 64, band=None,
+                       rgb: bool = False) -> DataFrame:
     """Encode packed-binary tile rows as striped GeoTIFF bytes — the
     GIS-interchange half of ``gdal raster tile`` output
     (frmts/gtiff/; apps/gdalalg_raster_tile.cpp GTiff/COG default),
@@ -386,6 +387,29 @@ def encode_gtiff_tiles(tiles: DataFrame, compression: str = "lzw",
     bytes are golden-checksummable. uint8/int16/float32 bands."""
     from ..kernels import gtiff as GT
     from ..sources.raster import parse_tile
+
+    if rgb:
+        # co-group a tile's band rows (one skinny tile-key Exchange,
+        # same shape as the PNG RGB path) and write ONE interleaved
+        # RGB(A) GeoTIFF per tile (PhotometricInterpretation=2)
+        def enc_rgb(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("band")
+            arrs = [parse_tile(row) for _, row in pdf.iterrows()]
+            stack = np.dstack(arrs)
+            row0 = pdf.iloc[0]
+            data = GT.encode_gtiff(
+                stack, compression, rows_per_strip,
+                zoom=int(row0["zoom"]), gx=int(row0["gx"]),
+                gy=int(row0["gy"]))
+            return pd.DataFrame([{
+                "zoom": int(row0["zoom"]),
+                "gx": int(row0["gx"]), "gy": int(row0["gy"]),
+                "tif": data}])
+
+        return tiles.groupBy("zoom", "gx", "gy").applyInPandas(
+            enc_rgb, GTIFF_SCHEMA)
 
     if "band" in tiles.columns:
         if band is not None:

@@ -1993,7 +1993,8 @@ def q_gtiff_tiles(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    tif_df = TL.encode_gtiff_tiles(tiles, compression="lzw")
+    # band=1 skips the encoder's full-scan multi-band guard probe
+    tif_df = TL.encode_gtiff_tiles(tiles, compression="lzw", band=1)
 
     schema = T.StructType([
         T.StructField("gx", T.LongType()),
@@ -2089,7 +2090,9 @@ def q_cog_tiles(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    cog_df = TL.encode_cog_tiles(tiles, overviews=2, compression="lzw")
+    # band=1 skips the encoder's full-scan multi-band guard probe
+    cog_df = TL.encode_cog_tiles(tiles, overviews=2, compression="lzw",
+                                 band=1)
 
     schema = T.StructType([
         T.StructField("gx", T.LongType()),
@@ -2367,7 +2370,9 @@ def q_png_tiles(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    png_df = TL.encode_png_tiles(tiles)
+    # band=1: synth_tiles is single-band by construction — passing the
+    # band skips the encoder's full-scan multi-band guard probe
+    png_df = TL.encode_png_tiles(tiles, band=1)
 
     schema = T.StructType([
         T.StructField("gx", T.LongType()),

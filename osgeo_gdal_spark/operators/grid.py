@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..kernels import checksum as CK
-from ..sources.raster import TILE, TILE_SCHEMA
+from ..sources.raster import TILE, TILE_SCHEMA, key_range
 
 _COINCIDENT_EPS = 1e-13  # gdalgrid.cpp:165 singularity guard
 
@@ -86,7 +86,7 @@ def grid_interpolate(spark: SparkSession, points: DataFrame, zoom: int,
 
     # dst tile keys, native
     nx = tx1 - tx0 + 1
-    dst = spark.range(nx * (ty1 - ty0 + 1)).select(
+    dst = key_range(spark, nx * (ty1 - ty0 + 1)).select(
         (F.col("id") % nx + tx0).alias("gx"),
         (F.col("id") / nx).cast("long").alias("_r"),
     ).select("gx", (F.col("_r") + ty0).alias("gy"))
@@ -357,41 +357,47 @@ def delaunay_tin_distributed(spark: SparkSession, points: DataFrame,
               float(st["x1"]), float(st["y1"]))
     span = max(extent[2] - extent[0], extent[3] - extent[1], 1e-9)
 
-    # hull boundary count h: per-partition hull candidates (tiny), then
-    # one driver hull + an on-boundary count over the candidates' hull
-    def cand(batches):
-        for pdf in batches:
-            hull = PP.convex_hull(pdf["px"].to_numpy(),
-                                  pdf["py"].to_numpy())
-            if hull:
-                yield pd.DataFrame(hull, columns=["px", "py"])
+    def _certification_target():
+        # hull boundary count h: per-partition hull candidates (tiny),
+        # then one driver hull + an on-boundary count over the
+        # candidates' hull. Computed LAZILY — when round 0 is already
+        # the exact single-task fallback (block >= span) the Euler
+        # count is never consulted, so its two probe jobs are skipped.
+        def cand(batches):
+            for pdf in batches:
+                hull = PP.convex_hull(pdf["px"].to_numpy(),
+                                      pdf["py"].to_numpy())
+                if hull:
+                    yield pd.DataFrame(hull, columns=["px", "py"])
 
-    hcand = points.select("px", "py").mapInPandas(
-        cand, "px DOUBLE, py DOUBLE").collect()
-    hull = PP.convex_hull([r["px"] for r in hcand],
-                          [r["py"] for r in hcand])
-    hx = np.array([p[0] for p in hull])
-    hy = np.array([p[1] for p in hull])
+        hcand = points.select("px", "py").mapInPandas(
+            cand, "px DOUBLE, py DOUBLE").collect()
+        hull = PP.convex_hull([r["px"] for r in hcand],
+                              [r["py"] for r in hcand])
+        hx = np.array([p[0] for p in hull])
+        hy = np.array([p[1] for p in hull])
 
-    def on_boundary(batches):
-        nh = len(hx)
-        for pdf in batches:
-            px = pdf["px"].to_numpy()
-            py = pdf["py"].to_numpy()
-            on = np.zeros(len(px), dtype=bool)
-            for i in range(nh):
-                x0e, y0e = hx[i], hy[i]
-                x1e, y1e = hx[(i + 1) % nh], hy[(i + 1) % nh]
-                cross = (x1e - x0e) * (py - y0e) - (y1e - y0e) * (px - x0e)
-                dot = (x1e - x0e) * (px - x0e) + (y1e - y0e) * (py - y0e)
-                rr = (x1e - x0e) ** 2 + (y1e - y0e) ** 2
-                on |= (cross == 0.0) & (dot >= 0.0) & (dot <= rr)
-            yield pd.DataFrame({"c": [int(on.sum())]})
+        def on_boundary(batches):
+            nh = len(hx)
+            for pdf in batches:
+                px = pdf["px"].to_numpy()
+                py = pdf["py"].to_numpy()
+                on = np.zeros(len(px), dtype=bool)
+                for i in range(nh):
+                    x0e, y0e = hx[i], hy[i]
+                    x1e, y1e = hx[(i + 1) % nh], hy[(i + 1) % nh]
+                    cross = (x1e - x0e) * (py - y0e) - (y1e - y0e) * (px - x0e)
+                    dot = (x1e - x0e) * (px - x0e) + (y1e - y0e) * (py - y0e)
+                    rr = (x1e - x0e) ** 2 + (y1e - y0e) ** 2
+                    on |= (cross == 0.0) & (dot >= 0.0) & (dot <= rr)
+                yield pd.DataFrame({"c": [int(on.sum())]})
 
-    h_cnt = (points.select("px", "py").distinct()
-             .mapInPandas(on_boundary, "c LONG")
-             .agg(F.sum("c")).first()[0]) or 0
-    target = 2 * n_pts - 2 - int(h_cnt)
+        h_cnt = (points.select("px", "py").distinct()
+                 .mapInPandas(on_boundary, "c LONG")
+                 .agg(F.sum("c")).first()[0]) or 0
+        return 2 * n_pts - 2 - int(h_cnt)
+
+    target = None if float(block) >= span else _certification_target()
 
     def make_kernel(bs, final):
         def kernel(key, pdf):
@@ -449,9 +455,14 @@ def delaunay_tin_distributed(spark: SparkSession, points: DataFrame,
                 .alias("cy0"),
             )
         tri = keyed.groupBy("cx0", "cy0").applyInPandas(
-            make_kernel(bs, final), _TRI_SCHEMA
-        ).dropDuplicates(["ax", "ay", "az", "bx", "by", "bz",
-                          "cx", "cy", "cz"]).localCheckpoint()
+            make_kernel(bs, final), _TRI_SCHEMA)
+        if not final:
+            # only the 3x3-replicated rounds can emit the same certified
+            # triangle from several cells; the single-task final round
+            # cannot, so it skips the dedup shuffle
+            tri = tri.dropDuplicates(["ax", "ay", "az", "bx", "by", "bz",
+                                      "cx", "cy", "cz"])
+        tri = tri.localCheckpoint()
         if final or tri.count() == target:
             return tri, rnd + 1
         rnd += 1
@@ -538,7 +549,7 @@ def grid_linear(spark: SparkSession, points: DataFrame, zoom: int,
 
     # window tiles no triangle bbox covers are all-nodata
     nx = tx1 - tx0 + 1
-    dst = spark.range(nx * (ty1 - ty0 + 1)).select(
+    dst = key_range(spark, nx * (ty1 - ty0 + 1)).select(
         (F.col("id") % nx + tx0).alias("gx"),
         (F.col("id") / nx).cast("long").alias("_r"),
     ).select("gx", (F.col("_r") + ty0).alias("gy"))

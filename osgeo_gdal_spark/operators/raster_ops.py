@@ -16,7 +16,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..kernels import checksum as CK, resample as R
-from ..sources.raster import TILE, TILE_SCHEMA, parse_tile
+from ..sources.raster import TILE, TILE_SCHEMA, key_range, parse_tile
 
 _PIXEL_SCHEMA = T.StructType(
     [
@@ -527,7 +527,7 @@ def warp_tiles(tiles: DataFrame, zoom: int, transform, method="bilinear",
     pad = radius + 1
     zd = zoom if dst_zoom is None else dst_zoom
     nd = 1 << zd
-    dst = spark.range(nd * nd).select(
+    dst = key_range(spark, nd * nd).select(
         (F.col("id") % nd).alias("dgx"),
         (F.col("id") / nd).cast("long").alias("dgy"),
     )
@@ -1442,11 +1442,12 @@ def pyramid_gauss(tiles: DataFrame) -> DataFrame:
     from ..kernels import resample as RK2
     from .focal import _strips
 
-    # infer zoom natively (single-level tile tables carry one zoom)
-    zoom = int(tiles.select(F.min("zoom")).first()[0])
-    meta = tiles.select(
-        "dataset_id", "band", "nodata", "crs"
-    ).first()
+    # infer zoom + metadata from ONE row (single-level tile tables carry
+    # one zoom and constant metadata): first() limit-pushes to a single
+    # partition, where the old min(zoom) aggregate scanned — and fully
+    # computed — every tile just to learn a constant
+    meta = tiles.select("zoom", "dataset_id", "band", "nodata", "crs").first()
+    zoom = int(meta["zoom"])
 
     strips = _strips(tiles, zoom, width=1)
 
@@ -1588,8 +1589,9 @@ def pyramid_conv(tiles: DataFrame, method: str = "cubic") -> DataFrame:
     if method not in RK2.CONV_2X:
         raise ValueError(f"unknown conv overview method {method!r}")
 
-    zoom = int(tiles.select(F.min("zoom")).first()[0])
-    meta = tiles.select("dataset_id", "band", "nodata", "crs").first()
+    # one-row metadata probe — see pyramid_gauss
+    meta = tiles.select("zoom", "dataset_id", "band", "nodata", "crs").first()
+    zoom = int(meta["zoom"])
 
     strips = _strips(tiles, zoom, width=4)
 

@@ -13,9 +13,25 @@ def get_spark(app="osgeo-gdal-spark", cores=None, shuffle_partitions=None,
 
     - AQE on (runtime coalesce + skew-join splitting — the cluster-side
       complement of our explicit hot-cell salting).
-    - Arrow enabled for all pandas UDF / toPandas paths.
+    - AQE coalescing SIZES partitions instead of padding them out to the
+      core count (``parallelismFirst=false`` — the documented "reasonable
+      partition size" policy, optimization guide §2.2): a shuffle's
+      post-coalesce width follows its BYTES (advisory size
+      $SPARK_GRAFT_ADVISORY_PARTITION, default 64m; min 1m), so a 100 GB
+      exchange still fans out to thousands of tasks while a 100 KB
+      label-propagation round collapses to one task instead of 32
+      scheduler round-trips. Scale-adaptive by construction — the same
+      setting is right at sf0.001 and at 100 TB.
+    - Arrow enabled for all pandas UDF / toPandas paths; Arrow batches
+      bounded by BYTES (64 MiB) rather than only the 10k-row default, so
+      skinny pixel tables cross the Python boundary in fewer, larger
+      batches while fat binary-tile rows stay memory-bounded
+      ($SPARK_GRAFT_ARROW_BATCH rows, default 65536 — guide §4.2).
     - UTC session timezone (oracle comparisons are TZ-sensitive).
-    - shuffle partitions ~ cores for local runs (200 is wrong at both ends).
+    - shuffle partitions ~ cores for local runs (200 is wrong at both
+      ends); AQE's size-based coalescing above is what adapts the
+      EFFECTIVE width to the data, so this initial width only bounds the
+      map-side fan-out.
     """
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "32")
     b = (
@@ -23,8 +39,18 @@ def get_spark(app="osgeo-gdal-spark", cores=None, shuffle_partitions=None,
         .appName(app)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

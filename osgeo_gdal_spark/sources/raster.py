@@ -22,6 +22,19 @@ from ..kernels import checksum as CK
 
 TILE = 256
 
+
+def key_range(spark: SparkSession, n_rows: int):
+    """``spark.range(n_rows)`` with the partition count matched to the
+    row count: a tile-key table of a few rows must not fan out to
+    ``defaultParallelism`` mostly-EMPTY partitions — every empty
+    partition still launches a task and a Python-worker round trip in
+    the mapInPandas generator it feeds (~10 ms each, measured). At
+    z12+ the key count exceeds the parallelism and this degenerates to
+    the default behavior, so the source stays scale-adaptive."""
+    dp = spark.sparkContext.defaultParallelism
+    return spark.range(0, n_rows, 1, max(1, min(dp, int(n_rows))))
+
+
 TILE_SCHEMA = T.StructType(
     [
         T.StructField("dataset_id", T.StringType()),
@@ -56,7 +69,7 @@ def synth_tiles(spark: SparkSession, zoom: int, dataset_id="synth",
     ``coeffs`` picks the generator multipliers (a second dataset for
     update/stack fixtures); ``nodata`` stamps the metadata column."""
     n = 1 << zoom
-    keys = spark.range(n * n).select(
+    keys = key_range(spark, n * n).select(
         (F.col("id") % n).alias("gx"), (F.col("id") / n).cast("long").alias("gy")
     )
 
@@ -96,7 +109,7 @@ def synth_category_tiles(spark: SparkSession, zoom: int, block=96,
     the 256-px tile, so regions straddle tile borders — the cross-tile
     merge is always exercised. Fully reproducible by SQL arithmetic."""
     n = 1 << zoom
-    keys = spark.range(n * n).select(
+    keys = key_range(spark, n * n).select(
         (F.col("id") % n).alias("gx"), (F.col("id") / n).cast("long").alias("gy")
     )
 
@@ -190,7 +203,7 @@ def synth_rgba_tiles(spark: SparkSession, zoom: int,
     base so the premultiply path is exercised). Bit-replicable by SQL
     integer arithmetic."""
     n = 1 << zoom
-    keys = spark.range(n * n).select(
+    keys = key_range(spark, n * n).select(
         (F.col("id") % n).alias("gx"),
         (F.col("id") / n).cast("long").alias("gy"))
 

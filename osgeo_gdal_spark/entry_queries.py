@@ -6446,31 +6446,24 @@ def q_focal_stats(spark: SparkSession, sf: str) -> DataFrame:
     population variance emitted as the exact integer 81·var =
     9·Σv² − (Σv)². Window is world-interior (9 taps everywhere) and
     spans a tile seam, so all three halo exchanges are under test."""
-    import numpy as np
-
-    from .operators import focal as FO, raster_ops as RO
+    from .operators import focal as FO
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    k3 = np.ones((3, 3))
     x0, x1, y0, y1 = FOCAL_STATS_WIN
-
-    def window(df):
-        return RO.explode_pixels(df).filter(
-            (F.col("gpx") >= x0) & (F.col("gpx") < x1)
-            & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
-        )
-
-    med = window(FO.focal_generic(tiles, RASTER_ZOOM, k3, "median")) \
-        .select("gpx", "gpy", F.col("value").alias("med"))
-    std = window(FO.focal_generic(tiles, RASTER_ZOOM, k3, "stddev")) \
-        .select("gpx", "gpy",
-                F.round(F.col("value") * F.col("value") * 81)
-                .cast("long").alias("var81"))
-    qt = RO.raster_calc({"A": tiles}, "floor(A / 32)")
-    mode = window(FO.focal_generic(qt, RASTER_ZOOM, k3, "mode")) \
-        .select("gpx", "gpy", F.col("value").cast("long").alias("mode_q"))
-    return med.join(std, ["gpx", "gpy"]).join(mode, ["gpx", "gpy"])
+    # fused single-pass form (r8): one halo exchange + one stencil emits
+    # all three stats pixel-exactly — the previous three focal_generic
+    # chains (median, stddev, mode over floor(A/32)) each paid their own
+    # halo exchange, explode_pixels bridge and (gpx, gpy) join; the
+    # derived columns below are byte-identical Spark expressions over
+    # the same kernel doubles
+    fused = FO.focal_stats_window(tiles, RASTER_ZOOM, (x0, x1, y0, y1),
+                                  qdiv=32.0)
+    return fused.select(
+        "gpx", "gpy", F.col("med"),
+        F.round(F.col("sd") * F.col("sd") * 81).cast("long").alias("var81"),
+        F.col("mode_q").cast("long").alias("mode_q"),
+    )
 
 
 def sql_focal_stats() -> str:

@@ -18,10 +18,18 @@ from __future__ import annotations
 import numpy as np
 
 
-def marching_squares(grid: np.ndarray, level: float, with_cells=False):
+def marching_squares(grid: np.ndarray, level: float, with_cells=False,
+                     origin=(0, 0)):
     """Segments [(x0, y0, x1, y1), ...] in pixel-center coords;
-    with_cells=True prepends the owning cell (j, i) to each tuple."""
+    with_cells=True prepends the owning cell (j, i) to each tuple.
+
+    ``origin`` = (j0, i0) integer cell offset added to every index BEFORE
+    the int->float coordinate construction, so running the kernel on a
+    window SLICE of a larger grid emits bit-identical coordinates to
+    running it on the full grid (int addition commutes exactly; float
+    addition does not, so offsetting after the fact would drift a ulp)."""
     g = np.asarray(grid, dtype=np.float64)
+    j_off, i_off = int(origin[0]), int(origin[1])
     h, w = g.shape
     tl = g[:-1, :-1]
     tr = g[:-1, 1:]
@@ -49,11 +57,12 @@ def marching_squares(grid: np.ndarray, level: float, with_cells=False):
     for i, j in zip(ys.tolist(), xs.tolist()):
         a, b, c, d = g[i, j], g[i, j + 1], g[i + 1, j + 1], g[i + 1, j]
         cs = int(case[i, j])
+        jj, ii = j + j_off, i + i_off
         # edge points: top (between a-b), right (b-c), bottom (d-c), left (a-d)
-        top = (j + interp(a, b), float(i))
-        right = (float(j + 1), i + interp(b, c))
-        bottom = (j + interp(d, c), float(i + 1))
-        left = (float(j), i + interp(a, d))
+        top = (jj + interp(a, b), float(ii))
+        right = (float(jj + 1), ii + interp(b, c))
+        bottom = (jj + interp(d, c), float(ii + 1))
+        left = (float(jj), ii + interp(a, d))
         table = {
             1: [(left, top)], 2: [(top, right)], 3: [(left, right)],
             4: [(right, bottom)], 6: [(top, bottom)], 7: [(left, bottom)],
@@ -72,7 +81,7 @@ def marching_squares(grid: np.ndarray, level: float, with_cells=False):
             pairs = table[cs]
         for (x0, y0), (x1, y1) in pairs:
             if with_cells:
-                segs.append((j, i, x0, y0, x1, y1))
+                segs.append((jj, ii, x0, y0, x1, y1))
             else:
                 segs.append((x0, y0, x1, y1))
     return segs

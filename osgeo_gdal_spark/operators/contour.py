@@ -31,9 +31,18 @@ _SEG_SCHEMA = T.StructType(
 )
 
 
-def contour_segments(tiles: DataFrame, zoom: int, levels) -> DataFrame:
-    """Iso-line segments in global pixel-center coordinates for each level."""
+def contour_segments(tiles: DataFrame, zoom: int, levels,
+                     cell_window=None) -> DataFrame:
+    """Iso-line segments in global pixel-center coordinates for each level.
+
+    ``cell_window`` = (cx0, cy0, w, h) global CELL rect: the stencil then
+    runs marching squares only over this tile's slice of the window
+    (srcwin pushdown INSIDE the tile — marching squares is cell-local,
+    so the sliced run emits exactly the window's subset of the full-tile
+    soup; the per-crossing-cell Python loop shrinks with the window
+    instead of scanning all TILE^2 cells and filtering after)."""
     lv = [float(x) for x in levels]
+    win = None if cell_window is None else tuple(int(v) for v in cell_window)
 
     def stencil(pdf):
         import pandas as pd
@@ -41,6 +50,20 @@ def contour_segments(tiles: DataFrame, zoom: int, levels) -> DataFrame:
         from ..kernels.contour import marching_squares
 
         tgx, tgy = int(pdf["tgx"].iloc[0]), int(pdf["tgy"].iloc[0])
+        ox, oy = tgx * TILE, tgy * TILE
+        # this tile's cell slice of the window (tile-local, half-open)
+        if win is not None:
+            wx0, wy0, ww, wh = win
+            lx0 = max(0, wx0 - ox)
+            lx1 = min(TILE, wx0 + ww - ox)
+            ly0 = max(0, wy0 - oy)
+            ly1 = min(TILE, wy0 + wh - oy)
+            if lx0 >= lx1 or ly0 >= ly1:
+                return pd.DataFrame(
+                    columns=["level", "cx", "cy", "x0", "y0", "x1", "y1"])
+        else:
+            lx0 = ly0 = 0
+            lx1 = ly1 = TILE
         # assemble tile + east/south(+SE) halo: cells owned by this tile
         # are those with top-left pixel inside it -> need one extra row/col
         pad = np.full((TILE + 1, TILE + 1), np.nan)
@@ -59,14 +82,16 @@ def contour_segments(tiles: DataFrame, zoom: int, levels) -> DataFrame:
                 pad[TILE:, :TILE] = arr
             elif (dx, dy) == (-1, -1):    # from SE neighbor's NW corner
                 pad[TILE:, TILE:] = arr
+        sub = pad[ly0:ly1 + 1, lx0:lx1 + 1]
         rows = []
-        ox, oy = tgx * TILE, tgy * TILE
         for level in lv:
             # marching_squares skips any cell with a NaN corner, so the
             # NaN halo padding (global border tiles, sparse tile tables)
-            # needs no trimming — missing neighbors simply emit nothing
+            # needs no trimming — missing neighbors simply emit nothing.
+            # origin restores full-tile cell indices, so the emitted
+            # coordinates are bit-identical to the unwindowed run
             for j, i, x0, y0, x1, y1 in marching_squares(
-                    pad, level, with_cells=True):
+                    sub, level, with_cells=True, origin=(lx0, ly0)):
                 rows.append((level, ox + j, oy + i,
                              ox + x0, oy + y0, ox + x1, oy + y1))
         return pd.DataFrame(
@@ -112,12 +137,14 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
         tiles = tiles.filter(
             (F.col("gx") * _T <= wx0 + ww) & ((F.col("gx") + 1) * _T > wx0)
             & (F.col("gy") * _T <= wy0 + wh) & ((F.col("gy") + 1) * _T > wy0))
-    segs = contour_segments(tiles, zoom, levels)
+    # ROI contouring (the gdal_contour-over-srcwin shape): the window
+    # pushes INTO the stencil (cells are computed only inside it — bit-
+    # identical to computing everything and filtering, see
+    # contour_segments), and degrees are computed over the windowed
+    # soup, so chains cut by the window end at the new degree-1 border
+    # vertices — the oracle sees the same soup.
+    segs = contour_segments(tiles, zoom, levels, cell_window=cell_window)
     if cell_window is not None:
-        # ROI contouring (the gdal_contour-over-srcwin shape): keep only
-        # segments from cells inside the window. Degrees are computed
-        # AFTER windowing, so chains cut by the window end at the new
-        # degree-1 border vertices — the oracle sees the same soup.
         wx0, wy0, ww, wh = cell_window
         segs = segs.filter(
             (F.col("cx") >= wx0) & (F.col("cx") < wx0 + ww)
@@ -126,6 +153,11 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
     segs = segs.withColumn(
         "vk0", F.format_string(vkey, "level", "x0", "y0")
     ).withColumn("vk1", F.format_string(vkey, "level", "x1", "y1"))
+    # materialize the soup ONCE: three consumers read it (the two degree
+    # attachments and the endpoint union) — unmaterialized, the whole
+    # stencil chain re-evaluates per consumer (measured ~3x the stitch
+    # stage cost)
+    segs = segs.localCheckpoint()
     ends = segs.select(F.col("vk0").alias("vk")).unionByName(
         segs.select(F.col("vk1").alias("vk")))
     vdeg = ends.groupBy("vk").agg(F.count("*").alias("deg"))
@@ -298,8 +330,10 @@ def contour_polylines(tiles: DataFrame, zoom: int, levels,
         .select(F.col("fa").alias("src"), F.col("fb").alias("dst"))
         .distinct().localCheckpoint()
     )
+    # labels derives narrowly from the already-checkpointed frags — no
+    # eager checkpoint of its own (it is read once, by round 1)
     labels = frags.select(F.col("frag_id").alias("rid"),
-                          F.col("frag_id").alias("label")).localCheckpoint()
+                          F.col("frag_id").alias("label"))
     # min-label propagation + pointer jump fused into ONE lazy plan per
     # round; the convergence fingerprint agg is the round's single
     # materializing action (labels only ever DECREASE, so an unchanged

@@ -407,3 +407,146 @@ def focal_generic(tiles: DataFrame, zoom: int, kernel, method="mean",
 
     strips = _strips(tiles, zoom, width=r)
     return strips.groupBy("tgx", "tgy").applyInPandas(stencil, TILE_SCHEMA)
+
+
+def focal_stats_window(tiles: DataFrame, zoom: int, window,
+                       qdiv: float = 32.0, nodata=-9999.0) -> DataFrame:
+    """Fused median / stddev / quantized-mode over a pixel window —
+    ONE halo exchange and ONE stencil pass emitting (gpx, gpy, med, sd,
+    mode_q) pixel rows directly.
+
+    The un-fused form (three ``focal_generic`` chains — median, stddev,
+    and mode over ``raster_calc('floor(A / qdiv)')`` — three halo
+    exchanges, three explode_pixels bridges, two (gpx, gpy) joins) pays
+    3x the shuffle and Python-boundary cost for stats that all read the
+    SAME 3x3 padded array. Pixel-exact fusion contract: every stat
+    replays ``focal_generic``'s numpy expressions (w=1 taps, identical
+    accumulation order); the mode runs over ``np.floor(pad / qdiv)``,
+    elementwise identical to classifying first and haloing second.
+
+    ``window`` = (x0, x1, y0, y1) global-pixel half-open ranges. Tiles
+    are pruned natively to the 1-px tap rect before the exchange (srcwin
+    pushdown), and only window pixels are emitted — the explode/filter/
+    join bridge disappears.
+    """
+    x0, x1, y0, y1 = (int(v) for v in window)
+    nd = float(nodata)
+    qd = float(qdiv)
+    n = 1 << zoom
+
+    # srcwin pushdown: keep only tiles intersecting the tap rect
+    # [x0-1, x1] x [y0-1, y1] (inclusive) — all taps of every emitted
+    # pixel live in kept tiles, so the halo exchange stays exact
+    tiles = tiles.filter(
+        ((F.col("gx") + 1) * TILE > x0 - 1) & (F.col("gx") * TILE <= x1)
+        & ((F.col("gy") + 1) * TILE > y0 - 1) & (F.col("gy") * TILE <= y1))
+
+    out_schema = T.StructType([
+        T.StructField("gpx", T.LongType()),
+        T.StructField("gpy", T.LongType()),
+        T.StructField("med", T.DoubleType()),
+        T.StructField("sd", T.DoubleType()),
+        T.StructField("mode_q", T.DoubleType()),
+    ])
+
+    def stencil(pdf):
+        import pandas as pd
+
+        tgx, tgy = int(pdf["tgx"].iloc[0]), int(pdf["tgy"].iloc[0])
+        # window sub-rect of this tile (half-open, tile-local)
+        wx0 = max(0, x0 - tgx * TILE)
+        wx1 = min(TILE, x1 - tgx * TILE)
+        wy0 = max(0, y0 - tgy * TILE)
+        wy1 = min(TILE, y1 - tgy * TILE)
+        if wx0 >= wx1 or wy0 >= wy1:
+            return pd.DataFrame(columns=["gpx", "gpy", "med", "sd",
+                                         "mode_q"])
+        pad = np.full((TILE + 2, TILE + 2), np.nan)
+        place = {
+            (0, 0): (slice(1, 1 + TILE), slice(1, 1 + TILE)),
+            (1, 0): (slice(1, 1 + TILE), slice(0, 1)),
+            (-1, 0): (slice(1, 1 + TILE), slice(1 + TILE, None)),
+            (0, 1): (slice(0, 1), slice(1, 1 + TILE)),
+            (0, -1): (slice(1 + TILE, None), slice(1, 1 + TILE)),
+            (1, 1): (slice(0, 1), slice(0, 1)),
+            (-1, 1): (slice(0, 1), slice(1 + TILE, None)),
+            (1, -1): (slice(1 + TILE, None), slice(0, 1)),
+            (-1, -1): (slice(1 + TILE, None), slice(1 + TILE, None)),
+        }
+        for _, row in pdf.iterrows():
+            arr = np.frombuffer(bytes(row["strip"]), dtype=np.float64) \
+                .reshape(row["sh"], row["sw"])
+            sy, sx = place[(int(row["dx"]), int(row["dy"]))]
+            pad[sy, sx] = arr
+        qpad = np.floor(pad / qd)  # == halo of floor(A / qdiv) tiles
+
+        h, w = wy1 - wy0, wx1 - wx0
+        s1 = np.zeros((h, w))
+        s2 = np.zeros((h, w))
+        cnt = np.zeros((h, w))
+        stack = []   # raw taps for median (row-major scan order)
+        qstack = []  # quantized taps for mode (same order)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                v = pad[1 + wy0 + dy:1 + wy1 + dy,
+                        1 + wx0 + dx:1 + wx1 + dx]
+                qv = qpad[1 + wy0 + dy:1 + wy1 + dy,
+                          1 + wx0 + dx:1 + wx1 + dx]
+                ok = ~np.isnan(v)
+                wv = np.where(ok, 1.0 * v, 0.0)
+                s1 += wv
+                s2 += wv * wv
+                cnt += ok
+                stack.append(np.where(ok, 1.0 * v, np.nan))
+                qstack.append(np.where(~np.isnan(qv), 1.0 * qv, np.nan))
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # median — focal_generic 'median'
+            S = np.stack(stack)
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                medv = np.nanmedian(S, axis=0)
+            med = np.where(cnt > 0, medv, nd)
+            # population stddev — focal_generic 'stddev'
+            m = s1 / np.maximum(cnt, 1)
+            sd = np.where(
+                cnt > 0,
+                np.sqrt(np.maximum(s2 / np.maximum(cnt, 1) - m * m, 0.0)),
+                nd)
+            # quantized mode — focal_generic 'mode' tie rule
+            # (first-to-reach-max-count in tap scan order)
+            Q = np.stack(qstack)
+            k2 = Q.shape[0]
+            rr = np.zeros((k2, h, w), dtype=np.int32)
+            for k in range(k2):
+                eq = np.zeros((h, w), dtype=np.int32)
+                for j in range(k + 1):
+                    eq += (Q[j] == Q[k])
+                rr[k] = eq
+            score = rr.astype(np.int64) * k2 + (k2 - 1 - np.arange(
+                k2, dtype=np.int64))[:, None, None]
+            kstar = np.argmax(score, axis=0)
+            picked = np.take_along_axis(Q, kstar[None], axis=0)[0]
+            qcnt = np.sum(~np.isnan(Q), axis=0)
+            mode_q = np.where(qcnt > 0, picked, nd)
+
+        center = pad[1 + wy0:1 + wy1, 1 + wx0:1 + wx1]
+        cmask = np.isnan(center)
+        med = np.where(cmask, nd, med)
+        sd = np.where(cmask, nd, sd)
+        qcenter = qpad[1 + wy0:1 + wy1, 1 + wx0:1 + wx1]
+        mode_q = np.where(np.isnan(qcenter), nd, mode_q)
+
+        ys, xs = np.indices((h, w))
+        return pd.DataFrame({
+            "gpx": (tgx * TILE + wx0 + xs.ravel()).astype(np.int64),
+            "gpy": (tgy * TILE + wy0 + ys.ravel()).astype(np.int64),
+            "med": med.ravel(),
+            "sd": sd.ravel(),
+            "mode_q": mode_q.ravel(),
+        })
+
+    strips = _strips(tiles, zoom)
+    return strips.groupBy("tgx", "tgy").applyInPandas(stencil, out_schema)

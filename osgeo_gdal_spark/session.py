@@ -17,11 +17,14 @@ def get_spark(app="osgeo-gdal-spark", cores=None, shuffle_partitions=None,
       core count (``parallelismFirst=false`` — the documented "reasonable
       partition size" policy, optimization guide §2.2): a shuffle's
       post-coalesce width follows its BYTES (advisory size
-      $SPARK_GRAFT_ADVISORY_PARTITION, default 64m; min 1m), so a 100 GB
-      exchange still fans out to thousands of tasks while a 100 KB
-      label-propagation round collapses to one task instead of 32
-      scheduler round-trips. Scale-adaptive by construction — the same
-      setting is right at sf0.001 and at 100 TB.
+      $SPARK_GRAFT_ADVISORY_PARTITION; min 1m), so a large exchange
+      still fans out to many tasks while a 100 KB label-propagation
+      round collapses to one task instead of 32 scheduler round-trips.
+      The LOCAL default is 8m: local CPU-heavy text stages (shingling,
+      n-gram joins) carry only a few MB per core, and a 64m advisory
+      measurably serialized them onto one task (decontaminate 1.2->2.5s);
+      production clusters should set 64-256m per the guide, which the
+      env var does without a code change.
     - Arrow enabled for all pandas UDF / toPandas paths; Arrow batches
       bounded by BYTES (64 MiB) rather than only the 10k-row default, so
       skinny pixel tables cross the Python boundary in fewer, larger
@@ -42,7 +45,7 @@ def get_spark(app="osgeo-gdal-spark", cores=None, shuffle_partitions=None,
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"))
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
                 "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

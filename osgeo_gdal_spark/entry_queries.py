@@ -2258,7 +2258,10 @@ def q_raster_footprint(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
-    polys = PZ.footprint(tiles, RASTER_ZOOM, lambda g: g == 1)
+    # shuffle_partitions=8: the cross-tile merge graph of this fixture
+    # is micro-state (r7 contour/k_shortest scoped-conf pattern)
+    polys = PZ.footprint(tiles, RASTER_ZOOM, lambda g: g == 1,
+                         shuffle_partitions=8)
 
     @F.pandas_udf("n_pts int, area double")
     def ring_digest(wkbs):
@@ -4103,7 +4106,7 @@ def q_polygonize(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
-    out = PZ.polygonize(tiles, RASTER_ZOOM)
+    out = PZ.polygonize(tiles, RASTER_ZOOM, shuffle_partitions=8)
     return out.select("region_id", "value", "n_pixels", "xmin", "ymin",
                       "xmax", "ymax")
 
@@ -4144,7 +4147,8 @@ def q_polygonize_rings(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
-    polys = PZ.polygonize_polygons(tiles, RASTER_ZOOM)
+    polys = PZ.polygonize_polygons(tiles, RASTER_ZOOM,
+                                   shuffle_partitions=8)
 
     @F.pandas_udf("n_pts int, area double")
     def ring_digest(wkbs):
@@ -6672,7 +6676,8 @@ def q_contour_polygons(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    cp = CT.contour_polygons(tiles, RASTER_ZOOM, CONTOUR_BANDS)
+    cp = CT.contour_polygons(tiles, RASTER_ZOOM, CONTOUR_BANDS,
+                             shuffle_partitions=8)
     return cp.groupBy("band").agg(
         F.round(F.sum("area"), 4).alias("area"),
         F.round(F.sum("perimeter"), 4).alias("perimeter"),
@@ -7696,7 +7701,7 @@ def q_sieve(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     cat = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
-    return PZ.sieve(cat, RASTER_ZOOM, 2000)
+    return PZ.sieve(cat, RASTER_ZOOM, 2000, shuffle_partitions=8)
 
 
 def sql_sieve() -> str:

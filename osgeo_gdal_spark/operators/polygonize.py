@@ -30,10 +30,39 @@ consumers run.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..sources.raster import TILE, parse_tile
+
+
+@contextmanager
+def _micro_conf(spark, shuffle_partitions):
+    """Scoped micro-state conf for the min-label loops (the r7 contour/
+    k_shortest pattern): callers whose cross-tile merge graph is known
+    micro-state opt in with a small shuffle width; AQE + whole-stage
+    codegen are scoped off alongside (AQE splits every fingerprint
+    action into one job per query stage and codegen compiles throwaway
+    janino classes — pure overhead at micro row counts). Restored on
+    exit; None = no-op (the at-scale default)."""
+    if shuffle_partitions is None:
+        yield
+        return
+    saved = (spark.conf.get("spark.sql.shuffle.partitions"),
+             spark.conf.get("spark.sql.adaptive.enabled"),
+             spark.conf.get("spark.sql.codegen.wholeStage"))
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(int(shuffle_partitions)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved[0])
+        spark.conf.set("spark.sql.adaptive.enabled", saved[1])
+        spark.conf.set("spark.sql.codegen.wholeStage", saved[2])
 
 
 def _label_tile(grid: np.ndarray) -> np.ndarray:
@@ -309,7 +338,7 @@ def _pieces_df(tiles: DataFrame, zoom: int, with_edges=False) -> DataFrame:
 
 
 def _polygonize_parts(tiles: DataFrame, zoom: int, max_rounds=32,
-                      with_edges=False):
+                      with_edges=False, shuffle_partitions=None):
     """Shared machinery: returns (regions, final_labels, borders,
     adjacency, edges) where labels maps every provisional rid to its
     merged component label and edges (None unless with_edges) are the
@@ -361,42 +390,46 @@ def _polygonize_parts(tiles: DataFrame, zoom: int, max_rounds=32,
     # sieve stacks a second loop on top and the plan string caps at
     # 2 GB). The r7 contour/k_shortest job-count toolkit.
     prev_fp = None
-    for _ in range(max_rounds):
-        neigh = (
-            sym.join(labels, sym.dst == labels.rid)
-            .groupBy("src").agg(F.min("label").alias("nmin"))
-        )
-        prop = (
-            labels.join(neigh, labels.rid == neigh.src, "left")
-            .select(
-                "rid",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+    with _micro_conf(tiles.sparkSession, shuffle_partitions):
+        for _ in range(max_rounds):
+            neigh = (
+                sym.join(labels, sym.dst == labels.rid)
+                .groupBy("src").agg(F.min("label").alias("nmin"))
             )
-        )
-        jumped = prop.alias("x").join(
-            prop.select(F.col("rid").alias("label"),
-                        F.col("label").alias("label2")).alias("y"),
-            "label", "left",
-        ).select(F.col("rid"), F.coalesce("label2", "label").alias("label")) \
-            .localCheckpoint(eager=False)
-        fp = jumped.agg(
-            F.count("*"),
-            F.sum(F.col("label").cast("decimal(38,0)"))).first()
-        labels = jumped
-        if prev_fp == (fp[0], fp[1]):
-            break
-        prev_fp = (fp[0], fp[1])
+            prop = (
+                labels.join(neigh, labels.rid == neigh.src, "left")
+                .select(
+                    "rid",
+                    F.least(F.col("label"),
+                            F.coalesce("nmin", F.col("label"))).alias("label"),
+                )
+            )
+            jumped = prop.alias("x").join(
+                prop.select(F.col("rid").alias("label"),
+                            F.col("label").alias("label2")).alias("y"),
+                "label", "left",
+            ).select(F.col("rid"), F.coalesce("label2", "label").alias("label")) \
+                .localCheckpoint(eager=False)
+            fp = jumped.agg(
+                F.count("*"),
+                F.sum(F.col("label").cast("decimal(38,0)"))).first()
+            labels = jumped
+            if prev_fp == (fp[0], fp[1]):
+                break
+            prev_fp = (fp[0], fp[1])
 
     return regions, labels, borders, adjacency, ring_edges
 
 
-def polygonize(tiles: DataFrame, zoom: int, max_rounds=32):
+def polygonize(tiles: DataFrame, zoom: int, max_rounds=32,
+               shuffle_partitions=None):
     """Region table for a tiled category raster.
 
     Returns DataFrame (region_id, value, n_pixels, xmin, ymin, xmax, ymax)
     where region_id = min global flat pixel index in the region.
     """
-    regions, labels, _borders, _adj, _e = _polygonize_parts(tiles, zoom, max_rounds)
+    regions, labels, _borders, _adj, _e = _polygonize_parts(
+        tiles, zoom, max_rounds, shuffle_partitions=shuffle_partitions)
     merged = (
         regions.join(labels, "rid")
         .groupBy(F.col("label").alias("region_id"))
@@ -412,7 +445,8 @@ def polygonize(tiles: DataFrame, zoom: int, max_rounds=32):
     return merged
 
 
-def sieve(tiles: DataFrame, zoom: int, threshold: int, max_rounds=32):
+def sieve(tiles: DataFrame, zoom: int, threshold: int, max_rounds=32,
+          shuffle_partitions=None):
     """Remove small connected regions by merging each region below
     `threshold` pixels into its largest neighbor — GDAL sieve semantics
     (``/root/reference/alg/gdalsievefilter.cpp``: small polygons merged
@@ -428,7 +462,8 @@ def sieve(tiles: DataFrame, zoom: int, threshold: int, max_rounds=32):
     Returns the merged region table (region_id, value, n_pixels, bbox) —
     value/id of the absorber; absorbed regions disappear into it.
     """
-    regions, labels, borders, in_tile, _e = _polygonize_parts(tiles, zoom, max_rounds)
+    regions, labels, borders, in_tile, _e = _polygonize_parts(
+        tiles, zoom, max_rounds, shuffle_partitions=shuffle_partitions)
 
     # cross-tile diff-value border pairs complete the adjacency graph
     a = borders.filter(F.col("side") == 0).select(
@@ -496,31 +531,33 @@ def sieve(tiles: DataFrame, zoom: int, threshold: int, max_rounds=32):
         "region_id", F.col("region_id").alias("comp")
     ).localCheckpoint()
     prev_fp = None
-    for _ in range(max_rounds):  # fused rounds — see the region loop
-        neigh = (
-            ab_sym.join(comp, ab_sym.rb == comp.region_id)
-            .groupBy("ra").agg(F.min("comp").alias("nmin"))
-        )
-        prop = (
-            comp.join(neigh, comp.region_id == neigh.ra, "left")
-            .select(
-                "region_id",
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+    with _micro_conf(tiles.sparkSession, shuffle_partitions):
+        for _ in range(max_rounds):  # fused rounds — see the region loop
+            neigh = (
+                ab_sym.join(comp, ab_sym.rb == comp.region_id)
+                .groupBy("ra").agg(F.min("comp").alias("nmin"))
             )
-        )
-        jumped = prop.alias("x").join(
-            prop.select(F.col("region_id").alias("comp"),
-                        F.col("comp").alias("comp2")).alias("y"),
-            "comp", "left",
-        ).select("region_id", F.coalesce("comp2", "comp").alias("comp")) \
-            .localCheckpoint(eager=False)
-        fp = jumped.agg(
-            F.count("*"),
-            F.sum(F.col("comp").cast("decimal(38,0)"))).first()
-        comp = jumped
-        if prev_fp == (fp[0], fp[1]):
-            break
-        prev_fp = (fp[0], fp[1])
+            prop = (
+                comp.join(neigh, comp.region_id == neigh.ra, "left")
+                .select(
+                    "region_id",
+                    F.least(F.col("comp"),
+                            F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                )
+            )
+            jumped = prop.alias("x").join(
+                prop.select(F.col("region_id").alias("comp"),
+                            F.col("comp").alias("comp2")).alias("y"),
+                "comp", "left",
+            ).select("region_id", F.coalesce("comp2", "comp").alias("comp")) \
+                .localCheckpoint(eager=False)
+            fp = jumped.agg(
+                F.count("*"),
+                F.sum(F.col("comp").cast("decimal(38,0)"))).first()
+            comp = jumped
+            if prev_fp == (fp[0], fp[1]):
+                break
+            prev_fp = (fp[0], fp[1])
 
     # component root: non-small first, then largest, then smallest id
     with_comp = merged.join(comp, "region_id", "left").withColumn(
@@ -691,7 +728,8 @@ _POLY_SCHEMA = T.StructType(
 )
 
 
-def polygonize_polygons(tiles: DataFrame, zoom: int, max_rounds=32):
+def polygonize_polygons(tiles: DataFrame, zoom: int, max_rounds=32,
+                        shuffle_partitions=None):
     """Full polygonize: region table + WKB polygon boundaries in GLOBAL
     PIXEL coordinates (ring vertices on the integer pixel lattice).
     Exterior ring first, then holes — one polygon per region (regions are
@@ -700,7 +738,8 @@ def polygonize_polygons(tiles: DataFrame, zoom: int, max_rounds=32):
     from ..kernels import wkb as W
 
     regions, labels, borders, _adj, in_tile = _polygonize_parts(
-        tiles, zoom, max_rounds, with_edges=True
+        tiles, zoom, max_rounds, with_edges=True,
+        shuffle_partitions=shuffle_partitions,
     )
     edges = in_tile.unionByName(_seam_edges(borders))
     lab = labels.select("rid", "label")
@@ -741,7 +780,8 @@ def polygonize_polygons(tiles: DataFrame, zoom: int, max_rounds=32):
     return polys.drop("value").join(vals, "region_id")
 
 
-def footprint(tiles: DataFrame, zoom: int, valid) -> DataFrame:
+def footprint(tiles: DataFrame, zoom: int, valid,
+              shuffle_partitions=None) -> DataFrame:
     """Raster footprint (apps/gdal_footprint_lib.cpp): polygon boundary of
     the validity mask. ``valid`` is a python predicate over the pixel
     array (e.g. ``lambda g: g != 0``); the mask is materialized as a
@@ -769,5 +809,6 @@ def footprint(tiles: DataFrame, zoom: int, valid) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     mask_tiles = tiles.mapInPandas(maskify, _TS)
-    polys = polygonize_polygons(mask_tiles, zoom)
+    polys = polygonize_polygons(mask_tiles, zoom,
+                                shuffle_partitions=shuffle_partitions)
     return polys.filter(F.col("value") == 1.0)

@@ -1374,9 +1374,13 @@ def q_dedup_near_groups(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_table(spark, sf, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    # shuffle_partitions=8: the verified-pair graph (planted 2-member
+    # clusters + LSH near-dups) is micro-state relative to the corpus —
+    # the r7 scoped-conf pattern applied to the closure loop only
     out = DD.near_dup_groups_portable(docs.unionByName(planted),
                                       num_hashes=8, k=3,
-                                      jaccard_threshold=0.8)
+                                      jaccard_threshold=0.8,
+                                      shuffle_partitions=8)
     return out.select("group_id", "doc_id",
                       F.col("keep").cast("int").alias("keep"))
 

@@ -241,7 +241,8 @@ def near_dup_groups_portable(docs: DataFrame, num_hashes=8, k=3,
                              jaccard_threshold=0.8,
                              max_bucket: int | None = DEFAULT_MAX_BUCKET,
                              text_col="text", id_col="doc_id",
-                             max_rounds=16) -> DataFrame:
+                             max_rounds=16,
+                             shuffle_partitions=None) -> DataFrame:
     """``near_dup_groups`` over the engine-portable mod-2^31-1 sketch
     path (lsh_pairs_portable) instead of xxhash64 — every stage of the
     chain (grams -> MinHash -> LSH bands -> candidate pairs -> exact
@@ -254,10 +255,11 @@ def near_dup_groups_portable(docs: DataFrame, num_hashes=8, k=3,
     verified = jaccard_pairs(docs, cand, text_col, id_col).filter(
         F.col("jaccard") >= jaccard_threshold
     ).select("doc_a", "doc_b")
-    return _min_label_groups(verified, max_rounds)
+    return _min_label_groups(verified, max_rounds, shuffle_partitions)
 
 
-def _min_label_groups(verified: DataFrame, max_rounds: int) -> DataFrame:
+def _min_label_groups(verified: DataFrame, max_rounds: int,
+                      shuffle_partitions=None) -> DataFrame:
     """Connected components over verified duplicate pairs by bounded
     min-label propagation (the polygonize-merge shape: duplicate
     clusters are tiny, rounds ~ log2 of the largest cluster diameter),
@@ -276,30 +278,33 @@ def _min_label_groups(verified: DataFrame, max_rounds: int) -> DataFrame:
     members = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = members.select("doc_id", F.col("doc_id").alias("label")
                             ).localCheckpoint()
+    from .polygonize import _micro_conf
+
     prev_fp = None
-    for _ in range(max_rounds):
-        neigh = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a").agg(F.min("label").alias("nmin"))
-        )
-        prop = (
-            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
-            .select("doc_id", F.least(
-                F.col("label"), F.coalesce("nmin", F.col("label"))
-            ).alias("label"))
-        )
-        jumped = prop.alias("x").join(
-            prop.select(F.col("doc_id").alias("label"),
-                        F.col("label").alias("label2")).alias("y"),
-            "label", "left",
-        ).select("doc_id", F.coalesce("label2", "label").alias("label"))             .localCheckpoint(eager=False)
-        fp = jumped.agg(
-            F.count("*"),
-            F.sum(F.col("label").cast("decimal(38,0)"))).first()
-        labels = jumped
-        if prev_fp == (fp[0], fp[1]):
-            break
-        prev_fp = (fp[0], fp[1])
+    with _micro_conf(verified.sparkSession, shuffle_partitions):
+        for _ in range(max_rounds):
+            neigh = (
+                edges.join(labels, edges.doc_b == labels.doc_id)
+                .groupBy("doc_a").agg(F.min("label").alias("nmin"))
+            )
+            prop = (
+                labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+                .select("doc_id", F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"))
+            )
+            jumped = prop.alias("x").join(
+                prop.select(F.col("doc_id").alias("label"),
+                            F.col("label").alias("label2")).alias("y"),
+                "label", "left",
+            ).select("doc_id", F.coalesce("label2", "label").alias("label"))                 .localCheckpoint(eager=False)
+            fp = jumped.agg(
+                F.count("*"),
+                F.sum(F.col("label").cast("decimal(38,0)"))).first()
+            labels = jumped
+            if prev_fp == (fp[0], fp[1]):
+                break
+            prev_fp = (fp[0], fp[1])
 
     return labels.select(
         F.col("label").alias("group_id"), "doc_id",

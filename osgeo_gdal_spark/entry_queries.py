@@ -7348,7 +7348,7 @@ def q_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
     # materializes once (r7 k_shortest toolkit)
     out = GG.shortest_paths(edges, source=0, max_rounds=2 * GRID_N + 2,
                             exact_rounds=2 * (GRID_N - 1),
-                            shuffle_partitions=8)
+                            shuffle_partitions=1)
     return out.select("node", F.col("dist").cast("long").alias("dist"))
 
 
@@ -7409,7 +7409,7 @@ def q_k_shortest(spark: SparkSession, sf: str) -> DataFrame:
     # (_multi_spur_routes_carry) instead of ~25 fingerprint/backtrack
     # round-trips (VERDICT r6 item 4). General graphs leave it None.
     got = GG.k_shortest_paths(edges, 0, 3, k=4, max_rounds=8,
-                              shuffle_partitions=4, exact_rounds=3)
+                              shuffle_partitions=1, exact_rounds=3)
     out = [(i + 1, float(c), "-".join(str(int(x)) for x in p))
            for i, (c, p) in enumerate(got)]
     return spark.createDataFrame(out, "k INT, cost DOUBLE, path STRING")

@@ -20,14 +20,14 @@ def get_spark(app="osgeo-gdal-spark", cores=None, shuffle_partitions=None,
       $SPARK_GRAFT_ADVISORY_PARTITION; min 1m), so a large exchange
       still fans out to many tasks while a 100 KB label-propagation
       round collapses to one task instead of 32 scheduler round-trips.
-      The LOCAL default is 1m (measured best of {1m, 8m, 64m} across the
-      text, polygonize and raster families): local CPU-heavy stages
-      (shingling, n-gram joins, ring assembly) carry only ~1 MB per
-      useful core, and a 64m advisory measurably serialized them onto
-      one task (decontaminate 1.2->2.5s) while this VM's vCPU throttle
-      makes 32-wide micro-stages equally bad (~0.3 s/task contention);
-      production clusters should set 64-256m per the guide, which the
-      env var does without a code change.
+      The LOCAL default is 4m (measured sweep of {1m, 4m, 8m, 64m}
+      across the text, polygonize, blend and packing families): local
+      CPU-heavy stages carry only a few MB per useful core, and a 64m
+      advisory measurably serialized them onto one task (decontaminate
+      1.2->2.5s) while 1m over-coalesced the mid-size packing/blend
+      shuffles (pack_sequences 0.18->0.31s); production clusters should
+      set 64-256m per the guide, which the env var does without a code
+      change.
     - Arrow enabled for all pandas UDF / toPandas paths; Arrow batches
       bounded by BYTES (64 MiB) rather than only the 10k-row default, so
       skinny pixel tables cross the Python boundary in fewer, larger
@@ -48,7 +48,7 @@ def get_spark(app="osgeo-gdal-spark", cores=None, shuffle_partitions=None,
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "1m"))
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4m"))
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
                 "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

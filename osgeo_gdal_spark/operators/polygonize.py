@@ -776,6 +776,14 @@ def polygonize_polygons(tiles: DataFrame, zoom: int, max_rounds=32,
              "wkb": wkb}
         ])
 
+    if shuffle_partitions is not None:
+        # parallelism floor for the ring walk: per-group CPU cost is
+        # invisible to AQE's byte-based coalescing, which folds the
+        # skinny edge table into ONE task (~0.7 s serial walk measured
+        # on the contour-band fixture); an explicit repartition at the
+        # caller's scoped width is exempt from coalescing and the
+        # groupBy reuses its partitioning
+        edges = edges.repartition(int(shuffle_partitions), "region_id")
     polys = edges.groupBy("region_id").applyInPandas(assemble, _POLY_SCHEMA)
     return polys.drop("value").join(vals, "region_id")
 

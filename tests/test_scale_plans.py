@@ -386,7 +386,16 @@ def test_identity_plan_single_pairs_join(spark):
     ov = OV.identity_features(spark, PL.tindex_df(spark), PL.POLYGONS)
     plan = plan_of(ov)
     assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
-    assert "BroadcastHashJoin" in plan
+    # r8: the matched-pair table is PINNED (localCheckpoint) so the fold
+    # and the left-anti read one materialization — the final plan shows
+    # the pinned scan; the broadcast cell-cover join property is asserted
+    # on the pairs plan itself below
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    from osgeo_gdal_spark.operators import spatial_join as SJ
+
+    pairs_plan = plan_of(
+        SJ.spatial_join_polygons(spark, PL.tindex_df(spark), PL.POLYGONS))
+    assert "BroadcastHashJoin" in pairs_plan, pairs_plan[:2000]
     # the only sort-merge allowed is the erase-standard left-anti
     # pass-through on the skinny fid key (AQE turns it broadcast when
     # the matched set is small)

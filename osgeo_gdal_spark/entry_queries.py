@@ -20,6 +20,7 @@ from .functions import sqlgen as G
 from .operators import knn as KNN, spatial_join as SJ, tiling as TL
 from .sources import pages as PG, polygons as PL
 from .session import read_table
+from .session import local_df
 
 SPATIAL_ZOOM = 6
 PIXEL_ZOOM = 2
@@ -1801,7 +1802,7 @@ def q_curve_linearize(spark: SparkSession, sf: str) -> DataFrame:
     rows = [(fid, _st.pack("<BI", 1, CV.CIRCULARSTRING)
              + CV._wr_points([(float(x), float(y)) for x, y in pts]))
             for fid, pts in CURVE_FIXTURES]
-    df = spark.createDataFrame(rows, "fid INT, wkb BINARY")
+    df = local_df(spark, rows, "fid INT, wkb BINARY")
     lin = df.select("fid", ST.st_linearize("wkb").alias("lw"))
 
     schema = T.StructType([
@@ -2737,7 +2738,7 @@ def q_pixel_info(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    pts = spark.createDataFrame(
+    pts = local_df(spark, 
         [(int(p), float(lon), float(lat)) for p, lon, lat in INTERP_POINTS],
         "pid BIGINT, lon DOUBLE, lat DOUBLE",
     )
@@ -3798,7 +3799,7 @@ def q_convex_hull(spark: SparkSession, sf: str) -> DataFrame:
     from .kernels import wkb as W
 
     rows = [(fid, W.polygon_wkb([ring])) for fid, ring, _, _ in CONVEX_FIXTURE]
-    df = spark.createDataFrame(rows, "fid INT, g BINARY")
+    df = local_df(spark, rows, "fid INT, g BINARY")
     hull = df.select("fid", ST.st_convexhull("g").alias("h"))
     return hull.select(
         "fid",
@@ -3914,7 +3915,7 @@ def q_simplify_dp(spark: SparkSession, sf: str) -> DataFrame:
 
     rows = [(fid, W.polygon_wkb([ring]))
             for fid, ring, _, _ in _simplify_fixture()]
-    df = spark.createDataFrame(rows, "fid INT, g BINARY")
+    df = local_df(spark, rows, "fid INT, g BINARY")
     simp = df.select("fid", ST.st_simplify_tol1("g").alias("sg"))
     return simp.select(
         "fid",
@@ -3984,7 +3985,7 @@ def q_explode_collections(spark: SparkSession, sf: str) -> DataFrame:
     rows = [(fid, W.multipolygon_wkb(parts)) for fid, parts in EXPLODE_FIXTURE]
     rows.append((3, W.polygon_wkb(
         [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]])))
-    df = spark.createDataFrame(rows, "fid INT, g BINARY")
+    df = local_df(spark, rows, "fid INT, g BINARY")
     parts = df.select("fid", F.posexplode(ST.st_dump("g"))
                       .alias("part", "pg"))
     return parts.select("fid", "part",
@@ -4010,7 +4011,7 @@ def q_interpolate_at_point(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    pts = spark.createDataFrame(
+    pts = local_df(spark, 
         [(int(p), float(lon), float(lat)) for p, lon, lat in INTERP_POINTS],
         "pid BIGINT, lon DOUBLE, lat DOUBLE",
     )
@@ -4059,7 +4060,7 @@ def q_interpolate_cubic(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
-    pts = spark.createDataFrame(
+    pts = local_df(spark, 
         [(int(p), float(lon), float(lat)) for p, lon, lat in INTERP_POINTS],
         "pid BIGINT, lon DOUBLE, lat DOUBLE",
     )
@@ -4748,7 +4749,7 @@ def q_spatial_predicates(spark: SparkSession, sf: str) -> DataFrame:
             [[(b[0], b[1]), (b[2], b[1]), (b[2], b[3]), (b[0], b[3])]])))
         for i, a, b in pred_pairs()
     ]
-    df = spark.createDataFrame(rows, "pair_id LONG, ga BINARY, gb BINARY")
+    df = local_df(spark, rows, "pair_id LONG, ga BINARY, gb BINARY")
     df.createOrReplaceTempView("pred_pairs")
     return spark.sql("""
         SELECT pair_id,
@@ -5520,7 +5521,7 @@ def q_line_predicates(spark: SparkSession, sf: str) -> DataFrame:
              [[(r[0], r[1]), (r[2], r[1]), (r[2], r[3]), (r[0], r[3])]])))
         for i, line, r, _exp in line_pairs()
     ]
-    df = spark.createDataFrame(rows, "pair_id LONG, gl BINARY, gp BINARY")
+    df = local_df(spark, rows, "pair_id LONG, gl BINARY, gp BINARY")
 
     out_schema = T.StructType([
         T.StructField("pair_id", T.LongType()),
@@ -7340,7 +7341,7 @@ def q_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
     exact; the fixture DAG makes the recursive-CTE oracle finite."""
     from .operators import graph as GG
 
-    edges = spark.createDataFrame(
+    edges = local_df(spark, 
         _grid_edges_rows(), "src LONG, dst LONG, w DOUBLE"
     )
     # exact_rounds: the N x N grid DAG's longest optimal path has
@@ -7402,7 +7403,7 @@ def q_k_shortest(spark: SparkSession, sf: str) -> DataFrame:
     rows = list(K_SHORTEST_EDGES) + [
         (1000 + i, 2000 + i, 1.0) for i in range(K_SHORTEST_DECOYS)
     ]
-    edges = spark.createDataFrame(rows, "src LONG, dst LONG, w DOUBLE")
+    edges = local_df(spark, rows, "src LONG, dst LONG, w DOUBLE")
     # exact_rounds=3: the fixture's longest simple path has 3 edges, so
     # 3 relaxation rounds provably reach every optimal path — each Yen
     # relaxation runs through the path-carrying ONE-JOB variant
@@ -7412,7 +7413,7 @@ def q_k_shortest(spark: SparkSession, sf: str) -> DataFrame:
                               shuffle_partitions=1, exact_rounds=3)
     out = [(i + 1, float(c), "-".join(str(int(x)) for x in p))
            for i, (c, p) in enumerate(got)]
-    return spark.createDataFrame(out, "k INT, cost DOUBLE, path STRING")
+    return local_df(spark, out, "k INT, cost DOUBLE, path STRING")
 
 
 def sql_k_shortest() -> str:
@@ -8114,7 +8115,7 @@ def q_grid_linear(spark: SparkSession, sf: str) -> DataFrame:
     strictly inside the rect hull evaluate to the closed form."""
     from .operators import grid as GR, raster_ops as RO
 
-    pts = spark.createDataFrame(_grid_linear_pts(),
+    pts = local_df(spark, _grid_linear_pts(),
                                 "px DOUBLE, py DOUBLE, z DOUBLE")
     tiles = GR.grid_linear(spark, pts, 1, nodata=-1.0,
                            window=(56, 56, 48, 48))

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import shingles
+from ..session import local_df
 
 
 def doc_lines(docs: DataFrame, width: int, text_col="text",
@@ -223,7 +224,7 @@ def decontaminate(docs: DataFrame, phrases, n=5, text_col="text",
     string, so work is O(matching shingles), never text × benchmarks.
     """
     spark = docs.sparkSession
-    bench = spark.createDataFrame(
+    bench = local_df(spark, 
         [(p,) for p in phrases], "shingle STRING"
     )
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)

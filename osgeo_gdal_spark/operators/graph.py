@@ -23,6 +23,7 @@ from __future__ import annotations
 import warnings
 
 from pyspark.sql import DataFrame, functions as F
+from ..session import local_df
 
 
 def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
@@ -52,7 +53,7 @@ def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
     edges = edges.select("src", "dst", "w").localCheckpoint()
 
     if exact_rounds is not None:
-        dist = spark.createDataFrame(
+        dist = local_df(spark, 
             [(int(source), 0.0)], "node LONG, dist DOUBLE")
         saved = None
         if shuffle_partitions is not None:
@@ -93,7 +94,7 @@ def shortest_paths(edges: DataFrame, source, max_rounds: int = 64,
                 spark.conf.set("spark.sql.adaptive.enabled", saved[1])
                 spark.conf.set("spark.sql.codegen.wholeStage", saved[2])
 
-    dist = spark.createDataFrame([(int(source), 0)], "node LONG, dist LONG") \
+    dist = local_df(spark, [(int(source), 0)], "node LONG, dist LONG") \
         .withColumn("dist", F.col("dist").cast("double"))
 
     # convergence is checked every CHECK_EVERY rounds: the (count, sum)
@@ -151,7 +152,7 @@ def shortest_path_route(edges: DataFrame, source, target,
         edges = edges.filter(~F.col("src").isin(b) & ~F.col("dst").isin(b))
     edges = edges.select("src", "dst", "w").localCheckpoint()
 
-    dist = spark.createDataFrame(
+    dist = local_df(spark, 
         [(int(source), 0.0, int(source))], "node LONG, dist DOUBLE, prev LONG"
     )
     # the convergence fingerprint of THIS round's input is last round's
@@ -232,16 +233,16 @@ def _multi_spur_routes(edges: DataFrame, spurs, target,
     """
     spark = edges.sparkSession
     init = [(int(sid), int(sp), 0.0, int(sp)) for sid, sp, _, _ in spurs]
-    dist = spark.createDataFrame(
+    dist = local_df(spark, 
         init, "sid INT, node LONG, dist DOUBLE, prev LONG")
     banned_rows = [(int(sid), int(a), int(b))
                    for sid, _, banned, _ in spurs for a, b in banned]
     blocked_rows = [(int(sid), int(n))
                     for sid, _, _, blocked in spurs for n in blocked]
-    banned_df = (F.broadcast(spark.createDataFrame(
+    banned_df = (F.broadcast(local_df(spark, 
         banned_rows, "sid INT, bsrc LONG, bdst LONG"))
         if banned_rows else None)
-    blocked_df = (F.broadcast(spark.createDataFrame(
+    blocked_df = (F.broadcast(local_df(spark, 
         blocked_rows, "sid INT, bnode LONG"))
         if blocked_rows else None)
 
@@ -358,7 +359,7 @@ def _multi_spur_routes_carry(edges: DataFrame, spurs, target,
     spark = edges.sparkSession
     init = [(int(sid), int(sp), 0.0, [int(sp)], [0.0])
             for sid, sp, _, _ in spurs]
-    dist = spark.createDataFrame(
+    dist = local_df(spark, 
         init,
         "sid INT, node LONG, dist DOUBLE, path ARRAY<LONG>, "
         "dists ARRAY<DOUBLE>")

@@ -27,6 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..kernels import cells as C, mercator as M
+from ..session import local_df
 
 KNN_ZOOM = 4  # coarse gather zoom: world = 16x16 cells
 
@@ -96,7 +97,7 @@ def knn_join(spark, pages: DataFrame, queries, k=5, zoom=KNN_ZOOM,
     r = 1
     while pending and r <= max_r:
         qlist = [(qid, lon, lat) for qid, (lon, lat) in pending.items()]
-        ring = spark.createDataFrame(_ring_rows(qlist, r, zoom), schema)
+        ring = local_df(spark, _ring_rows(qlist, r, zoom), schema)
         cand = pages.join(F.broadcast(ring), "cell_key")
         dist2 = (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon")) + (
             F.col("lat") - F.col("qlat")

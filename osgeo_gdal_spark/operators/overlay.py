@@ -23,6 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..kernels import clip as CL, overlay_kernel as OVK, wkb as W
+from ..session import local_df
 
 _CLIP_SCHEMA_EXTRA = [
     T.StructField("clip_wkb", T.BinaryType()),
@@ -389,7 +390,7 @@ def update_features(spark, feats: DataFrame, polys,
     out_schema = T.StructType(
         [T.StructField(f.name, f.dataType, True) for f in er.schema]
     )
-    bdf = spark.createDataFrame(
+    bdf = local_df(spark, 
         [tuple(r[f.name] for f in out_schema) for r in brows], out_schema
     )
     return er.select(*[f.name for f in out_schema]).unionByName(bdf)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..kernels import checksum as CK, resample as R
 from ..sources.raster import TILE, TILE_SCHEMA, key_range, parse_tile
+from ..session import local_df
 
 _PIXEL_SCHEMA = T.StructType(
     [
@@ -915,7 +916,7 @@ def _zone_setup(spark, polys, zoom: int):
     bc = spark.sparkContext.broadcast(payload)
     pkey = payload_key([(fid, buf) for fid, _eas, buf in payload])
 
-    env = spark.createDataFrame(
+    env = local_df(spark, 
         env_rows, "fid LONG, tx0 LONG, tx1 LONG, ty0 LONG, ty1 LONG"
     )
     cover_lists = (
@@ -1364,7 +1365,7 @@ def raster_zonal_frac(tiles: DataFrame, polys, zoom: int) -> DataFrame:
     bc = spark.sparkContext.broadcast(bounds)
     maxt = (1 << zoom) - 1
 
-    env = spark.createDataFrame(
+    env = local_df(spark, 
         [
             (fid,
              max(0, int(px0 // TILE)), min(maxt, int(px1 // TILE)),
@@ -1690,7 +1691,7 @@ def raster_zonal_frac_poly(tiles: DataFrame, zones, zoom: int) -> DataFrame:
          for eas, rings in zones}
     )
 
-    env = spark.createDataFrame(
+    env = local_df(spark, 
         [
             (eas,
              max(0, int(x0 // TILE)), min(maxt, int(x1 // TILE)),
@@ -1775,7 +1776,7 @@ def viewshed(tiles: DataFrame, zoom: int, observers, radius: int,
                 f"radius+1={r1} px of the raster edge (world {world})"
             )
 
-    obs = spark.createDataFrame(
+    obs = local_df(spark, 
         [(int(o), int(px), int(py)) for o, px, py in observers],
         "obs_id LONG, opx LONG, opy LONG",
     )

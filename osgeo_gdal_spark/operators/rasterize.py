@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..kernels import checksum as CK, rasterize as RK, wkb as W
 from ..sources.raster import TILE, TILE_SCHEMA
+from ..session import local_df
 
 
 def lonlat_to_px(lon, lat, zoom):
@@ -95,7 +96,7 @@ def rasterize(spark: SparkSession, shapes, zoom: int, all_touched=False,
         env_rows.append((int(fid), x0 // TILE, x1 // TILE, y0 // TILE, y1 // TILE))
     bc = spark.sparkContext.broadcast(payload)
 
-    env = spark.createDataFrame(
+    env = local_df(spark, 
         env_rows, "fid LONG, tx0 LONG, tx1 LONG, ty0 LONG, ty1 LONG"
     )
     # native cover explode — the (feature x tile) list never touches the

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F, types as T
+from ..session import local_df
 
 
 def _dot_expr(a: str, b: str) -> str:
@@ -247,7 +248,7 @@ def ann_topk_ivf(emb: DataFrame, queries, centroids: np.ndarray, k=3,
         d = ((C - qv[None, :]) ** 2).sum(axis=1)
         for c in np.argsort(d)[:nprobe]:
             probe_rows.append((int(qid), qv.tolist(), int(c)))
-    probes = spark.createDataFrame(
+    probes = local_df(spark, 
         probe_rows, "qid LONG, qvec ARRAY<DOUBLE>, ivf_cluster LONG"
     )
     cand = e.join(F.broadcast(probes), "ivf_cluster").filter(
@@ -498,7 +499,7 @@ def ann_topk_quantized(emb: DataFrame, queries, k=3, candidates=16,
     # exact re-rank: join candidates back to the float vectors
     joined = cands.join(emb.select(F.col(id_col).alias("vec_id"),
                                    F.col(vec_col).alias("v")), "vec_id")
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [(int(q), [float(x) for x in v]) for q, v in queries],
         "qid LONG, qv ARRAY<DOUBLE>",
     )

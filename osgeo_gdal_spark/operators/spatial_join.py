@@ -117,7 +117,9 @@ def polygon_cover_df(spark, polys, zoom=DEFAULT_JOIN_ZOOM):
             T.StructField("refine_needed", T.BooleanType()),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    from ..session import local_df
+
+    return local_df(spark, rows, schema)
 
 
 def with_cell_key(df: DataFrame, zoom=DEFAULT_JOIN_ZOOM,

@@ -77,3 +77,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     tables (spark.read.table); parquet here — same columnar scan path,
     same Catalyst pushdown behavior."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """``createDataFrame`` for DRIVER-BUILT local tables, routed through
+    pandas + Arrow. The plain-list path parallelizes PICKLED rows into a
+    Python-RDD scan — every downstream evaluation then launches a Python
+    worker per partition just to deserialize the rows (measured ~0.13 s
+    per task on this VM; the flagship join paid two such 32-task stages
+    per run). The Arrow path yields a JVM-side local relation with exact
+    size stats (so broadcast decisions see the true size). Falls back to
+    the classic path for rows pandas/Arrow cannot represent faithfully
+    (the caller loses nothing but the speedup)."""
+    try:
+        import pandas as pd
+
+        names = (schema.fieldNames() if hasattr(schema, "fieldNames")
+                 else None)
+        pdf = pd.DataFrame(list(rows), columns=names)
+        if len(pdf) == 0:
+            return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)

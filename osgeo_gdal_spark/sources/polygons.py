@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..kernels import wkb as W
+from ..session import local_df
 
 
 @dataclass
@@ -168,7 +169,7 @@ def polygons_df(spark):
             ),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def polygons_values_sql() -> str:
@@ -291,7 +292,7 @@ def tindex_df(spark):
             T.StructField("ymax", T.DoubleType()),
         ])),
     ])
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def tindex_values_sql() -> str:
@@ -411,7 +412,7 @@ def dissolve_df(spark):
             T.StructField("ymax", T.DoubleType()),
         ])),
     ])
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def dissolve_values_sql() -> str:
@@ -591,7 +592,7 @@ def contact_feats_df(spark):
             T.StructField("ymax", T.DoubleType()),
         ])),
     ])
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def contact_values_sql() -> str:
@@ -666,4 +667,4 @@ def tiling_dissolve_df(spark):
         T.StructField("fid", T.LongType()),
         T.StructField("geometry", T.BinaryType()),
     ])
-    return spark.createDataFrame(out, schema)
+    return local_df(spark, out, schema)

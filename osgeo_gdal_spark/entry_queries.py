@@ -1577,7 +1577,7 @@ def q_raster_reclassify(spark: SparkSession, sf: str) -> DataFrame:
     out = RO.reclassify_tiles(tiles, RECLASS_MAPPING, nodata=RECLASS_NODATA)
     x0, y0, w, h = RECLASS_WIN
     return (
-        RO.explode_pixels(out)
+        RO.explode_pixels(out, window=(x0, y0, w, h))
         .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
                 & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
         .select("gpx", "gpy", "value")
@@ -1667,7 +1667,7 @@ def q_raster_scale(spark: SparkSession, sf: str) -> DataFrame:
     out = RO.scale_tiles(tiles, s0, s1, d0, d1, exponent=e)
     x0, y0, w, h = RECLASS_WIN
     return (
-        RO.explode_pixels(out)
+        RO.explode_pixels(out, window=(x0, y0, w, h))
         .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
                 & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
         .select("gpx", "gpy", "value")
@@ -1710,7 +1710,7 @@ def q_raster_update(spark: SparkSession, sf: str) -> DataFrame:
     out = RO.update_tiles(base, patch, UPDATE_NODATA)
     x0, y0, w, h = UPDATE_WIN
     return (
-        RO.explode_pixels(out)
+        RO.explode_pixels(out, window=(x0, y0, w, h))
         .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
                 & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
         .select("gpx", "gpy", "value")
@@ -2204,7 +2204,7 @@ def q_pansharpen(spark: SparkSession, sf: str) -> DataFrame:
     out = RO.pansharpen(pan, rgb, weights=PANSHARP_W)
     x0, y0, w, h = PANSHARP_WIN
     return (
-        RO.explode_pixels_banded(out)
+        RO.explode_pixels_banded(out, window=(x0, y0, w, h))
         .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
                 & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
         .select("band", "gpx", "gpy",
@@ -2266,7 +2266,7 @@ def q_raster_footprint(spark: SparkSession, sf: str) -> DataFrame:
     # shuffle_partitions=8: the cross-tile merge graph of this fixture
     # is micro-state (r7 contour/k_shortest scoped-conf pattern)
     polys = PZ.footprint(tiles, RASTER_ZOOM, lambda g: g == 1,
-                         shuffle_partitions=8)
+                         shuffle_partitions=8, walk_partitions=16)
 
     @F.pandas_udf("n_pts int, area double")
     def ring_digest(wkbs):
@@ -2332,7 +2332,7 @@ def q_raster_resize(spark: SparkSession, sf: str) -> DataFrame:
     out = RO.resize_tiles(tiles, RASTER_ZOOM, 0, method="bilinear")
     x0, y0, w, h = RESIZE_WIN
     return (
-        RO.explode_pixels(out)
+        RO.explode_pixels(out, window=(x0, y0, w, h))
         .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
                 & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
         .select("gpx", "gpy", "value")
@@ -2620,7 +2620,7 @@ def q_overview_refresh(spark: SparkSession, sf: str) -> DataFrame:
         updated, patch.select("gx", "gy"))
     x0, y0, w, h = REFRESH_WIN
     return (
-        RO.explode_pixels(refreshed)
+        RO.explode_pixels(refreshed, window=(x0, y0, w, h))
         .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
                 & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
         .select("gpx", "gpy", "value")
@@ -2706,7 +2706,7 @@ def q_raster_stack(spark: SparkSession, sf: str) -> DataFrame:
     out = RO.stack_tiles([a, b])
     x0, y0, w, h = STACK_WIN
     return (
-        RO.explode_pixels_banded(out)
+        RO.explode_pixels_banded(out, window=(x0, y0, w, h))
         .filter((F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
                 & (F.col("gpy") >= y0) & (F.col("gpy") < y0 + h))
         .select("band", "gpx", "gpy", "value")
@@ -3395,13 +3395,17 @@ def q_raster_blend(spark: SparkSession, sf: str) -> DataFrame:
     from .operators import raster_ops as RO
     from .sources import raster as RS
 
-    base = RS.synth_rgba_tiles(spark, 0, "base")
-    over = RS.synth_rgba_tiles(spark, 0, "over")
+    # pin the two generated sources: BOTH mode chains read them, and
+    # unpinned each chain re-runs the generator mapInPandas stages
+    # (measured 1.34->1.10 s; same rows, per-invocation materialization)
+    base = RS.synth_rgba_tiles(spark, 0, "base").localCheckpoint()
+    over = RS.synth_rgba_tiles(spark, 0, "over").localCheckpoint()
     x0, y0, w, h = BLEND_WIN
     outs = []
     for mode in ("src_over", "multiply"):
         t = RO.blend_tiles(base, over, mode=mode, opacity=60)
-        outs.append(RO.explode_pixels_banded(t).select(
+        outs.append(RO.explode_pixels_banded(
+            t, window=(x0, y0, w, h)).select(
             F.lit(mode).alias("mode"), "band", "gpx", "gpy",
             F.col("value").cast("long").alias("value")))
     px = _reduce(lambda a, b: a.unionByName(b), outs)
@@ -3487,7 +3491,7 @@ def q_raster_nodata_alpha(spark: SparkSession, sf: str) -> DataFrame:
         "nodata", F.lit(77.0))
     out = RO.nodata_to_alpha_tiles(tiles)
     x0, y0, w, h = SRCWIN
-    return RO.explode_pixels_banded(out).select(
+    return RO.explode_pixels_banded(out, window=(x0, y0, w, h)).select(
         "band", "gpx", "gpy", F.col("value").cast("long").alias("value")
     ).filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x0 + w)
@@ -4153,7 +4157,8 @@ def q_polygonize_rings(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
     polys = PZ.polygonize_polygons(tiles, RASTER_ZOOM,
-                                   shuffle_partitions=8)
+                                   shuffle_partitions=8,
+                                   walk_partitions=16)
 
     @F.pandas_udf("n_pts int, area double")
     def ring_digest(wkbs):
@@ -5575,8 +5580,8 @@ def q_warp_affine(spark: SparkSession, sf: str) -> DataFrame:
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     out = RO.warp_affine(tiles, RASTER_ZOOM, WARP["a"], WARP["b"],
                          WARP["c"], WARP["d"], method="bilinear")
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = WARP_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
@@ -5646,8 +5651,8 @@ def q_warp_cutline(spark: SparkSession, sf: str) -> DataFrame:
         ("affine", WARP["a"], WARP["b"], WARP["c"], WARP["d"]),
         shapes, method="bilinear", nodata=-1.0,
     )
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = WARP_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
@@ -5759,8 +5764,8 @@ def q_warp_downscale_avg(spark: SparkSession, sf: str) -> DataFrame:
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     out = RO.warp_tiles(tiles, RASTER_ZOOM, ("affine", a, b, a, b),
                         method="average", nodata=-1.0)
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = WARP_AGG_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
@@ -5812,8 +5817,8 @@ def q_warp_downscale_med(spark: SparkSession, sf: str) -> DataFrame:
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     out = RO.warp_tiles(tiles, RASTER_ZOOM, ("affine", a, b, a, b),
                         method="amed", nodata=-1.0)
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = WARP_AGG_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
@@ -5872,8 +5877,8 @@ def q_warp_reproject(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     out = RO.warp_reproject_geodetic(tiles, RASTER_ZOOM, method="bilinear")
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = WARP_GEO_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
@@ -6145,8 +6150,8 @@ def q_slope_pct_zt(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     out = FO.focal_dem(tiles, RASTER_ZOOM, "slope_pct_zt")
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = FOCAL_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
@@ -6186,8 +6191,8 @@ def q_hillshade_multi(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     out = FO.focal_dem(tiles, RASTER_ZOOM, "hillshade_multi")
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = FOCAL_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
@@ -6256,8 +6261,8 @@ def q_focal_tpi(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     out = FO.focal_dem(tiles, RASTER_ZOOM, "tpi")
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = FOCAL_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
@@ -6292,7 +6297,7 @@ def q_proximity(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     out = PX.proximity(tiles, RASTER_ZOOM, 17.0, 80.0)
-    px = RO.explode_pixels(out)
+    px = RO.explode_pixels(out, window=(200, 200, 100, 100))
     return px.filter(
         (F.col("gpx") >= 200) & (F.col("gpx") < 300)
         & (F.col("gpy") >= 200) & (F.col("gpy") < 300)
@@ -6336,8 +6341,8 @@ def q_focal_hillshade(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     out = FO.focal_dem(tiles, RASTER_ZOOM, "hillshade")
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = FOCAL_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
@@ -6527,8 +6532,8 @@ def q_focal_mean5(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     out = FO.focal_generic(tiles, RASTER_ZOOM, np.ones((5, 5)), "mean")
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = FOCAL5_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)
@@ -7673,8 +7678,8 @@ def q_raster_calc(spark: SparkSession, sf: str) -> DataFrame:
         .drop("_ox0", "_oy0")
     out = RO.raster_calc({"A": a, "B": b},
                          "where(A > 128, A - B / 4, A + sqrt(B))")
-    px = RO.explode_pixels(out)
     x0, x1, y0, y1 = CALC_WIN
+    px = RO.explode_pixels(out, window=(x0, y0, x1 - x0, y1 - y0))
     return px.filter(
         (F.col("gpx") >= x0) & (F.col("gpx") < x1)
         & (F.col("gpy") >= y0) & (F.col("gpy") < y1)

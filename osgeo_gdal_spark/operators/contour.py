@@ -511,7 +511,8 @@ _CPOLY_SCHEMA = T.StructType(
 
 
 def contour_polygons(tiles: DataFrame, zoom: int, levels,
-                     shuffle_partitions=None) -> DataFrame:
+                     shuffle_partitions=None,
+                     walk_partitions=None) -> DataFrame:
     """Contour POLYGON mode (``gdal_contour -p``; alg/contour.cpp polygon
     appender + marching_squares/polygon_ring.h): iso-BANDS as polygons.
     This is the pixel-classified variant — each pixel joins the band of
@@ -529,7 +530,8 @@ def contour_polygons(tiles: DataFrame, zoom: int, levels,
     from . import polygonize as PZ
 
     polys = PZ.polygonize_polygons(band_classify(tiles, levels), zoom,
-                                   shuffle_partitions=shuffle_partitions)
+                                   shuffle_partitions=shuffle_partitions,
+                                   walk_partitions=walk_partitions)
 
     def measure(batches):
         import pandas as pd

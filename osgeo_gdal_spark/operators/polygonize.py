@@ -729,7 +729,7 @@ _POLY_SCHEMA = T.StructType(
 
 
 def polygonize_polygons(tiles: DataFrame, zoom: int, max_rounds=32,
-                        shuffle_partitions=None):
+                        shuffle_partitions=None, walk_partitions=None):
     """Full polygonize: region table + WKB polygon boundaries in GLOBAL
     PIXEL coordinates (ring vertices on the integer pixel lattice).
     Exterior ring first, then holes — one polygon per region (regions are
@@ -776,20 +776,24 @@ def polygonize_polygons(tiles: DataFrame, zoom: int, max_rounds=32,
              "wkb": wkb}
         ])
 
-    if shuffle_partitions is not None:
+    walk = walk_partitions if walk_partitions is not None \
+        else shuffle_partitions
+    if walk is not None:
         # parallelism floor for the ring walk: per-group CPU cost is
         # invisible to AQE's byte-based coalescing, which folds the
         # skinny edge table into ONE task (~0.7 s serial walk measured
         # on the contour-band fixture); an explicit repartition at the
-        # caller's scoped width is exempt from coalescing and the
-        # groupBy reuses its partitioning
-        edges = edges.repartition(int(shuffle_partitions), "region_id")
+        # caller's width is exempt from coalescing and the groupBy
+        # reuses its partitioning. walk_partitions decouples the
+        # CPU-bound walk width from the micro-state loop width
+        # (shuffle_partitions) — the walk parallelizes per region.
+        edges = edges.repartition(int(walk), "region_id")
     polys = edges.groupBy("region_id").applyInPandas(assemble, _POLY_SCHEMA)
     return polys.drop("value").join(vals, "region_id")
 
 
 def footprint(tiles: DataFrame, zoom: int, valid,
-              shuffle_partitions=None) -> DataFrame:
+              shuffle_partitions=None, walk_partitions=None) -> DataFrame:
     """Raster footprint (apps/gdal_footprint_lib.cpp): polygon boundary of
     the validity mask. ``valid`` is a python predicate over the pixel
     array (e.g. ``lambda g: g != 0``); the mask is materialized as a
@@ -818,5 +822,6 @@ def footprint(tiles: DataFrame, zoom: int, valid,
 
     mask_tiles = tiles.mapInPandas(maskify, _TS)
     polys = polygonize_polygons(mask_tiles, zoom,
-                                shuffle_partitions=shuffle_partitions)
+                                shuffle_partitions=shuffle_partitions,
+                                walk_partitions=walk_partitions)
     return polys.filter(F.col("value") == 1.0)

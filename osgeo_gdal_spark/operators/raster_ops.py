@@ -121,10 +121,44 @@ def set_type_tiles(tiles: DataFrame, out_dtype: str) -> DataFrame:
                            out_dtype=out_dtype).drop("_ox0", "_oy0")
 
 
-def explode_pixels(tiles: DataFrame) -> DataFrame:
+def _window_prune(tiles: DataFrame, has_origin: bool, window):
+    """Native tile prune for a global-pixel window: drop tiles that
+    cannot intersect [x0, x0+w) x [y0, y0+h) BEFORE the pixel blobs
+    cross the Python boundary. Pure plan-level filter on tile metadata
+    (origin + width/height), so pruned tiles never ship their payload;
+    opaque (mapInPandas/applyInPandas) upstream operators block any
+    deeper pushdown, and for native per-tile upstream chains pushing the
+    tile filter to the source is exactly the intended srcwin pruning."""
+    wx0, wy0, ww, wh = (int(v) for v in window)
+    if has_origin:
+        ox = F.col("_ox0")
+        oy = F.col("_oy0")
+    else:
+        ox = F.col("gx") * TILE
+        oy = F.col("gy") * TILE
+    if "width" in tiles.columns and "height" in tiles.columns:
+        tw, th = F.col("width"), F.col("height")
+    else:
+        tw = th = F.lit(TILE)
+    return tiles.filter(
+        (ox < wx0 + ww) & (ox + tw > wx0)
+        & (oy < wy0 + wh) & (oy + th > wy0))
+
+
+def explode_pixels(tiles: DataFrame, window=None) -> DataFrame:
     """Tile rows -> (zoom, gpx, gpy, value) global-pixel rows (the oracle
-    bridge; origin taken from _ox0/_oy0 when present for windowed tiles)."""
+    bridge; origin taken from _ox0/_oy0 when present for windowed tiles).
+
+    ``window`` = (x0, y0, w, h) global-pixel rect: only pixels inside it
+    are emitted — the grid is SLICED before the row build, so the emitted
+    rows are bit-identical to the unwindowed explode filtered to the rect
+    (same array content, same origin arithmetic), while non-window tiles
+    are pruned natively and window tiles build w*h rows instead of
+    TILE^2 (guide §4.1: pass only what crosses the boundary)."""
     has_origin = "_ox0" in tiles.columns
+    if window is not None:
+        tiles = _window_prune(tiles, has_origin, window)
+        wx0, wy0, ww, wh = (int(v) for v in window)
 
     def gen(batches):
         import pandas as pd
@@ -135,6 +169,16 @@ def explode_pixels(tiles: DataFrame) -> DataFrame:
                 grid = parse_tile(row)
                 oy0 = int(row["_oy0"]) if has_origin else int(row["gy"]) * TILE
                 ox0 = int(row["_ox0"]) if has_origin else int(row["gx"]) * TILE
+                if window is not None:
+                    ly0 = max(0, wy0 - oy0)
+                    ly1 = min(grid.shape[0], wy0 + wh - oy0)
+                    lx0 = max(0, wx0 - ox0)
+                    lx1 = min(grid.shape[1], wx0 + ww - ox0)
+                    if ly0 >= ly1 or lx0 >= lx1:
+                        continue
+                    grid = grid[ly0:ly1, lx0:lx1]
+                    oy0 += ly0
+                    ox0 += lx0
                 ys, xs = np.indices(grid.shape)
                 outs.append(
                     pd.DataFrame(
@@ -152,10 +196,14 @@ def explode_pixels(tiles: DataFrame) -> DataFrame:
     return tiles.mapInPandas(gen, _PIXEL_SCHEMA)
 
 
-def explode_pixels_banded(tiles: DataFrame) -> DataFrame:
+def explode_pixels_banded(tiles: DataFrame, window=None) -> DataFrame:
     """explode_pixels with the band column kept — the multi-band oracle
-    bridge (blend / nodata-to-alpha emit several bands per tile)."""
+    bridge (blend / nodata-to-alpha emit several bands per tile).
+    ``window`` as in explode_pixels (slice-exact, natively pruned)."""
     has_origin = "_ox0" in tiles.columns
+    if window is not None:
+        tiles = _window_prune(tiles, has_origin, window)
+        wx0, wy0, ww, wh = (int(v) for v in window)
 
     def gen(batches):
         import pandas as pd
@@ -166,6 +214,16 @@ def explode_pixels_banded(tiles: DataFrame) -> DataFrame:
                 grid = parse_tile(row)
                 oy0 = int(row["_oy0"]) if has_origin else int(row["gy"]) * TILE
                 ox0 = int(row["_ox0"]) if has_origin else int(row["gx"]) * TILE
+                if window is not None:
+                    ly0 = max(0, wy0 - oy0)
+                    ly1 = min(grid.shape[0], wy0 + wh - oy0)
+                    lx0 = max(0, wx0 - ox0)
+                    lx1 = min(grid.shape[1], wx0 + ww - ox0)
+                    if ly0 >= ly1 or lx0 >= lx1:
+                        continue
+                    grid = grid[ly0:ly1, lx0:lx1]
+                    oy0 += ly0
+                    ox0 += lx0
                 ys, xs = np.indices(grid.shape)
                 outs.append(pd.DataFrame({
                     "zoom": int(row["zoom"]),

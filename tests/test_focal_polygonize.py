@@ -604,3 +604,63 @@ def test_contour_polyline_oracle_stage_headroom():
         EQ._POLY_STAGES = saved
     assert sorted(full) == sorted(half)
     assert len(full) > 0
+
+
+def test_focal_stats_window_matches_unfused_chains(spark, tiles):
+    """r8 fusion contract: focal_stats_window (ONE halo pass) must be
+    pixel-exact against the un-fused composition it replaced — three
+    focal_generic chains (median, stddev, mode over floor(A/32)) each
+    windowed through the explode_pixels bridge and joined on (gpx, gpy).
+    Exact equality (==) on every stat: the fused stencil replays the
+    same numpy expressions in the same accumulation order."""
+    from osgeo_gdal_spark.operators import focal as FO, raster_ops as RO
+
+    x0, x1, y0, y1 = 200, 312, 200, 312  # spans the z1 tile seam at 256
+    k3 = np.ones((3, 3))
+
+    def window(df):
+        return RO.explode_pixels(df).filter(
+            (F.col("gpx") >= x0) & (F.col("gpx") < x1)
+            & (F.col("gpy") >= y0) & (F.col("gpy") < y1))
+
+    med = {(r["gpx"], r["gpy"]): r["value"]
+           for r in window(FO.focal_generic(tiles, 1, k3, "median")).collect()}
+    std = {(r["gpx"], r["gpy"]): r["value"]
+           for r in window(FO.focal_generic(tiles, 1, k3, "stddev")).collect()}
+    qt = RO.raster_calc({"A": tiles}, "floor(A / 32)")
+    mode = {(r["gpx"], r["gpy"]): r["value"]
+            for r in window(FO.focal_generic(qt, 1, k3, "mode")).collect()}
+
+    fused = {(r["gpx"], r["gpy"]): (r["med"], r["sd"], r["mode_q"])
+             for r in FO.focal_stats_window(
+                 tiles, 1, (x0, x1, y0, y1), qdiv=32.0).collect()}
+
+    assert set(fused) == set(med) == set(std) == set(mode)
+    assert len(fused) == (x1 - x0) * (y1 - y0)
+    for key, (fmed, fsd, fmode) in fused.items():
+        assert fmed == med[key], key
+        assert fsd == std[key], key
+        assert fmode == mode[key], key
+
+
+def test_contour_segments_cell_window_exact_slice(spark, tiles):
+    """r8 srcwin pushdown contract: contour_segments with cell_window
+    must emit EXACTLY the full soup's subset for those cells — same
+    float coordinates bit-for-bit (integer origin offsets commute
+    exactly through the marching-squares interpolation)."""
+    from osgeo_gdal_spark.operators import contour as CT
+
+    levels = [100.0, 200.5]
+    cx0, cy0, w, h = 200, 200, 112, 112  # spans the z1 tile seam at 256
+    full = {
+        (r["level"], r["cx"], r["cy"], r["x0"], r["y0"], r["x1"], r["y1"])
+        for r in CT.contour_segments(tiles, 1, levels).collect()
+        if cx0 <= r["cx"] < cx0 + w and cy0 <= r["cy"] < cy0 + h
+    }
+    got = {
+        (r["level"], r["cx"], r["cy"], r["x0"], r["y0"], r["x1"], r["y1"])
+        for r in CT.contour_segments(
+            tiles, 1, levels, cell_window=(cx0, cy0, w, h)).collect()
+    }
+    assert got == full
+    assert len(got) > 100

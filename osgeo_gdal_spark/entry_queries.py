@@ -1381,7 +1381,7 @@ def q_dedup_near_groups(spark: SparkSession, sf: str) -> DataFrame:
     out = DD.near_dup_groups_portable(docs.unionByName(planted),
                                       num_hashes=8, k=3,
                                       jaccard_threshold=0.8,
-                                      shuffle_partitions=8)
+                                      shuffle_partitions=1)
     return out.select("group_id", "doc_id",
                       F.col("keep").cast("int").alias("keep"))
 
@@ -2266,7 +2266,7 @@ def q_raster_footprint(spark: SparkSession, sf: str) -> DataFrame:
     # shuffle_partitions=8: the cross-tile merge graph of this fixture
     # is micro-state (r7 contour/k_shortest scoped-conf pattern)
     polys = PZ.footprint(tiles, RASTER_ZOOM, lambda g: g == 1,
-                         shuffle_partitions=8, walk_partitions=16)
+                         shuffle_partitions=1, walk_partitions=16)
 
     @F.pandas_udf("n_pts int, area double")
     def ring_digest(wkbs):
@@ -4115,7 +4115,7 @@ def q_polygonize(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     tiles = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
-    out = PZ.polygonize(tiles, RASTER_ZOOM, shuffle_partitions=8)
+    out = PZ.polygonize(tiles, RASTER_ZOOM, shuffle_partitions=1)
     return out.select("region_id", "value", "n_pixels", "xmin", "ymin",
                       "xmax", "ymax")
 
@@ -4157,7 +4157,7 @@ def q_polygonize_rings(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
     polys = PZ.polygonize_polygons(tiles, RASTER_ZOOM,
-                                   shuffle_partitions=8,
+                                   shuffle_partitions=1,
                                    walk_partitions=16)
 
     @F.pandas_udf("n_pts int, area double")
@@ -6593,7 +6593,7 @@ def q_contour_polylines(spark: SparkSession, sf: str) -> DataFrame:
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     pl = CT.contour_polylines(tiles, RASTER_ZOOM, POLYLINE_LEVELS,
                               bucket=128, cell_window=CONTOUR_SEG_WIN,
-                              shuffle_partitions=8)
+                              shuffle_partitions=1)
     return pl.select(
         "level", "n_segs",
         F.col("closed").cast("int").alias("closed"),
@@ -6687,7 +6687,7 @@ def q_contour_polygons(spark: SparkSession, sf: str) -> DataFrame:
 
     tiles = RS.synth_tiles(spark, RASTER_ZOOM)
     cp = CT.contour_polygons(tiles, RASTER_ZOOM, CONTOUR_BANDS,
-                             shuffle_partitions=8)
+                             shuffle_partitions=1, walk_partitions=8)
     return cp.groupBy("band").agg(
         F.round(F.sum("area"), 4).alias("area"),
         F.round(F.sum("perimeter"), 4).alias("perimeter"),
@@ -7711,7 +7711,7 @@ def q_sieve(spark: SparkSession, sf: str) -> DataFrame:
     from .sources import raster as RS
 
     cat = RS.synth_category_tiles(spark, RASTER_ZOOM, block=96)
-    return PZ.sieve(cat, RASTER_ZOOM, 2000, shuffle_partitions=8)
+    return PZ.sieve(cat, RASTER_ZOOM, 2000, shuffle_partitions=1)
 
 
 def sql_sieve() -> str:

@@ -1377,11 +1377,14 @@ def q_dedup_near_groups(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
     # shuffle_partitions=8: the verified-pair graph (planted 2-member
     # clusters + LSH near-dups) is micro-state relative to the corpus —
-    # the r7 scoped-conf pattern applied to the closure loop only
+    # the r7 scoped-conf pattern applied to the closure loop only.
+    # UNLIKE the fixed-size raster fixtures this graph SCALES with the
+    # corpus (width 1 measured 0.8 s slower at sf1), so the width stays
+    # at 8 rather than the width-1 floor the raster loops use.
     out = DD.near_dup_groups_portable(docs.unionByName(planted),
                                       num_hashes=8, k=3,
                                       jaccard_threshold=0.8,
-                                      shuffle_partitions=1)
+                                      shuffle_partitions=8)
     return out.select("group_id", "doc_id",
                       F.col("keep").cast("int").alias("keep"))
 
